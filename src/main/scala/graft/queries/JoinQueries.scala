@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join family. The reference's only join is `DbDataJoiner` — a lookup join
+  * against a dimension table with local cache and auto-upsert of unseen keys
+  * (SURVEY.md §2.1 A18). Spark-natively that whole family decomposes into
+  * broadcast/shuffle hash joins plus anti-join for the miss path, so we
+  * declare the full relational join surface.
+  *
+  * Scale notes:
+  *  - Dimension sides (customer/part/nation) are broadcast: at 100 TB the
+  *    fact table (lineitem/orders) never shuffles for these joins. We hint
+  *    `broadcast()` explicitly where the dim side is known-small; AQE
+  *    converts the rest at runtime.
+  *  - The dim-upsert surrogate-key assignment uses a window over DISTINCT
+  *    dim values — the distinct set is dim-sized (small), not fact-sized,
+  *    so the single-partition window is safe; the fact join-back is a
+  *    broadcast join.
+  */
+object JoinQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // A18 equi-join core: fact-dim join + aggregate. Shuffle hash/broadcast
+    // picked by Catalyst; customer is broadcast-size.
+    GraftQuery(
+      "q_join_inner",
+      (s, d) =>
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+          .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+             |       ROUND(SUM(o_totalprice), 2) AS rev
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
+
+    // A18 local-cache parity: explicit broadcast hint — the Spark analog of
+    // DbDataJoiner's in-process dimension cache (no shuffle of the fact).
+    GraftQuery(
+      "q_join_broadcast",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("p_brand"),
+      Some("""SELECT p_brand, COUNT(*) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1 ORDER BY p_brand""".stripMargin)),
+
+    // A18 miss path: customers with no orders (left join + null filter).
+    GraftQuery(
+      "q_join_left",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, col("o_custkey") === col("c_custkey"), "left")
+          .filter(col("o_orderkey").isNull)
+          .select("c_custkey")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey
+             |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+             |WHERE o_orderkey IS NULL ORDER BY c_custkey""".stripMargin)),
+
+    // A18 hit path (LocalLookup): EXISTS as left-semi join.
+    GraftQuery(
+      "q_join_semi",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(
+            Tables.orders(s, d).filter(col("o_totalprice") > 100000),
+            col("c_custkey") === col("o_custkey"),
+            "left_semi")
+          .select("c_custkey")
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // A18 DimTableInserter find-new-keys step: NOT EXISTS as left-anti join.
+    GraftQuery(
+      "q_join_anti",
+      (s, d) =>
+        Tables.part(s, d)
+          .join(
+            Tables.lineitem(s, d),
+            col("p_partkey") === col("l_partkey"),
+            "left_anti")
+          .select("p_partkey")
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey FROM part
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // Equi + interval predicate (range join): the equi key keeps it a hash
+    // join with the range as a post-filter — no O(n²) theta join.
+    GraftQuery(
+      "q_join_range",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        l.join(
+            o,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") >= col("o_orderdate") &&
+              col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .select("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber
+             |FROM lineitem JOIN orders
+             |  ON l_orderkey = o_orderkey
+             | AND l_shipdate >= o_orderdate
+             | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // A18 full semantics, deterministic batch model: distinct dim values →
+    // dense_rank surrogate keys → broadcast join back onto the fact.
+    // (True incremental upsert against a live store is the streaming layer's
+    // job; this is the batch-equivalent contract.)
+    GraftQuery(
+      "q_join_dim_upsert",
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val dim = p.select("p_brand").distinct()
+          .withColumn("sk", dense_rank().over(Window.orderBy("p_brand")))
+        p.join(broadcast(dim), "p_brand")
+          .select("p_partkey", "sk")
+          .orderBy("p_partkey")
+      },
+      Some("""WITH dim AS (
+             |  SELECT p_brand,
+             |         CAST(DENSE_RANK() OVER (ORDER BY p_brand) AS INTEGER) AS sk
+             |  FROM (SELECT DISTINCT p_brand FROM part)
+             |)
+             |SELECT p_partkey, sk FROM part JOIN dim USING (p_brand)
+             |ORDER BY p_partkey""".stripMargin)),
+  )
+}

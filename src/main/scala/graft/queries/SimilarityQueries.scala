@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** North-star similarity search over the `embeddings` table
+  * (`array<float>[64]`). Baseline: brute-force cosine top-k against a probe
+  * vector, computed with codegen'd higher-order functions (zip_with +
+  * aggregate) in Double — no UDF, stays inside whole-stage codegen.
+  *
+  * Scale notes: the probe side is a 1-row broadcast; the scan side is
+  * embarrassingly parallel; orderBy+limit compiles to TakeOrderedAndProject
+  * (per-partition top-k heaps, driver merges k rows per partition — never a
+  * full sort). The LSH-bucketed scale path lives in
+  * graft.operators.Similarity (non-oracle, property-tested).
+  */
+object SimilarityQueries {
+
+  /** dot(a, b) in Double over two float-array columns, left-to-right fold —
+    * matches DuckDB's summation order for reproducibility. */
+  private def dotD(a: String, b: String): org.apache.spark.sql.Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x AS double) * cast(y AS double)), " +
+      "cast(0 AS double), (acc, v) -> acc + v)")
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Brute-force cosine top-10 vs probe vec_id=0.
+    GraftQuery(
+      "q_sim_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val probe = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("probe_vec"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .withColumn("dot", dotD("embedding", "probe_vec"))
+          .withColumn("na", dotD("embedding", "embedding"))
+          .withColumn("nb", dotD("probe_vec", "probe_vec"))
+          .select(
+            col("vec_id"),
+            round(col("dot") / sqrt(col("na") * col("nb")), 4).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some("""SELECT vec_id,
+             |  ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]),
+             |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
+             |    4) AS sim
+             |FROM embeddings WHERE vec_id <> 0
+             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // Per-label centroid norms: aggregate over vector columns (element-wise
+    // mean via explode-free posexplode aggregation would shuffle per
+    // element; for 64-dim this stays a single zip_with fold per row).
+    GraftQuery(
+      "q_sim_norms",
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .withColumn("norm", sqrt(dotD("embedding", "embedding")))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"), round(avg(col("norm")), 4).as("avg_norm"))
+          .orderBy("label"),
+      Some("""SELECT label, COUNT(*) AS n,
+             |  ROUND(AVG(SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),
+             |                                  CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
+             |FROM embeddings GROUP BY 1 ORDER BY label""".stripMargin)),
+  )
+}

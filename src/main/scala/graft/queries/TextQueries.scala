@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** North-star text/LLM-pipeline operators over the `documents` table
+  * (BASELINE.json north_star): exact dedup, text statistics, quality
+  * scoring, fingerprinting. Near-dup (MinHash/SimHash) lives in
+  * graft.functions + graft.operators (non-oracle, property-tested).
+  *
+  * Scale notes: exact dedup is a hash groupBy on the text hash — at 100 TB
+  * group on a fingerprint (md5) instead of the full text so shuffle rows
+  * carry 16 bytes, not documents. All stats are narrow per-row expressions;
+  * the only shuffles are the final small aggregations.
+  */
+object TextQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Exact dedup with deterministic survivor (min doc_id per text group).
+    GraftQuery(
+      "q_dedup_exact",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy("text")
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dups"))
+          .select("keep_id", "dups")
+          .orderBy("keep_id"),
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dups
+             |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    // Exact dedup at scale: group on md5(text) — the shuffle key is a
+    // 32-char fingerprint, not the document body.
+    GraftQuery(
+      "q_dedup_hash",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dups"))
+          .select("keep_id", "dups")
+          .orderBy("keep_id"),
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dups
+             |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
+
+    // Per-language corpus statistics incl. whitespace token counts.
+    GraftQuery(
+      "q_text_stats",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n"),
+            round(avg(col("n_chars")), 4).as("avg_chars"),
+            round(avg(size(split(col("text"), " ")).cast("double")), 4).as("avg_tokens"))
+          .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n,
+             |       ROUND(AVG(n_chars), 4) AS avg_chars,
+             |       ROUND(AVG(CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE)), 4) AS avg_tokens
+             |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    // Quality scoring signals: token count, vocabulary-uniqueness ratio,
+    // stopword ratio — all codegen'd array expressions, no UDFs.
+    GraftQuery(
+      "q_text_quality",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            round(size(array_distinct(toks)).cast("double") / size(toks), 4).as("uniq_ratio"),
+            round(
+              size(filter(toks, t => t.isin("the", "a"))).cast("double") / size(toks),
+              4).as("stopword_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+             |  ROUND(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+             |        / LEN(STRING_SPLIT(text, ' ')), 4) AS uniq_ratio,
+             |  ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+             |                             t -> t IN ('the', 'a'))) AS DOUBLE)
+             |        / LEN(STRING_SPLIT(text, ' ')), 4) AS stopword_ratio
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Document fingerprinting (content-addressable id for dedup indexes).
+    GraftQuery(
+      "q_doc_fingerprint",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(text) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+  )
+}
