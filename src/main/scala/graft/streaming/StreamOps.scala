@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming layer — the reference IS a push-streaming library (bounded
+  * buffers, completion, per-key dispatch, batch-then-flush; SURVEY.md §2.1
+  * A13/A14, §2.2 "Streaming"). Spark-natively that surface is Structured
+  * Streaming: micro-batch pull with watermark-bounded state instead of
+  * bounded-capacity backpressure.
+  *
+  * Every transform here works identically on a batch DataFrame and a
+  * streaming one (same logical operators) — mirroring how a reference
+  * pipeline is agnostic to whether its source is finite.
+  *
+  * Scale notes: state stores (windows, dedup, mapGroupsWithState) are
+  * partitioned by grouping key across executors; watermarks bound state
+  * size — an unbounded-state streaming query is a leak at 100 TB/day, so
+  * every stateful op here requires an explicit watermark or timeout.
+  */
+object StreamOps {
+
+  /** A14 batching over event time: tumbling window aggregation. */
+  def tumbling(df: DataFrame, tsCol: String, duration: String, keys: Column*)(
+      aggs: Column*): DataFrame =
+    df.groupBy(window(col(tsCol), duration) +: keys: _*).agg(aggs.head, aggs.tail: _*)
+
+  /** Sliding window: each event lands in windowDuration/slideDuration
+    * overlapping windows. */
+  def sliding(df: DataFrame, tsCol: String, windowDuration: String, slideDuration: String,
+      keys: Column*)(aggs: Column*): DataFrame =
+    df.groupBy(window(col(tsCol), windowDuration, slideDuration) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Session window: events within `gap` of each other merge into one
+    * session (dynamic-length windows). */
+  def session(df: DataFrame, tsCol: String, gap: String, keys: Column*)(
+      aggs: Column*): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap) +: keys: _*).agg(aggs.head, aggs.tail: _*)
+
+  /** Watermarked source: rows older than maxDelay behind the max observed
+    * event time are dropped from stateful operators downstream. */
+  def watermarked(df: DataFrame, tsCol: String, maxDelay: String): DataFrame =
+    df.withWatermark(tsCol, maxDelay)
+
+  /** Stateful exact dedup over a key set, state bounded by the watermark
+    * (north-star dedup in streaming form). */
+  def dedupStream(df: DataFrame, tsCol: String, maxDelay: String, cols: String*): DataFrame =
+    df.withWatermark(tsCol, maxDelay)
+      .dropDuplicatesWithinWatermark(cols.head, cols.tail: _*)
+
+  /** A13 DataDispatcher parity, streaming form: a lazily-created stateful
+    * child per key. The reference creates one child flow per distinct key
+    * and routes rows to it; here each key owns a `GroupState[S]` evolved by
+    * `child` on every micro-batch — distributed, fault-tolerant via
+    * checkpoint, no driver-side key table.
+    */
+  def dispatchStateful[K: Encoder, V, S: Encoder, O: Encoder](
+      ds: Dataset[V], key: V => K, timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout())(
+      child: (K, Iterator[V], GroupState[S]) => Iterator[O]): Dataset[O] =
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[S, O](OutputMode.Append(), timeout)(child)
+
+  /** Running per-key event counters (A19 StatisticsRecorder, streaming
+    * form): emits (key, cumulative count) on every update. */
+  def runningCounts[K: Encoder, V](ds: Dataset[V], key: V => K)(implicit
+      outEnc: Encoder[(K, Long)]): Dataset[(K, Long)] = {
+    implicit val longEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    ds.groupByKey(key).flatMapGroupsWithState[Long, (K, Long)](
+      OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+      (k: K, rows: Iterator[V], state: GroupState[Long]) =>
+        val next = state.getOption.getOrElse(0L) + rows.size
+        state.update(next)
+        Iterator((k, next))
+    }
+  }
+}

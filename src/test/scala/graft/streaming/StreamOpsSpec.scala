@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.flow.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Ev(ts: Timestamp, user: String, value: Double)
+
+class StreamOpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+
+  private def t(minutes: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minutes%02d:00")
+
+  test("tumbling window aggregation groups by hour bucket (batch form)") {
+    import spark.implicits._
+    val df = Seq(Ev(t(5), "a", 1.0), Ev(t(15), "a", 2.0), Ev(t(45), "b", 3.0)).toDF()
+    val out = StreamOps.tumbling(df, "ts", "30 minutes", col("user"))(
+      count(lit(1)).as("n"), sum("value").as("sv"))
+      .select("user", "n", "sv").orderBy("user", "sv").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("a", 2L, 3.0), ("b", 1L, 3.0)))
+  }
+
+  test("sliding window places each event in window/slide overlapping windows") {
+    import spark.implicits._
+    val df = Seq(Ev(t(10), "a", 1.0)).toDF()
+    val out = StreamOps.sliding(df, "ts", "20 minutes", "5 minutes")(count(lit(1)).as("n"))
+    assert(out.count() == 4)
+  }
+
+  test("session window merges events within gap, splits across it") {
+    import spark.implicits._
+    val df = Seq(Ev(t(0), "a", 1.0), Ev(t(4), "a", 1.0), Ev(t(30), "a", 1.0)).toDF()
+    val out = StreamOps.session(df, "ts", "10 minutes", col("user"))(count(lit(1)).as("n"))
+    assert(out.select("n").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("watermark drops late data in a streaming aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = StreamOps.tumbling(
+      StreamOps.watermarked(mem.toDF(), "ts", "10 minutes"),
+      "ts", "10 minutes")(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    try {
+      // batch 1: events up to 00:50 → watermark advances to 00:40
+      mem.addData(Ev(t(5), "a", 1.0), Ev(t(50), "a", 1.0))
+      q.processAllAvailable()
+      // batch 2: a 00:06 straggler — behind the watermark, must be dropped;
+      // plus 00:55 (open window)
+      mem.addData(Ev(t(6), "a", 1.0), Ev(t(55), "a", 1.0))
+      q.processAllAvailable()
+      // close all windows so they emit
+      mem.addData(Ev(Timestamp.valueOf("2024-01-01 02:00:00"), "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wm_out")
+        .select(col("window.start").cast("string"), col("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(rows("2024-01-01 00:00:00") == 1) // straggler NOT counted
+      assert(rows("2024-01-01 00:50:00") == 2)
+    } finally q.stop()
+  }
+
+  test("streaming dedup within watermark removes duplicate keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dedup = StreamOps.dedupStream(mem.toDF(), "ts", "10 minutes", "user")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dd_out").start()
+    try {
+      mem.addData(Ev(t(1), "a", 1.0), Ev(t(2), "a", 2.0), Ev(t(3), "b", 3.0))
+      q.processAllAvailable()
+      mem.addData(Ev(t(4), "a", 4.0))
+      q.processAllAvailable()
+      assert(spark.table("dd_out").count() == 2) // one per distinct user
+    } finally q.stop()
+  }
+
+  test("stateful dispatcher maintains per-key state across micro-batches (A13)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val counts = StreamOps.runningCounts(mem.toDS(), (e: Ev) => e.user)
+    val q = counts.toDF("user", "n").writeStream.outputMode("update")
+      .format("memory").queryName("rc_out").start()
+    try {
+      mem.addData(Ev(t(1), "a", 1.0), Ev(t(2), "a", 1.0), Ev(t(3), "b", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(t(4), "a", 1.0))
+      q.processAllAvailable()
+      val last = spark.table("rc_out").groupBy("user").agg(max("n").as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(last == Map("a" -> 3L, "b" -> 1L))
+    } finally q.stop()
+  }
+}
