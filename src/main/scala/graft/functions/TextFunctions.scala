@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the LLM-data-pipeline operators
+  * (BASELINE.json north_star): tokenization, shingling, MinHash, SimHash,
+  * rolling-hash fingerprints, token counting, language ID.
+  *
+  * Everything here is composed from built-in Catalyst expressions
+  * (split/transform/aggregate/xxhash64/…) — no Scala UDFs — so the whole
+  * pipeline stays inside whole-stage codegen and serializes no closures.
+  * At 100 TB that's the difference between a scan-bound pass and a
+  * lambda-serialization bottleneck.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish tokenization: letter runs, single digits, punctuation marks —
+    * the shape GPT-style pre-tokenizers use. Returns the token array. */
+  val bpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeishTokens(text: Column): Column = regexp_extract_all(text, lit(bpeishPattern), lit(0))
+  def tokenCount(text: Column): Column = size(bpeishTokens(text)).cast("long")
+
+  /** Word n-gram shingles: ["a","b","c"] with n=2 → ["a b", "b c"].
+    * Documents shorter than n shingle to the whole document. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) <= n, array(array_join(toks, " ")))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  /** MinHash signature: k independent permutations approximated by seeded
+    * xxhash64; signature[j] = min over shingles of hash(shingle, seed_j).
+    * Deterministic under a fixed seed. Collision probability of two docs'
+    * signature positions equals their Jaccard similarity (Broder 1997). */
+  def minhashSignature(shinglesCol: Column, numHashes: Int, seed: Long = 42L): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(shinglesCol, s => xxhash64(s, lit(seed + j))))
+    }: _*)
+
+  /** LSH band keys for a MinHash signature: split into `bands` bands of
+    * rows = numHashes/bands, hash each band. Docs sharing ANY band key are
+    * near-dup candidates. Returns array of (bandIdx, bandHash) structs. */
+  def bandKeys(signature: Column, bands: Int, numHashes: Int): Column = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    val rows = numHashes / bands
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(slice(signature, b * rows + 1, rows), lit(b)).as("bucket"))
+    }: _*)
+  }
+
+  /** 64-bit SimHash over tokens: bit j of the result is 1 iff the sum of
+    * ±1 votes (sign of bit j of each token's hash) is positive. Near-dup
+    * docs differ in few bits (small Hamming distance). Pure expression —
+    * the per-token loop is a fold over the token array. */
+  def simhash64(tokensCol: Column): Column = {
+    // ±1 vote per bit of a token's hash; masks are static literals because
+    // Spark's Scala API has no variable-shift column op.
+    def bitVotes(h: Column): Column =
+      array((0 until 64).map { j =>
+        when(h.bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)
+      }: _*)
+    val votes = aggregate(
+      tokensCol,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc, bitVotes(xxhash64(t)), (a, v) => a + v))
+    // Fold the 64 vote signs back into one long. Two 32-bit halves combined
+    // bitwise — a single *2-per-bit fold would hit ANSI long overflow when
+    // bit 63 lands set.
+    def foldBits(half: Column): Column =
+      aggregate(reverse(half), lit(0L), (acc, v) => acc * 2 + when(v > 0, 1L).otherwise(0L))
+    val lo = foldBits(slice(votes, 1, 32))
+    val hi = foldBits(slice(votes, 33, 32))
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Polynomial rolling-hash fingerprint of the character stream
+    * (order-sensitive, unlike a bag-of-words hash). Modular arithmetic
+    * keeps it overflow-free and engine-portable. */
+  def rollingHash(text: Column, mod: Long = 1000000007L, base: Long = 131L): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * base + coalesce(ascii(ch).cast("long"), lit(0L)), lit(mod)))
+
+  /** Exact Jaccard similarity of two shingle arrays (set semantics). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(1.0)).otherwise(inter / uni)
+  }
+
+  /** Tiny n-gram/stopword language-ID heuristic: counts hits against
+    * per-language marker sets and returns the argmax language (ties →
+    * lexicographically last, deterministic; "und" when nothing matches).
+    * Marker lists are
+    * deliberately small — this is the cheap first-pass filter a corpus
+    * pipeline runs before an expensive classifier. */
+  val languageMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "ich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"))
+
+  def langId(text: Column): Column = {
+    val toks = transform(tokens(lower(text)), t => regexp_replace(t, "[^\\p{L}]", ""))
+    val scored = languageMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val hits = size(filter(toks, t => t.isin(markers.map(lit): _*)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    // array_max over (hits, lang) structs: max hits wins; equal hits fall
+    // back to the lexicographically last lang — deterministic either way.
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for corpus pipelines (BASELINE.json
+  * north_star): exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - Nothing ever materializes the O(n²) pair space. Candidates come from
+  *    LSH bucket joins; only bucket-mates are compared exactly.
+  *  - Shuffle keys are fixed-width hashes (8–16 bytes), never document
+  *    bodies.
+  *  - Hot buckets (boilerplate shingles, empty docs) are capped: buckets
+  *    larger than `maxBucket` are dropped from candidacy — standard LSH
+  *    practice, and the skew guard that keeps one pathological key from
+  *    stalling a 1000-executor join.
+  */
+object Dedup {
+
+  /** Exact dedup with deterministic survivor: keeps the min-id row per
+    * distinct value of `textCol`. Hash-groupBy on a fingerprint, so the
+    * shuffle carries 16-byte keys, not documents. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = df.select(col(idCol), md5(col(textCol)).as("graft_fp"))
+      .groupBy("graft_fp").agg(min(idCol).as(idCol))
+    df.join(fp, idCol).drop("graft_fp")
+  }
+
+  /** Candidate near-duplicate pairs via MinHash + LSH banding, verified
+    * with exact shingle-set Jaccard.
+    *
+    * Pipeline: shingle → k-hash MinHash signature → band into `bands`
+    * buckets → self-join per (band, bucket) → exact Jaccard verify.
+    * Returns (idA, idB, jaccard) with idA < idB, jaccard ≥ threshold.
+    */
+  def minhashNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 128,
+      bands: Int = 32,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      seed: Long = 42L,
+      maxBucket: Int = 1000): DataFrame = {
+
+    val sh = df.select(
+      col(idCol).as("graft_id"),
+      shingles(col(textCol), shingleN).as("graft_shingles"))
+
+    val banded = sh
+      .withColumn("graft_band",
+        explode(bandKeys(
+          minhashSignature(col("graft_shingles"), numHashes, seed), bands, numHashes)))
+      .select(col("graft_id"), col("graft_band.band"), col("graft_band.bucket"))
+
+    // Skew guard: drop buckets too common to be informative.
+    val smallBuckets = banded
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket && col("n") >= 2)
+      .select("band", "bucket")
+
+    val candidates = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.graft_id") < col("r.graft_id"))
+      .join(smallBuckets.as("s"),
+        col("l.band") === col("s.band") && col("l.bucket") === col("s.bucket"), "left_semi")
+      .select(col("l.graft_id").as("id_a"), col("r.graft_id").as("id_b"))
+      .distinct()
+
+    candidates
+      .join(sh.select(col("graft_id").as("id_a"), col("graft_shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("graft_id").as("id_b"), col("graft_shingles").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(array_distinct(col("sh_a")), array_distinct(col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Near-dup pairs via 64-bit SimHash. Pigeonhole banding: fingerprints
+    * within Hamming distance `maxHamming` (< chunks) must agree on at least
+    * one of `chunks` equal-width bit chunks, so bucket by each chunk and
+    * verify with bit_count(xor). */
+  def simhashNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      chunks: Int = 4): DataFrame = {
+
+    val fp = df.select(
+      col(idCol).as("graft_id"),
+      simhash64(tokens(col(textCol))).as("graft_sh"))
+
+    val width = 64 / chunks
+    val chunked = fp.withColumn("graft_chunk", explode(array((0 until chunks).map { c =>
+      struct(lit(c).as("c"),
+        shiftrightunsigned(col("graft_sh"), c * width)
+          .bitwiseAND((1L << width) - 1).as("v"))
+    }: _*)))
+
+    chunked.as("l")
+      .join(chunked.as("r"),
+        col("l.graft_chunk") === col("r.graft_chunk") &&
+          col("l.graft_id") < col("r.graft_id"))
+      .select(
+        col("l.graft_id").as("id_a"), col("r.graft_id").as("id_b"),
+        hamming64(col("l.graft_sh"), col("r.graft_sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** n-gram Jaccard near-dup: like minhashNearDup but the verify step IS
+    * the definition (LSH is only the blocking strategy), exposed separately
+    * for exact-threshold use. */
+  def ngramJaccardNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      numHashes: Int = 128,
+      bands: Int = 64,
+      seed: Long = 42L): DataFrame =
+    // More bands → lower LSH threshold (~ (1/bands)^(bands/numHashes)), so
+    // candidates cover the requested exact-Jaccard threshold.
+    minhashNearDup(df, idCol, textCol, numHashes, bands, shingleN, threshold, seed)
+
+  /** Embedding-cosine near-dup pairs: random-hyperplane LSH buckets then
+    * exact cosine verify. See Similarity.cosineLshBuckets for the bucketing
+    * scheme. */
+  def embeddingNearDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      planes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+
+    val bucketed = df.select(
+      col(idCol).as("graft_id"),
+      col(vecCol).as("graft_vec"),
+      Similarity.hyperplaneBucket(col(vecCol), planes, seed).as("graft_bucket"))
+
+    bucketed.as("l")
+      .join(bucketed.as("r"),
+        col("l.graft_bucket") === col("r.graft_bucket") &&
+          col("l.graft_id") < col("r.graft_id"))
+      .select(
+        col("l.graft_id").as("id_a"), col("r.graft_id").as("id_b"),
+        Similarity.cosine(col("l.graft_vec"), col("r.graft_vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths (BASELINE.json north_star):
+  *  - `bruteForceTopK`: exact cosine top-k — the correctness baseline.
+  *    Embarrassingly parallel scan + TakeOrderedAndProject (per-partition
+  *    heaps, k rows to the driver per partition — no full sort).
+  *  - `lshTopK`: random-hyperplane LSH buckets + rerank — the scale path.
+  *    At 100 TB the scan-everything baseline reads everything per probe;
+  *    bucketing reads ~1/2^planes of it (tunable recall/cost via
+  *    multi-probe bit flips).
+  *
+  * All math runs in Double via codegen'd higher-order functions; float
+  * elements are upcast exactly.
+  */
+object Similarity {
+
+  /** dot(a, b) in Double (left-to-right fold, reproducible). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplanes: plane p's component j is a
+    * zero-mean value derived from xxhash64(seed, p, j). Sign of the dot
+    * product gives bit p of the bucket id. Everything is a pure column
+    * expression — the "planes" are never materialized driver-side. */
+  private def planeComponent(p: Int, j: Column, seed: Long): Column =
+    (pmod(xxhash64(lit(seed), lit(p), j), lit(2000001L)) - 1000000L).cast("double")
+
+  private def planeDot(vec: Column, p: Int, seed: Long): Column =
+    aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, j) => x.cast("double") * planeComponent(p, j, seed)),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Bucket id = `planes`-bit signature of hyperplane sides. Collision
+    * probability rises with cosine similarity (Charikar 2002 — SimHash for
+    * angular distance). */
+  def hyperplaneBucket(vec: Column, planes: Int, seed: Long = 42L): Column =
+    (0 until planes).foldLeft(lit(0L)) { (acc, p) =>
+      shiftleft(acc, 1).bitwiseOR(when(planeDot(vec, p, seed) >= 0, 1L).otherwise(0L))
+    }
+
+  /** Exact cosine top-k against a literal probe vector. */
+  def bruteForceTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probe: Array[Float],
+      k: Int): DataFrame = {
+    val probeCol = array(probe.map(v => lit(v.toDouble)): _*)
+    df.select(
+        col(idCol),
+        round(cosine(col(vecCol), probeCol), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates = vectors in the probe's
+    * bucket or any 1-bit-flip neighbor bucket (multi-probe), reranked by
+    * exact cosine. Recall/cost knob: fewer planes or more probes → more
+    * candidates. */
+  def lshTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probe: Array[Float],
+      k: Int,
+      planes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+
+    val bucketed = df.withColumn("graft_bucket",
+      hyperplaneBucket(col(vecCol), planes, seed))
+
+    // Probe bucket + 1-bit flips, computed once on a 1-row frame then
+    // broadcast into a semi-join (no driver collect of data rows).
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probeDf = Seq(probe).toDF("graft_probe")
+      .withColumn("b0", hyperplaneBucket(col("graft_probe"), planes, seed))
+      .withColumn("graft_bucket", explode(array(
+        col("b0") +: (0 until planes).map(p => col("b0").bitwiseXOR(lit(1L << p))): _*)))
+      .select("graft_bucket")
+
+    bucketed
+      .join(broadcast(probeDf), Seq("graft_bucket"), "left_semi")
+      .select(
+        col(idCol),
+        round(cosine(col(vecCol), array(probe.map(v => lit(v.toDouble)): _*)), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

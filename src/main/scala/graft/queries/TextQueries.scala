@@ -84,6 +84,21 @@ object TextQueries {
              |        / LEN(STRING_SPLIT(text, ' ')), 4) AS stopword_ratio
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // BPE-ish token counting: letter runs / single digits / punctuation —
+    // the pre-tokenizer shape GPT-style BPE uses (TextFunctions.bpeishTokens).
+    GraftQuery(
+      "q_token_count",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            graft.functions.TextFunctions.tokenCount(col("text")).as("n_bpeish"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)
+             |    AS n_bpeish
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Document fingerprinting (content-addressable id for dedup indexes).
     GraftQuery(
       "q_doc_fingerprint",

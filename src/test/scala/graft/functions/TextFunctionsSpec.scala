@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.flow.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFunctionsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("shingles produce word n-grams; short docs shingle whole") {
+    val df = Seq("a b c d", "x").toDF("text")
+    val out = df.select(TextFunctions.shingles($"text", 2).as("s")).as[Seq[String]].collect()
+    assert(out(0) == Seq("a b", "b c", "c d"))
+    assert(out(1) == Seq("x"))
+  }
+
+  test("bpe-ish token count splits words, digits, punctuation") {
+    val df = Seq("Hello, world! 42 times").toDF("text")
+    // Hello , world ! 4 2 times → 7
+    val n = df.select(TextFunctions.tokenCount($"text").as("n")).as[Long].head()
+    assert(n == 7)
+  }
+
+  test("simhash: identical docs equal; near docs close; far docs far") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "the quick brown fox jumps over the lazy dog near the river edge",
+      "completely different words about database systems and query planning"
+    ).toDF("text")
+    val h = df.select(TextFunctions.simhash64(TextFunctions.tokens($"text")).as("h"))
+      .as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0), h(0)) == 0)
+    assert(ham(h(0), h(1)) < ham(h(0), h(2)))
+    assert(ham(h(0), h(1)) <= 16)
+  }
+
+  test("rolling hash is order-sensitive and deterministic") {
+    val df = Seq("abc", "acb", "abc").toDF("text")
+    val h = df.select(TextFunctions.rollingHash($"text").as("h")).as[Long].collect()
+    assert(h(0) == h(2))
+    assert(h(0) != h(1))
+  }
+
+  test("language id picks the marker-heavy language, und when nothing matches") {
+    val df = Seq(
+      "the cat is in the house and it is warm",
+      "der hund ist nicht in der wohnung und ich bin da",
+      "le chat est dans la maison et il est pour le mieux",
+      "zzz qqq xxx").toDF("text")
+    val langs = df.select(TextFunctions.langId($"text").as("l")).as[String].collect()
+    assert(langs.toSeq == Seq("en", "de", "fr", "und"))
+  }
+
+  test("jaccard on shingle sets: identical=1, disjoint=0") {
+    val df = Seq(("a b c", "a b c"), ("a b c", "x y z")).toDF("t1", "t2")
+    val j = df.select(TextFunctions.jaccard(
+      TextFunctions.shingles($"t1", 1), TextFunctions.shingles($"t2", 1)).as("j"))
+      .as[Double].collect()
+    assert(j(0) == 1.0 && j(1) == 0.0)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.flow.SparkTestSession
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus = {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val nearDup = base.replace("tonight", "today") // 1-word edit
+    val other = "completely different content about spark query engines and distributed joins"
+    Seq(
+      (0L, base), (1L, nearDup), (2L, other),
+      (3L, base), // exact dup of 0
+      (4L, "tiny doc"), (5L, "another unrelated piece of text entirely here")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min-id survivor per distinct text") {
+    val out = Dedup.exact(corpus, "doc_id", "text")
+    assert(out.count() == 5)
+    assert(!out.select("doc_id").as[Long].collect().contains(3L))
+  }
+
+  test("minhash LSH finds planted near-duplicate and exact dup, not unrelated docs") {
+    val pairs = Dedup.minhashNearDup(corpus, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleN = 2, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated stays out
+  }
+
+  test("minhash signatures are deterministic under a fixed seed") {
+    val sig = TextFunctions.minhashSignature(
+      TextFunctions.shingles(col("text"), 3), numHashes = 16, seed = 7L)
+    val a = corpus.select(sig.as("s")).as[Seq[Long]].collect()
+    val b = corpus.select(sig.as("s")).as[Seq[Long]].collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("simhash near-dup finds the one-word edit within small hamming distance") {
+    val pairs = Dedup.simhashNearDup(corpus, "doc_id", "text", maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // identical → hamming 0
+    assert(pairs.contains((0L, 1L))) // near dup → few bits
+  }
+
+  test("embedding near-dup buckets similar vectors together and verifies cosine") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.1f)), // ~same direction as 0
+      (2L, Array(-1.0f, 0.5f, 0.2f, -0.3f))  // far away
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+      threshold = 0.99, planes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
