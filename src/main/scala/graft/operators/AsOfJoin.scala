@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the latest right row whose time
+  * key is <= the left row's (per equi-key). The classic point-in-time
+  * lookup (trades→quotes, events→latest-config).
+  *
+  * Spark has no native as-of join; the scalable formulation is
+  * union + last_value window (no range self-join, no N² pairs):
+  * tag both sides, union on (key, time), and carry the most recent right
+  * payload forward with `last(ignoreNulls)` over rows-unbounded-preceding.
+  * One shuffle on the equi key + one in-partition sort — the same cost
+  * as a sort-merge join, and skew-safe under AQE.
+  *
+  * Ties (left.ts == right.ts): the right row sorts first (tag 0 < 1), so
+  * an exactly-simultaneous right row IS visible to the left row — matching
+  * DuckDB's ASOF JOIN (>=) semantics.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side
+    * @param right     reference side (its `valueCols` get attached)
+    * @param keyCols   equi keys present on both sides
+    * @param leftTs    left time column name
+    * @param rightTs   right time column name
+    * @param valueCols right columns to carry (null when no prior right row)
+    */
+  def asof(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String]): DataFrame = {
+
+    val leftOnly = left.columns.toSeq.filterNot(keyCols.contains)
+    require(valueCols.intersect(left.columns.toSeq).isEmpty,
+      "valueCols must not collide with left columns")
+    val ts = "graft_ts"
+    val side = "graft_side" // 0 = right (sorts first on tie), 1 = left
+
+    // Align schemas: keys live on both sides; each side carries the other's
+    // payload columns as typed nulls.
+    val lAligned = left.select(
+      keyCols.map(col) ++ leftOnly.map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
+        col(leftTs).as(ts) :+ lit(1).as(side): _*)
+    val rAligned = right.select(
+      keyCols.map(col) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(col) :+ col(rightTs).as(ts) :+ lit(0).as(side): _*)
+
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ts).asc, col(side).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = valueCols.foldLeft(lAligned.unionByName(rAligned)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+
+    carried.filter(col(side) === 1).drop(ts, side)
+  }
+}

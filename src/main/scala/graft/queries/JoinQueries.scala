@@ -122,6 +122,32 @@ object JoinQueries {
              | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // As-of join (point-in-time lookup): each click gets the user's most
+    // recent prior-or-simultaneous purchase value. Union + last_value
+    // window — one shuffle on user_id, no range self-join (see
+    // graft.operators.AsOfJoin for the scale rationale).
+    GraftQuery(
+      "q_join_asof",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.operators.AsOfJoin.asof(
+            left = ev.filter(col("event_type") === "click")
+              .select("event_id", "user_id", "ts"),
+            right = ev.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts"), col("value").as("purchase_value")),
+            keyCols = Seq("user_id"),
+            leftTs = "ts",
+            rightTs = "ts",
+            valueCols = Seq("purchase_value"))
+          .select("event_id", "purchase_value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, r.value AS purchase_value
+             |FROM (SELECT * FROM events WHERE event_type = 'click') l
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts
+             |ORDER BY l.event_id""".stripMargin)),
+
     // A18 full semantics, deterministic batch model: distinct dim values →
     // dense_rank surrogate keys → broadcast join back onto the fact.
     // (True incremental upsert against a live store is the streaming layer's

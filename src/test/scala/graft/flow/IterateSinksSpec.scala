@@ -1,0 +1,55 @@
+package graft.flow
+
+import java.nio.file.Files
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IterateSinksSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("fixpoint iteration computes transitive closure (crawler parity A20/A27)") {
+    // chain 0→1→2→3→4 plus an unreachable island 10→11
+    val edges = Seq((0, 1), (1, 2), (2, 3), (3, 4), (10, 11)).toDF("src", "dst")
+    val seed = Seq(0).toDF("node")
+    val reached = Iterate.fixpoint(seed, maxIterations = 10) { frontier =>
+      frontier.join(edges, frontier("node") === edges("src")).select(col("dst").as("node"))
+    }
+    assert(reached.as[Int].collect().sorted.toSeq == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("fixpoint terminates on cycles (the ring-completion case)") {
+    val edges = Seq((0, 1), (1, 2), (2, 0)).toDF("src", "dst") // pure cycle
+    val seed = Seq(0).toDF("node")
+    val reached = Iterate.fixpoint(seed, maxIterations = 20) { frontier =>
+      frontier.join(edges, frontier("node") === edges("src")).select(col("dst").as("node"))
+    }
+    assert(reached.as[Int].collect().sorted.toSeq == Seq(0, 1, 2))
+  }
+
+  test("partitioned sink shards by key like MultiDbBulkInserter (A17)") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "shard")
+    Sinks.partitionedParquet(df, s"$dir/out", "shard")
+    assert(new java.io.File(s"$dir/out/shard=a").exists())
+    assert(new java.io.File(s"$dir/out/shard=b").exists())
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 3)
+  }
+
+  test("asof join attaches latest prior value, with >= tie semantics") {
+    val left = Seq((1L, "u", 10L), (2L, "u", 20L), (3L, "u", 5L), (4L, "v", 10L))
+      .toDF("event_id", "user", "t")
+    val right = Seq(("u", 10L, 1.0), ("u", 15L, 2.0), ("w", 1L, 9.0))
+      .toDF("user", "rt", "v")
+    val out = AsOfJoin.asof(left, right, Seq("user"), "t", "rt", Seq("v"))
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(1.0))  // tie at t=10 → right row visible
+    assert(out(2L).contains(2.0))  // latest of {10,15}
+    assert(out(3L).isEmpty)        // nothing at or before t=5
+    assert(out(4L).isEmpty)        // no right rows for key v
+  }
+}
