@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.CosineSimilarity
+
+/** Engine extension point: registers graft's native expressions with a
+  * SparkSession so SQL text can use them
+  * (`SELECT graft_cosine(a.embedding, b.embedding) ...`).
+  *
+  * Install either at session build time —
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — or into a live
+  * session with `GraftExtensions.install(spark)` (what Verify/Bench use,
+  * since the session is driver-owned there).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      e.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cosine expects (array<float>, array<float>)")
+        CosineSimilarity(args.head, args(1))
+      }))
+
+  /** Register into an already-built session. */
+  def install(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

@@ -28,7 +28,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine via composed higher-order functions — the reference
+    * formulation the native expression is checked against. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine via the native codegen'd expression (the hot-path default —
+    * single fused loop, no per-element lambdas; bit-identical to
+    * cosineHof). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineF(a, b)
 
   /** Deterministic pseudo-random hyperplanes: plane p's component j is a
     * zero-mean value derived from xxhash64(seed, p, j). Sign of the dot
@@ -59,7 +67,7 @@ object Similarity {
       vecCol: String,
       probe: Array[Float],
       k: Int): DataFrame = {
-    val probeCol = array(probe.map(v => lit(v.toDouble)): _*)
+    val probeCol = array(probe.map(lit(_)): _*) // float literals → array<float>
     df.select(
         col(idCol),
         round(cosine(col(vecCol), probeCol), 6).as("sim"))
@@ -97,7 +105,7 @@ object Similarity {
       .join(broadcast(probeDf), Seq("graft_bucket"), "left_semi")
       .select(
         col(idCol),
-        round(cosine(col(vecCol), array(probe.map(v => lit(v.toDouble)): _*)), 6).as("sim"))
+        round(cosine(col(vecCol), array(probe.map(lit(_)): _*)), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }

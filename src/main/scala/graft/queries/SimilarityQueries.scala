@@ -34,12 +34,11 @@ object SimilarityQueries {
           .select(col("embedding").as("probe_vec"))
         e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(probe))
-          .withColumn("dot", dotD("embedding", "probe_vec"))
-          .withColumn("na", dotD("embedding", "embedding"))
-          .withColumn("nb", dotD("probe_vec", "probe_vec"))
           .select(
             col("vec_id"),
-            round(col("dot") / sqrt(col("na") * col("nb")), 4).as("sim"))
+            round(
+              graft.functions.VectorFunctions.cosineF(col("embedding"), col("probe_vec")),
+              4).as("sim"))
           .orderBy(col("sim").desc, col("vec_id").asc)
           .limit(10)
       },
