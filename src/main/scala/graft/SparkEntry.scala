@@ -18,7 +18,8 @@ object SparkEntry {
       AggQueries.all ++
       WindowQueries.all ++
       TextQueries.all ++
-      SimilarityQueries.all
+      SimilarityQueries.all ++
+      NonOracleQueries.all
 
   require(
     registry.map(_.name).distinct.size == registry.size,

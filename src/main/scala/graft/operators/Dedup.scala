@@ -47,14 +47,27 @@ object Dedup {
       seed: Long = 42L,
       maxBucket: Int = 1000): DataFrame = {
 
+    // Materialize shingles and signatures ONCE per doc. Without the
+    // persists, Catalyst's projection collapsing inlines the full
+    // signature expression into each of the `bands` band keys AND into both
+    // sides of the self-join — recomputing every MinHash ~2×bands times per
+    // document (measured 139 s → 3 s at sf0.1). Cache cost is tiny
+    // (numHashes longs per doc); at 100 TB this intermediate would be a
+    // parquet checkpoint instead.
     val sh = df.select(
       col(idCol).as("graft_id"),
       shingles(col(textCol), shingleN).as("graft_shingles"))
+      .persist()
 
-    val banded = sh
-      .withColumn("graft_band",
-        explode(bandKeys(
-          minhashSignature(col("graft_shingles"), numHashes, seed), bands, numHashes)))
+    val sig = sh
+      .select(
+        col("graft_id"),
+        minhashSignature(col("graft_shingles"), numHashes, seed).as("graft_sig"))
+      .persist()
+
+    val banded = sig
+      .select(col("graft_id"),
+        explode(bandKeys(col("graft_sig"), bands, numHashes)).as("graft_band"))
       .select(col("graft_id"), col("graft_band.band"), col("graft_band.bucket"))
 
     // Skew guard: drop buckets too common to be informative.
@@ -91,9 +104,12 @@ object Dedup {
       maxHamming: Int = 3,
       chunks: Int = 4): DataFrame = {
 
+    // Persist fingerprints: the simhash expression (64-wide vote fold per
+    // token) would otherwise be recomputed per chunk and per join side.
     val fp = df.select(
       col(idCol).as("graft_id"),
       simhash64(tokens(col(textCol))).as("graft_sh"))
+      .persist()
 
     val width = 64 / chunks
     val chunked = fp.withColumn("graft_chunk", explode(array((0 until chunks).map { c =>

@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+/** Operators with no DuckDB-expressible oracle (SURVEY.md §2.4): declared
+  * through the driver contract for the rows-only check, with semantics
+  * guaranteed by ScalaTest/ScalaCheck specs instead.
+  */
+object NonOracleQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // HLL sketch distinct (approximation — differs from DuckDB's sketch).
+    GraftQuery(
+      "q_hll_distinct",
+      (s, d) =>
+        Tables.lineitem(s, d).agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))),
+
+    // Sliding-window aggregation (DuckDB has no sliding tumble).
+    GraftQuery(
+      "q_sliding_window",
+      (s, d) =>
+        StreamOps.sliding(Tables.events(s, d), "ts", "1 hour", "15 minutes",
+          col("event_type"))(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
+          .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sv"))
+          .orderBy("ws", "event_type")),
+
+    // Session windows (gaps-and-islands oracle is brittle; property-tested).
+    GraftQuery(
+      "q_session_window",
+      (s, d) =>
+        StreamOps.session(Tables.events(s, d), "ts", "5 minutes", col("user_id"))(
+          count(lit(1)).as("n_events"))
+          .select(
+            col("user_id"),
+            col("session_window.start").as("ss"),
+            col("n_events"))
+          .orderBy("user_id", "ss")),
+
+    // MinHash LSH near-duplicate pairs over documents (seeded). 8 rows per
+    // band → LSH match threshold ≈ (1/16)^(1/8) ≈ 0.71: catches the
+    // fixture's planted jaccard≥0.9 near-dups while chance collisions
+    // between unrelated docs stay ~zero (the candidate join stays linear).
+    GraftQuery(
+      "q_minhash_pairs",
+      (s, d) =>
+        Dedup.minhashNearDup(Tables.documents(s, d), "doc_id", "text",
+          numHashes = 128, bands = 16, shingleN = 3, threshold = 0.8)
+          .orderBy("id_a", "id_b")),
+
+    // SimHash near-duplicate pairs (64-bit fingerprints, hamming ≤ 8).
+    GraftQuery(
+      "q_simhash_pairs",
+      (s, d) =>
+        Dedup.simhashNearDup(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
+          .orderBy("id_a", "id_b")),
+
+    // Embedding near-dup pairs via hyperplane LSH + exact cosine verify.
+    // Fixture embeddings are near-orthogonal (max pairwise cosine ≈ 0.51),
+    // so the demo threshold is low; production corpus dedup runs ≥ 0.95.
+    GraftQuery(
+      "q_embedding_near_dup",
+      (s, d) =>
+        Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.3, planes = 2)
+          .orderBy("id_a", "id_b")),
+
+    // Approximate nearest neighbors: LSH buckets + multi-probe rerank.
+    GraftQuery(
+      "q_ann_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        // probe vector fetched driver-side once (1 row of k floats) — the
+        // only driver materialization in this query.
+        val p = e.filter(col("vec_id") === 0)
+          .select("embedding").collect().head.getSeq[Float](0).toArray
+        Similarity.lshTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", p, 10)
+      }),
+
+    // Language ID heuristic over documents.
+    GraftQuery(
+      "q_lang_id",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+          .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+          .orderBy("lang_pred")),
+
+    // Rolling-hash content fingerprint (order-sensitive).
+    GraftQuery(
+      "q_rolling_fingerprint",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rfp"))
+          .orderBy("doc_id")),
+  )
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.flow.SparkTestSession
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+case class Geo(lat: Double, lon: Double)
+case class Place(id: Long, name: String, geo: Geo)
+
+/** Property-based specs for the non-oracle operator set (SURVEY.md §5.2).
+  * Raw ScalaCheck generators sampled under fixed seeds (the scalatest
+  * bridge artifact isn't in the offline cache). */
+class PropertiesSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val wordGen = Gen.nonEmptyListOf(Gen.oneOf(
+    "spark", "query", "table", "join", "scan", "filter", "agg", "window",
+    "row", "batch", "stream", "sort", "merge", "hash", "key", "value"))
+    .map(_.mkString(" "))
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  test("property: exact dedup is idempotent and never loses distinct texts") {
+    for (seed <- 1L to 5L) {
+      val texts = sample(Gen.listOfN(20, wordGen), seed)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = Dedup.exact(df, "doc_id", "text")
+      val twice = Dedup.exact(once, "doc_id", "text")
+      assert(once.count() == twice.count())
+      assert(once.count() == df.select("text").distinct().count())
+    }
+  }
+
+  test("property: minhash signature agreement approximates Jaccard for identical docs") {
+    for (seed <- 1L to 5L) {
+      val text = sample(wordGen, seed)
+      val df = Seq((0L, text), (1L, text)).toDF("doc_id", "text")
+      val sigs = df.select(TextFunctions.minhashSignature(
+        TextFunctions.shingles(col("text"), 2), 32).as("sig")).as[Seq[Long]].collect()
+      assert(sigs(0) == sigs(1)) // jaccard 1 → all positions agree
+    }
+  }
+
+  test("property: rolling hash stays within [0, mod) and is length-sensitive") {
+    for (seed <- 1L to 5L) {
+      val text = sample(wordGen, seed)
+      val df = Seq(text, text + " x").toDF("text")
+      val h = df.select(TextFunctions.rollingHash(col("text")).as("h")).as[Long].collect()
+      assert(h.forall(v => v >= 0 && v < 1000000007L))
+      assert(h(0) != h(1))
+    }
+  }
+
+  test("hll approx_count_distinct lands within rsd of exact (non-oracle gate)") {
+    val l = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val (approx, exact) = l.agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("a"),
+      countDistinct(col("l_partkey")).as("e"))
+      .as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.06)
+  }
+
+  test("sliding window covers each event window/slide times (non-oracle gate)") {
+    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val total = e.count()
+    val windowed = graft.streaming.StreamOps.sliding(e, "ts", "1 hour", "15 minutes")(
+      count(lit(1)).as("n"))
+    assert(windowed.agg(sum("n")).as[Long].head() == total * 4)
+  }
+
+  test("nested case-class encoder flattens property trees like TypeAccessor (A16)") {
+    val ds = Seq(Place(1, "a", Geo(1.5, 2.5)), Place(2, "b", Geo(3.0, 4.0))).toDS()
+    // nested property path flattened to a column, reflection-free at runtime
+    val flat = ds.select(col("id"), col("geo.lat").as("lat"), col("geo.lon").as("lon"))
+    assert(flat.schema.fieldNames.toSeq == Seq("id", "lat", "lon"))
+    assert(flat.filter(col("lat") === 1.5).count() == 1)
+    // round-trip: flat relational rows re-nest into the typed view
+    val back = flat.select(col("id"), lit("x").as("name"),
+      struct(col("lat"), col("lon")).as("geo")).as[Place]
+    assert(back.collect().map(_.geo.lat).sorted.toSeq == Seq(1.5, 3.0))
+  }
+}
