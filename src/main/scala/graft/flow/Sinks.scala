@@ -35,6 +35,18 @@ object Sinks {
   def partitionedParquet(df: DataFrame, path: String, shardCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(shardCols: _*).parquet(path)
 
+  /** Bucketed table sink: pre-shuffles data into `buckets` hash buckets on
+    * `bucketCols` so later equi-joins and aggregations on those keys read
+    * co-located buckets and skip the shuffle entirely — the 100 TB answer
+    * to "this fact-fact join shuffles 100 TB every run": pay the shuffle
+    * once at write time. Requires a table catalog (`saveAsTable`). */
+  def bucketedTable(df: DataFrame, table: String, buckets: Int, bucketCols: String*): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** A15 JDBC bulk sink: batched inserts (`batchsize` ≙ BatchBlock size,
     * `numPartitions` caps concurrent connections). Untested here — no
     * database ships in this container — but the option surface matches the
