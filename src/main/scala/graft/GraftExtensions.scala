@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.CosineSimilarity
+import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSig, SimHash64}
+import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** Engine extension point: registers graft's native expressions with a
   * SparkSession so SQL text can use them
@@ -25,14 +26,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  private def litLong(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be a literal, got $other")
+  }
+
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "graft_cosine expects (array<float>, array<float>)")
-        CosineSimilarity(args.head, args(1))
-      }))
+    Seq(
+      (
+        FunctionIdentifier("graft_cosine"),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_cosine expects (array<float>, array<float>)")
+          CosineSimilarity(args.head, args(1))
+        }),
+      (
+        FunctionIdentifier("graft_minhash"),
+        new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "graft_minhash expects (array<string>, numHashes, seed)")
+          MinHashSig(args.head, litLong(args(1), "numHashes").toInt, litLong(args(2), "seed"))
+        }),
+      (
+        FunctionIdentifier("graft_simhash"),
+        new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_simhash expects (array<string>, seed)")
+          SimHash64(args.head, litLong(args(1), "seed"))
+        }))
 
   /** Register into an already-built session. */
   def install(spark: SparkSession): Unit =

@@ -44,6 +44,20 @@ object TextFunctions {
       array_min(transform(shinglesCol, s => xxhash64(s, lit(seed + j))))
     }: _*)
 
+  /** Native fast path: same contract as [[minhashSignature]] but hashes
+    * each shingle once and derives the k permutation values with a
+    * multiply-add (codegen'd single loop — see
+    * org.apache.spark.sql.graft.MinHashSig). Signature VALUES differ from
+    * the composed version (different hash family); collision statistics
+    * are the same. Prefer this in pipelines. */
+  def minhashSignatureFast(shinglesCol: Column, numHashes: Int, seed: Long = 42L): Column =
+    org.apache.spark.sql.graft.HashExpressions.minhash(shinglesCol, numHashes, seed)
+
+  /** Native fast path for [[simhash64]] (one hash per token, no
+    * per-token vote arrays — see org.apache.spark.sql.graft.SimHash64). */
+  def simhash64Fast(tokensCol: Column, seed: Long = 42L): Column =
+    org.apache.spark.sql.graft.HashExpressions.simhash(tokensCol, seed)
+
   /** LSH band keys for a MinHash signature: split into `bands` bands of
     * rows = numHashes/bands, hash each band. Docs sharing ANY band key are
     * near-dup candidates. Returns array of (bandIdx, bandHash) structs. */

@@ -62,7 +62,7 @@ object Dedup {
     val sig = sh
       .select(
         col("graft_id"),
-        minhashSignature(col("graft_shingles"), numHashes, seed).as("graft_sig"))
+        minhashSignatureFast(col("graft_shingles"), numHashes, seed).as("graft_sig"))
       .persist()
 
     val banded = sig
@@ -108,7 +108,7 @@ object Dedup {
     // token) would otherwise be recomputed per chunk and per join side.
     val fp = df.select(
       col(idCol).as("graft_id"),
-      simhash64(tokens(col(textCol))).as("graft_sh"))
+      simhash64Fast(tokens(col(textCol))).as("graft_sh"))
       .persist()
 
     val width = 64 / chunks

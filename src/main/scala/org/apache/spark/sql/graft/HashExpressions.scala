@@ -1,0 +1,179 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native hash-sketch expressions for the dedup path.
+  *
+  * Why custom (SURVEY.md §4.3): the expression-composed MinHash evaluates
+  * `numHashes` seeded xxhash64 calls per shingle — k full rehashes of every
+  * string. These kernels hash each element ONCE (64-bit Murmur-derived
+  * base) and derive the k permutation values with one multiply-add each
+  * (universal hashing: h_j(x) = a_j·h(x) + b_j over Z/2⁶⁴), turning an
+  * O(k·len) inner loop into O(len + k). At 100 TB of shingled documents
+  * that's the difference between hash-bound and scan-bound.
+  */
+object HashExpressions {
+
+  /** 64-bit base hash of a UTF8String: two 32-bit Murmur3 passes with
+    * different seeds combined — stable, allocation-free, available to both
+    * interpreted eval and generated code. */
+  def hash64(s: UTF8String, seed: Long): Long = {
+    val lo = Murmur3_x86_32.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, seed.toInt)
+    val hi = Murmur3_x86_32.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, (seed >>> 32).toInt ^ 0x9e3779b9)
+    (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+  }
+
+  def minhash(arr: Column, numHashes: Int, seed: Long): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(arr), numHashes, seed))
+
+  def simhash(arr: Column, seed: Long = 42L): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(arr), seed))
+}
+
+/** MinHash signature: array<long> of length `numHashes`; position j is the
+  * min over elements of a_j·hash(x)+b_j. Deterministic under `seed`.
+  * Empty arrays yield Long.MaxValue positions (no shingles → matches
+  * nothing). */
+case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(numHashes > 0)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // Deterministic permutation parameters; a_j odd so x -> a_j*x+b_j is a
+  // bijection on Z/2^64.
+  @transient private lazy val (as, bs): (Array[Long], Array[Long]) = MinHashSig.params(numHashes, seed)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = HashExpressions.hash64(arr.getUTF8String(i), seed)
+        var j = 0
+        while (j < numHashes) {
+          val v = as(j) * h + bs(j)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+    val he = "org.apache.spark.sql.graft.HashExpressions"
+    nullSafeCodeGen(ctx, ev, c => {
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    long $h = $he.hash64($c.getUTF8String($i), ${seed}L);
+         |    for (int $j = 0; $j < $numHashes; $j++) {
+         |      long $v = $aRef[$j] * $h + $bRef[$j];
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash"
+}
+
+object MinHashSig {
+  private[graft] def params(numHashes: Int, seed: Long): (Array[Long], Array[Long]) = {
+    val rnd = new java.util.SplittableRandom(seed)
+    val as = Array.fill(numHashes)(rnd.nextLong() | 1L)
+    val bs = Array.fill(numHashes)(rnd.nextLong())
+    (as, bs)
+  }
+}
+
+/** 64-bit SimHash over a string array: bit j of the result is set iff the
+  * ±1 votes of bit j across element hashes sum positive. Empty → 0. */
+case class SimHash64(child: Expression, seed: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = HashExpressions.hash64(arr.getUTF8String(i), seed)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val he = "org.apache.spark.sql.graft.HashExpressions"
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  if (!$c.isNullAt($i)) {
+         |    long $h = $he.hash64($c.getUTF8String($i), ${seed}L);
+         |    for (int $j = 0; $j < 64; $j++) {
+         |      if ((($h >>> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
+         |    }
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 64; $j++) { if ($votes[$j] > 0) $out |= (1L << $j); }
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash"
+}

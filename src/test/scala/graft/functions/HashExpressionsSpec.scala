@@ -1,0 +1,82 @@
+package graft.functions
+
+import graft.GraftExtensions
+import graft.flow.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HashExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog tonight again"),
+    (1L, "the quick brown fox jumps over the lazy dog tonight again"), // dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog today again"),   // near dup
+    (3L, "completely different text about query engines and planners")
+  ).toDF("doc_id", "text")
+
+  test("native minhash: identical docs share the full signature; near docs most of it") {
+    val sigs = docs.select(TextFunctions.minhashSignatureFast(
+      TextFunctions.shingles(col("text"), 2), 64).as("s")).as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+    val nearAgree = sigs(0).zip(sigs(2)).count { case (a, b) => a == b }
+    val farAgree = sigs(0).zip(sigs(3)).count { case (a, b) => a == b }
+    assert(nearAgree > 64 / 2, s"near doc agreed on $nearAgree/64")
+    assert(farAgree < 8, s"unrelated doc agreed on $farAgree/64")
+  }
+
+  test("native minhash is deterministic and seed-sensitive") {
+    val s1 = docs.select(TextFunctions.minhashSignatureFast(
+      TextFunctions.shingles(col("text"), 2), 32, seed = 7).as("s")).as[Seq[Long]].collect()
+    val s2 = docs.select(TextFunctions.minhashSignatureFast(
+      TextFunctions.shingles(col("text"), 2), 32, seed = 7).as("s")).as[Seq[Long]].collect()
+    val s3 = docs.select(TextFunctions.minhashSignatureFast(
+      TextFunctions.shingles(col("text"), 2), 32, seed = 8).as("s")).as[Seq[Long]].collect()
+    assert(s1.toSeq == s2.toSeq)
+    assert(s1.head != s3.head)
+  }
+
+  test("native simhash: hamming tracks similarity, matches interpreted eval") {
+    val h = docs.select(TextFunctions.simhash64Fast(
+      TextFunctions.tokens(col("text"))).as("h")).as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(0) == h(1))
+    assert(ham(h(0), h(2)) < ham(h(0), h(3)))
+  }
+
+  test("SQL registration: graft_minhash and graft_simhash callable from SQL") {
+    GraftExtensions.install(spark)
+    docs.createOrReplaceTempView("graft_hash_docs")
+    val n = spark.sql(
+      """SELECT graft_simhash(split(text, ' '), 42) AS h,
+        |       graft_minhash(split(text, ' '), 16, 42) AS m
+        |FROM graft_hash_docs""".stripMargin)
+    val rows = n.collect()
+    assert(rows.length == 4)
+    assert(rows.head.getSeq[Long](1).length == 16)
+  }
+
+  test("codegen path active for native hash expressions") {
+    // must read from parquet: a local Seq relation is constant-folded by
+    // ConvertToLocalRelation (interpreted eval), leaving no codegen stage.
+    // simhash's input (split) is codegen-able; shingles' lambda exprs are
+    // CodegenFallback and would drag the whole Project out of codegen —
+    // which is exactly why Dedup persists the shingle frame before the
+    // signature projection (the minhash Project then reads the cache).
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val q = d.select(
+      TextFunctions.simhash64Fast(TextFunctions.tokens(col("text"))).as("h"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("graft_simhash") && l.contains("*(")), plan)
+
+    val sh = d.select(TextFunctions.shingles(col("text"), 3).as("s")).persist()
+    val q2 = sh.select(TextFunctions.minhashSignatureFast(col("s"), 32).as("m"))
+    q2.collect()
+    val plan2 = q2.queryExecution.executedPlan.toString
+    assert(plan2.linesIterator.exists(l => l.contains("graft_minhash") && l.contains("*(")), plan2)
+    sh.unpersist()
+  }
+}
