@@ -128,14 +128,29 @@ object TextFunctions {
     "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"))
 
   def langId(text: Column): Column = {
-    val toks = transform(tokens(lower(text)), t => regexp_replace(t, "[^\\p{L}]", ""))
-    val scored = languageMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      val hits = size(filter(toks, t => t.isin(markers.map(lit): _*)))
-      struct(hits.as("hits"), lit(lang).as("lang"))
-    }
+    // Single pass: fold over tokens accumulating one hit-counter per
+    // language. Cleaning (regexp) happens once per token — a per-language
+    // filter() would re-run the cleanup transform for every language.
+    val langs = languageMarkers.toSeq.sortBy(_._1)
+    val counters = aggregate(
+      tokens(lower(text)),
+      array_repeat(lit(0), langs.size),
+      (acc, rawTok) => {
+        val t = regexp_replace(rawTok, "[^\\p{L}]", "")
+        zip_with(
+          acc,
+          array(langs.map { case (_, markers) =>
+            when(t.isin(markers.map(lit): _*), 1).otherwise(0)
+          }: _*),
+          (a, v) => a + v)
+      })
     // array_max over (hits, lang) structs: max hits wins; equal hits fall
     // back to the lexicographically last lang — deterministic either way.
-    val best = array_max(array(scored: _*))
+    // counters is referenced once (zip_with), keeping the fold single.
+    val best = array_max(zip_with(
+      counters,
+      array(langs.map { case (lang, _) => lit(lang) }: _*),
+      (hits, lang) => struct(hits.as("hits"), lang.as("lang"))))
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 }
