@@ -19,6 +19,7 @@ object SparkEntry {
       WindowQueries.all ++
       TextQueries.all ++
       SimilarityQueries.all ++
+      ExtendedQueries.all ++
       NonOracleQueries.all
 
   require(

@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second-wave relational operators: pivot, ordered-set aggregates,
+  * string aggregation, array explode, exact similarity pairs, extra
+  * window ranks, null-handling scalars. All oracle-checked.
+  */
+object ExtendedQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Pivot: one column per o_orderstatus value. The DuckDB oracle uses
+    // conditional aggregation — identical semantics and column names.
+    GraftQuery(
+      "q_pivot",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+             |  COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+             |  COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+             |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
+    // Ordered-set aggregates: exact interpolated percentiles + median.
+    GraftQuery(
+      "q_percentile",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+            round(expr("percentile(l_quantity, 0.25)"), 4).as("q25"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
+             |  ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90,
+             |  ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 4) AS q25
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // String aggregation with deterministic order (sorted before join).
+    GraftQuery(
+      "q_string_agg",
+      (s, d) =>
+        Tables.nation(s, d)
+          .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+          .orderBy("r_name"),
+      Some("""SELECT r_name,
+             |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1 ORDER BY r_name""".stripMargin)),
+
+    // Array explode with ordinality (posexplode ↔ unnest WITH ORDINALITY).
+    GraftQuery(
+      "q_explode_pos",
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .select(
+            col("vec_id"),
+            (col("pos") + 1).as("pos"),
+            round(col("v").cast("double"), 4).as("v"))
+          .orderBy("vec_id", "pos"),
+      // DuckDB 1.0 has no WITH ORDINALITY — lateral generate_series + index
+      Some("""SELECT vec_id, CAST(pos AS INTEGER) AS pos,
+             |       ROUND(CAST(embedding[pos] AS DOUBLE), 4) AS v
+             |FROM embeddings,
+             |     UNNEST(generate_series(1, len(embedding))) AS t(pos)
+             |WHERE vec_id < 10
+             |ORDER BY vec_id, pos""".stripMargin)),
+
+    // Exact similarity pairs above a threshold — the brute-force ground
+    // truth the LSH near-dup path approximates (broadcast one side; the
+    // native cosine keeps the O(n²/2) compare codegen'd).
+    GraftQuery(
+      "q_sim_pairs",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).select(
+          col("vec_id"), col("embedding"))
+        val l = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val r = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        l.join(broadcast(r), col("id_a") < col("id_b"))
+          .select(
+            col("id_a"), col("id_b"),
+            round(graft.functions.VectorFunctions.cosineF(col("va"), col("vb")), 4).as("sim"))
+          .filter(col("sim") >= 0.4)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+             |                               CAST(b.embedding AS DOUBLE[])), 4) AS sim
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
+             |                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Distribution ranks: ntile / percent_rank / cume_dist.
+    GraftQuery(
+      "q_win_ntile",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+        Tables.orders(s, d)
+          .select(
+            col("o_orderkey"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+             |  ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+             |  ROUND(CUME_DIST() OVER w, 6) AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Null-handling scalars over the as-of join's nullable output shape.
+    GraftQuery(
+      "q_null_funcs",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        c.join(o, col("o_custkey") === col("c_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(max(col("o_totalprice")).as("max_price"))
+          .select(
+            col("c_custkey"),
+            coalesce(round(col("max_price"), 2), lit(-1.0)).as("max_or_default"),
+            col("max_price").isNull.as("never_ordered"),
+            nullif(round(col("max_price"), 0), lit(0.0)).isNull.as("zero_or_null"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |  COALESCE(ROUND(max_price, 2), -1.0) AS max_or_default,
+             |  max_price IS NULL AS never_ordered,
+             |  NULLIF(ROUND(max_price, 0), 0.0) IS NULL AS zero_or_null
+             |FROM (SELECT c_custkey, MAX(o_totalprice) AS max_price
+             |      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+             |      GROUP BY 1)
+             |ORDER BY c_custkey""".stripMargin)),
+  )
+}
