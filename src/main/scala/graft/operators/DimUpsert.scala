@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental dimension upsert — the reference's signature operator
+  * (DbDataJoiner + DimTableInserter, SURVEY.md §2.1 A18): enrich a fact
+  * stream against a dimension table by natural key; unseen keys are
+  * assigned fresh surrogate keys and appended to the dimension store;
+  * every fact row comes back carrying its surrogate key.
+  *
+  * The store is a parquet directory (the environment's stand-in for the
+  * reference's SQL Server dim table). Batch-incremental semantics:
+  * each call is one "batch insert + lookup" cycle.
+  *
+  * Scale notes: the dimension is distinct-key-sized, not fact-sized —
+  * the only fact-sized operation is the final broadcast/hash join. New-key
+  * detection is a left-anti join against the current dim (dim side
+  * broadcast). Surrogate assignment windows over the NEW keys only
+  * (single small partition per batch — same shape as the reference's
+  * identity column drain).
+  */
+object DimUpsert {
+
+  /** @return enriched fact frame: all fact columns + `sk` surrogate key. */
+  def upsert(
+      spark: SparkSession,
+      dimPath: String,
+      fact: DataFrame,
+      keyCol: String): DataFrame = {
+
+    val dimExists = new java.io.File(dimPath).exists()
+    val dim: DataFrame =
+      if (dimExists) spark.read.parquet(dimPath)
+      else fact.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        new org.apache.spark.sql.types.StructType()
+          .add(keyCol, fact.schema(keyCol).dataType)
+          .add("sk", org.apache.spark.sql.types.LongType))
+
+    val maxSk = if (dimExists) dim.agg(coalesce(max("sk"), lit(0L))).head().getLong(0) else 0L
+
+    // unseen natural keys → fresh surrogate keys above the current max
+    val newKeys = fact.select(keyCol).distinct()
+      .join(dim.select(keyCol), Seq(keyCol), "left_anti")
+      .withColumn("sk", dense_rank().over(Window.orderBy(keyCol)) + maxSk)
+
+    if (!newKeys.isEmpty) {
+      newKeys.write.mode(if (dimExists) "append" else "overwrite").parquet(dimPath)
+    }
+
+    val updated = spark.read.parquet(dimPath)
+    fact.join(broadcast(updated), Seq(keyCol))
+  }
+}

@@ -62,6 +62,19 @@ object StreamOps {
     ds.groupByKey(key)
       .flatMapGroupsWithState[S, O](OutputMode.Append(), timeout)(child)
 
+  /** A13 parity on the arbitrary-state v2 API (`transformWithState`,
+    * Spark 4): a typed StatefulProcessor per key with named state
+    * variables and TTL support — the forward path for per-key child
+    * pipelines; `dispatchStateful` (flatMapGroupsWithState) remains the
+    * stable one. */
+  def dispatchStatefulV2[K: Encoder, V, O: Encoder](
+      ds: Dataset[V], key: V => K,
+      processor: org.apache.spark.sql.streaming.StatefulProcessor[K, V, O],
+      timeMode: org.apache.spark.sql.streaming.TimeMode =
+        org.apache.spark.sql.streaming.TimeMode.None(),
+      outputMode: OutputMode = OutputMode.Append()): Dataset[O] =
+    ds.groupByKey(key).transformWithState(processor, timeMode, outputMode)
+
   /** Running per-key event counters (A19 StatisticsRecorder, streaming
     * form): emits (key, cumulative count) on every update. */
   def runningCounts[K: Encoder, V](ds: Dataset[V], key: V => K)(implicit
