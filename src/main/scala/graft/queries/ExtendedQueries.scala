@@ -127,6 +127,50 @@ object ExtendedQueries {
              |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Statistical aggregates: sample stddev/variance, correlation,
+    // min/max. ROUND absorbs partial-aggregation order differences.
+    GraftQuery(
+      "q_agg_stats",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_linestatus")
+          .agg(
+            round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+            round(var_samp(col("l_quantity")), 4).as("var_qty"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+            round(min(col("l_extendedprice")), 2).as("min_price"),
+            round(max(col("l_extendedprice")), 2).as("max_price"))
+          .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+             |  ROUND(stddev_samp(l_extendedprice), 2) AS sd_price,
+             |  ROUND(var_samp(l_quantity), 4) AS var_qty,
+             |  ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+             |  ROUND(MIN(l_extendedprice), 2) AS min_price,
+             |  ROUND(MAX(l_extendedprice), 2) AS max_price
+             |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin)),
+
+    // Date/time arithmetic: differences, offsets, weekday extraction.
+    GraftQuery(
+      "q_date_arith",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            datediff(col("l_shipdate"), col("o_orderdate")).as("ship_days"),
+            (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_date"),
+            dayofweek(col("o_orderdate")).as("dow"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(date_diff('day', o_orderdate, l_shipdate) AS INTEGER) AS ship_days,
+             |  o_orderdate + INTERVAL 30 DAY AS due_date,
+             |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // Null-handling scalars over the as-of join's nullable output shape.
     GraftQuery(
       "q_null_funcs",
