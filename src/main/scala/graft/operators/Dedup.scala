@@ -145,6 +145,60 @@ object Dedup {
     // candidates cover the requested exact-Jaccard threshold.
     minhashNearDup(df, idCol, textCol, numHashes, bands, shingleN, threshold, seed)
 
+  /** Collapse a near-dup pair graph into clusters: returns (id, cluster)
+    * where cluster = min id reachable through pair edges (connected
+    * components via iterative min-label propagation — the Pregel shape,
+    * O(diameter) rounds; near-dup cluster diameters are tiny in practice).
+    */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id"), col("src").as("cluster"))
+      .distinct()
+      .groupBy("id").agg(min("cluster").as("cluster"))
+      .persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaNeighbor = edges
+        .join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("cluster"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .persist()
+      changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.cluster") =!= col("p.cluster"))
+        .count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end near-dup corpus dedup: MinHash-LSH pairs → connected
+    * components → keep one survivor (min id) per cluster plus all
+    * untouched docs. The full "dedup 100 TB of documents" pipeline. */
+  def dedupNear(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val pairs = minhashNearDup(df, idCol, textCol, numHashes, bands, shingleN, threshold, seed)
+    val clusters = nearDupClusters(pairs)
+    val losers = clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs: random-hyperplane LSH buckets then
     * exact cosine verify. See Similarity.cosineLshBuckets for the bucketing
     * scheme. */

@@ -51,6 +51,24 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L))) // near dup → few bits
   }
 
+  test("near-dup clusters: transitive pairs collapse to one component") {
+    import org.apache.spark.sql.functions.col
+    // A~B, B~C (not A~C directly), D~E: two clusters expected
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+  }
+
+  test("dedupNear keeps one survivor per near-dup cluster and all unique docs") {
+    val out = Dedup.dedupNear(corpus, "doc_id", "text",
+      threshold = 0.5, numHashes = 64, bands = 32, shingleN = 2)
+      .select("doc_id").as[Long].collect().toSet
+    // docs 0,1,3 are one near-dup cluster → survivor 0; 2,4,5 unique
+    assert(out == Set(0L, 2L, 4L, 5L))
+  }
+
   test("embedding near-dup buckets similar vectors together and verifies cosine") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
