@@ -171,6 +171,43 @@ object ExtendedQueries {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // Scalar subquery: compare each row against a global aggregate.
+    // Catalyst plans the subquery once and broadcasts the scalar.
+    GraftQuery(
+      "q_scalar_subquery",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_orders_sq")
+        s.sql("""SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+                |FROM graft_orders_sq
+                |WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM graft_orders_sq)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+             |FROM orders
+             |WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // IN-subquery (semi-join decorrelation path).
+    GraftQuery(
+      "q_in_subquery",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_cust_in")
+        Tables.nation(s, d).createOrReplaceTempView("graft_nation_in")
+        Tables.region(s, d).createOrReplaceTempView("graft_region_in")
+        s.sql("""SELECT c_custkey FROM graft_cust_in
+                |WHERE c_nationkey IN (
+                |  SELECT n_nationkey FROM graft_nation_in
+                |  WHERE n_regionkey IN (
+                |    SELECT r_regionkey FROM graft_region_in WHERE r_name = 'ASIA'))
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey FROM customer
+             |WHERE c_nationkey IN (
+             |  SELECT n_nationkey FROM nation
+             |  WHERE n_regionkey IN (
+             |    SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
+             |ORDER BY c_custkey""".stripMargin)),
+
     // Null-handling scalars over the as-of join's nullable output shape.
     GraftQuery(
       "q_null_funcs",
