@@ -1,0 +1,26 @@
+package graft.flow
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MonitorSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+
+  test("monitor captures stage metrics incl. shuffle volume (A22)") {
+    val mon = Monitor.attach(spark)
+    try {
+      spark.range(0, 100000).toDF("v")
+        .groupBy(col("v") % 100).agg(count(lit(1)))
+        .collect()
+      // listener bus is async — poll briefly for the stages to land
+      val deadline = System.currentTimeMillis() + 5000
+      while (mon.report().isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val stages = mon.report()
+      assert(stages.nonEmpty)
+      assert(stages.map(_.tasks).sum > 0)
+      assert(mon.totalShuffleBytes > 0) // the groupBy shuffled
+    } finally mon.detach()
+  }
+}
