@@ -35,6 +35,11 @@ object Dedup {
     * Pipeline: shingle → k-hash MinHash signature → band into `bands`
     * buckets → self-join per (band, bucket) → exact Jaccard verify.
     * Returns (idA, idB, jaccard) with idA < idB, jaccard ≥ threshold.
+    *
+    * Caching: the shingle and signature frames stay persisted for the
+    * lifetime of the returned (lazy) plan — they back both self-join
+    * sides. Long-lived sessions should `spark.catalog.clearCache()` (or
+    * unpersist after consuming the result) between unrelated corpora.
     */
   def minhashNearDup(
       df: DataFrame,

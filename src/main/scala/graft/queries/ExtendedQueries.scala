@@ -208,6 +208,55 @@ object ExtendedQueries {
              |    SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Pagination: LIMIT + OFFSET over a total order.
+    GraftQuery(
+      "q_limit_offset",
+      (s, d) =>
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .offset(100)
+          .limit(20),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey
+             |LIMIT 20 OFFSET 100""".stripMargin)),
+
+    // Post-aggregation filter (HAVING).
+    GraftQuery(
+      "q_having",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_partkey")
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+          .filter(col("n") >= 40)
+          .orderBy("l_partkey"),
+      Some("""SELECT l_partkey, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+             |FROM lineitem GROUP BY 1 HAVING COUNT(*) >= 40
+             |ORDER BY l_partkey""".stripMargin)),
+
+    // Deduplicating union (vs q_union_all's bag union).
+    GraftQuery(
+      "q_union_distinct",
+      (s, d) =>
+        Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+          .union(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+          .distinct()
+          .orderBy("nk"),
+      Some("""SELECT c_nationkey AS nk FROM customer
+             |UNION
+             |SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin)),
+
+    // Case-insensitive pattern match.
+    GraftQuery(
+      "q_ilike",
+      (s, d) =>
+        Tables.part(s, d)
+          .filter(col("p_name").ilike("%RED%"))
+          .select("p_partkey", "p_name")
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE p_name ILIKE '%RED%' ORDER BY p_partkey""".stripMargin)),
+
     // Null-handling scalars over the as-of join's nullable output shape.
     GraftQuery(
       "q_null_funcs",
