@@ -63,8 +63,10 @@ object Multimodal {
     /** "Resize": deterministic re-encoding of the bytes at new dims. */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
       val out = new Array[Byte](math.min(bytes.length, w * h / 8).max(16))
-      var i = 0
-      while (i < out.length) { out(i) = (bytes(i % bytes.length) ^ (w + h)).toByte; i += 1 }
+      if (bytes.nonEmpty) {
+        var i = 0
+        while (i < out.length) { out(i) = (bytes(i % bytes.length) ^ (w + h)).toByte; i += 1 }
+      }
       out
     }
 

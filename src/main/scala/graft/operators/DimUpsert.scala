@@ -50,7 +50,10 @@ object DimUpsert {
       newKeys.write.mode(if (dimExists) "append" else "overwrite").parquet(dimPath)
     }
 
-    val updated = spark.read.parquet(dimPath)
+    // store may legitimately still not exist (first call with an empty
+    // fact batch) — fall back to the in-memory empty dim
+    val updated =
+      if (new java.io.File(dimPath).exists()) spark.read.parquet(dimPath) else dim
     fact.join(broadcast(updated), Seq(keyCol))
   }
 }
