@@ -1,6 +1,7 @@
 package graft.flow
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.storage.StorageLevel
 
 /** Cyclic-flow parity — DataflowEx A20 `RingMonitor` / A27 crawler loop
@@ -40,7 +41,15 @@ object Iterate {
     var i = 0
     while (i < maxIterations && !frontier.isEmpty) {
       val discovered = step(frontier)
-      val next = discovered.join(visited, discovered.columns.toSeq, "left_anti")
+      // null-SAFE subtraction: a plain using-columns anti join never
+      // matches NULL = NULL, so a discovered row containing a NULL would
+      // re-enter the frontier forever and the loop could not terminate
+      val d = discovered.alias("graft_d")
+      val v = visited.alias("graft_v")
+      val sameRow = discovered.columns
+        .map(c => col(s"graft_d.$c") <=> col(s"graft_v.$c"))
+        .reduce(_ && _)
+      val next = d.join(v, sameRow, "left_anti")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       val grown = visited.union(next).persist(StorageLevel.MEMORY_AND_DISK)

@@ -39,6 +39,9 @@ final class Pipeline(val name: String, spark: SparkSession) {
   /** A19: wrap a frame so its row count is recorded when an action runs. */
   def observed(df: DataFrame, label: String): DataFrame = recorder.observed(df, label)
 
+  /** Release session-level resources (the statistics listener). */
+  def close(): Unit = recorder.close()
+
   /** Run all registered children; aggregate completion and faults (A21).
     * Every child runs (completion is aggregated, not short-circuited —
     * matching the reference where siblings are cancelled but reported),
@@ -65,16 +68,23 @@ final class PipelineFaultedException(msg: String, val child: String, cause: Thro
   * pass through; Spark-natively `Dataset.observe` accumulates metrics
   * inside the existing job — zero extra passes, zero extra shuffles — and a
   * QueryExecutionListener harvests them after each action.
+  *
+  * Each recorder owns a unique metric-name prefix, so two pipelines on
+  * the same session never read each other's labels. Call `close()` (or
+  * `Pipeline.close()`) when done — the listener otherwise stays
+  * registered on the shared session for its lifetime.
   */
 final class StatisticsRecorder(spark: SparkSession) {
 
+  private val prefix =
+    s"graft_stat_${java.util.UUID.randomUUID().toString.take(8)}_"
   private val counts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
   private val listener = new QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
       qe.observedMetrics.foreach { case (obsName, row) =>
-        if (obsName.startsWith("graft_stat_")) {
-          val label = obsName.stripPrefix("graft_stat_")
+        if (obsName.startsWith(prefix)) {
+          val label = obsName.stripPrefix(prefix)
           counts.merge(label, row.getAs[Long]("n"), (a, b) => a + b)
         }
       }
@@ -84,7 +94,10 @@ final class StatisticsRecorder(spark: SparkSession) {
 
   /** Attach an observation point (free — piggybacks on the next action). */
   def observed(df: DataFrame, label: String): DataFrame =
-    df.observe(s"graft_stat_$label", count(lit(1)).as("n"))
+    df.observe(s"$prefix$label", count(lit(1)).as("n"))
+
+  /** Unregister from the session's listener bus. */
+  def close(): Unit = spark.listenerManager.unregister(listener)
 
   /** observe() metrics arrive via an async listener bus; wait until the
     * recorded state is quiescent (no change for 100 ms, bounded) so reads

@@ -40,28 +40,36 @@ object AsOfJoin {
     require(valueCols.intersect(left.columns.toSeq).isEmpty,
       "valueCols must not collide with left columns")
     val ts = "graft_ts"
-    val side = "graft_side" // 0 = right (sorts first on tie), 1 = left
+    val side = "graft_side"       // 0 = right (sorts first on tie), 1 = left
+    val payload = "graft_payload" // ALL right values packed in one struct
 
-    // Align schemas: keys live on both sides; each side carries the other's
-    // payload columns as typed nulls.
+    // The right payload travels as a single non-null struct so that
+    // (a) last(_, ignoreNulls) skips only missing rows, never a present
+    // row whose value column is legitimately NULL, and (b) with several
+    // valueCols every attached value comes from the SAME right row.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     val lAligned = left.select(
-      keyCols.map(col) ++ leftOnly.map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
+      keyCols.map(col) ++ leftOnly.map(col) :+
+        lit(null).cast(payloadType).as(payload) :+
         col(leftTs).as(ts) :+ lit(1).as(side): _*)
     val rAligned = right.select(
       keyCols.map(col) ++
-        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(col) :+ col(rightTs).as(ts) :+ lit(0).as(side): _*)
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(valueCols.map(col): _*).as(payload) :+
+        col(rightTs).as(ts) :+ lit(0).as(side): _*)
 
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(ts).asc, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = valueCols.foldLeft(lAligned.unionByName(rAligned)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val carried = lAligned.unionByName(rAligned)
+      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
 
-    carried.filter(col(side) === 1).drop(ts, side)
+    valueCols.foldLeft(carried.filter(col(side) === 1)) { (df, c) =>
+        df.withColumn(c, col(s"$payload.$c"))
+      }
+      .drop(ts, side, payload)
   }
 }

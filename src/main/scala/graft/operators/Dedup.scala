@@ -99,15 +99,20 @@ object Dedup {
   }
 
   /** Near-dup pairs via 64-bit SimHash. Pigeonhole banding: fingerprints
-    * within Hamming distance `maxHamming` (< chunks) must agree on at least
-    * one of `chunks` equal-width bit chunks, so bucket by each chunk and
-    * verify with bit_count(xor). */
+    * within Hamming distance `maxHamming` MUST agree on at least one of
+    * `chunks` equal-width bit chunks — which is only guaranteed when
+    * maxHamming < chunks (enforced; with fewer chunks the distance could
+    * spread one flipped bit into every chunk and the pair would silently
+    * never become a candidate). */
   def simhashNearDup(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
       chunks: Int = 4): DataFrame = {
+    require(64 % chunks == 0, s"chunks=$chunks must divide 64")
+    require(maxHamming < chunks,
+      s"pigeonhole soundness needs maxHamming < chunks (got $maxHamming >= $chunks)")
 
     // Persist fingerprints: the simhash expression (64-wide vote fold per
     // token) would otherwise be recomputed per chunk and per join side.

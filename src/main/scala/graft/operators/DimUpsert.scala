@@ -30,7 +30,14 @@ object DimUpsert {
       fact: DataFrame,
       keyCol: String): DataFrame = {
 
-    val dimExists = new java.io.File(dimPath).exists()
+    // Hadoop FS, not java.io.File — the store may be hdfs:// or s3a://;
+    // a local-only check would silently treat an existing remote dim as
+    // absent and overwrite it with restarted surrogate keys.
+    def storeExists: Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dimPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val dimExists = storeExists
     val dim: DataFrame =
       if (dimExists) spark.read.parquet(dimPath)
       else fact.sparkSession.createDataFrame(
@@ -52,8 +59,7 @@ object DimUpsert {
 
     // store may legitimately still not exist (first call with an empty
     // fact batch) — fall back to the in-memory empty dim
-    val updated =
-      if (new java.io.File(dimPath).exists()) spark.read.parquet(dimPath) else dim
+    val updated = if (storeExists) spark.read.parquet(dimPath) else dim
     fact.join(broadcast(updated), Seq(keyCol))
   }
 }

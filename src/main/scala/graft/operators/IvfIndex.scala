@@ -61,7 +61,19 @@ object IvfIndex {
       sampleFraction: Double = 1.0,
       seed: Long = 42L): IvfIndex = {
 
-    val withVec = df.withColumn("graft_mlvec", array_to_vector(col(vecCol)))
+    // Normalize before clustering: k-means assigns by Euclidean distance,
+    // and on unit vectors that is monotone in cosine (|u-v|² = 2-2cosθ) —
+    // so list assignment agrees with topK's cosine ranking of centroid
+    // lists. Unnormalized vectors would let a high-cosine/large-norm
+    // vector land in a list topK never probes. Rerank still uses the
+    // original vectors.
+    val unitVec = {
+      val v = col(vecCol)
+      val norm = sqrt(aggregate(
+        v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+      transform(v, x => (x.cast("double") / when(norm === 0, 1.0).otherwise(norm)).cast("float"))
+    }
+    val withVec = df.withColumn("graft_mlvec", array_to_vector(unitVec))
     val fitInput =
       if (sampleFraction >= 1.0) withVec else withVec.sample(sampleFraction, seed)
 

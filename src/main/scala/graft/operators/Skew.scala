@@ -29,6 +29,13 @@ object Skew {
       joinType: String = "inner"): DataFrame = {
 
     require(buckets > 0)
+    // replicate-the-dim is only sound when unmatched DIM rows don't
+    // surface: a right/full outer join would emit every unmatched dim row
+    // once per salt copy
+    require(
+      Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left-preserving join types, got $joinType")
     val salted = fact.withColumn("graft_salt", (rand(42) * buckets).cast("int"))
     val replicated = dim.withColumn("graft_salt",
       explode(sequence(lit(0), lit(buckets - 1))))

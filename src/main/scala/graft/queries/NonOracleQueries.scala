@@ -55,11 +55,13 @@ object NonOracleQueries {
           numHashes = 128, bands = 16, shingleN = 3, threshold = 0.8)
           .orderBy("id_a", "id_b")),
 
-    // SimHash near-duplicate pairs (64-bit fingerprints, hamming ≤ 8).
+    // SimHash near-duplicate pairs (64-bit fingerprints, hamming ≤ 7 with
+    // 8 chunks so the pigeonhole candidate generation is sound).
     GraftQuery(
       "q_simhash_pairs",
       (s, d) =>
-        Dedup.simhashNearDup(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
+        Dedup.simhashNearDup(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 7, chunks = 8)
           .orderBy("id_a", "id_b")),
 
     // Embedding near-dup pairs via hyperplane LSH + exact cosine verify.

@@ -48,10 +48,17 @@ object Tables {
     * `/ 1000.0` would corrupt the low microseconds), matching DuckDB's
     * ns→µs truncation exactly. Emitted as TIMESTAMP_NTZ for oracle parity
     * with DuckDB's naive TIMESTAMP.
+    *
+    * The NTZ value is built by offsetting an NTZ epoch literal — a
+    * timezone-INDEPENDENT path. (The tempting
+    * `cast(timestamp_micros(x) as timestamp_ntz)` renders the instant in
+    * the session timezone: correct under the harness's UTC sessions,
+    * silently shifted anywhere else.)
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, sfDir, "events")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      .withColumn("ts",
+        expr("timestampadd(MICROSECOND, ts div 1000, timestamp_ntz'1970-01-01 00:00:00')"))
   }
 }

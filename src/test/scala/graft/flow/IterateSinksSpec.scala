@@ -40,6 +40,27 @@ class IterateSinksSpec extends AnyFunSuite {
     assert(back.count() == 3)
   }
 
+  test("fixpoint terminates when discovered rows contain NULLs") {
+    val edges = Seq((Some(0), Some(1)), (Some(1), None)).toDF("src", "dst")
+    val seed = Seq(Option(0)).toDF("node")
+    val reached = Iterate.fixpoint(seed, maxIterations = 10) { frontier =>
+      frontier.join(edges, frontier("node") === edges("src")).select(col("dst").as("node"))
+    }
+    // null row visited once, loop terminates well before maxIterations
+    assert(reached.collect().length == 3)
+  }
+
+  test("asof join carries a legitimately NULL right value from the latest row") {
+    val left = Seq((1L, "u", 30L)).toDF("event_id", "user", "t")
+    val right = Seq(("u", 10L, Some(5.0)), ("u", 20L, Option.empty[Double]))
+      .toDF("user", "rt", "v")
+    val out = AsOfJoin.asof(left, right, Seq("user"), "t", "rt", Seq("v"))
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    // latest right row (t=20) has v=NULL; a naive last(v, ignoreNulls)
+    // would wrongly resurrect 5.0 from t=10
+    assert(out(1L).isEmpty)
+  }
+
   test("asof join attaches latest prior value, with >= tie semantics") {
     val left = Seq((1L, "u", 10L), (2L, "u", 20L), (3L, "u", 5L), (4L, "v", 10L))
       .toDF("event_id", "user", "t")

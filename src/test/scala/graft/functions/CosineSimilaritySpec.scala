@@ -37,6 +37,12 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(both.filter($"native" =!= $"hof").count() == 0)
   }
 
+  test("ragged arrays (length mismatch) yield null, not a truncated score") {
+    val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+    val out = df.select(VectorFunctions.cosineF($"a", $"b").as("c")).collect()
+    assert(out.head.isNullAt(0))
+  }
+
   test("null input yields null") {
     val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]])).toDF("a", "b")
     val out = df.select(VectorFunctions.cosineF($"a", $"b").as("c")).collect()

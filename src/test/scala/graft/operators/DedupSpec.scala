@@ -45,7 +45,8 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhash near-dup finds the one-word edit within small hamming distance") {
-    val pairs = Dedup.simhashNearDup(corpus, "doc_id", "text", maxHamming = 16)
+    val pairs = Dedup.simhashNearDup(corpus, "doc_id", "text",
+      maxHamming = 16, chunks = 32)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 3L))) // identical → hamming 0
     assert(pairs.contains((0L, 1L))) // near dup → few bits
