@@ -257,6 +257,75 @@ object ExtendedQueries {
       Some("""SELECT p_partkey, p_name FROM part
              |WHERE p_name ILIKE '%RED%' ORDER BY p_partkey""".stripMargin)),
 
+    // Sessionization with an exact oracle: gaps-and-islands (lag + running
+    // sum of session starts) is plain window SQL both engines evaluate
+    // identically — unlike session_window, which stays rows-only. Events
+    // have unique (user_id, ts), so the island assignment is deterministic.
+    GraftQuery(
+      "q_sessionize",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_events_sess")
+        s.sql("""SELECT user_id, session_id, COUNT(*) AS n, MIN(ts) AS session_start
+                |FROM (
+                |  SELECT user_id, ts,
+                |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                |           ROWS UNBOUNDED PRECEDING) AS session_id
+                |  FROM (
+                |    SELECT user_id, ts,
+                |           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                |                     > INTERVAL '30' MINUTE
+                |                THEN 1 ELSE 0 END AS new_session
+                |    FROM graft_events_sess))
+                |GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)
+      },
+      Some("""SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |       COUNT(*) AS n, MIN(ts) AS session_start
+             |FROM (
+             |  SELECT user_id, ts,
+             |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             |           ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM (
+             |    SELECT user_id, ts,
+             |           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |                     > INTERVAL 30 MINUTE
+             |                THEN 1 ELSE 0 END AS new_session
+             |    FROM events))
+             |GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)),
+
+    // Cartesian product (small×small — the one place a cross join is fine).
+    GraftQuery(
+      "q_cross_join",
+      (s, d) =>
+        Tables.region(s, d).select(col("r_name").as("a"))
+          .crossJoin(Tables.region(s, d).select(col("r_name").as("b")))
+          .orderBy("a", "b"),
+      Some("""SELECT r1.r_name AS a, r2.r_name AS b
+             |FROM region r1 CROSS JOIN region r2
+             |ORDER BY a, b""".stripMargin)),
+
+    // String functions, second batch: trim/pad/case/replace/reverse/split.
+    GraftQuery(
+      "q_str_funcs2",
+      (s, d) =>
+        Tables.part(s, d)
+          .select(
+            col("p_partkey"),
+            translate(col("p_name"), "aeiou", "AEIOU").as("name_tr"),
+            trim(col("p_type"), "E").as("type_trim"),
+            lpad(col("p_brand"), 12, "*").as("brand_pad"),
+            regexp_replace(col("p_name"), "[aeiou]", "_").as("name_novowel"),
+            reverse(col("p_brand")).as("brand_rev"),
+            split(col("p_name"), " ").getItem(0).as("first_tok"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  translate(p_name, 'aeiou', 'AEIOU') AS name_tr,
+             |  trim(p_type, 'E') AS type_trim,
+             |  lpad(p_brand, 12, '*') AS brand_pad,
+             |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowel,
+             |  reverse(p_brand) AS brand_rev,
+             |  string_split(p_name, ' ')[1] AS first_tok
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // Null-handling scalars over the as-of join's nullable output shape.
     GraftQuery(
       "q_null_funcs",
