@@ -62,6 +62,26 @@ object StreamOps {
     ds.groupByKey(key)
       .flatMapGroupsWithState[S, O](OutputMode.Append(), timeout)(child)
 
+  /** Stream-stream equi-join bounded by event time: each left row joins
+    * right rows of the same key within ±`within` of its timestamp. Both
+    * sides carry watermarks so the join state is GC'd once the bound
+    * passes — the unbounded-state trap is unrepresentable through this
+    * API. Works identically on batch frames (watermark is a no-op).
+    */
+  def streamStreamJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      within: String, maxDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, maxDelay)
+    val r = right.withWatermark(rightTs, maxDelay)
+    l.join(
+        r,
+        l(key) === r(key) &&
+          r(rightTs) >= l(leftTs) - expr(s"INTERVAL $within") &&
+          r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within"))
+      .drop(r(key))
+  }
+
   /** A13 parity on the arbitrary-state v2 API (`transformWithState`,
     * Spark 4): a typed StatefulProcessor per key with named state
     * variables and TTL support — the forward path for per-key child

@@ -84,6 +84,29 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join matches rows within the time bound only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val joined = StreamOps.streamStreamJoin(
+      clicks.toDF().select(col("ts").as("cts"), col("user"), col("value").as("cv")),
+      buys.toDF().select(col("ts").as("bts"), col("user").as("buser"), col("value").as("bv"))
+        .withColumnRenamed("buser", "user"),
+      "user", "cts", "bts", within = "10 MINUTES", maxDelay = "1 minute")
+    val q = joined.select("user", "cv", "bv").writeStream
+      .outputMode("append").format("memory").queryName("ssj_out").start()
+    try {
+      clicks.addData(Ev(t(0), "a", 1.0), Ev(t(40), "a", 2.0))
+      buys.addData(Ev(t(5), "a", 100.0), Ev(t(59), "b", 200.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").as[(String, Double, Double)].collect().toSet
+      // click@0 pairs with buy@5 (within 10m); click@40 pairs with nothing
+      // (buy@5 too old, buy@59 wrong user)
+      assert(rows == Set(("a", 1.0, 100.0)))
+    } finally q.stop()
+  }
+
   test("stateful dispatcher maintains per-key state across micro-batches (A13)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
