@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** File-format sources beyond the fixture parquet (SURVEY.md §2.2: the
+  * reference has no built-in sources — A24 — so the engine's source
+  * surface is Spark's reader path with schemas pinned explicitly).
+  *
+  * Always pass a schema in production: schema inference reads the data
+  * twice and locks the job to whatever the first sample implied — at
+  * 100 TB both are bugs, so these helpers make the schema parameter
+  * non-optional except for self-describing parquet.
+  */
+object Sources {
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      // bad rows are quarantined, not silently dropped or job-fatal
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** JSON-lines (one object per line — the streaming-friendly layout). */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Raw text: one row per line, column `value`. */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Streaming file source: picks up new files per micro-batch;
+    * `maxFilesPerTrigger` is the backpressure knob (A23 BoundedCapacity
+    * parity). */
+  def fileStream(spark: SparkSession, path: String, schema: StructType,
+      format: String = "parquet", maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .format(format)
+      .load(path)
+}
