@@ -43,13 +43,13 @@ object Iterate {
       val discovered = step(frontier)
       // null-SAFE subtraction: a plain using-columns anti join never
       // matches NULL = NULL, so a discovered row containing a NULL would
-      // re-enter the frontier forever and the loop could not terminate
-      val d = discovered.alias("graft_d")
-      val v = visited.alias("graft_v")
+      // re-enter the frontier forever and the loop could not terminate.
+      // Frame-qualified refs (not string paths) keep dotted column names
+      // working.
       val sameRow = discovered.columns
-        .map(c => col(s"graft_d.$c") <=> col(s"graft_v.$c"))
+        .map(c => discovered.col(s"`$c`") <=> visited.col(s"`$c`"))
         .reduce(_ && _)
-      val next = d.join(v, sameRow, "left_anti")
+      val next = discovered.join(visited, sameRow, "left_anti")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
       val grown = visited.union(next).persist(StorageLevel.MEMORY_AND_DISK)

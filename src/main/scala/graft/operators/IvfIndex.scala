@@ -25,19 +25,25 @@ final class IvfIndex private (
     idCol: String,
     vecCol: String) extends Serializable {
 
-  /** Top-k by exact cosine among the `nprobe` nearest centroid lists. */
+  /** Top-k by exact cosine among the `nprobe` nearest centroid lists.
+    * List selection ranks centroids by Euclidean distance to the
+    * NORMALIZED probe — the same metric and space the k-means assignment
+    * used — so "nearest lists" is exactly consistent with how vectors were
+    * binned (a cosine ranking of non-unit centroids could disagree). */
   def topK(probe: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
-    val probeD = probe.map(_.toDouble)
-    def cos(c: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < math.min(c.length, probeD.length)) {
-        dot += c(i) * probeD(i); na += c(i) * c(i); nb += probeD(i) * probeD(i); i += 1
-      }
-      val d = math.sqrt(na) * math.sqrt(nb)
-      if (d == 0) 0 else dot / d
+    val pn = {
+      val n = math.sqrt(probe.map(x => x.toDouble * x).sum).max(1e-12)
+      probe.map(_.toDouble / n)
     }
-    val lists = centroids.sortBy { case (_, c) => -cos(c) }.take(nprobe).map(_._1)
+    def dist2(c: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < math.min(c.length, pn.length)) {
+        val d = c(i) - pn(i); s += d * d; i += 1
+      }
+      s
+    }
+    val lists = centroids.sortBy { case (_, c) => dist2(c) }.take(nprobe).map(_._1)
     assigned
       .filter(col("list_id").isin(lists.toSeq: _*)) // partition-prunable
       .select(
@@ -61,19 +67,20 @@ object IvfIndex {
       sampleFraction: Double = 1.0,
       seed: Long = 42L): IvfIndex = {
 
-    // Normalize before clustering: k-means assigns by Euclidean distance,
-    // and on unit vectors that is monotone in cosine (|u-v|² = 2-2cosθ) —
-    // so list assignment agrees with topK's cosine ranking of centroid
-    // lists. Unnormalized vectors would let a high-cosine/large-norm
-    // vector land in a list topK never probes. Rerank still uses the
-    // original vectors.
-    val unitVec = {
-      val v = col(vecCol)
-      val norm = sqrt(aggregate(
-        v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-      transform(v, x => (x.cast("double") / when(norm === 0, 1.0).otherwise(norm)).cast("float"))
-    }
-    val withVec = df.withColumn("graft_mlvec", array_to_vector(unitVec))
+    // Normalize before clustering so angular neighbors cluster together
+    // (on unit vectors Euclidean distance is monotone in cosine:
+    // |u-v|² = 2-2cosθ). topK then ranks centroid lists by Euclidean
+    // distance to the normalized probe — the identical metric — so list
+    // selection is exactly consistent with assignment. Rerank still uses
+    // the original vectors. ml.Normalizer does the L2 scaling in one
+    // vectorized pass (a Column-lambda formulation would re-fold the norm
+    // aggregate per element after projection collapse — O(d²) per row).
+    val withVec = new org.apache.spark.ml.feature.Normalizer()
+      .setInputCol("graft_rawvec")
+      .setOutputCol("graft_mlvec")
+      .setP(2.0)
+      .transform(df.withColumn("graft_rawvec", array_to_vector(col(vecCol))))
+      .drop("graft_rawvec")
     val fitInput =
       if (sampleFraction >= 1.0) withVec else withVec.sample(sampleFraction, seed)
 

@@ -33,7 +33,7 @@ object Skew {
     // surface: a right/full outer join would emit every unmatched dim row
     // once per salt copy
     require(
-      Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      Set("inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti")
         .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left-preserving join types, got $joinType")
     val salted = fact.withColumn("graft_salt", (rand(42) * buckets).cast("int"))

@@ -17,14 +17,20 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Malformed rows are genuinely quarantined: the raw bad line lands in
+    * `_corrupt_record` (non-null there ⇒ the row failed parsing), so
+    * corrupt data is countable and separable from legitimate nulls —
+    * PERMISSIVE alone would silently null the fields. */
+  val corruptCol = "_corrupt_record"
+
   def csv(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true, delimiter: String = ","): DataFrame =
     spark.read
-      .schema(schema)
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
       .option("header", header.toString)
       .option("delimiter", delimiter)
-      // bad rows are quarantined, not silently dropped or job-fatal
       .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
       .csv(path)
 
   /** JSON-lines (one object per line — the streaming-friendly layout). */

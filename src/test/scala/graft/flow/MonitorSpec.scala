@@ -7,6 +7,26 @@ class MonitorSpec extends AnyFunSuite {
 
   lazy val spark = SparkTestSession.spark
 
+  test("scoped monitor only records work inside its monitored block") {
+    val monA = Monitor.attach(spark, scopedOnly = true)
+    val monB = Monitor.attach(spark, scopedOnly = true)
+    try {
+      monA.monitored {
+        spark.range(0, 50000).toDF("v").groupBy(col("v") % 10).count().collect()
+      }
+      monB.monitored {
+        spark.range(0, 10).toDF("v").select(sum("v")).collect()
+      }
+      val deadline = System.currentTimeMillis() + 5000
+      while ((monA.report().isEmpty || monB.report().isEmpty) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val aStages = monA.report().map(_.stageId).toSet
+      val bStages = monB.report().map(_.stageId).toSet
+      assert(aStages.nonEmpty && bStages.nonEmpty)
+      assert((aStages intersect bStages).isEmpty) // no cross-talk
+    } finally { monA.detach(); monB.detach() }
+  }
+
   test("monitor captures stage metrics incl. shuffle volume (A22)") {
     val mon = Monitor.attach(spark)
     try {

@@ -17,7 +17,7 @@ class SourcesSpec extends AnyFunSuite {
   test("csv sink/source round-trip with explicit schema") {
     val dir = Files.createTempDirectory("graft_src").toString
     Sinks.csv(sample, s"$dir/csv")
-    val back = Sources.csv(spark, s"$dir/csv", sample.schema)
+    val back = Sources.csv(spark, s"$dir/csv", sample.schema).drop(Sources.corruptCol)
     assert(back.orderBy("id").collect().toSeq == sample.orderBy("id").collect().toSeq)
   }
 
@@ -28,14 +28,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.orderBy("id").collect().toSeq == sample.orderBy("id").collect().toSeq)
   }
 
-  test("malformed csv rows are quarantined as nulls, not job-fatal") {
+  test("malformed csv rows are quarantined with the raw line captured") {
     val dir = Files.createTempDirectory("graft_src").toString
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/bad.csv"),
       "id,name,score\n1,a,1.5\nnot_a_long,b,oops\n3,c,3.5\n")
-    val back = Sources.csv(spark, s"$dir/bad.csv", sample.schema)
+    val back = Sources.csv(spark, s"$dir/bad.csv", sample.schema).cache()
     assert(back.count() == 3)
-    assert(back.filter(col("id").isNull).count() == 1)
+    val corrupt = back.filter(col(Sources.corruptCol).isNotNull)
+    assert(corrupt.count() == 1)
+    assert(corrupt.select(Sources.corruptCol).as[String].head().startsWith("not_a_long"))
+    // clean rows are distinguishable: corrupt marker null, fields parsed
+    assert(back.filter(col(Sources.corruptCol).isNull).count() == 2)
+    back.unpersist()
   }
 
   test("streaming file source drains a directory through a query") {
