@@ -326,6 +326,25 @@ object ExtendedQueries {
              |  string_split(p_name, ' ')[1] AS first_tok
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // Exact decimal aggregation: money math in DECIMAL is bit-exact across
+    // engines (no partial-sum float tails, no ROUND discipline needed).
+    GraftQuery(
+      "q_decimal_agg",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(
+            col("l_returnflag"),
+            col("l_extendedprice").cast("decimal(12,2)").as("price_dec"))
+          .groupBy("l_returnflag")
+          .agg(
+            sum(col("price_dec")).cast("decimal(18,2)").as("sum_dec"),
+            avg(col("price_dec")).cast("decimal(18,6)").as("avg_dec"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_dec,
+             |  CAST(AVG(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,6)) AS avg_dec
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
     // Null-handling scalars over the as-of join's nullable output shape.
     GraftQuery(
       "q_null_funcs",
