@@ -59,6 +59,7 @@ object Iterate {
       materialized.count() // materialize before unpersisting parents
       frontier.unpersist()
       visited.unpersist()
+      if (materialized ne grown) grown.unpersist() // checkpoint copied it
       visited = materialized
       frontier = next
       i += 1

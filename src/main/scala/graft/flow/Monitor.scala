@@ -20,6 +20,7 @@ import org.apache.spark.sql.SparkSession
   * {{{
   *   val mon = Monitor.attach(spark)
   *   mon.monitored { pipeline.run() }
+  *   mon.await()                     // listener bus is async
   *   mon.report().foreach(println)   // stage → records/bytes/spill
   *   mon.detach()
   * }}}
@@ -76,7 +77,23 @@ final class Monitor private (spark: SparkSession, scopedOnly: Boolean) {
     try body finally spark.sparkContext.clearJobGroup()
   }
 
-  /** Completed-stage metrics so far (oldest first). */
+  /** Wait for the async listener bus to deliver pending stage events:
+    * returns once the recorded set is stable (unchanged across two 25 ms
+    * polls, bounded). Call after the action, before report(). */
+  def await(maxMs: Long = 5000): Unit = {
+    val deadline = System.currentTimeMillis() + maxMs
+    var prev = -1
+    var stable = 0
+    while (stable < 2 && System.currentTimeMillis() < deadline) {
+      val now = stats.size()
+      if (now == prev) stable += 1 else { stable = 0; prev = now }
+      if (stable < 2) Thread.sleep(25)
+    }
+  }
+
+  /** Completed-stage metrics so far (oldest first). Stage-completion
+    * events arrive asynchronously — call [[await]] after the action
+    * first. */
   def report(): Seq[StageStats] = {
     import scala.jdk.CollectionConverters._
     stats.asScala.toSeq

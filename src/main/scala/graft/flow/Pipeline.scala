@@ -100,15 +100,16 @@ final class StatisticsRecorder(spark: SparkSession) {
   def close(): Unit = spark.listenerManager.unregister(listener)
 
   /** observe() metrics arrive via an async listener bus; wait until the
-    * recorded state is quiescent (no change for 100 ms, bounded) so reads
-    * after an action see the counts — same contract as the reference's
-    * post-completion queries. */
+    * recorded state is quiescent (unchanged across two 25 ms polls,
+    * bounded) so reads after an action see the counts — same contract as
+    * the reference's post-completion queries. Cost ≈ 50 ms per read when
+    * already quiescent. */
   private def awaitQuiescence(maxMs: Long = 5000): Unit = {
     val deadline = System.currentTimeMillis() + maxMs
     var prev = counts.hashCode()
     var stable = 0
     while (stable < 2 && System.currentTimeMillis() < deadline) {
-      Thread.sleep(50)
+      Thread.sleep(25)
       val now = counts.hashCode()
       if (now == prev) stable += 1 else { stable = 0; prev = now }
     }

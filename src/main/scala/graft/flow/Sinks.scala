@@ -40,12 +40,14 @@ object Sinks {
     * co-located buckets and skip the shuffle entirely — the 100 TB answer
     * to "this fact-fact join shuffles 100 TB every run": pay the shuffle
     * once at write time. Requires a table catalog (`saveAsTable`). */
-  def bucketedTable(df: DataFrame, table: String, buckets: Int, bucketCols: String*): Unit =
+  def bucketedTable(df: DataFrame, table: String, buckets: Int, bucketCols: String*): Unit = {
+    require(bucketCols.nonEmpty, "bucketedTable needs at least one bucket column")
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** A15 JDBC bulk sink: batched inserts (`batchsize` ≙ BatchBlock size,
     * `numPartitions` caps concurrent connections). Untested here — no

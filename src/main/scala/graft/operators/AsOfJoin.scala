@@ -59,9 +59,12 @@ object AsOfJoin {
         struct(valueCols.map(col): _*).as(payload) :+
         col(rightTs).as(ts) :+ lit(0).as(side): _*)
 
+    // payload as the final sort key makes ties on (key, ts) between right
+    // rows deterministic (struct ordering compares field by field) —
+    // without it, last() picks a partitioning-dependent peer
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col(ts).asc, col(side).asc)
+      .orderBy(col(ts).asc, col(side).asc, col(payload).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = lAligned.unionByName(rAligned)

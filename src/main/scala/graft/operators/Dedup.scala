@@ -93,7 +93,8 @@ object Dedup {
     candidates
       .join(sh.select(col("graft_id").as("id_a"), col("graft_shingles").as("sh_a")), "id_a")
       .join(sh.select(col("graft_id").as("id_b"), col("graft_shingles").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(array_distinct(col("sh_a")), array_distinct(col("sh_b"))))
+      // jaccard() is set-semantic already (array_intersect/union dedup)
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -116,6 +117,8 @@ object Dedup {
 
     // Persist fingerprints: the simhash expression (64-wide vote fold per
     // token) would otherwise be recomputed per chunk and per join side.
+    // Cache lives as long as the returned lazy plan — long-lived sessions
+    // should spark.catalog.clearCache() between unrelated corpora.
     val fp = df.select(
       col(idCol).as("graft_id"),
       simhash64Fast(tokens(col(textCol))).as("graft_sh"))

@@ -54,6 +54,12 @@ object Tables {
     * `cast(timestamp_micros(x) as timestamp_ntz)` renders the instant in
     * the session timezone: correct under the harness's UTC sessions,
     * silently shifted anywhere else.)
+    *
+    * Session side effect: `nanosAsLong` stays set for the session
+    * afterwards (it must hold when the lazy scan actually executes, so it
+    * cannot be restored here). Any later read of a DIFFERENT nanos-
+    * timestamp parquet in the same session will get a long column rather
+    * than an error — convert it the same way this loader does.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

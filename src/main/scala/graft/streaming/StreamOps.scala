@@ -72,6 +72,12 @@ object StreamOps {
       left: DataFrame, right: DataFrame,
       key: String, leftTs: String, rightTs: String,
       within: String, maxDelay: String): DataFrame = {
+    // the join keeps both sides' columns (only the dup key is dropped) —
+    // shared names would make every downstream by-name access ambiguous
+    val collisions =
+      (left.columns.toSet intersect right.columns.toSet) - key
+    require(collisions.isEmpty,
+      s"rename non-key columns shared by both sides before joining: $collisions")
     val l = left.withWatermark(leftTs, maxDelay)
     val r = right.withWatermark(rightTs, maxDelay)
     l.join(

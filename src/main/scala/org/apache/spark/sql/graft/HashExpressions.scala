@@ -41,8 +41,10 @@ object HashExpressions {
 
 /** MinHash signature: array<long> of length `numHashes`; position j is the
   * min over elements of a_j·hash(x)+b_j. Deterministic under `seed`.
-  * Empty arrays yield Long.MaxValue positions (no shingles → matches
-  * nothing). */
+  * Empty arrays all yield the identical all-Long.MaxValue signature —
+  * i.e. empty documents are treated as exact duplicates of each other
+  * (consistent with jaccard(∅, ∅) = 1); filter empties upstream if that
+  * is not the intent. */
 case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
   extends UnaryExpression with ExpectsInputTypes {
 

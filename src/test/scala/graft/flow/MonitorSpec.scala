@@ -17,9 +17,7 @@ class MonitorSpec extends AnyFunSuite {
       monB.monitored {
         spark.range(0, 10).toDF("v").select(sum("v")).collect()
       }
-      val deadline = System.currentTimeMillis() + 5000
-      while ((monA.report().isEmpty || monB.report().isEmpty) &&
-        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      monA.await(); monB.await()
       val aStages = monA.report().map(_.stageId).toSet
       val bStages = monB.report().map(_.stageId).toSet
       assert(aStages.nonEmpty && bStages.nonEmpty)
@@ -33,10 +31,7 @@ class MonitorSpec extends AnyFunSuite {
       spark.range(0, 100000).toDF("v")
         .groupBy(col("v") % 100).agg(count(lit(1)))
         .collect()
-      // listener bus is async — poll briefly for the stages to land
-      val deadline = System.currentTimeMillis() + 5000
-      while (mon.report().isEmpty && System.currentTimeMillis() < deadline)
-        Thread.sleep(50)
+      mon.await() // listener bus is async
       val stages = mon.report()
       assert(stages.nonEmpty)
       assert(stages.map(_.tasks).sum > 0)
