@@ -326,6 +326,39 @@ object ExtendedQueries {
              |  string_split(p_name, ' ')[1] AS first_tok
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // Boolean / conditional aggregates.
+    GraftQuery(
+      "q_bool_agg",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            bool_and(col("l_quantity") > 0).as("all_positive"),
+            bool_or(col("l_discount") > 0.09).as("any_big_discount"),
+            count_if(col("l_tax") === 0).as("n_taxfree"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  bool_and(l_quantity > 0) AS all_positive,
+             |  bool_or(l_discount > 0.09) AS any_big_discount,
+             |  CAST(count_if(l_tax = 0) AS BIGINT) AS n_taxfree
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // Argmin/argmax aggregates: earliest/latest event id per user —
+    // deterministic because (user_id, ts) is unique in the fixture.
+    GraftQuery(
+      "q_minmax_by",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(
+            min_by(col("event_id"), col("ts")).as("first_event"),
+            max_by(col("event_id"), col("ts")).as("last_event"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  min_by(event_id, ts) AS first_event,
+             |  max_by(event_id, ts) AS last_event
+             |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin)),
+
     // Exact decimal aggregation: money math in DECIMAL is bit-exact across
     // engines (no partial-sum float tails, no ROUND discipline needed).
     GraftQuery(
