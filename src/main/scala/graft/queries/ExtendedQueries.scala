@@ -326,6 +326,24 @@ object ExtendedQueries {
              |  string_split(p_name, ' ')[1] AS first_tok
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // Unpivot (wide → long): stack() in Spark, UNION ALL in the oracle —
+    // same rows either way.
+    GraftQuery(
+      "q_unpivot",
+      (s, d) =>
+        Tables.part(s, d)
+          .select(
+            col("p_partkey"),
+            expr("""stack(2,
+                   |  'size', cast(p_size as double),
+                   |  'retail', p_retailprice) as (metric, value)""".stripMargin))
+          .orderBy("p_partkey", "metric"),
+      Some("""SELECT p_partkey, metric, value FROM (
+             |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+             |  UNION ALL
+             |  SELECT p_partkey, 'retail' AS metric, p_retailprice AS value FROM part)
+             |ORDER BY p_partkey, metric""".stripMargin)),
+
     // Boolean / conditional aggregates.
     GraftQuery(
       "q_bool_agg",

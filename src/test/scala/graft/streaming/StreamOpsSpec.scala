@@ -68,6 +68,32 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late-but-within-watermark rows still count; only beyond-watermark drops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = StreamOps.tumbling(
+      StreamOps.watermarked(mem.toDF(), "ts", "30 minutes"),
+      "ts", "10 minutes")(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_late_out").start()
+    try {
+      mem.addData(Ev(t(50), "a", 1.0)) // watermark → 00:20
+      q.processAllAvailable()
+      // 00:45 is BEHIND max event time but AHEAD of the watermark: counted
+      mem.addData(Ev(t(45), "a", 1.0), Ev(t(46), "a", 1.0))
+      q.processAllAvailable()
+      // close all windows
+      mem.addData(Ev(Timestamp.valueOf("2024-01-01 03:00:00"), "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wm_late_out")
+        .select(col("window.start").cast("string"), col("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(rows("2024-01-01 00:40:00") == 2) // late 45 & 46 both counted
+      assert(rows("2024-01-01 00:50:00") == 1)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark removes duplicate keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
