@@ -127,6 +127,13 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"),
     "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "que", "por"))
 
+  /** Native fast path for [[langId]]: identical semantics (argmax marker
+    * hits over cleaned lowercase tokens; ties → lexicographically last;
+    * no hits → "und"), one JVM pass instead of interpreted per-token
+    * lambdas. Prefer this in pipelines. */
+  def langIdFast(text: Column): Column =
+    org.apache.spark.sql.graft.HashExpressions.langId(tokens(text), languageMarkers.toSeq)
+
   def langId(text: Column): Column = {
     // Single pass: fold over tokens accumulating one hit-counter per
     // language. Cleaning (regexp) happens once per token — a per-language

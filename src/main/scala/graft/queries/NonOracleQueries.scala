@@ -86,12 +86,12 @@ object NonOracleQueries {
         Similarity.lshTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", p, 10)
       }),
 
-    // Language ID heuristic over documents.
+    // Language ID heuristic over documents (native single-pass scorer).
     GraftQuery(
       "q_lang_id",
       (s, d) =>
         Tables.documents(s, d)
-          .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+          .select(col("doc_id"), TextFunctions.langIdFast(col("text")).as("lang_pred"))
           .groupBy("lang_pred").agg(count(lit(1)).as("n"))
           .orderBy("lang_pred")),
 

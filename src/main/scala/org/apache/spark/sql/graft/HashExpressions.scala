@@ -37,6 +37,9 @@ object HashExpressions {
 
   def simhash(arr: Column, seed: Long = 42L): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(arr), seed))
+
+  def langId(tokens: Column, markers: Seq[(String, Seq[String])]): Column =
+    ExpressionUtils.column(LangIdExpr(ExpressionUtils.expression(tokens), markers))
 }
 
 /** MinHash signature: array<long> of length `numHashes`; position j is the

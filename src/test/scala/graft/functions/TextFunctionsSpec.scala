@@ -54,6 +54,23 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(langs.toSeq == Seq("en", "de", "fr", "und"))
   }
 
+  test("native langId matches the composed version on fixture documents") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val both = d.select(
+      TextFunctions.langId($"text").as("composed"),
+      TextFunctions.langIdFast($"text").as("native"))
+    assert(both.filter($"composed" =!= $"native").count() == 0)
+  }
+
+  test("native langId handles the marker/tie/und cases like the composed one") {
+    val df = Seq(
+      "the cat is in the house and it is warm",
+      "der hund ist nicht in der wohnung und ich bin da",
+      "zzz qqq xxx").toDF("text")
+    val langs = df.select(TextFunctions.langIdFast($"text").as("l")).as[String].collect()
+    assert(langs.toSeq == Seq("en", "de", "und"))
+  }
+
   test("jaccard on shingle sets: identical=1, disjoint=0") {
     val df = Seq(("a b c", "a b c"), ("a b c", "x y z")).toDF("t1", "t2")
     val j = df.select(TextFunctions.jaccard(
