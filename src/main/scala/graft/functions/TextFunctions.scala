@@ -49,7 +49,13 @@ object TextFunctions {
     * multiply-add (codegen'd single loop — see
     * org.apache.spark.sql.graft.MinHashSig). Signature VALUES differ from
     * the composed version (different hash family); collision statistics
-    * are the same. Prefer this in pipelines. */
+    * are the same. Prefer this in pipelines.
+    *
+    * Empty-array divergence: on an EMPTY shingle array the composed form
+    * yields an array of NULLs (array_min over nothing) while this native
+    * form yields all Long.MaxValue. Irrelevant downstream of [[shingles]]
+    * (which never emits an empty array), but callers feeding their own
+    * shingle columns should filter empties first. */
   def minhashSignatureFast(shinglesCol: Column, numHashes: Int, seed: Long = 42L): Column =
     org.apache.spark.sql.graft.HashExpressions.minhash(shinglesCol, numHashes, seed)
 

@@ -81,12 +81,17 @@ object Dedup {
       .filter(col("n") <= maxBucket && col("n") >= 2)
       .select("band", "bucket")
 
-    val candidates = banded.as("l")
-      .join(banded.as("r"),
+    // STRUCTURAL guard: prune hot/singleton buckets BEFORE the self-join,
+    // so a pathological bucket can never materialize its O(n²) pairs. (A
+    // semi-join applied after the self-join only works if the optimizer
+    // pushes it below the join — correct today, but plan-shape-dependent;
+    // this formulation is safe under any plan.)
+    val pruned = banded.join(smallBuckets, Seq("band", "bucket"), "left_semi")
+
+    val candidates = pruned.as("l")
+      .join(pruned.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.graft_id") < col("r.graft_id"))
-      .join(smallBuckets.as("s"),
-        col("l.band") === col("s.band") && col("l.bucket") === col("s.bucket"), "left_semi")
       .select(col("l.graft_id").as("id_a"), col("r.graft_id").as("id_b"))
       .distinct()
 
@@ -162,8 +167,12 @@ object Dedup {
     * where cluster = min id reachable through pair edges (connected
     * components via iterative min-label propagation — the Pregel shape,
     * O(diameter) rounds; near-dup cluster diameters are tiny in practice).
+    *
+    * Throws if labels have not reached fixpoint within `maxRounds`
+    * (possible only when a component's diameter exceeds the cap) —
+    * returning silently would hand the caller WRONG cluster labels.
     */
-  def nearDupClusters(pairs: DataFrame): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -174,7 +183,7 @@ object Dedup {
       .persist()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    while (changed > 0 && rounds < maxRounds) {
       val viaNeighbor = edges
         .join(labels, edges("dst") === labels("id"))
         .select(col("src").as("id"), col("cluster"))
@@ -190,6 +199,13 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
+    if (changed > 0) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge within maxRounds=$maxRounds " +
+          s"($changed labels still changing) — a component's diameter exceeds " +
+          "the cap; raise maxRounds")
+    }
     labels
   }
 

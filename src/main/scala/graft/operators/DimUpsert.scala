@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental dimension upsert — the reference's signature operator
@@ -17,9 +16,12 @@ import org.apache.spark.sql.functions._
   * Scale notes: the dimension is distinct-key-sized, not fact-sized —
   * the only fact-sized operation is the final broadcast/hash join. New-key
   * detection is a left-anti join against the current dim (dim side
-  * broadcast). Surrogate assignment windows over the NEW keys only
-  * (single small partition per batch — same shape as the reference's
-  * identity column drain).
+  * broadcast). Surrogate assignment is DISTRIBUTED: a range-partitioned
+  * sort of the new keys followed by `zipWithIndex` — every partition
+  * numbers its own contiguous key range, so the first bulk load of a
+  * 100 TB fact table (potentially 10⁸+ distinct keys in one batch) never
+  * funnels through a single task the way a global
+  * `Window.orderBy(key)` would.
   */
 object DimUpsert {
 
@@ -48,12 +50,23 @@ object DimUpsert {
 
     val maxSk = if (dimExists) dim.agg(coalesce(max("sk"), lit(0L))).head().getLong(0) else 0L
 
-    // unseen natural keys → fresh surrogate keys above the current max
-    val newKeys = fact.select(keyCol).distinct()
+    // unseen natural keys → fresh surrogate keys above the current max.
+    // Deterministic AND distributed: global sort by key (range exchange —
+    // each partition owns a contiguous key range), then zipWithIndex
+    // assigns consecutive indices with one lightweight count job for the
+    // per-partition offsets. Same output as a dense_rank over the sorted
+    // distinct keys, without collapsing the batch into one partition.
+    val unseen = fact.select(keyCol).distinct()
       .join(dim.select(keyCol), Seq(keyCol), "left_anti")
-      .withColumn("sk", dense_rank().over(Window.orderBy(keyCol)) + maxSk)
-
-    if (!newKeys.isEmpty) {
+    val skSchema = new org.apache.spark.sql.types.StructType()
+      .add(keyCol, fact.schema(keyCol).dataType)
+      .add("sk", org.apache.spark.sql.types.LongType, nullable = false)
+    if (!unseen.isEmpty) {
+      val newKeys = spark.createDataFrame(
+        unseen.orderBy(keyCol).rdd.zipWithIndex().map { case (row, idx) =>
+          org.apache.spark.sql.Row(row.get(0), maxSk + 1L + idx)
+        },
+        skSchema)
       newKeys.write.mode(if (dimExists) "append" else "overwrite").parquet(dimPath)
     }
 

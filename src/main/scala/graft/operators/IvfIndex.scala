@@ -31,6 +31,11 @@ final class IvfIndex private (
     * used — so "nearest lists" is exactly consistent with how vectors were
     * binned (a cosine ranking of non-unit centroids could disagree). */
   def topK(probe: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    // Fail fast on dimensionality mismatch — a truncated-prefix distance
+    // would silently rank the wrong centroid lists.
+    require(centroids.isEmpty || probe.length == centroids.head._2.length,
+      s"probe dimensionality ${probe.length} != index dimensionality " +
+        s"${centroids.head._2.length}")
     val pn = {
       val n = math.sqrt(probe.map(x => x.toDouble * x).sum).max(1e-12)
       probe.map(_.toDouble / n)

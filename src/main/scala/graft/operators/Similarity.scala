@@ -52,13 +52,51 @@ object Similarity {
       lit(0.0),
       (acc, v) => acc + v)
 
-  /** Bucket id = `planes`-bit signature of hyperplane sides. Collision
-    * probability rises with cosine similarity (Charikar 2002 — SimHash for
-    * angular distance). */
-  def hyperplaneBucket(vec: Column, planes: Int, seed: Long = 42L): Column =
+  /** Bucket id = `planes`-bit signature of hyperplane sides, via the
+    * composed higher-order-function formulation — the reference form the
+    * native expression is parity-checked against. Falls out of
+    * whole-stage codegen (planes × d lambda frames per row); use
+    * [[hyperplaneBucket]] in pipelines. */
+  def hyperplaneBucketHof(vec: Column, planes: Int, seed: Long = 42L): Column =
     (0 until planes).foldLeft(lit(0L)) { (acc, p) =>
       shiftleft(acc, 1).bitwiseOR(when(planeDot(vec, p, seed) >= 0, 1L).otherwise(0L))
     }
+
+  /** Bucket id = `planes`-bit signature of hyperplane sides. Collision
+    * probability rises with cosine similarity (Charikar 2002 — SimHash for
+    * angular distance). Native codegen'd expression (one fused
+    * planes × d loop, bit-compatible with [[hyperplaneBucketHof]]) — this
+    * runs over the FULL corpus in embeddingNearDup/lshTopK, so it must
+    * stay inside whole-stage codegen. */
+  def hyperplaneBucket(vec: Column, planes: Int, seed: Long = 42L): Column =
+    org.apache.spark.sql.graft.HashExpressions.hyperplaneSig(vec, planes, seed)
+
+  /** Exact all-pairs cosine above a threshold — the ground truth the LSH
+    * near-dup path approximates. Inherently O(n²): guarded by `maxRows`
+    * so the declared engine surface never carries an unbounded quadratic
+    * join. At corpus scale use [[graft.operators.Dedup.embeddingNearDup]]
+    * (LSH-bucketed, linear in practice); raise `maxRows` only for a
+    * deliberate offline ground-truth run. The count that enforces the
+    * guard scans one column and is negligible next to the join itself. */
+  def exactPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxRows: Long = 100000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"exactPairs is O(n²) and got n=$n > maxRows=$maxRows rows — use " +
+        "Dedup.embeddingNearDup (LSH-bucketed) at this scale, or raise " +
+        "maxRows explicitly for an offline ground-truth run")
+    val l = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val r = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    l.join(broadcast(r), col("id_a") < col("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
 
   /** Exact cosine top-k against a literal probe vector. */
   def bruteForceTopK(

@@ -82,22 +82,17 @@ object ExtendedQueries {
              |ORDER BY vec_id, pos""".stripMargin)),
 
     // Exact similarity pairs above a threshold — the brute-force ground
-    // truth the LSH near-dup path approximates (broadcast one side; the
-    // native cosine keeps the O(n²/2) compare codegen'd).
+    // truth the LSH near-dup path approximates. Size-guarded: the operator
+    // refuses to run its O(n²) join past maxRows, so the declared surface
+    // carries no unbounded quadratic plan (corpus scale uses the
+    // LSH-bucketed embeddingNearDup instead).
     GraftQuery(
       "q_sim_pairs",
-      (s, d) => {
-        val e = Tables.embeddings(s, d).select(
-          col("vec_id"), col("embedding"))
-        val l = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-        val r = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-        l.join(broadcast(r), col("id_a") < col("id_b"))
-          .select(
-            col("id_a"), col("id_b"),
-            round(graft.functions.VectorFunctions.cosineF(col("va"), col("vb")), 4).as("sim"))
-          .filter(col("sim") >= 0.4)
-          .orderBy("id_a", "id_b")
-      },
+      (s, d) =>
+        graft.operators.Similarity.exactPairs(
+            Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+            "vec_id", "embedding", threshold = 0.4)
+          .orderBy("id_a", "id_b"),
       Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |  ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]),
              |                               CAST(b.embedding AS DOUBLE[])), 4) AS sim

@@ -55,9 +55,15 @@ object StreamOps {
     * and routes rows to it; here each key owns a `GroupState[S]` evolved by
     * `child` on every micro-batch — distributed, fault-tolerant via
     * checkpoint, no driver-side key table.
+    *
+    * `timeout` is deliberately REQUIRED (no NoTimeout default): on an
+    * unbounded key space, per-key state without a timeout is a leak.
+    * Passing `GroupStateTimeout.NoTimeout()` is allowed but must be a
+    * conscious choice (bounded key space, or batch use where state dies
+    * with the job).
     */
   def dispatchStateful[K: Encoder, V, S: Encoder, O: Encoder](
-      ds: Dataset[V], key: V => K, timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout())(
+      ds: Dataset[V], key: V => K, timeout: GroupStateTimeout)(
       child: (K, Iterator[V], GroupState[S]) => Iterator[O]): Dataset[O] =
     ds.groupByKey(key)
       .flatMapGroupsWithState[S, O](OutputMode.Append(), timeout)(child)
@@ -102,16 +108,34 @@ object StreamOps {
     ds.groupByKey(key).transformWithState(processor, timeMode, outputMode)
 
   /** Running per-key event counters (A19 StatisticsRecorder, streaming
-    * form): emits (key, cumulative count) on every update. */
-  def runningCounts[K: Encoder, V](ds: Dataset[V], key: V => K)(implicit
+    * form): emits (key, cumulative count) on every update.
+    *
+    * `timeout` is REQUIRED (see [[dispatchStateful]]): on an unbounded
+    * key space a counter per key without expiry is a state leak. With
+    * `ProcessingTimeTimeout`, pass `idleTtl` (e.g. "1 hour") — a key idle
+    * that long is dropped and restarts from zero if seen again. With
+    * `NoTimeout` (bounded key spaces / batch runs), `idleTtl` must be
+    * None. */
+  def runningCounts[K: Encoder, V](
+      ds: Dataset[V], key: V => K,
+      timeout: GroupStateTimeout,
+      idleTtl: Option[String] = None)(implicit
       outEnc: Encoder[(K, Long)]): Dataset[(K, Long)] = {
+    require(idleTtl.isDefined == (timeout == GroupStateTimeout.ProcessingTimeTimeout()),
+      "idleTtl must be set exactly when timeout is ProcessingTimeTimeout")
     implicit val longEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
     ds.groupByKey(key).flatMapGroupsWithState[Long, (K, Long)](
-      OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+      OutputMode.Update(), timeout) {
       (k: K, rows: Iterator[V], state: GroupState[Long]) =>
-        val next = state.getOption.getOrElse(0L) + rows.size
-        state.update(next)
-        Iterator((k, next))
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val next = state.getOption.getOrElse(0L) + rows.size
+          state.update(next)
+          idleTtl.foreach(state.setTimeoutDuration)
+          Iterator((k, next))
+        }
     }
   }
 }

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -37,6 +37,9 @@ object HashExpressions {
 
   def simhash(arr: Column, seed: Long = 42L): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(arr), seed))
+
+  def hyperplaneSig(vec: Column, planes: Int, seed: Long): Column =
+    ExpressionUtils.column(HyperplaneSig(ExpressionUtils.expression(vec), planes, seed))
 
   def langId(tokens: Column, markers: Seq[(String, Seq[String])]): Column =
     ExpressionUtils.column(LangIdExpr(ExpressionUtils.expression(tokens), markers))
@@ -119,6 +122,112 @@ object MinHashSig {
     val as = Array.fill(numHashes)(rnd.nextLong() | 1L)
     val bs = Array.fill(numHashes)(rnd.nextLong())
     (as, bs)
+  }
+}
+
+/** Random-hyperplane LSH bucket id over an `array<float>` vector: bit p
+  * (plane 0 = most significant of the low `planes` bits) is the sign of
+  * the dot product with pseudo-random plane p, whose component j is
+  * `pmod(xxhash64(seed, p, j), 2000001) - 1000000` — EXACTLY the value
+  * the composed higher-order-function form
+  * (`Similarity.hyperplaneBucketHof`) computes, so buckets are
+  * bit-compatible between the two. This fused loop replaces
+  * planes × d lambda frames + an intermediate products array per row with
+  * planes × d inlined `XXH64.hashInt` calls inside whole-stage codegen —
+  * it runs over the FULL corpus in `embeddingNearDup` / `lshTopK`, the
+  * hottest scan of the ANN path.
+  *
+  * Parity notes vs the HOF form: a NULL element nulls that plane's dot →
+  * bit 0 (any null element zeroes every plane, hence bucket 0); an empty
+  * vector dots to 0.0 → every bit 1. One divergence: a NULL input vector
+  * yields NULL here (standard null-intolerant expression) where the HOF
+  * composition folds it to bucket 0 — filter null vectors upstream. */
+case class HyperplaneSig(child: Expression, planes: Int, seed: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(planes > 0 && planes <= 63, s"planes=$planes must be in [1, 63]")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+
+  // Per-plane seed: xxhash64 folds its argument list left-to-right starting
+  // from the literal seed 42 — hashLong(seed, 42) then hashInt(p, ·). The
+  // element term hashInt(j, planeSeed) stays in the inner loop.
+  @transient private lazy val planeSeeds: Array[Long] = HyperplaneSig.planeSeeds(planes, seed)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var anyNull = false
+    var j = 0
+    while (j < n && !anyNull) { if (arr.isNullAt(j)) anyNull = true; j += 1 }
+    var bucket = 0L
+    if (!anyNull) {
+      var p = 0
+      while (p < planes) {
+        val ps = planeSeeds(p)
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val h = XXH64.hashInt(i, ps)
+          val m = ((h % 2000001L) + 2000001L) % 2000001L - 1000000L
+          dot += arr.getFloat(i).toDouble * m.toDouble
+          i += 1
+        }
+        bucket = (bucket << 1) | (if (dot >= 0.0) 1L else 0L)
+        p += 1
+      }
+    }
+    java.lang.Long.valueOf(bucket)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("planeSeeds", planeSeeds, "long[]")
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val anyNull = ctx.freshName("anyNull")
+      val bucket = ctx.freshName("bucket")
+      val p = ctx.freshName("p")
+      val ps = ctx.freshName("ps")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val m = ctx.freshName("m")
+      s"""
+         |int $n = $c.numElements();
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $n && !$anyNull; $i++) {
+         |  if ($c.isNullAt($i)) $anyNull = true;
+         |}
+         |long $bucket = 0L;
+         |if (!$anyNull) {
+         |  for (int $p = 0; $p < $planes; $p++) {
+         |    long $ps = $seedsRef[$p];
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      long $h = $xxh.hashInt($i, $ps);
+         |      long $m = (($h % 2000001L) + 2000001L) % 2000001L - 1000000L;
+         |      $dot += ((double) $c.getFloat($i)) * ((double) $m);
+         |    }
+         |    $bucket = ($bucket << 1) | ($dot >= 0.0 ? 1L : 0L);
+         |  }
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_hyperplane_sig"
+}
+
+object HyperplaneSig {
+  private[graft] def planeSeeds(planes: Int, seed: Long): Array[Long] = {
+    val h0 = XXH64.hashLong(seed, 42L) // xxhash64's default literal seed
+    Array.tabulate(planes)(p => XXH64.hashInt(p, h0))
   }
 }
 

@@ -58,6 +58,34 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(rows.head.getSeq[Long](1).length == 16)
   }
 
+  test("native hyperplane sig is bit-identical to the HOF formulation on fixtures") {
+    import graft.operators.Similarity
+    val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    for (planes <- Seq(2, 8, 16); seed <- Seq(42L, 7L)) {
+      val both = e.select(
+        col("vec_id"),
+        Similarity.hyperplaneBucket(col("embedding"), planes, seed).as("native"),
+        Similarity.hyperplaneBucketHof(col("embedding"), planes, seed).as("hof"))
+      val mismatches = both.filter(col("native") =!= col("hof")).count()
+      assert(mismatches == 0, s"planes=$planes seed=$seed: $mismatches buckets diverge")
+    }
+  }
+
+  test("native hyperplane sig edge cases: empty vector → all bits set; null element → 0") {
+    val df = Seq(
+      (0L, Some(Array.empty[Float])),
+      (1L, Some(Array(1.0f, -2.0f)))).toDF("id", "v")
+    val out = df.select(col("id"),
+      graft.operators.Similarity.hyperplaneBucket(col("v"), 4).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(0L) == 15L) // empty → dot 0.0 per plane → every bit 1
+    // null element zeroes every plane's dot under the HOF semantics
+    val withNullElem = spark.sql("SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS v")
+    val b = withNullElem.select(
+      graft.operators.Similarity.hyperplaneBucket(col("v"), 4).as("b")).as[Long].head()
+    assert(b == 0L)
+  }
+
   test("codegen path active for native hash expressions") {
     // must read from parquet: a local Seq relation is constant-folded by
     // ConvertToLocalRelation (interpreted eval), leaving no codegen stage.
@@ -78,5 +106,15 @@ class HashExpressionsSpec extends AnyFunSuite {
     val plan2 = q2.queryExecution.executedPlan.toString
     assert(plan2.linesIterator.exists(l => l.contains("graft_minhash") && l.contains("*(")), plan2)
     sh.unpersist()
+
+    // hyperplane sig must stay inside whole-stage codegen — it scans the
+    // full corpus in the ANN/near-dup bucketing pass
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q3 = emb.select(
+      graft.operators.Similarity.hyperplaneBucket(col("embedding"), 8).as("b"))
+    q3.collect()
+    val plan3 = q3.queryExecution.executedPlan.toString
+    assert(plan3.linesIterator.exists(l =>
+      l.contains("graft_hyperplane_sig") && l.contains("*(")), plan3)
   }
 }

@@ -62,6 +62,14 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters(10L) == 10L && clusters(11L) == 10L)
   }
 
+  test("nearDupClusters throws rather than returning unconverged labels") {
+    // a 6-node path needs several propagation rounds; cap at 1 → must fail
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.nearDupClusters(pairs, maxRounds = 1)
+    }
+  }
+
   test("dedupNear keeps one survivor per near-dup cluster and all unique docs") {
     val out = Dedup.dedupNear(corpus, "doc_id", "text",
       threshold = 0.5, numHashes = 64, bands = 32, shingleN = 2)

@@ -33,6 +33,28 @@ class DimUpsertSpec extends AnyFunSuite {
     assert(dim.select("sk").distinct().count() == 3)
   }
 
+  test("bulk first load: surrogate keys are contiguous, deterministic, distributed") {
+    val dimPath = Files.createTempDirectory("graft_dim3").toString + "/d"
+    val n = 10000
+    // enough distinct keys to span every shuffle partition — the shape the
+    // old single-partition Window.orderBy assignment would funnel
+    val b1 = (1 to n).map(i => (i.toLong, f"key_$i%06d")).toDF("fact_id", "k")
+    DimUpsert.upsert(spark, dimPath, b1, "k").count()
+    val dim = spark.read.parquet(dimPath)
+    val sks = dim.select("sk").as[Long].collect().sorted.toSeq
+    assert(sks == (1L to n.toLong)) // dense, gap-free, from maxSk+1
+    // deterministic: ascending key order ↔ ascending sk order
+    val byKey = dim.as[(String, Long)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(byKey == (1L to n.toLong))
+
+    // incremental batch: known key keeps its sk, new key mints above max
+    val b2 = Seq((99999L, "key_000001"), (99998L, "zzz_new")).toDF("fact_id", "k")
+    val r2 = DimUpsert.upsert(spark, dimPath, b2, "k")
+      .select("fact_id", "sk").as[(Long, Long)].collect().toMap
+    assert(r2(99999L) == 1L)
+    assert(r2(99998L) == n + 1L)
+  }
+
   test("re-upserting the same batch is idempotent (no duplicate dim rows)") {
     val dimPath = Files.createTempDirectory("graft_dim2").toString + "/d"
     val b = Seq((1L, "x"), (2L, "y")).toDF("fact_id", "k")

@@ -137,7 +137,9 @@ class StreamOpsSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
-    val counts = StreamOps.runningCounts(mem.toDS(), (e: Ev) => e.user)
+    // NoTimeout is a conscious choice here: the test key space is bounded.
+    val counts = StreamOps.runningCounts(mem.toDS(), (e: Ev) => e.user,
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
     val q = counts.toDF("user", "n").writeStream.outputMode("update")
       .format("memory").queryName("rc_out").start()
     try {
