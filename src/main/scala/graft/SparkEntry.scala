@@ -20,6 +20,7 @@ object SparkEntry {
       TextQueries.all ++
       SimilarityQueries.all ++
       ExtendedQueries.all ++
+      LateralMapQueries.all ++
       NonOracleQueries.all
 
   require(

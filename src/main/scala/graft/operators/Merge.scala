@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Delta-style MERGE into a parquet store — the store-level form of the
+  * A18 dimension-maintenance contract (DimUpsert covers the lookup+mint
+  * side; this covers `MERGE INTO target USING source`): source rows whose
+  * key matches an existing target row REPLACE it (whole-row update),
+  * unmatched source rows are INSERTED, untouched target rows are kept.
+  *
+  * Write protocol: the merged result is written to a staging directory
+  * next to the target, then swapped in with two FS renames — readers never
+  * observe a half-written store, and a crash mid-merge leaves either the
+  * old store or the new one, not a mix. (A table format with a
+  * transaction log — Delta/Iceberg — would make the swap atomic under
+  * concurrent writers too; single-writer parquet is the environment's
+  * stand-in, mirroring how DimUpsert models the reference's SQL dim.)
+  *
+  * Scale notes (100 TB): the only fact-sized operations are one left-anti
+  * shuffle join on the key columns and the rewrite itself. MERGE on a
+  * parquet store rewrites the whole table by construction; when the store
+  * is partitioned, pass `prunePartitions` so only partitions that can
+  * contain a source key are rewritten (classic partition-scoped merge) —
+  * everything else is untouched at the FS level.
+  */
+object Merge {
+
+  /** Merge `source` into the parquet store at `targetPath` by `keyCols`.
+    *
+    * Source must have the target's schema (checked by field name) and at
+    * most one row per key (checked — SQL MERGE raises on multiple matches
+    * rather than picking one nondeterministically).
+    *
+    * @param prunePartitions partition column to scope the rewrite: only
+    *   target partitions whose value appears in the source are read,
+    *   merged and swapped; others are left untouched on disk. The column
+    *   must be one the store was `partitionBy`'d on.
+    * @return the merged frame (read back from the swapped-in store).
+    */
+  def into(
+      spark: SparkSession,
+      targetPath: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      prunePartitions: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "MERGE needs at least one key column")
+
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = target.getFileSystem(hconf)
+
+    if (!fs.exists(target)) {
+      // nothing to match: MERGE degenerates to insert-all
+      source.write.parquet(targetPath)
+      return spark.read.parquet(targetPath)
+    }
+
+    val current = spark.read.parquet(targetPath)
+    require(current.columns.sorted.sameElements(source.columns.sorted),
+      s"source schema ${source.columns.sorted.mkString(",")} != target " +
+        s"schema ${current.columns.sorted.mkString(",")}")
+
+    // SQL MERGE semantics: a key matched by >1 source row is an error, not
+    // a nondeterministic pick. One aggregate over the (small) source side.
+    val dupKeys = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("graft_n")).filter(col("graft_n") > 1).limit(1).count()
+    require(dupKeys == 0, s"source has multiple rows for the same key ${keyCols.mkString(",")}")
+
+    prunePartitions match {
+      case Some(pcol) =>
+        // Partition-scoped merge: rewrite only partitions the source
+        // touches. Values collected driver-side are partition keys (few),
+        // never data rows.
+        val touched = source.select(pcol).distinct().collect().map(_.get(0))
+        val scoped = current.filter(col(pcol).isin(touched: _*))
+        val merged = scoped
+          .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(source)
+        // write each touched partition dir via dynamic overwrite
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try merged.write.mode("overwrite").partitionBy(pcol).parquet(targetPath)
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      case None =>
+        val merged = current
+          .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(source)
+        val staging = new org.apache.hadoop.fs.Path(
+          targetPath + ".staging-" + java.util.UUID.randomUUID().toString.take(8))
+        val retired = new org.apache.hadoop.fs.Path(
+          targetPath + ".old-" + java.util.UUID.randomUUID().toString.take(8))
+        merged.write.parquet(staging.toString)
+        // two renames: old→retired, staging→target; then drop retired
+        if (!fs.rename(target, retired)) {
+          fs.delete(staging, true)
+          throw new java.io.IOException(s"could not retire $target")
+        }
+        if (!fs.rename(staging, target)) {
+          fs.rename(retired, target) // roll back
+          throw new java.io.IOException(s"could not swap $staging into place")
+        }
+        fs.delete(retired, true)
+    }
+    spark.read.parquet(targetPath)
+  }
+}

@@ -86,6 +86,20 @@ object NonOracleQueries {
         Similarity.lshTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", p, 10)
       }),
 
+    // Approximate percentile sketch (KLL/GK-style) — the form users reach
+    // for at 100 TB where exact percentile's full sort is off the table.
+    // Approximation differs from DuckDB's sketch → rows-only here;
+    // ApproxPercentileSpec asserts the ε-bound against exact percentile.
+    GraftQuery(
+      "q_approx_percentile",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
+            expr("approx_percentile(l_extendedprice, array(0.1, 0.9), 1000)").as("deciles"))
+          .orderBy("l_returnflag")),
+
     // Language ID heuristic over documents (native single-pass scorer).
     GraftQuery(
       "q_lang_id",

@@ -1,0 +1,84 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.flow.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MergeSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshStore(): String =
+    Files.createTempDirectory("graft_merge").toString + "/t"
+
+  test("merge into a missing store degenerates to insert-all") {
+    val path = freshStore()
+    val src = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val out = Merge.into(spark, path, src, Seq("k"))
+    assert(out.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("matched rows update, unmatched insert, untouched rows survive") {
+    val path = freshStore()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").write.parquet(path)
+    val src = Seq((2L, "B2"), (9L, "i")).toDF("k", "v")
+    val out = Merge.into(spark, path, src, Seq("k")).as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "i")))
+    // the store itself holds the merged state (not just the returned frame)
+    assert(spark.read.parquet(path).count() == 4)
+  }
+
+  test("merging the same source twice is idempotent") {
+    val path = freshStore()
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(path)
+    val src = Seq((1L, "A"), (5L, "e")).toDF("k", "v")
+    val r1 = Merge.into(spark, path, src, Seq("k")).as[(Long, String)].collect().toSet
+    val r2 = Merge.into(spark, path, src, Seq("k")).as[(Long, String)].collect().toSet
+    assert(r1 == r2)
+    assert(r2 == Set((1L, "A"), (2L, "b"), (5L, "e")))
+  }
+
+  test("sequential batches compose: batch 2 updates a row batch 1 inserted") {
+    val path = freshStore()
+    Seq((1L, "a")).toDF("k", "v").write.parquet(path)
+    Merge.into(spark, path, Seq((7L, "first")).toDF("k", "v"), Seq("k"))
+    val out = Merge.into(spark, path, Seq((7L, "second")).toDF("k", "v"), Seq("k"))
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (7L, "second")))
+  }
+
+  test("a source with duplicate keys is rejected (SQL MERGE multi-match rule)") {
+    val path = freshStore()
+    Seq((1L, "a")).toDF("k", "v").write.parquet(path)
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("k", "v")
+    intercept[IllegalArgumentException] { Merge.into(spark, path, dup, Seq("k")) }
+  }
+
+  test("schema mismatch is rejected") {
+    val path = freshStore()
+    Seq((1L, "a")).toDF("k", "v").write.parquet(path)
+    val bad = Seq((1L, "x", 0.0)).toDF("k", "v", "extra")
+    intercept[IllegalArgumentException] { Merge.into(spark, path, bad, Seq("k")) }
+  }
+
+  test("partition-scoped merge rewrites only touched partitions") {
+    val path = freshStore()
+    Seq((1L, "p1", "a"), (2L, "p1", "b"), (3L, "p2", "c"))
+      .toDF("k", "part", "v").write.partitionBy("part").parquet(path)
+
+    val untouchedDir = new java.io.File(path, "part=p2")
+    val before = untouchedDir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+
+    val src = Seq((2L, "p1", "B2"), (4L, "p1", "d")).toDF("k", "part", "v")
+    val out = Merge.into(spark, path, src, Seq("k"), prunePartitions = Some("part"))
+      .select("k", "part", "v").as[(Long, String, String)].collect().toSet
+    assert(out == Set(
+      (1L, "p1", "a"), (2L, "p1", "B2"), (4L, "p1", "d"), (3L, "p2", "c")))
+
+    val after = untouchedDir.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(after == before, "untouched partition was rewritten")
+  }
+}
