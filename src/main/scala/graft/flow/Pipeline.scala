@@ -42,12 +42,32 @@ final class Pipeline(val name: String, spark: SparkSession) {
   /** Release session-level resources (the statistics listener). */
   def close(): Unit = recorder.close()
 
-  /** Run all registered children; aggregate completion and faults (A21).
-    * Every child runs (completion is aggregated, not short-circuited —
-    * matching the reference where siblings are cancelled but reported),
-    * then the first fault is rethrown wrapped with every failure listed. */
-  def run(): Map[String, Try[Unit]] = {
-    val results = children.toList.map { case (n, action) => n -> Try(action()) }
+  /** Run all registered children CONCURRENTLY on a bounded pool,
+    * aggregating completion and faults (A21). The reference's Dataflow
+    * runs child blocks concurrently and its CompletionTask resolves when
+    * all complete; here each child is a Spark action, so concurrency also
+    * keeps the cluster busy while one child's driver-side phase idles
+    * (Spark's scheduler interleaves jobs from multiple threads). Every
+    * child runs to completion — aggregated, never short-circuited — then
+    * the first fault IN REGISTRATION ORDER (deterministic under
+    * concurrency) is rethrown wrapping every failure.
+    *
+    * @param maxConcurrency pool bound; defaults to 4 — enough overlap to
+    *   hide per-child planning gaps without flooding the scheduler.
+    */
+  def run(maxConcurrency: Int = 4): Map[String, Try[Unit]] = {
+    val snapshot = children.toList
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxConcurrency, snapshot.size)))
+    val results =
+      try {
+        val futures = snapshot.map { case (n, action) =>
+          n -> pool.submit(new java.util.concurrent.Callable[Try[Unit]] {
+            override def call(): Try[Unit] = Try(action())
+          })
+        }
+        futures.map { case (n, f) => n -> f.get() }
+      } finally pool.shutdown()
     val failures = results.collect { case (n, Failure(e)) => (n, e) }
     if (failures.nonEmpty) {
       val (firstName, firstErr) = failures.head

@@ -33,6 +33,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getCause.getMessage == "child exploded")
   }
 
+  test("children run concurrently: two children must overlap to pass a barrier") {
+    // each child blocks at a 2-party barrier — only concurrent execution
+    // can release both; sequential execution would time out and fail
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def cross(): Unit = barrier.await(15, java.util.concurrent.TimeUnit.SECONDS)
+    val p = new Pipeline("conc", spark)
+    p.register("a")(cross())
+      .register("b")(cross())
+    val results = p.run()
+    assert(results.values.forall(_.isInstanceOf[Success[_]]))
+  }
+
+  test("faults still aggregate deterministically under concurrency") {
+    val p = new Pipeline("conc_faulty", spark)
+    p.register("slow_boom") { Thread.sleep(300); throw new RuntimeException("slow") }
+      .register("fast_boom")(throw new RuntimeException("fast"))
+    val e = intercept[PipelineFaultedException](p.run())
+    // registration order, not completion order, picks the reported child
+    assert(e.child == "slow_boom")
+    assert(e.getMessage.contains("2/2 children failed"))
+  }
+
   test("statistics recorder counts rows past observation points (A19)") {
     val p = new Pipeline("stats", spark)
     val df = p.observed(spark.range(0, 42).toDF("v"), "ingested")

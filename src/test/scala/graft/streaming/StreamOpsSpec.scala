@@ -133,6 +133,81 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join: beyond-watermark late row is dropped, timely late row joins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val joined = StreamOps.streamStreamJoin(
+      clicks.toDF().select(col("ts").as("cts"), col("user"), col("value").as("cv")),
+      buys.toDF().select(col("ts").as("bts"), col("user").as("u2"), col("value").as("bv"))
+        .withColumnRenamed("u2", "user"),
+      "user", "cts", "bts", within = "10 MINUTES", maxDelay = "10 minutes")
+    val q = joined.select("user", "cv", "bv").writeStream
+      .outputMode("append").format("memory").queryName("ssj_late_out").start()
+    try {
+      // batch 1 advances BOTH watermarks to 00:50 via far-future rows
+      clicks.addData(Ev(t(0), "a", 1.0), Ev(Timestamp.valueOf("2024-01-01 01:00:00"), "zc", 0.0))
+      buys.addData(Ev(Timestamp.valueOf("2024-01-01 01:00:00"), "zb", 0.0))
+      q.processAllAvailable()
+      // batch 2: buy@00:05 for user a is 45 min behind the watermark —
+      // dropped, even though it would satisfy the ±10 min join bound
+      buys.addData(Ev(t(5), "a", 100.0))
+      q.processAllAvailable()
+      val afterLate = spark.table("ssj_late_out").count()
+      assert(afterLate == 0, "beyond-watermark row must not join")
+      // batch 3: click+buy near the current watermark frontier both land
+      clicks.addData(Ev(Timestamp.valueOf("2024-01-01 01:01:00"), "b", 2.0))
+      buys.addData(Ev(Timestamp.valueOf("2024-01-01 01:02:00"), "b", 200.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_late_out").as[(String, Double, Double)].collect().toSet
+      assert(rows == Set(("b", 2.0, 200.0)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark: state outlives the delay window until eviction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dedup = StreamOps.dedupStream(mem.toDF(), "ts", "10 minutes", "user")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dd_wm_out").start()
+    try {
+      def aRows: Long = spark.table("dd_wm_out").filter(col("user") === "a").count()
+      mem.addData(Ev(t(0), "a", 1.0)) // first 'a'; state expires at 00:10
+      q.processAllAvailable()
+      // advance watermark EXACTLY to the expiry boundary: wm = 00:10
+      mem.addData(Ev(t(20), "z", 0.0)) // wm := 00:20 - 10m = 00:10
+      q.processAllAvailable()
+      // duplicate at ts == wm == expiry: Spark evicts strictly-greater
+      // only, so the state is still live at the boundary → dropped.
+      // (Pinned behavior — the contract guarantees dedup only WITHIN the
+      // delay, so either outcome at the boundary would be conformant.)
+      mem.addData(Ev(t(10), "a", 2.0))
+      q.processAllAvailable()
+      assert(aRows == 1, s"boundary duplicate should still dedup, got $aRows row(s)")
+      // advance the watermark STRICTLY past the expiry (00:30 > 00:10).
+      // Eviction LAGS one batch: a batch's state cleanup runs with the
+      // watermark computed from PRIOR batches, so run one more batch at
+      // the same max event time to let the cleanup see wm=00:30.
+      mem.addData(Ev(t(40), "z2", 0.0)) // after this batch wm := 00:30
+      q.processAllAvailable()
+      mem.addData(Ev(t(40), "z3", 0.0)) // runs WITH wm=00:30 → evicts 'a'
+      q.processAllAvailable()
+      // 'a' can now re-emit: its dedup state is gone. ts must be STRICTLY
+      // above the watermark — this operator drops ts == wm as late
+      // (probed: an 00:30 row at wm 00:30 never surfaced), unlike the
+      // windowed aggregation above which keeps exactly-at-watermark rows.
+      mem.addData(Ev(t(35), "a", 4.0))
+      q.processAllAvailable()
+      assert(aRows == 2, s"post-eviction 'a' should re-emit, got $aRows row(s)")
+      // a STRICTLY-late duplicate (behind the watermark) is dropped
+      mem.addData(Ev(t(5), "a", 3.0))
+      q.processAllAvailable()
+      assert(aRows == 2)
+    } finally q.stop()
+  }
+
   test("stateful dispatcher maintains per-key state across micro-batches (A13)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
