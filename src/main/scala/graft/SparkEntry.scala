@@ -21,6 +21,7 @@ object SparkEntry {
       SimilarityQueries.all ++
       ExtendedQueries.all ++
       LateralMapQueries.all ++
+      CoverageQueries.all ++
       NonOracleQueries.all
 
   require(

@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * assigned fresh surrogate keys and appended to the dimension store;
   * every fact row comes back carrying its surrogate key.
   *
-  * The store is a parquet directory (the environment's stand-in for the
-  * reference's SQL Server dim table). Batch-incremental semantics:
+  * Two store backends: a parquet directory ([[upsert]] — the data-lake
+  * form) and a live JDBC table ([[upsertJdbc]] — the reference's literal
+  * shape against a SQL database). Batch-incremental semantics either way:
   * each call is one "batch insert + lookup" cycle.
   *
   * Scale notes: the dimension is distinct-key-sized, not fact-sized —
@@ -24,6 +25,28 @@ import org.apache.spark.sql.functions._
   * `Window.orderBy(key)` would.
   */
 object DimUpsert {
+
+  /** Deterministic distributed surrogate assignment: global sort by key
+    * (range exchange — each partition owns a contiguous key range), then
+    * zipWithIndex assigns consecutive indices with one lightweight count
+    * job for the per-partition offsets. Same output as a dense_rank over
+    * the sorted distinct keys, without collapsing the batch into one
+    * partition. */
+  private def assignSurrogates(
+      spark: SparkSession,
+      unseen: DataFrame,
+      keyCol: String,
+      keyType: org.apache.spark.sql.types.DataType,
+      maxSk: Long): DataFrame = {
+    val skSchema = new org.apache.spark.sql.types.StructType()
+      .add(keyCol, keyType)
+      .add("sk", org.apache.spark.sql.types.LongType, nullable = false)
+    spark.createDataFrame(
+      unseen.orderBy(keyCol).rdd.zipWithIndex().map { case (row, idx) =>
+        org.apache.spark.sql.Row(row.get(0), maxSk + 1L + idx)
+      },
+      skSchema)
+  }
 
   /** @return enriched fact frame: all fact columns + `sk` surrogate key. */
   def upsert(
@@ -50,29 +73,66 @@ object DimUpsert {
 
     val maxSk = if (dimExists) dim.agg(coalesce(max("sk"), lit(0L))).head().getLong(0) else 0L
 
-    // unseen natural keys → fresh surrogate keys above the current max.
-    // Deterministic AND distributed: global sort by key (range exchange —
-    // each partition owns a contiguous key range), then zipWithIndex
-    // assigns consecutive indices with one lightweight count job for the
-    // per-partition offsets. Same output as a dense_rank over the sorted
-    // distinct keys, without collapsing the batch into one partition.
+    // unseen natural keys → fresh surrogate keys above the current max
     val unseen = fact.select(keyCol).distinct()
       .join(dim.select(keyCol), Seq(keyCol), "left_anti")
-    val skSchema = new org.apache.spark.sql.types.StructType()
-      .add(keyCol, fact.schema(keyCol).dataType)
-      .add("sk", org.apache.spark.sql.types.LongType, nullable = false)
     if (!unseen.isEmpty) {
-      val newKeys = spark.createDataFrame(
-        unseen.orderBy(keyCol).rdd.zipWithIndex().map { case (row, idx) =>
-          org.apache.spark.sql.Row(row.get(0), maxSk + 1L + idx)
-        },
-        skSchema)
-      newKeys.write.mode(if (dimExists) "append" else "overwrite").parquet(dimPath)
+      assignSurrogates(spark, unseen, keyCol, fact.schema(keyCol).dataType, maxSk)
+        .write.mode(if (dimExists) "append" else "overwrite").parquet(dimPath)
     }
 
     // store may legitimately still not exist (first call with an empty
     // fact batch) — fall back to the in-memory empty dim
     val updated = if (storeExists) spark.read.parquet(dimPath) else dim
+    fact.join(broadcast(updated), Seq(keyCol))
+  }
+
+  /** A18 against a LIVE SQL store: the dim table round-trips through
+    * JDBC (`(keyCol, sk)` schema), matching the reference's
+    * DbDataJoiner + identity-column dim maintenance. Same distributed
+    * surrogate assignment as [[upsert]]; inserts are batched appends
+    * (Spark's JDBC writer batches `batchsize` rows per executemany).
+    *
+    * Concurrency contract (same as the parquet form): one writer per dim
+    * table at a time — the reference serializes dim inserts through its
+    * joiner, and a SQL identity column would otherwise be the arbiter. */
+  def upsertJdbc(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      fact: DataFrame,
+      keyCol: String,
+      props: java.util.Properties = new java.util.Properties()): DataFrame = {
+
+    val existing: Option[DataFrame] =
+      try Some(spark.read.jdbc(url, table, props)) catch { case _: Exception => None }
+    val dim = existing.getOrElse(
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        new org.apache.spark.sql.types.StructType()
+          .add(keyCol, fact.schema(keyCol).dataType)
+          .add("sk", org.apache.spark.sql.types.LongType)))
+
+    val maxSk =
+      if (existing.isDefined) dim.agg(coalesce(max("sk"), lit(0L))).head().getLong(0) else 0L
+
+    val unseen = fact.select(keyCol).distinct()
+      .join(dim.select(keyCol), Seq(keyCol), "left_anti")
+    if (!unseen.isEmpty) {
+      val writer = assignSurrogates(spark, unseen, keyCol, fact.schema(keyCol).dataType, maxSk)
+        .write.mode(if (existing.isDefined) "append" else "errorifexists")
+      // string keys as VARCHAR, not the dialect's LOB default — LOB
+      // columns can't anchor comparisons/indexes on most databases
+      val typed =
+        if (existing.isEmpty &&
+          fact.schema(keyCol).dataType == org.apache.spark.sql.types.StringType)
+          writer.option("createTableColumnTypes", s"$keyCol VARCHAR(255)")
+        else writer
+      typed.jdbc(url, table, props)
+    }
+
+    val updated =
+      try spark.read.jdbc(url, table, props) catch { case _: Exception => dim }
     fact.join(broadcast(updated), Seq(keyCol))
   }
 }

@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Fourth-wave relational coverage: full outer join, EXISTS/NOT EXISTS
+  * decorrelation, linear-regression aggregates, ignore-nulls window
+  * values, GROUPING() markers, bitwise aggregates, DISTINCT ON. All
+  * oracle-checked.
+  */
+object CoverageQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Full outer join with per-side counts over partially-overlapping key
+    // ranges (unmatched rows on BOTH sides survive).
+    GraftQuery(
+      "q_join_full",
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_custkey") <= 50)
+          .select("c_custkey", "c_nationkey")
+        val sp = Tables.supplier(s, d)
+          .filter(col("s_suppkey").between(30, 80))
+          .select("s_suppkey", "s_nationkey")
+        c.join(sp, col("c_custkey") === col("s_suppkey"), "full_outer")
+          .groupBy(coalesce(col("c_nationkey"), col("s_nationkey")).as("nk"))
+          .agg(count("c_custkey").as("nc"), count("s_suppkey").as("ns"))
+          .orderBy("nk")
+      },
+      Some("""SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nk,
+             |  COUNT(c.c_custkey) AS nc, COUNT(s.s_suppkey) AS ns
+             |FROM (SELECT * FROM customer WHERE c_custkey <= 50) c
+             |FULL OUTER JOIN (SELECT * FROM supplier WHERE s_suppkey BETWEEN 30 AND 80) s
+             |  ON c.c_custkey = s.s_suppkey
+             |GROUP BY 1 ORDER BY nk""".stripMargin)),
+
+    // Correlated EXISTS (decorrelates to a left-semi join).
+    GraftQuery(
+      "q_exists",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_cust_ex")
+        Tables.orders(s, d).createOrReplaceTempView("graft_ord_ex")
+        s.sql("""SELECT c_custkey FROM graft_cust_ex c
+                |WHERE EXISTS (SELECT 1 FROM graft_ord_ex o
+                |              WHERE o.o_custkey = c.c_custkey
+                |                AND o.o_totalprice > 400000)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Correlated NOT EXISTS (left-anti join path).
+    GraftQuery(
+      "q_not_exists",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_cust_nex")
+        Tables.orders(s, d).createOrReplaceTempView("graft_ord_nex")
+        s.sql("""SELECT c_custkey FROM graft_cust_nex c
+                |WHERE NOT EXISTS (SELECT 1 FROM graft_ord_nex o
+                |                  WHERE o.o_custkey = c.c_custkey)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Linear-regression aggregates (slope/intercept/r²) + sample
+    // covariance — same ROUND discipline as q_agg_stats' corr.
+    GraftQuery(
+      "q_regr",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_linestatus")
+          .agg(
+            round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+            round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("icept"),
+            round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cv"))
+          .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+             |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+             |  ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+             |  ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cv
+             |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin)),
+
+    // first_value IGNORE NULLS / nth_value / full-frame last_value.
+    GraftQuery(
+      "q_win_firstlast",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_ord_fl")
+        s.sql("""SELECT o_orderkey,
+                |  FIRST_VALUE(NULLIF(o_orderstatus, 'P')) IGNORE NULLS OVER w AS fv,
+                |  NTH_VALUE(o_orderstatus, 2) OVER w AS nv,
+                |  LAST_VALUE(o_orderstatus) OVER
+                |    (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+                |FROM graft_ord_fl
+                |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |  FIRST_VALUE(NULLIF(o_orderstatus, 'P') IGNORE NULLS) OVER w AS fv,
+             |  NTH_VALUE(o_orderstatus, 2) OVER w AS nv,
+             |  LAST_VALUE(o_orderstatus) OVER
+             |    (PARTITION BY o_orderpriority ORDER BY o_orderkey
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // GROUPING() markers distinguish "NULL because subtotal" from data
+    // NULLs in a rollup.
+    GraftQuery(
+      "q_grouping",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_grp")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  CAST(GROUPING(l_returnflag) AS INT) AS g1,
+                |  CAST(GROUPING(l_linestatus) AS INT) AS g2,
+                |  COUNT(*) AS n
+                |FROM graft_li_grp
+                |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+                |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+          .stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g1,
+             |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g2,
+             |  COUNT(*) AS n
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // Bitwise aggregates.
+    GraftQuery(
+      "q_bit_agg",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            expr("bit_and(l_linenumber)").as("ba"),
+            expr("bit_or(l_linenumber)").as("bo"),
+            expr("bit_xor(l_linenumber)").as("bx"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  bit_and(l_linenumber) AS ba,
+             |  bit_or(l_linenumber) AS bo,
+             |  bit_xor(l_linenumber) AS bx
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // DISTINCT ON-style pick: the single highest-value order per customer
+    // (row_number = 1 compiles to a per-partition top-1, no full sort).
+    GraftQuery(
+      "q_distinct_on",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("graft_ord_don")
+        s.sql("""SELECT o_custkey, o_orderkey FROM (
+                |  SELECT o_custkey, o_orderkey,
+                |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                |  FROM graft_ord_don) WHERE rn = 1
+                |ORDER BY o_custkey""".stripMargin)
+      },
+      Some("""SELECT o_custkey, o_orderkey FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t WHERE rn = 1
+             |ORDER BY o_custkey""".stripMargin)),
+  )
+}
