@@ -59,6 +59,16 @@ object TextFunctions {
   def minhashSignatureFast(shinglesCol: Column, numHashes: Int, seed: Long = 42L): Column =
     org.apache.spark.sql.graft.HashExpressions.minhash(shinglesCol, numHashes, seed)
 
+  /** Fully-fused native path: text → tokens → `n`-gram shingles → MinHash
+    * signature in ONE codegen'd pass, materializing no shingle array at
+    * all (bit-identical to
+    * `minhashSignatureFast(shingles(text, n), k, seed)`). This is the
+    * form the full-corpus dedup scan should run — see
+    * org.apache.spark.sql.graft.MinHashTextSig. */
+  def minhashTextSignature(text: Column, shingleN: Int, numHashes: Int,
+      seed: Long = 42L): Column =
+    org.apache.spark.sql.graft.HashExpressions.minhashText(text, shingleN, numHashes, seed)
+
   /** Native fast path for [[simhash64]] (one hash per token, no
     * per-token vote arrays — see org.apache.spark.sql.graft.SimHash64). */
   def simhash64Fast(tokensCol: Column, seed: Long = 42L): Column =

@@ -32,13 +32,19 @@ object Dedup {
   /** Candidate near-duplicate pairs via MinHash + LSH banding, verified
     * with exact shingle-set Jaccard.
     *
-    * Pipeline: shingle → k-hash MinHash signature → band into `bands`
-    * buckets → self-join per (band, bucket) → exact Jaccard verify.
+    * Pipeline: fused text→signature scan (one codegen'd pass per doc, no
+    * shingle materialization — see MinHashTextSig) → band into `bands`
+    * buckets → self-join per (band, bucket) → exact Jaccard verify, with
+    * shingles recomputed ONLY for candidate pairs. At 100 TB the
+    * full-corpus pass therefore reads text and emits k longs per doc;
+    * the shingle arrays exist only for the (tiny) candidate set.
     * Returns (idA, idB, jaccard) with idA < idB, jaccard ≥ threshold.
     *
-    * Caching: the shingle and signature frames stay persisted for the
-    * lifetime of the returned (lazy) plan — they back both self-join
-    * sides. Long-lived sessions should `spark.catalog.clearCache()` (or
+    * Caching: the signature frame stays persisted for the lifetime of the
+    * returned (lazy) plan — it backs both self-join sides (without the
+    * persist, projection collapse would inline the signature into each of
+    * the `bands` band keys on both sides: measured 139 s → 3 s at sf0.1).
+    * Long-lived sessions should `spark.catalog.clearCache()` (or
     * unpersist after consuming the result) between unrelated corpora.
     */
   def minhashNearDup(
@@ -52,22 +58,10 @@ object Dedup {
       seed: Long = 42L,
       maxBucket: Int = 1000): DataFrame = {
 
-    // Materialize shingles and signatures ONCE per doc. Without the
-    // persists, Catalyst's projection collapsing inlines the full
-    // signature expression into each of the `bands` band keys AND into both
-    // sides of the self-join — recomputing every MinHash ~2×bands times per
-    // document (measured 139 s → 3 s at sf0.1). Cache cost is tiny
-    // (numHashes longs per doc); at 100 TB this intermediate would be a
-    // parquet checkpoint instead.
-    val sh = df.select(
-      col(idCol).as("graft_id"),
-      shingles(col(textCol), shingleN).as("graft_shingles"))
-      .persist()
-
-    val sig = sh
+    val sig = df
       .select(
-        col("graft_id"),
-        minhashSignatureFast(col("graft_shingles"), numHashes, seed).as("graft_sig"))
+        col(idCol).as("graft_id"),
+        minhashTextSignature(col(textCol), shingleN, numHashes, seed).as("graft_sig"))
       .persist()
 
     val banded = sig
@@ -95,9 +89,21 @@ object Dedup {
       .select(col("l.graft_id").as("id_a"), col("r.graft_id").as("id_b"))
       .distinct()
 
+    // Exact verify: shingles are recomputed for candidate DOCS only. The
+    // semi-join against candidate ids sits BELOW the shingle projection,
+    // so the expensive shingling touches the few docs that reached
+    // candidacy, never the corpus; persisting the (small) result keeps the
+    // two pair-join branches from re-running it.
+    val candIds = candidates.select(col("id_a").as(idCol))
+      .unionByName(candidates.select(col("id_b").as(idCol)))
+      .distinct()
+    val candShingles = df.select(col(idCol), col(textCol))
+      .join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol).as("graft_id"), shingles(col(textCol), shingleN).as("graft_sh"))
+      .persist()
     candidates
-      .join(sh.select(col("graft_id").as("id_a"), col("graft_shingles").as("sh_a")), "id_a")
-      .join(sh.select(col("graft_id").as("id_b"), col("graft_shingles").as("sh_b")), "id_b")
+      .join(candShingles.select(col("graft_id").as("id_a"), col("graft_sh").as("sh_a")), "id_a")
+      .join(candShingles.select(col("graft_id").as("id_b"), col("graft_sh").as("sh_b")), "id_b")
       // jaccard() is set-semantic already (array_intersect/union dedup)
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)

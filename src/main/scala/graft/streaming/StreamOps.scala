@@ -107,6 +107,31 @@ object StreamOps {
       outputMode: OutputMode = OutputMode.Append()): Dataset[O] =
     ds.groupByKey(key).transformWithState(processor, timeMode, outputMode)
 
+  /** A18 streaming form: maintain a dimension store from a stream via
+    * `foreachBatch` — each micro-batch runs one DimUpsert cycle (new keys
+    * minted with surrogate keys, facts enriched) and hands the enriched
+    * batch to `sink`. Exactly the reference's live DbDataJoiner loop:
+    * stream in, dim table grows monotonically, facts come out keyed.
+    *
+    * foreachBatch gives at-least-once batch delivery on restart; the
+    * upsert is idempotent on keys (re-minting never duplicates dim rows),
+    * so the dim store converges — the sink must tolerate replayed facts
+    * (or write idempotently by batchId). */
+  def dimUpsertStream(
+      facts: DataFrame,
+      dimPath: String,
+      keyCol: String,
+      checkpoint: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val enriched = graft.operators.DimUpsert.upsert(
+          batch.sparkSession, dimPath, batch, keyCol)
+        sink(enriched, batchId)
+      }
+      .start()
+
   /** Running per-key event counters (A19 StatisticsRecorder, streaming
     * form): emits (key, cumulative count) on every update.
     *

@@ -41,6 +41,10 @@ object HashExpressions {
   def hyperplaneSig(vec: Column, planes: Int, seed: Long): Column =
     ExpressionUtils.column(HyperplaneSig(ExpressionUtils.expression(vec), planes, seed))
 
+  def minhashText(text: Column, shingleN: Int, numHashes: Int, seed: Long): Column =
+    ExpressionUtils.column(
+      MinHashTextSig(ExpressionUtils.expression(text), shingleN, numHashes, seed))
+
   def langId(tokens: Column, markers: Seq[(String, Seq[String])]): Column =
     ExpressionUtils.column(LangIdExpr(ExpressionUtils.expression(tokens), markers))
 }
@@ -123,6 +127,110 @@ object MinHashSig {
     val bs = Array.fill(numHashes)(rnd.nextLong())
     (as, bs)
   }
+}
+
+/** Fused text → MinHash signature: whitespace-tokenize, form word
+  * `shingleN`-grams and fold them straight into the k-permutation minima —
+  * one pass, no materialized shingle array. Bit-identical to
+  * `MinHashSig(shingles(text, n), k, seed)` (the composed
+  * tokens→shingles→hash pipeline), including the edge cases: texts with
+  * ≤ n tokens yield the single whole-text shingle, and `split("\\s+")`
+  * artifacts (leading-empty token, kept trailing empties) are reproduced
+  * exactly.
+  *
+  * Why: the signature pass IS the full-corpus scan of MinHash dedup. The
+  * composed form runs `transform`/`slice`/`array_join` higher-order
+  * functions (CodegenFallback — interpreted per row) and materializes
+  * every document's shingle strings; at 100 TB that intermediate dwarfs
+  * the input. This expression keeps the scan inside whole-stage codegen
+  * and allocates only the k-long signature per row; exact-Jaccard
+  * verification recomputes shingles for the candidate pairs only. */
+case class MinHashTextSig(child: Expression, shingleN: Int, numHashes: Int, seed: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(shingleN > 0 && numHashes > 0)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val (as, bs): (Array[Long], Array[Long]) =
+    MinHashSig.params(numHashes, seed)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(MinHashTextSig.compute(
+      input.asInstanceOf[UTF8String], shingleN, as, bs, seed))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhtA", as, "long[]")
+    val bRef = ctx.addReferenceObj("mhtB", bs, "long[]")
+    val cls = "org.apache.spark.sql.graft.MinHashTextSig"
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $cls.compute($c, $shingleN, $aRef, $bRef, ${seed}L));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashTextSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash_text"
+}
+
+object MinHashTextSig {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Single-pass tokenize → shingle → k-min fold. Called from both
+    * interpreted eval and generated code (static forwarder). */
+  def compute(
+      text: UTF8String,
+      shingleN: Int,
+      as: Array[Long],
+      bs: Array[Long],
+      seed: Long): Array[Long] = {
+    // limit -1 matches Spark's split(text, "\\s+"): trailing empty
+    // strings are KEPT, and leading whitespace yields an empty first token
+    val toks = ws.split(text.toString, -1)
+    val mins = Array.fill(numHashesOf(as))(Long.MaxValue)
+    val sb = new java.lang.StringBuilder(64)
+
+    def fold(shingle: String): Unit = {
+      val h = HashExpressions.hash64(UTF8String.fromString(shingle), seed)
+      var j = 0
+      while (j < as.length) {
+        val v = as(j) * h + bs(j)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+    }
+
+    if (toks.length <= shingleN) {
+      sb.setLength(0)
+      var i = 0
+      while (i < toks.length) {
+        if (i > 0) sb.append(' ')
+        sb.append(toks(i)); i += 1
+      }
+      fold(sb.toString)
+    } else {
+      var start = 0
+      val last = toks.length - shingleN
+      while (start <= last) {
+        sb.setLength(0)
+        var i = 0
+        while (i < shingleN) {
+          if (i > 0) sb.append(' ')
+          sb.append(toks(start + i)); i += 1
+        }
+        fold(sb.toString)
+        start += 1
+      }
+    }
+    mins
+  }
+
+  private def numHashesOf(as: Array[Long]): Int = as.length
 }
 
 /** Random-hyperplane LSH bucket id over an `array<float>` vector: bit p

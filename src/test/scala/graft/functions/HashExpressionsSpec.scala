@@ -58,6 +58,27 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(rows.head.getSeq[Long](1).length == 16)
   }
 
+  test("fused text minhash is bit-identical to the composed shingles→minhash pipeline") {
+    // fixture docs + adversarial whitespace shapes the split("\\s+")
+    // semantics must reproduce (leading empty token, kept trailing
+    // empties, multi-space runs, short texts, empty text)
+    val tricky = Seq(
+      (100L, ""), (101L, "one"), (102L, "one two"), (103L, " leading space"),
+      (104L, "trailing space "), (105L, "multi   space   runs"),
+      (106L, "tabs\tand\nnewlines mixed  in")
+    ).toDF("doc_id", "text")
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").unionByName(tricky)
+    for (n <- Seq(1, 3, 5); k <- Seq(16, 64)) {
+      val both = d.select(
+        TextFunctions.minhashTextSignature(col("text"), n, k, seed = 7).as("fused"),
+        TextFunctions.minhashSignatureFast(
+          TextFunctions.shingles(col("text"), n), k, seed = 7).as("composed"))
+      val mismatches = both.filter(col("fused") =!= col("composed")).count()
+      assert(mismatches == 0, s"n=$n k=$k: $mismatches signatures diverge")
+    }
+  }
+
   test("native hyperplane sig is bit-identical to the HOF formulation on fixtures") {
     import graft.operators.Similarity
     val e = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")

@@ -43,4 +43,34 @@ class StreamSinkSpec extends AnyFunSuite {
     assert(back.count() == 3)
     assert(back.filter(col("user") === "a").count() == 2)
   }
+
+  test("streaming dim upsert maintains the dim store and enriches each batch (A18)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_stream_dim").toString
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.dimUpsertStream(
+      mem.toDF(), s"$dir/dim", "user", s"$dir/ckpt") { (enriched, _) =>
+      enriched.write.mode("append").parquet(s"$dir/facts")
+    }
+    try {
+      mem.addData(
+        Ev(Timestamp.valueOf("2024-01-01 00:01:00"), "a", 1.0),
+        Ev(Timestamp.valueOf("2024-01-01 00:02:00"), "b", 2.0))
+      q.processAllAvailable()
+      mem.addData(
+        Ev(Timestamp.valueOf("2024-01-01 00:03:00"), "a", 3.0), // known key
+        Ev(Timestamp.valueOf("2024-01-01 00:04:00"), "c", 4.0)) // new key
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val dim = spark.read.parquet(s"$dir/dim")
+    assert(dim.count() == 3) // a, b, c — no duplicates across batches
+    assert(dim.select("sk").distinct().count() == 3)
+    val facts = spark.read.parquet(s"$dir/facts")
+    assert(facts.count() == 4) // every event came out enriched
+    // 'a' rows from both batches carry the SAME surrogate key
+    assert(facts.filter(col("user") === "a")
+      .select("sk").distinct().count() == 1)
+  }
 }
