@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation: the composed pipeline a
+  * large-scale LLM data run executes, in the order that minimizes work at
+  * 100 TB —
+  *
+  *  1. annotate: language ID, token count, quality signals (one narrow
+  *     codegen'd pass, no shuffle);
+  *  2. filter: language allowlist + token-length band + quality
+  *     thresholds (cheap row filters FIRST, so every later stage sees
+  *     only survivors);
+  *  3. exact dedup: hash-groupBy on md5 fingerprint (16-byte shuffle
+  *     keys);
+  *  4. near dedup: MinHash-LSH pairs → connected components → keep the
+  *     min-id survivor per cluster (only bucket-mates are compared).
+  *
+  * Returns surviving rows with the annotation columns attached —
+  * downstream tokenization reads `n_tokens`/`lang` for free.
+  */
+object CorpusCuration {
+
+  /** Annotation pass only (stage 1): adds `lang`, `n_tokens`,
+    * `uniq_ratio`, `stopword_ratio`, `alpha_ratio`. */
+  def annotate(df: DataFrame, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    df
+      .withColumn("lang", TextFunctions.langIdFast(col(textCol)))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
+      .withColumn("uniq_ratio",
+        size(array_distinct(toks)).cast("double") / greatest(size(toks), lit(1)))
+      .withColumn("stopword_ratio",
+        size(filter(toks, t => t.isin(TextFunctions.languageMarkers("en"): _*)))
+          .cast("double") / greatest(size(toks), lit(1)))
+      .withColumn("alpha_ratio",
+        (length(regexp_replace(col(textCol), "[^A-Za-z]", "")).cast("double")
+          / greatest(length(col(textCol)), lit(1))))
+  }
+
+  /** Full pipeline. Thresholds default to the permissive end — tighten
+    * per corpus. `nearDup = false` skips stage 4 (the only stage with a
+    * candidate join). */
+  def curate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      keepLangs: Set[String] = Set("en"),
+      minTokens: Long = 1L,
+      maxTokens: Long = 1000000L,
+      minUniqRatio: Double = 0.0,
+      minAlphaRatio: Double = 0.0,
+      nearDup: Boolean = true,
+      nearDupThreshold: Double = 0.8): DataFrame = {
+
+    val annotated = annotate(df, textCol)
+
+    val filtered = annotated
+      .filter(col("lang").isin(keepLangs.toSeq.map(lit): _*))
+      .filter(col("n_tokens").between(minTokens, maxTokens))
+      .filter(col("uniq_ratio") >= minUniqRatio)
+      .filter(col("alpha_ratio") >= minAlphaRatio)
+
+    val exactDeduped = Dedup.exact(filtered, idCol, textCol)
+
+    if (!nearDup) exactDeduped
+    else Dedup.dedupNear(exactDeduped, idCol, textCol, threshold = nearDupThreshold)
+  }
+}

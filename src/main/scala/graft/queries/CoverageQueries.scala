@@ -154,6 +154,61 @@ object CoverageQueries {
              |  bit_xor(l_linenumber) AS bx
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
+    // Time-series gap fill: a generated day spine LEFT-joined against
+    // sparse per-day aggregates, zero-filled — the standard shape for
+    // dashboard-ready series (generated dimension, no source scan for the
+    // spine).
+    GraftQuery(
+      "q_gap_fill",
+      (s, d) => {
+        val perDay = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 450000)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n_raw"))
+        val spine = s.range(1).select(explode(expr(
+          "sequence(to_date('1995-03-01'), to_date('1995-03-31'), interval 1 day)"))
+          .as("day"))
+        spine.join(perDay, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n_raw"), lit(0L)).as("n"))
+          .orderBy("day")
+      },
+      Some("""WITH days AS (
+             |  SELECT UNNEST(generate_series(DATE '1995-03-01', DATE '1995-03-31',
+             |                                INTERVAL 1 DAY))::DATE AS day),
+             |per_day AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_raw
+             |  FROM orders WHERE o_totalprice > 450000 GROUP BY 1)
+             |SELECT d.day, COALESCE(p.n_raw, 0) AS n
+             |FROM days d LEFT JOIN per_day p USING (day)
+             |ORDER BY d.day""".stripMargin)),
+
+    // Edit distance (fuzzy matching for entity resolution pipelines).
+    GraftQuery(
+      "q_levenshtein",
+      (s, d) =>
+        Tables.part(s, d)
+          .select(
+            col("p_partkey"),
+            levenshtein(col("p_name"), col("p_type")).as("lev"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, CAST(levenshtein(p_name, p_type) AS INTEGER) AS lev
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Histogram bucketing: width_bucket in Spark, emulated with clamp +
+    // floor math in the oracle (DuckDB 1.0 lacks width_bucket).
+    GraftQuery(
+      "q_histogram",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(expr("width_bucket(o_totalprice, 0, 600000, 6)").as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("bucket"),
+      Some("""SELECT CASE WHEN o_totalprice < 0 THEN 0
+             |            WHEN o_totalprice >= 600000 THEN 7
+             |            ELSE 1 + CAST(FLOOR(o_totalprice / 100000) AS BIGINT) END AS bucket,
+             |       COUNT(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // DISTINCT ON-style pick: the single highest-value order per customer
     // (row_number = 1 compiles to a per-partition top-1, no full sort).
     GraftQuery(

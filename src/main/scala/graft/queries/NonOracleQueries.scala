@@ -100,6 +100,20 @@ object NonOracleQueries {
             expr("approx_percentile(l_extendedprice, array(0.1, 0.9), 1000)").as("deciles"))
           .orderBy("l_returnflag")),
 
+    // End-to-end corpus curation (annotate → filter → exact dedup → near
+    // dedup). Language ID is a Spark-native heuristic → no DuckDB oracle;
+    // CorpusCurationSpec pins the per-stage semantics.
+    GraftQuery(
+      "q_corpus_curate",
+      (s, d) =>
+        graft.operators.CorpusCuration.curate(
+          Tables.documents(s, d), "doc_id", "text",
+          keepLangs = Set("en", "de", "fr", "es"),
+          minTokens = 3,
+          minUniqRatio = 0.1)
+          .select("doc_id", "lang", "n_tokens")
+          .orderBy("doc_id")),
+
     // Language ID heuristic over documents (native single-pass scorer).
     GraftQuery(
       "q_lang_id",

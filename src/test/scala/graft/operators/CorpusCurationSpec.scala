@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.flow.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusCurationSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and it runs far away for the night"),
+    (1L, "the quick brown fox jumps over the lazy dog and it runs far away for the day"), // near dup of 0
+    (2L, "der hund und die katze sind nicht ein gutes team mit der maus"),                // German
+    (3L, "the quick brown fox jumps over the lazy dog and it runs far away for the night"), // exact dup of 0
+    (4L, "tiny"),                                                                          // too short
+    (5L, "spam spam spam spam spam spam spam spam spam spam spam spam"),                   // low uniq
+    (6L, "a completely different and quite original piece of english text for the corpus")
+  ).toDF("doc_id", "text")
+
+  test("annotate attaches language, token counts and quality signals") {
+    val a = CorpusCuration.annotate(corpus, "text")
+    val byId = a.select("doc_id", "lang", "n_tokens").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(byId(0L)._1 == "en")
+    assert(byId(2L)._1 == "de")
+    assert(byId(4L)._2 == 1L)
+    val uniq = a.filter($"doc_id" === 5L).select("uniq_ratio").as[Double].head()
+    assert(uniq < 0.2) // 12 copies of one token
+  }
+
+  test("curate filters language/length/quality then removes exact and near dups") {
+    val out = CorpusCuration.curate(
+      corpus, "doc_id", "text",
+      keepLangs = Set("en"),
+      minTokens = 5,
+      minUniqRatio = 0.3,
+      nearDupThreshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    // 2 (German), 4 (short), 5 (low uniq) filtered; 3 exact-dup of 0;
+    // 1 near-dup of 0 → survivors: 0 and 6
+    assert(out == Set(0L, 6L))
+  }
+
+  test("nearDup=false skips the candidate join but keeps exact dedup") {
+    val out = CorpusCuration.curate(
+      corpus, "doc_id", "text",
+      keepLangs = Set("en"), minTokens = 5, minUniqRatio = 0.3, nearDup = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(0L, 1L, 6L)) // near-dup 1 survives, exact-dup 3 does not
+  }
+}
