@@ -63,9 +63,16 @@ object CorpusCuration {
       .filter(col("uniq_ratio") >= minUniqRatio)
       .filter(col("alpha_ratio") >= minAlphaRatio)
 
-    val exactDeduped = Dedup.exact(filtered, idCol, textCol)
-
-    if (!nearDup) exactDeduped
-    else Dedup.dedupNear(exactDeduped, idCol, textCol, threshold = nearDupThreshold)
+    if (!nearDup) Dedup.exact(filtered, idCol, textCol)
+    else {
+      // The exact-dedup survivors feed the near-dup stage in THREE places
+      // (signature scan, candidate-shingle semi-join, final survivor
+      // anti-join). Persist once so the annotate+filter+dedup chain runs
+      // one time; at 100 TB this is the natural parquet checkpoint
+      // between the exact and near stages. Cache lives as long as the
+      // returned lazy plan — clearCache() between unrelated corpora.
+      val exactDeduped = Dedup.exact(filtered, idCol, textCol).persist()
+      Dedup.dedupNear(exactDeduped, idCol, textCol, threshold = nearDupThreshold)
+    }
   }
 }

@@ -171,46 +171,67 @@ object Dedup {
 
   /** Collapse a near-dup pair graph into clusters: returns (id, cluster)
     * where cluster = min id reachable through pair edges (connected
-    * components via iterative min-label propagation — the Pregel shape,
-    * O(diameter) rounds; near-dup cluster diameters are tiny in practice).
+    * components). Each round combines min-label propagation over edges
+    * with POINTER JUMPING (label := label's label) — the path-halving
+    * trick that turns the Pregel O(diameter) round count into
+    * O(log diameter). Boilerplate-heavy corpora produce long near-dup
+    * chains (measured ~40 propagation-only rounds on the sf0.1 fixture,
+    * ~6 with jumping), and at 100 TB every round is a full shuffle over
+    * the label table — the log matters.
     *
     * Throws if labels have not reached fixpoint within `maxRounds`
-    * (possible only when a component's diameter exceeds the cap) —
-    * returning silently would hand the caller WRONG cluster labels.
+    * (only possible when log₂(diameter) exceeds the cap) — returning
+    * silently would hand the caller WRONG cluster labels.
     */
   def nearDupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
+    // Iterative-algorithm discipline: every round's output is
+    // localCheckpoint'ed (eager), which TRUNCATES the logical plan to the
+    // materialized partitions. A mere persist() keeps the full lineage,
+    // and since each round references the previous labels twice, the
+    // analyzed plan doubles per round — measured as seconds of
+    // DRIVER-side planning by round 2 and unbounded growth after
+    // (77 s on a 477-node graph). On a real cluster this would be
+    // `checkpoint()` to reliable storage for fault tolerance.
     var labels = edges.select(col("src").as("id"), col("src").as("cluster"))
       .distinct()
-      .groupBy("id").agg(min("cluster").as("cluster"))
-      .persist()
+      .localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
       val viaNeighbor = edges
         .join(labels, edges("dst") === labels("id"))
         .select(col("src").as("id"), col("cluster"))
-      val next = labels.unionByName(viaNeighbor)
+      val propagated = labels.unionByName(viaNeighbor)
         .groupBy("id").agg(min("cluster").as("cluster"))
         .persist()
-      changed = next.as("n")
+      // pointer jump: follow the label one more hop (path halving —
+      // O(log diameter) rounds instead of O(diameter); boilerplate-heavy
+      // corpora produce long near-dup chains). Every cluster label IS a
+      // node id, so the self-join resolves; left + coalesce guards the
+      // root, whose label is itself.
+      val jumped = propagated.as("a")
+        .join(
+          propagated.select(col("id").as("cid"), col("cluster").as("ccluster")).as("b"),
+          col("a.cluster") === col("b.cid"), "left")
+        .select(col("a.id"), coalesce(col("b.ccluster"), col("a.cluster")).as("cluster"))
+        .localCheckpoint(true)
+      changed = jumped.as("n")
         .join(labels.as("p"), col("n.id") === col("p.id"))
         .filter(col("n.cluster") =!= col("p.cluster"))
         .count()
-      labels.unpersist()
-      labels = next
+      propagated.unpersist()
+      labels = jumped
       rounds += 1
     }
     edges.unpersist()
     if (changed > 0) {
-      labels.unpersist()
       throw new IllegalStateException(
         s"nearDupClusters did not converge within maxRounds=$maxRounds " +
-          s"($changed labels still changing) — a component's diameter exceeds " +
-          "the cap; raise maxRounds")
+          s"($changed labels still changing) — raise maxRounds")
     }
     labels
   }
@@ -227,7 +248,11 @@ object Dedup {
       bands: Int = 16,
       shingleN: Int = 3,
       seed: Long = 42L): DataFrame = {
+    // Persist the (tiny) pair list: nearDupClusters reads it twice to
+    // build the undirected edge list and then iterates — without the
+    // persist every loop round would re-run the whole LSH pipeline.
     val pairs = minhashNearDup(df, idCol, textCol, numHashes, bands, shingleN, threshold, seed)
+      .persist()
     val clusters = nearDupClusters(pairs)
     val losers = clusters.filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
