@@ -18,10 +18,12 @@ import org.apache.spark.sql.catalyst.expressions.Literal
   * since the session is driver-owned there).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (ident, info, builder) =>
       e.injectFunction((ident, info, builder))
     }
+    e.injectOptimizerRule(_ => org.apache.spark.sql.graft.CosineHofRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -63,9 +65,16 @@ object GraftExtensions {
           HyperplaneSig(args.head, litLong(args(1), "planes").toInt, litLong(args(2), "seed"))
         }))
 
-  /** Register into an already-built session. */
-  def install(spark: SparkSession): Unit =
+  /** Register into an already-built session (functions + the HOF-cosine
+    * optimizer rewrite). Idempotent. */
+  def install(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    val rule = org.apache.spark.sql.graft.CosineHofRewrite
+    if (!spark.experimental.extraOptimizations.contains(rule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+    }
+  }
 }

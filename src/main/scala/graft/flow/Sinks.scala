@@ -23,6 +23,9 @@ object Sinks {
       targetPartitions: Option[Int] = None): Unit =
     targetPartitions.fold(df)(df.repartition(_)).write.mode(mode).parquet(path)
 
+  def orc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
   def csv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header.toString).csv(path)
 

@@ -17,6 +17,11 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC — the other self-describing columnar format Spark reads
+    * natively (same pushdown/pruning machinery as parquet). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Malformed rows are genuinely quarantined: the raw bad line lands in
     * `_corrupt_record` (non-null there ⇒ the row failed parsing), so
     * corrupt data is countable and separable from legitimate nulls —

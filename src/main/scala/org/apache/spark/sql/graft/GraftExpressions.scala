@@ -34,9 +34,18 @@ object GraftExpressions {
   *
   * Accumulation is in Double over exactly-upcast floats, left-to-right —
   * bit-identical to the higher-order-function formulation it replaces.
-  * Zero-norm inputs yield 0.0 (not NaN) so degenerate vectors never rank.
+  *
+  * Two degenerate-input modes:
+  *  - `strict = false` (pipeline default): zero-norm inputs yield 0.0
+  *    (degenerate vectors never rank); null elements are assumed absent.
+  *  - `strict = true` (what the CosineHofRewrite optimizer rule emits):
+  *    NULL on zero norms and on any null element — exactly the
+  *    dot/(|a|·|b|) HOF composition's semantics (non-ANSI divide-by-zero
+  *    → NULL; null element poisons the fold), so the rewrite is
+  *    result-preserving on every input.
   */
-case class CosineSimilarity(left: Expression, right: Expression)
+case class CosineSimilarity(left: Expression, right: Expression,
+    strict: Boolean = false)
   extends BinaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
@@ -52,6 +61,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     if (x.numElements() != y.numElements()) return null
     val n = x.numElements()
+    if (strict) {
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        i += 1
+      }
+    }
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -61,7 +77,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       i += 1
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0) 0.0 else dot / denom
+    if (denom == 0.0) { if (strict) null else 0.0 } else dot / denom
   }
 
   override def nullable: Boolean = true
@@ -76,19 +92,30 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
+      val strictNullScan = if (strict) {
+        s"""
+           |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) ${ev.isNull} = true;
+           |}
+         """.stripMargin
+      } else ""
+      val zeroNorm = if (strict) s"${ev.isNull} = true" else s"${ev.value} = 0.0"
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $n = $a.numElements();
-         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $xi = (double) $a.getFloat($i);
-         |    double $yi = (double) $b.getFloat($i);
-         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  $strictNullScan
+         |  if (!${ev.isNull}) {
+         |    double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $xi = (double) $a.getFloat($i);
+         |      double $yi = (double) $b.getFloat($i);
+         |      $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |    }
+         |    double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($denom == 0.0) { $zeroNorm; } else { ${ev.value} = $dot / $denom; }
          |  }
-         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |  ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
          |}
        """.stripMargin
     })

@@ -28,6 +28,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.orderBy("id").collect().toSeq == sample.orderBy("id").collect().toSeq)
   }
 
+  test("orc sink/source round-trip with pushed-down filter") {
+    val dir = Files.createTempDirectory("graft_src").toString
+    Sinks.orc(sample, s"$dir/orc")
+    val back = Sources.orc(spark, s"$dir/orc").filter(col("id") >= 2)
+    assert(back.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((2L, "b", 2.5), (3L, "c", 3.5)))
+    // the filter reaches the ORC scan, not a post-scan Filter only
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(id,2)"), plan)
+  }
+
   test("malformed csv rows are quarantined with the raw line captured") {
     val dir = Files.createTempDirectory("graft_src").toString
     java.nio.file.Files.writeString(
