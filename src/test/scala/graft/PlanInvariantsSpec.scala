@@ -1,0 +1,56 @@
+package graft
+
+import graft.flow.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-design invariants asserted on the PHYSICAL plans of declared
+  * queries — the properties that decide whether a plan survives a 100×
+  * scale-up, pinned so a refactor can't silently regress them:
+  * filters reach the scan, projections prune the read schema, top-k never
+  * globally sorts, small dimensions broadcast, aggregations are
+  * partial-before-shuffle. */
+class PlanInvariantsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def executedPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sfDir)
+    df.collect() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_filter: the predicate is pushed into the parquet scan") {
+    val plan = executedPlan("q_filter")
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"), plan)
+  }
+
+  test("q_project: the scan reads only the projected columns") {
+    val plan = executedPlan("q_project")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // q_project selects a 3-column slice of the 16-column lineitem
+    assert(!read.contains("l_comment") && !read.contains("l_shipmode"), read)
+  }
+
+  test("q_topk and q_sim_topk: top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(executedPlan("q_topk").contains("TakeOrderedAndProject"))
+    assert(executedPlan("q_sim_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_join_broadcast: the small dimension is broadcast, no shuffle join") {
+    val plan = executedPlan("q_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q_agg_group: aggregation is partial before the shuffle (map-side combine)") {
+    val plan = executedPlan("q_agg_group")
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("q_exists: EXISTS decorrelates to a semi join, never a per-row subquery") {
+    val plan = executedPlan("q_exists")
+    assert(plan.contains("LeftSemi"), plan)
+  }
+}
