@@ -154,6 +154,26 @@ object CoverageQueries {
              |  bit_xor(l_linenumber) AS bx
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
+    // Per-key top-k via the bounded-heap aggregate (TopKAgg): only k rows
+    // per key per map partition cross the shuffle — no window sort. The
+    // oracle states the equivalent row_number formulation.
+    GraftQuery(
+      "q_topk_agg",
+      (s, d) =>
+        graft.operators.TopK.perKey(
+            Tables.orders(s, d),
+            keys = Seq("o_orderpriority"),
+            ordering = Seq("o_totalprice", "o_orderkey"),
+            k = 3)
+          .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+            col("o_orderkey").desc),
+      Some("""SELECT o_orderpriority, o_totalprice, o_orderkey FROM (
+             |  SELECT o_orderpriority, o_totalprice, o_orderkey,
+             |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+             |  FROM orders) t WHERE rn <= 3
+             |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey DESC""".stripMargin)),
+
     // Time-series gap fill: a generated day spine LEFT-joined against
     // sparse per-day aggregates, zero-filled — the standard shape for
     // dashboard-ready series (generated dimension, no source scan for the

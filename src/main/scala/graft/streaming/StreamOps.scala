@@ -132,6 +132,30 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming MERGE: foreachBatch-driven upsert of each micro-batch
+    * into the parquet store at `targetPath` (matched keys update,
+    * unmatched insert — see graft.operators.Merge). Batches must carry
+    * at most one row per key: pre-aggregate in `prepare` (e.g.
+    * last-event-wins via max_by) — the hook receives each raw batch and
+    * returns the frame to merge. Restart-safe: replaying a batch merges
+    * the same rows to the same keys (idempotent store state). */
+  def mergeStream(
+      facts: DataFrame,
+      targetPath: String,
+      keyCols: Seq[String],
+      checkpoint: String)(
+      prepare: DataFrame => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val prepared = prepare(batch)
+        if (!prepared.isEmpty) {
+          graft.operators.Merge.into(batch.sparkSession, targetPath, prepared, keyCols)
+          ()
+        }
+      }
+      .start()
+
   /** Running per-key event counters (A19 StatisticsRecorder, streaming
     * form): emits (key, cumulative count) on every update.
     *

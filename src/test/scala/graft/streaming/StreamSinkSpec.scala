@@ -44,6 +44,33 @@ class StreamSinkSpec extends AnyFunSuite {
     assert(back.filter(col("user") === "a").count() == 2)
   }
 
+  test("streaming MERGE keeps one last-event-wins row per key in the store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_stream_merge").toString
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.mergeStream(
+      mem.toDF(), s"$dir/store", Seq("user"), s"$dir/ckpt") { batch =>
+      // last event per user within the batch (deterministic: ts unique)
+      batch.groupBy("user").agg(
+        max_by(struct(col("ts"), col("value")), col("ts")).as("last"))
+        .select(col("user"), col("last.ts").as("ts"), col("last.value").as("value"))
+    }
+    try {
+      mem.addData(
+        Ev(Timestamp.valueOf("2024-01-01 00:01:00"), "a", 1.0),
+        Ev(Timestamp.valueOf("2024-01-01 00:02:00"), "a", 2.0), // later a
+        Ev(Timestamp.valueOf("2024-01-01 00:03:00"), "b", 3.0))
+      q.processAllAvailable()
+      mem.addData(Ev(Timestamp.valueOf("2024-01-01 00:04:00"), "a", 4.0)) // update a
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val store = spark.read.parquet(s"$dir/store")
+      .select("user", "value").as[(String, Double)].collect().toMap
+    assert(store == Map("a" -> 4.0, "b" -> 3.0)) // one row per key, latest wins
+  }
+
   test("streaming dim upsert maintains the dim store and enriches each batch (A18)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
