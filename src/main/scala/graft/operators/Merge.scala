@@ -36,6 +36,11 @@ object Merge {
     *   target partitions whose value appears in the source are read,
     *   merged and swapped; others are left untouched on disk. The column
     *   must be one the store was `partitionBy`'d on.
+    * @param evolveSchema when true, the source may carry NEW columns:
+    *   they are appended to the store's schema and existing rows read
+    *   back NULL for them (parquet's schema-merge semantics). Columns may
+    *   only be added, never dropped — source must still contain every
+    *   target column.
     * @return the merged frame (read back from the swapped-in store).
     */
   def into(
@@ -43,7 +48,8 @@ object Merge {
       targetPath: String,
       source: DataFrame,
       keyCols: Seq[String],
-      prunePartitions: Option[String] = None): DataFrame = {
+      prunePartitions: Option[String] = None,
+      evolveSchema: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "MERGE needs at least one key column")
 
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -57,9 +63,15 @@ object Merge {
     }
 
     val current = spark.read.parquet(targetPath)
-    require(current.columns.sorted.sameElements(source.columns.sorted),
-      s"source schema ${source.columns.sorted.mkString(",")} != target " +
-        s"schema ${current.columns.sorted.mkString(",")}")
+    if (evolveSchema) {
+      val missing = current.columns.toSet -- source.columns.toSet
+      require(missing.isEmpty,
+        s"schema evolution adds columns, never drops: source lacks ${missing.mkString(",")}")
+    } else {
+      require(current.columns.sorted.sameElements(source.columns.sorted),
+        s"source schema ${source.columns.sorted.mkString(",")} != target " +
+          s"schema ${current.columns.sorted.mkString(",")}")
+    }
 
     // SQL MERGE semantics: a key matched by >1 source row is an error, not
     // a nondeterministic pick. One aggregate over the (small) source side.
@@ -76,7 +88,7 @@ object Merge {
         val scoped = current.filter(col(pcol).isin(touched: _*))
         val merged = scoped
           .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
-          .unionByName(source)
+          .unionByName(source, allowMissingColumns = evolveSchema)
         // write each touched partition dir via dynamic overwrite
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -88,7 +100,7 @@ object Merge {
       case None =>
         val merged = current
           .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
-          .unionByName(source)
+          .unionByName(source, allowMissingColumns = evolveSchema)
         val staging = new org.apache.hadoop.fs.Path(
           targetPath + ".staging-" + java.util.UUID.randomUUID().toString.take(8))
         val retired = new org.apache.hadoop.fs.Path(

@@ -154,6 +154,39 @@ object CoverageQueries {
              |  bit_xor(l_linenumber) AS bx
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
+    // Regex group extraction + match counting.
+    GraftQuery(
+      "q_regexp",
+      (s, d) =>
+        Tables.part(s, d)
+          .select(
+            col("p_partkey"),
+            regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
+            expr("regexp_count(p_name, 'e')").cast("int").as("n_e"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+             |  CAST(len(regexp_extract_all(p_name, 'e')) AS INTEGER) AS n_e
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Null-tolerant arithmetic: try_divide (NULL on zero divisor instead
+    // of an ANSI error) ↔ NULLIF-guarded division. FLOOR-based rounding
+    // on BOTH sides — engine ROUNDs disagree on exact .xx5 halves of
+    // binary doubles (NOTES_r1 hazard 1).
+    GraftQuery(
+      "q_try_arith",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            (floor(expr("try_divide(l_extendedprice, l_quantity - 25)") * 1000 + 0.5) / 1000)
+              .as("unit_adj"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  FLOOR(l_extendedprice / NULLIF(l_quantity - 25, 0) * 1000 + 0.5) / 1000
+             |    AS unit_adj
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // Per-key top-k via the bounded-heap aggregate (TopKAgg): only k rows
     // per key per map partition cross the shuffle — no window sort. The
     // oracle states the equivalent row_number formulation.

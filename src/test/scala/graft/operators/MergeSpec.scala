@@ -64,6 +64,26 @@ class MergeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Merge.into(spark, path, bad, Seq("k")) }
   }
 
+  test("schema evolution: new source columns append; old rows read NULL") {
+    val path = freshStore()
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(path)
+    val evolved = Seq((2L, "B2", 0.9), (3L, "c", 0.5)).toDF("k", "v", "score")
+    // without the flag the new column is rejected
+    intercept[IllegalArgumentException] { Merge.into(spark, path, evolved, Seq("k")) }
+    val out = Merge.into(spark, path, evolved, Seq("k"), evolveSchema = true)
+      .select("k", "v", "score")
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(out == Set(
+      (1L, "a", None),        // untouched row: NULL for the new column
+      (2L, "B2", Some(0.9)),  // updated row carries it
+      (3L, "c", Some(0.5))))  // inserted row carries it
+    // dropping columns is never allowed
+    val dropped = Seq((9L, 1.0)).toDF("k", "score")
+    intercept[IllegalArgumentException] {
+      Merge.into(spark, path, dropped, Seq("k"), evolveSchema = true)
+    }
+  }
+
   test("partition-scoped merge rewrites only touched partitions") {
     val path = freshStore()
     Seq((1L, "p1", "a"), (2L, "p1", "b"), (3L, "p2", "c"))
