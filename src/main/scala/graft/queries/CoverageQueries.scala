@@ -154,6 +154,21 @@ object CoverageQueries {
              |  bit_xor(l_linenumber) AS bx
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
+    // Deterministic hash sampling: a stable ~1/8 sample keyed on md5 of
+    // the id — reproducible across runs and engines (unlike TABLESAMPLE),
+    // the pattern for carving eval sets out of a 100 TB corpus.
+    GraftQuery(
+      "q_sample_hash",
+      (s, d) =>
+        Tables.orders(s, d)
+          .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1)
+            .isin("0", "1"))
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Regex group extraction + match counting.
     GraftQuery(
       "q_regexp",
