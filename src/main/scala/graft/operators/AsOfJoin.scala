@@ -75,4 +75,20 @@ object AsOfJoin {
       }
       .drop(ts, side, payload)
   }
+
+  /** Same semantics on the CUSTOM physical operator (AsOfJoinExec: logical
+    * node + planner strategy + streaming per-partition merge — SURVEY §4.3
+    * tier (c)). One O(|L|+|R|) pass after the planned exchanges/sorts, no
+    * union materialization, one retained right row per key. Prefer this
+    * form when the left side carries wide rows (the window form unions
+    * right-shaped nulls into every left row). */
+  def asofMerge(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String]): DataFrame =
+    org.apache.spark.sql.graft.AsOfJoinApi.asof(
+      left, right, keyCols, leftTs, rightTs, valueCols)
 }

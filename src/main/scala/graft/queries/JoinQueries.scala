@@ -148,6 +148,31 @@ object JoinQueries {
              |  ON l.user_id = r.user_id AND l.ts >= r.ts
              |ORDER BY l.event_id""".stripMargin)),
 
+    // Same as-of semantics on the CUSTOM physical operator (logical node +
+    // planner strategy + per-partition streaming merge, AsOfJoinExec) —
+    // checked against the identical DuckDB ASOF oracle as q_join_asof.
+    GraftQuery(
+      "q_join_asof_merge",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.operators.AsOfJoin.asofMerge(
+            left = ev.filter(col("event_type") === "click")
+              .select("event_id", "user_id", "ts"),
+            right = ev.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts"), col("value").as("purchase_value")),
+            keyCols = Seq("user_id"),
+            leftTs = "ts",
+            rightTs = "ts",
+            valueCols = Seq("purchase_value"))
+          .select("event_id", "purchase_value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, r.value AS purchase_value
+             |FROM (SELECT * FROM events WHERE event_type = 'click') l
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts
+             |ORDER BY l.event_id""".stripMargin)),
+
     // A18 full semantics, deterministic batch model: distinct dim values →
     // dense_rank surrogate keys → broadcast join back onto the fact.
     // (True incremental upsert against a live store is the streaming layer's
