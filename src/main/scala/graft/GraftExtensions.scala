@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, HyperplaneSig, MinHashSig, SimHash64}
+import org.apache.spark.sql.graft.{CosineSimilarity, HyperplaneSig, MinHashSig, MinHashTextSig, SimHash64, TopKAgg}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** Engine extension point: registers graft's native expressions with a
@@ -63,6 +63,24 @@ object GraftExtensions {
         (args: Seq[Expression]) => {
           require(args.length == 3, "graft_hyperplane_sig expects (array<float>, planes, seed)")
           HyperplaneSig(args.head, litLong(args(1), "planes").toInt, litLong(args(2), "seed"))
+        }),
+      (
+        FunctionIdentifier("graft_minhash_text"),
+        new ExpressionInfo(classOf[MinHashTextSig].getName, "graft_minhash_text"),
+        (args: Seq[Expression]) => {
+          require(args.length == 4,
+            "graft_minhash_text expects (text, shingleN, numHashes, seed)")
+          MinHashTextSig(args.head, litLong(args(1), "shingleN").toInt,
+            litLong(args(2), "numHashes").toInt, litLong(args(3), "seed"))
+        }),
+      (
+        FunctionIdentifier("graft_top_k"),
+        new ExpressionInfo(classOf[TopKAgg].getName, "graft_top_k"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "graft_top_k expects (struct, k)")
+          // returning the AggregateFunction directly — the analyzer wraps
+          // it in an AggregateExpression when used in an agg context
+          TopKAgg(args.head, litLong(args(1), "k").toInt)
         }))
 
   /** Register into an already-built session (functions + the HOF-cosine

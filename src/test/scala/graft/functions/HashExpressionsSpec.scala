@@ -58,6 +58,23 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(rows.head.getSeq[Long](1).length == 16)
   }
 
+  test("SQL registration: graft_minhash_text and the graft_top_k aggregate") {
+    GraftExtensions.install(spark)
+    docs.createOrReplaceTempView("graft_hash_docs2")
+    val sig = spark.sql(
+      "SELECT graft_minhash_text(text, 2, 16, 42) AS s FROM graft_hash_docs2")
+      .collect()
+    assert(sig.length == 4 && sig.head.getSeq[Long](0).length == 16)
+    // aggregate usable straight from SQL GROUP BY
+    val top = spark.sql(
+      """SELECT doc_id % 2 AS grp,
+        |       graft_top_k(struct(length(text), doc_id), 1) AS best
+        |FROM graft_hash_docs2 GROUP BY 1 ORDER BY grp""".stripMargin)
+      .collect()
+    assert(top.length == 2)
+    assert(top.forall(_.getSeq[Any](1).length == 1))
+  }
+
   test("fused text minhash is bit-identical to the composed shingles→minhash pipeline") {
     // fixture docs + adversarial whitespace shapes the split("\\s+")
     // semantics must reproduce (leading empty token, kept trailing
