@@ -21,12 +21,16 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup with deterministic survivor: keeps the min-id row per
-    * distinct value of `textCol`. Hash-groupBy on a fingerprint, so the
-    * shuffle carries 16-byte keys, not documents. */
+    * distinct value of `textCol`, grouped on an md5 fingerprint. One
+    * aggregation — `min_by` carries the whole winning row — instead of
+    * the groupBy + join-back formulation (which pays a second full-row
+    * shuffle for the join). Requires `idCol` to be unique (which is what
+    * makes the survivor deterministic in either formulation). */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = df.select(col(idCol), md5(col(textCol)).as("graft_fp"))
-      .groupBy("graft_fp").agg(min(idCol).as(idCol))
-    df.join(fp, idCol).drop("graft_fp")
+    val cols = df.columns
+    df.groupBy(md5(col(textCol)).as("graft_fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("graft_row"))
+      .select(cols.map(c => col(s"graft_row.$c").as(c)): _*)
   }
 
   /** Candidate near-duplicate pairs via MinHash + LSH banding, verified

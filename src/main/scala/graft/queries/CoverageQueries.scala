@@ -154,6 +154,21 @@ object CoverageQueries {
              |  bit_xor(l_linenumber) AS bx
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
+    // Timestamp formatting: Spark Java patterns ↔ DuckDB strftime.
+    GraftQuery(
+      "q_date_format",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(
+            date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+            date_format(col("o_orderdate"), "dd/MM/yyyy").as("dmy"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("ym", "dmy"),
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+             |       strftime(o_orderdate, '%d/%m/%Y') AS dmy,
+             |       COUNT(*) AS n
+             |FROM orders GROUP BY 1, 2 ORDER BY ym, dmy""".stripMargin)),
+
     // Deterministic hash sampling: a stable ~1/8 sample keyed on md5 of
     // the id — reproducible across runs and engines (unlike TABLESAMPLE),
     // the pattern for carving eval sets out of a 100 TB corpus.
