@@ -154,6 +154,41 @@ object CoverageQueries {
              |  bit_xor(l_linenumber) AS bx
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
+    // FILTER-clause aggregates (per-aggregate predicates, one pass).
+    GraftQuery(
+      "q_agg_filter",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_filt")
+        s.sql("""SELECT l_returnflag,
+                |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+                |  ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+                |    AS disc_rev
+                |FROM graft_li_filt GROUP BY 1 ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag,
+             |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+             |  ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+             |    AS disc_rev
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // Event-time RANGE frame with an INTERVAL bound: sliding time-window
+    // aggregates per row WITHOUT exploding rows into overlapping windows.
+    GraftQuery(
+      "q_win_time_range",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_range")
+        s.sql("""SELECT event_id,
+                |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                |    AS n_hour
+                |FROM graft_ev_range ORDER BY event_id""".stripMargin)
+      },
+      Some("""SELECT event_id,
+             |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+             |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             |    AS n_hour
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // Timestamp formatting: Spark Java patterns ↔ DuckDB strftime.
     GraftQuery(
       "q_date_format",
