@@ -41,6 +41,32 @@ object Demos {
     routed
   }
 
+  /** North-star composite: the full training-data curation pipeline as a
+    * monitored Pipeline (A1 container + A19 statistics + the corpus
+    * operators) — documents in, curated corpus + per-language token
+    * stats out, with observed row counts at each stage boundary. The
+    * shape a 100 TB curation run takes: one pipeline, every stage a
+    * declarative frame, counts recorded by the existing jobs. */
+  def curationFlow(
+      spark: SparkSession,
+      documents: DataFrame,
+      outDir: String,
+      keepLangs: Set[String] = Set("en", "de", "fr", "es")): Pipeline = {
+    val p = new Pipeline("curation", spark)
+    val annotated = p.observed(
+      graft.operators.CorpusCuration.annotate(documents, "text"), "annotated")
+    val curated = p.observed(
+      graft.operators.CorpusCuration.curate(
+        documents, "doc_id", "text", keepLangs = keepLangs, minTokens = 3),
+      "curated")
+    p.sinkParquet("curated_corpus", curated, s"$outDir/curated")
+    p.sinkParquet("lang_stats",
+      annotated.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens")),
+      s"$outDir/lang_stats")
+    p
+  }
+
   /** A27 crawler: fetch page → extract links → filter unseen → feed back.
     * The cyclic TPL graph becomes a driver-side fixpoint; `linksOf` stands
     * in for the HTTP fetch (no network in this environment — the loop

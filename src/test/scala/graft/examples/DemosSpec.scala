@@ -43,6 +43,26 @@ class DemosSpec extends AnyFunSuite {
       Seq("about", "blog", "home", "post1"))
   }
 
+  test("curation demo: monitored pipeline curates the corpus and records stage counts") {
+    val dir = Files.createTempDirectory("graft_curation").toString
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog for the evening news"),
+      (1L, "the quick brown fox jumps over the lazy dog for the evening news"), // exact dup
+      (2L, "der hund und die katze sind nicht ein gutes team mit der maus"),
+      (3L, "an entirely different english passage about engines and the pipelines")
+    ).toDF("doc_id", "text")
+    val p = Demos.curationFlow(spark, docs, dir)
+    try {
+      p.run()
+      assert(p.statistics("annotated") == 4)
+      assert(p.statistics("curated") == 3) // dup 1 collapsed; de doc kept (allowed lang)
+      val curated = spark.read.parquet(s"$dir/curated")
+      assert(curated.count() == 3)
+      val stats = spark.read.parquet(s"$dir/lang_stats")
+      assert(stats.filter(col("lang") === "en").count() == 1)
+    } finally p.close()
+  }
+
   test("salted join equals plain join on skewed data") {
     val fact = (Seq.fill(500)(1) ++ (2 to 50)).toDF("k") // key 1 is hot
       .withColumn("payload", col("k") * 10)

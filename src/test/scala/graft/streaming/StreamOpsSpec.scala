@@ -208,6 +208,33 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows merge across micro-batches in a real stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = StreamOps.session(
+      StreamOps.watermarked(mem.toDF(), "ts", "10 minutes"),
+      "ts", "5 minutes", col("user"))(count(lit(1)).as("n"))
+    val q = agg.select(col("user"), col("session_window.start").cast("string").as("ss"),
+        col("n"))
+      .writeStream.outputMode("append").format("memory").queryName("sw_out").start()
+    try {
+      // batch 1 opens a session [00:00, 00:04]; batch 2 EXTENDS it (00:07
+      // within the 5-minute gap of 00:04) — merging state across batches
+      mem.addData(Ev(t(0), "a", 1.0), Ev(t(4), "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(t(7), "a", 1.0), Ev(t(30), "a", 1.0)) // 00:30 = new session
+      q.processAllAvailable()
+      // close everything so append mode emits
+      mem.addData(Ev(Timestamp.valueOf("2024-01-01 02:00:00"), "z", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sw_out").filter(col("user") === "a")
+        .select("ss", "n").as[(String, Long)].collect().toMap
+      assert(rows("2024-01-01 00:00:00") == 3) // one merged 3-event session
+      assert(rows("2024-01-01 00:30:00") == 1)
+    } finally q.stop()
+  }
+
   test("stateful dispatcher maintains per-key state across micro-batches (A13)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
