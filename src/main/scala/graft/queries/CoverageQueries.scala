@@ -154,6 +154,24 @@ object CoverageQueries {
              |  bit_xor(l_linenumber) AS bx
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
+    // explode_outer: null row for an empty array (collect → explode round
+    // trip ≡ LEFT JOIN, which is exactly how the oracle states it).
+    GraftQuery(
+      "q_explode_outer",
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_custkey") <= 20)
+        val o = Tables.orders(s, d)
+        c.join(o, col("o_custkey") === col("c_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(array_sort(collect_list(col("o_orderkey"))).as("keys"))
+          .select(col("c_custkey"), explode_outer(col("keys")).as("o_orderkey"))
+          .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+      },
+      Some("""SELECT c_custkey, o_orderkey
+             |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+             |WHERE c_custkey <= 20
+             |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin)),
+
     // FILTER-clause aggregates (per-aggregate predicates, one pass).
     GraftQuery(
       "q_agg_filter",
