@@ -154,6 +154,40 @@ object CoverageQueries {
              |  bit_xor(l_linenumber) AS bx
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
+    // Recursive CTE (Spark 4): generate the nation-key spine recursively
+    // and LEFT-join customer counts onto it.
+    GraftQuery(
+      "q_recursive_cte",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_cust_rec")
+        s.sql("""WITH RECURSIVE spine(nk) AS (
+                |  SELECT 0
+                |  UNION ALL SELECT nk + 1 FROM spine WHERE nk < 24)
+                |SELECT s.nk, COUNT(c_custkey) AS n_cust
+                |FROM spine s LEFT JOIN graft_cust_rec ON c_nationkey = s.nk
+                |GROUP BY s.nk ORDER BY s.nk""".stripMargin)
+      },
+      Some("""WITH RECURSIVE spine(nk) AS (
+             |  SELECT 0
+             |  UNION ALL SELECT nk + 1 FROM spine WHERE nk < 24)
+             |SELECT s.nk, COUNT(c_custkey) AS n_cust
+             |FROM spine s LEFT JOIN customer ON c_nationkey = s.nk
+             |GROUP BY s.nk ORDER BY s.nk""".stripMargin)),
+
+    // VARIANT (Spark 4 semi-structured type): parse_json → typed
+    // variant_get extraction, verified against plain JSON extraction.
+    GraftQuery(
+      "q_variant",
+      (s, d) => {
+        Tables.events(s, d).createOrReplaceTempView("graft_ev_var")
+        s.sql("""SELECT event_id,
+                |       variant_get(parse_json(props), '$.k', 'int') AS k
+                |FROM graft_ev_var ORDER BY event_id""".stripMargin)
+      },
+      Some("""SELECT event_id,
+             |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // explode_outer: null row for an empty array (collect → explode round
     // trip ≡ LEFT JOIN, which is exactly how the oracle states it).
     GraftQuery(
