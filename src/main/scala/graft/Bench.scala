@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Headline subset for the driver-facing JSON line. The driver captures
+    * only the LAST ~2000 chars of stdout (BENCH_r01/r02 both came back
+    * `parsed: null` because the full 100+-query line was ~3000 chars and
+    * its opening brace fell outside that window), so the one parseable
+    * line must stay well under the budget. These ~22 queries cover every
+    * family (scan, agg, join, window, session, dedup, similarity, text,
+    * merge, pipeline); the FULL per-query timing map still goes to
+    * target/bench_full.json and an earlier stdout line. */
+  private val headline = Seq(
+    "q_scan_count", "q_agg_group", "q_agg_cube", "q_join_inner",
+    "q_join_broadcast", "q_join_range", "q_join_asof", "q_win_rank",
+    "q_sessionize", "q_topk", "q_pivot", "q_lateral", "q_tumble",
+    "q_dedup_exact", "q_minhash_pairs", "q_simhash_pairs", "q_sim_topk",
+    "q_ann_topk", "q_text_quality", "q_token_count", "q_merge",
+    "q_corpus_curate")
+
+  private def fmt(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,10 +44,27 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+    // Full map: a file plus an early (clippable) stdout line.
+    try {
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(
+        dir.resolve("bench_full.json"),
+        fullLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    println(fullLine)
+    // Driver-facing compact line LAST (headline subset, 3-decimal values).
+    val present = results.toMap
+    val headQs = headline.filter(present.contains)
+      .map(k => "\"" + k + "\":" + fmt(present(k)))
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$headQs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

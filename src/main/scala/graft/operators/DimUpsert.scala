@@ -104,8 +104,25 @@ object DimUpsert {
       keyCol: String,
       props: java.util.Properties = new java.util.Properties()): DataFrame = {
 
+    // Probe table existence through JDBC metadata rather than a catch-all
+    // around spark.read.jdbc: a transient connection/auth failure must
+    // propagate as itself, not be masked as "table missing" and resurface
+    // later as a confusing errorifexists write failure.
+    val tableExists: Boolean = {
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+        try {
+          var found = false
+          while (!found && rs.next()) {
+            found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+          }
+          found
+        } finally rs.close()
+      } finally conn.close()
+    }
     val existing: Option[DataFrame] =
-      try Some(spark.read.jdbc(url, table, props)) catch { case _: Exception => None }
+      if (tableExists) Some(spark.read.jdbc(url, table, props)) else None
     val dim = existing.getOrElse(
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -118,7 +135,8 @@ object DimUpsert {
 
     val unseen = fact.select(keyCol).distinct()
       .join(dim.select(keyCol), Seq(keyCol), "left_anti")
-    if (!unseen.isEmpty) {
+    val wroteNew = !unseen.isEmpty
+    if (wroteNew) {
       val writer = assignSurrogates(spark, unseen, keyCol, fact.schema(keyCol).dataType, maxSk)
         .write.mode(if (existing.isDefined) "append" else "errorifexists")
       // string keys as VARCHAR, not the dialect's LOB default — LOB
@@ -131,8 +149,11 @@ object DimUpsert {
       typed.jdbc(url, table, props)
     }
 
+    // After a write the table certainly exists; if there was neither a
+    // table nor anything to write, the in-memory empty dim stands in. No
+    // catch-all here either — a failing read-back is a real error.
     val updated =
-      try spark.read.jdbc(url, table, props) catch { case _: Exception => dim }
+      if (tableExists || wroteNew) spark.read.jdbc(url, table, props) else dim
     fact.join(broadcast(updated), Seq(keyCol))
   }
 }

@@ -33,9 +33,12 @@ object Merge {
     * rather than picking one nondeterministically).
     *
     * @param prunePartitions partition column to scope the rewrite: only
-    *   target partitions whose value appears in the source are read,
+    *   target partitions the merge can change — those the source writes
+    *   into plus, when the partition value is not part of the key, those
+    *   holding a matched key whose partition value moved — are read,
     *   merged and swapped; others are left untouched on disk. The column
-    *   must be one the store was `partitionBy`'d on.
+    *   must be one the store was `partitionBy`'d on; NULL partition
+    *   values are rejected in this mode.
     * @param evolveSchema when true, the source may carry NEW columns:
     *   they are appended to the store's schema and existing rows read
     *   back NULL for them (parquet's schema-merge semantics). Columns may
@@ -62,7 +65,17 @@ object Merge {
       return spark.read.parquet(targetPath)
     }
 
-    val current = spark.read.parquet(targetPath)
+    // With schema evolution the store may hold files of BOTH schemas
+    // (partition-scoped merges rewrite only touched partitions), so the
+    // read must union footers rather than sample one — otherwise the
+    // evolved columns silently vanish depending on which file Spark picks
+    // for inference. mergeSchema costs one footer read per file; only
+    // paid when evolution is on.
+    def readStore(): DataFrame =
+      if (evolveSchema) spark.read.option("mergeSchema", "true").parquet(targetPath)
+      else spark.read.parquet(targetPath)
+
+    val current = readStore()
     if (evolveSchema) {
       val missing = current.columns.toSet -- source.columns.toSet
       require(missing.isEmpty,
@@ -81,21 +94,54 @@ object Merge {
 
     prunePartitions match {
       case Some(pcol) =>
-        // Partition-scoped merge: rewrite only partitions the source
-        // touches. Values collected driver-side are partition keys (few),
-        // never data rows.
-        val touched = source.select(pcol).distinct().collect().map(_.get(0))
+        // Partition-scoped merge: rewrite only partitions the merge can
+        // change. Those are (a) partitions the source writes into, and —
+        // unless the partition value is functionally determined by the key
+        // (pcol ∈ keyCols) — (b) partitions currently holding a MATCHED
+        // key whose partition value changed in the source: the old row
+        // must be removed from its old partition or the key ends up
+        // duplicated across partitions. (b) costs one column-pruned scan
+        // of the target's (key, pcol) columns behind a semi join; values
+        // collected driver-side are partition keys (few), never data rows.
+        val sourceParts = source.select(pcol).distinct()
+        val touchedDf =
+          if (keyCols.contains(pcol)) sourceParts
+          else sourceParts.union(
+            current.join(
+              source.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+              .select(pcol)).distinct()
+        val touched = touchedDf.collect().map(_.get(0))
+        // NULL partition values can't be addressed by isin() filters or a
+        // hive-style partition path — reject them rather than miscompute.
+        require(!touched.contains(null),
+          s"partition-scoped merge does not support NULL values in $pcol")
         val scoped = current.filter(col(pcol).isin(touched: _*))
         val merged = scoped
           .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
           .unionByName(source, allowMissingColumns = evolveSchema)
-        // write each touched partition dir via dynamic overwrite
+          .persist()
+        // Dynamic overwrite only rewrites partitions PRESENT in the
+        // output — a touched partition whose every row was matched-and-
+        // moved produces no output rows and would keep its stale files.
+        // Collect the output's partition values and clear the difference
+        // by hand afterwards.
+        val written = merged.select(pcol).distinct().collect().map(_.get(0)).toSet
         val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try merged.write.mode("overwrite").partitionBy(pcol).parquet(targetPath)
-        finally prev match {
-          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        finally {
+          merged.unpersist()
+          prev match {
+            case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+            case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+          }
+        }
+        touched.filterNot(written.contains).foreach { v =>
+          val dir = new org.apache.hadoop.fs.Path(
+            target,
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .getPartitionPathString(pcol, String.valueOf(v)))
+          fs.delete(dir, true)
         }
       case None =>
         val merged = current
@@ -117,6 +163,6 @@ object Merge {
         }
         fs.delete(retired, true)
     }
-    spark.read.parquet(targetPath)
+    readStore()
   }
 }

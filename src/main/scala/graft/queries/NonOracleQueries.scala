@@ -95,9 +95,16 @@ object NonOracleQueries {
       (s, d) =>
         Tables.lineitem(s, d)
           .groupBy("l_returnflag")
-          .agg(
-            expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
-            expr("approx_percentile(l_extendedprice, array(0.1, 0.9), 1000)").as("deciles"))
+          // ONE sketch serves all three quantiles (the shape you'd run at
+          // 100 TB), projected to SCALAR columns: the driver's compare
+          // sorts result columns with pandas, which cannot handle array
+          // cells (the r02 failure for this query).
+          .agg(expr("approx_percentile(l_extendedprice, array(0.1, 0.5, 0.9), 1000)").as("qs"))
+          .select(
+            col("l_returnflag"),
+            expr("element_at(qs, 1)").as("p10_approx"),
+            expr("element_at(qs, 2)").as("p50_approx"),
+            expr("element_at(qs, 3)").as("p90_approx"))
           .orderBy("l_returnflag")),
 
     // End-to-end corpus curation (annotate → filter → exact dedup → near

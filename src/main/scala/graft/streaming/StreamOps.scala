@@ -170,6 +170,13 @@ object StreamOps {
       timeout: GroupStateTimeout,
       idleTtl: Option[String] = None)(implicit
       outEnc: Encoder[(K, Long)]): Dataset[(K, Long)] = {
+    // EventTimeTimeout would need a watermark-derived timeout TIMESTAMP
+    // (setTimeoutTimestamp), which this counter does not plumb — accepting
+    // it would silently never expire state, the exact leak this parameter
+    // exists to prevent.
+    require(timeout != GroupStateTimeout.EventTimeTimeout(),
+      "runningCounts supports ProcessingTimeTimeout (with idleTtl) or NoTimeout; " +
+        "EventTimeTimeout is not supported")
     require(idleTtl.isDefined == (timeout == GroupStateTimeout.ProcessingTimeTimeout()),
       "idleTtl must be set exactly when timeout is ProcessingTimeTimeout")
     implicit val longEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong

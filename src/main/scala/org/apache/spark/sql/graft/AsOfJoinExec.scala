@@ -38,6 +38,17 @@ case class AsOfJoinNode(
     valueAttrs: Seq[Attribute]) extends BinaryNode {
 
   require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty)
+  // The exec's orderings are built from the LEFT side's types and applied
+  // to both sides — a type mismatch would surface as a runtime
+  // ClassCastException (or a silent miscompare) deep in the merge loop
+  // instead of an analysis-time error, so check here.
+  leftKeys.zip(rightKeys).foreach { case (l, r) =>
+    require(l.dataType == r.dataType,
+      s"as-of join key type mismatch: ${l.name}: ${l.dataType} vs ${r.name}: ${r.dataType}")
+  }
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of join timestamp type mismatch: ${leftTs.name}: ${leftTs.dataType} " +
+      s"vs ${rightTs.name}: ${rightTs.dataType}")
 
   override def output: Seq[Attribute] =
     left.output ++ valueAttrs.map(_.withNullability(true))

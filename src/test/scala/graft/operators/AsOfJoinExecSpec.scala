@@ -62,6 +62,20 @@ class AsOfJoinExecSpec extends AnyFunSuite {
     assert(out(3L).isEmpty)       // null key joins nothing
   }
 
+  test("mismatched timestamp or key types fail at analysis, not mid-merge") {
+    val left = Seq((1L, "a", 100L)).toDF("id", "k", "t")
+    val rightBadTs = Seq(("a", "not-a-long", 9.0)).toDF("k", "t", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asofMerge(left, rightBadTs, Seq("k"), "t", "t", Seq("v"))
+    }
+    assert(e1.getMessage.contains("timestamp type mismatch"))
+    val rightBadKey = Seq((5, 100L, 9.0)).toDF("k", "t", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asofMerge(left, rightBadKey, Seq("k"), "t", "t", Seq("v"))
+    }
+    assert(e2.getMessage.contains("key type mismatch"))
+  }
+
   test("the plan contains the custom operator and no Window/Union") {
     val (clicks, buys) = clicksAndBuys
     val q = AsOfJoin.asofMerge(clicks, buys, Seq("user_id"), "ts", "ts",

@@ -101,4 +101,49 @@ class MergeSpec extends AnyFunSuite {
     val after = untouchedDir.listFiles().map(f => f.getName -> f.lastModified()).toMap
     assert(after == before, "untouched partition was rewritten")
   }
+
+  test("partition-scoped merge removes a matched key from its OLD partition " +
+    "when the partition value moved") {
+    val path = freshStore()
+    Seq((1L, "p1", "a"), (2L, "p2", "b"), (3L, "p2", "c"))
+      .toDF("k", "part", "v").write.partitionBy("part").parquet(path)
+    // key 2 moves p2 → p1; the source itself never mentions p2, but p2
+    // must still be rewritten or key 2 ends up duplicated across partitions
+    val src = Seq((2L, "p1", "B2")).toDF("k", "part", "v")
+    val out = Merge.into(spark, path, src, Seq("k"), prunePartitions = Some("part"))
+      .select("k", "part", "v").as[(Long, String, String)].collect().toSet
+    assert(out == Set((1L, "p1", "a"), (2L, "p1", "B2"), (3L, "p2", "c")))
+    assert(spark.read.parquet(path).filter($"k" === 2L).count() == 1,
+      "moved key duplicated across partitions")
+  }
+
+  test("partition-scoped merge clears a touched partition left with no rows") {
+    val path = freshStore()
+    Seq((1L, "p1", "a"), (2L, "p2", "b"))
+      .toDF("k", "part", "v").write.partitionBy("part").parquet(path)
+    // key 2 is p2's ONLY row and moves to p1: p2's output is empty, so
+    // dynamic overwrite alone would leave its stale files in place
+    val src = Seq((2L, "p1", "B2")).toDF("k", "part", "v")
+    val out = Merge.into(spark, path, src, Seq("k"), prunePartitions = Some("part"))
+      .select("k", "part", "v").as[(Long, String, String)].collect().toSet
+    assert(out == Set((1L, "p1", "a"), (2L, "p1", "B2")))
+    assert(!new java.io.File(path, "part=p2").exists(),
+      "emptied partition directory survived the merge")
+  }
+
+  test("schema evolution composes with partition pruning: untouched " +
+    "old-schema partitions read NULL for evolved columns") {
+    val path = freshStore()
+    Seq((1L, "p1", "a"), (3L, "p2", "c"))
+      .toDF("k", "part", "v").write.partitionBy("part").parquet(path)
+    val evolved = Seq((1L, "p1", "A", 0.7)).toDF("k", "part", "v", "score")
+    val out = Merge.into(spark, path, evolved, Seq("k"),
+      prunePartitions = Some("part"), evolveSchema = true)
+      .select("k", "part", "v", "score")
+      .as[(Long, String, String, Option[Double])].collect().toSet
+    assert(out == Set(
+      (1L, "p1", "A", Some(0.7)),
+      (3L, "p2", "c", None)), // untouched partition: old schema, NULL evolved col
+    "evolved column lost on read-back of a partially-evolved store")
+  }
 }

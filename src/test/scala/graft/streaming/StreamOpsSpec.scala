@@ -254,4 +254,15 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(last == Map("a" -> 3L, "b" -> 1L))
     } finally q.stop()
   }
+
+  test("runningCounts rejects EventTimeTimeout (state would silently never expire)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.runningCounts(mem.toDS(), (ev: Ev) => ev.user,
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())
+    }
+    assert(e.getMessage.contains("EventTimeTimeout"))
+  }
 }
