@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt -batch "runMain
+// graft.Bench"` as JSON. Forked-run output is normally routed through
+// sbt's logger (an "[info] " prefix on every line) and sbt appends a
+// "[success] Total time..." line — either breaks a line-wise JSON parse.
+// Pass the child's stdout through verbatim and drop the success banner.
+outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -19,7 +19,11 @@ object Bench {
     "q_ann_topk", "q_text_quality", "q_token_count", "q_merge",
     "q_corpus_curate")
 
-  private def fmt(v: Double): String = f"$v%.3f"
+  // Locale.ROOT pins the decimal separator: under e.g. de_DE the default-
+  // locale f-interpolator renders "1,234" and the driver-facing line (and
+  // target/bench_full.json) stop being JSON.
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

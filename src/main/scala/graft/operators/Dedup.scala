@@ -187,7 +187,57 @@ object Dedup {
     * (only possible when log₂(diameter) exceeds the cap) — returning
     * silently would hand the caller WRONG cluster labels.
     */
-  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def nearDupClusters(
+      pairs: DataFrame,
+      maxRounds: Int = 50,
+      maxLocalPairs: Long = 4000000L): DataFrame = {
+    // FAST PATH: the pair list is dup-rate-sized, orders of magnitude
+    // smaller than the corpus (a 100 TB corpus with 1% near-dups in
+    // clusters of ~2 yields ~10⁸ docs but pairs only for the dup subset).
+    // Below `maxLocalPairs` (~tens of MB of ids) a driver-side union-find
+    // replaces the O(log diameter) rounds of full-label-table shuffles
+    // with ONE collect — the same driver-memory envelope as collecting a
+    // broadcast side. Above the bound, the distributed loop below stands.
+    val nPairs = pairs.count()
+    if (nPairs <= maxLocalPairs) return localUnionFind(pairs)
+    distributedClusters(pairs, maxRounds)
+  }
+
+  /** Driver-side weighted-by-min union-find over a collected pair list.
+    * Roots are always the minimum id of their component, matching the
+    * distributed min-label propagation exactly. */
+  private def localUnionFind(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val idType = pairs.schema("id_a").dataType
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) {
+        val p = parent.get(r)
+        parent.put(r, parent.getOrDefault(p, p)) // path halving
+        r = parent.get(r)
+      }
+      r
+    }
+    val rows = pairs.select("id_a", "id_b").collect()
+    rows.foreach { row =>
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) {
+        if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val ids = new java.util.LinkedHashSet[Any]()
+    rows.foreach { r => ids.add(r.get(0)); ids.add(r.get(1)) }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    ids.forEach(id => out.add(org.apache.spark.sql.Row(id, find(id))))
+    spark.createDataFrame(out,
+      new org.apache.spark.sql.types.StructType()
+        .add("id", idType).add("cluster", idType))
+  }
+
+  private def distributedClusters(pairs: DataFrame, maxRounds: Int): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -257,7 +307,10 @@ object Dedup {
     // persist every loop round would re-run the whole LSH pipeline.
     val pairs = minhashNearDup(df, idCol, textCol, numHashes, bands, shingleN, threshold, seed)
       .persist()
+    // nearDupClusters materializes its labels (local relation or
+    // checkpoint) before returning, so the pair cache can go immediately.
     val clusters = nearDupClusters(pairs)
+    pairs.unpersist()
     val losers = clusters.filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

@@ -111,11 +111,42 @@ object DimUpsert {
     val tableExists: Boolean = {
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
-        val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+        val md = conn.getMetaData
+        // A schema-qualified name ("dw.dim") never matches the bare
+        // TABLE_NAME column — split the qualifier out and pass it as the
+        // schemaPattern. For unqualified names, scope the probe to the
+        // connection's current schema (where Spark's reader/writer will
+        // resolve it) instead of matching a same-named table in an
+        // unrelated schema.
+        val (schemaPart, namePart) = table.lastIndexOf('.') match {
+          case -1 =>
+            (try Option(conn.getSchema) catch { case _: Exception => None }, table)
+          case i => (Some(table.substring(0, i)), table.substring(i + 1))
+        }
+        // Unquoted identifiers live in the database's preferred case.
+        def storedCase(s: String): String =
+          if (md.storesUpperCaseIdentifiers) s.toUpperCase(java.util.Locale.ROOT)
+          else if (md.storesLowerCaseIdentifiers) s.toLowerCase(java.util.Locale.ROOT)
+          else s
+        // getTables args are LIKE patterns: escape _ and % so "dim_a"
+        // probes for that table, not any "dimXa". Some drivers support no
+        // escape at all (Derby returns "" — and silently treats a
+        // backslash-escaped pattern as a non-match): there, pass the
+        // over-matching raw pattern and exact-compare the returned names.
+        val esc = Option(md.getSearchStringEscape).filter(_.nonEmpty)
+        def quoteLike(s: String): String = esc match {
+          case Some(e) => s.replace(e, e + e).replace("_", e + "_").replace("%", e + "%")
+          case None => s
+        }
+        val wantSchema = schemaPart.map(storedCase)
+        val wantName = storedCase(namePart)
+        val rs = md.getTables(
+          null, wantSchema.map(quoteLike).orNull, quoteLike(wantName), Array("TABLE"))
         try {
           var found = false
           while (!found && rs.next()) {
-            found = rs.getString("TABLE_NAME").equalsIgnoreCase(table)
+            found = rs.getString("TABLE_NAME") == wantName &&
+              wantSchema.forall(s => rs.getString("TABLE_SCHEM") == s)
           }
           found
         } finally rs.close()

@@ -116,33 +116,63 @@ object Merge {
         require(!touched.contains(null),
           s"partition-scoped merge does not support NULL values in $pcol")
         val scoped = current.filter(col(pcol).isin(touched: _*))
+        // On-disk dirs currently holding touched partitions, taken from
+        // the files the scan itself reads — so the path encoding (dates,
+        // timestamps with escaped colons, special chars) is exactly what
+        // the writer produced, never reconstructed from a value's
+        // toString. Walk up from each file to the `pcol=` ancestor.
+        val oldDirs: Array[org.apache.hadoop.fs.Path] = scoped
+          .select(input_file_name().as("graft_f")).distinct()
+          .collect().map(_.getString(0))
+          .flatMap { f =>
+            // input_file_name() yields the file's URI form — percent-
+            // encoded (a literal "%3A" in a timestamp dir arrives as
+            // "%253A") — decode via URI before treating it as an FS path
+            var p = new org.apache.hadoop.fs.Path(new java.net.URI(f)).getParent
+            while (p != null && !p.getName.startsWith(pcol + "=")) p = p.getParent
+            Option(p)
+          }
+          .distinct
+        // Stage the merged output FULLY before touching the target: the
+        // merge plan scans the target, and an in-place overwrite would
+        // race its own recompute (cache eviction / task retry mid-write
+        // re-reads files the write is replacing). Write-to-staging then
+        // swap partition dirs — same protocol as the unpruned branch,
+        // scoped to the touched partitions. A touched partition with no
+        // output rows simply has no staged dir: its old dir is retired
+        // and never replaced, which also clears stale files that dynamic
+        // overwrite (rewriting only partitions PRESENT in the output)
+        // would leave behind.
+        val tag = java.util.UUID.randomUUID().toString.take(8)
+        val staging = new org.apache.hadoop.fs.Path(targetPath + ".staging-" + tag)
+        val retired = new org.apache.hadoop.fs.Path(targetPath + ".old-" + tag)
         val merged = scoped
           .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
           .unionByName(source, allowMissingColumns = evolveSchema)
-          .persist()
-        // Dynamic overwrite only rewrites partitions PRESENT in the
-        // output — a touched partition whose every row was matched-and-
-        // moved produces no output rows and would keep its stale files.
-        // Collect the output's partition values and clear the difference
-        // by hand afterwards.
-        val written = merged.select(pcol).distinct().collect().map(_.get(0)).toSet
-        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try merged.write.mode("overwrite").partitionBy(pcol).parquet(targetPath)
-        finally {
-          merged.unpersist()
-          prev match {
-            case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-            case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        merged.write.partitionBy(pcol).parquet(staging.toString)
+        val stagedDirs = fs.listStatus(staging)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(pcol + "="))
+          .map(_.getPath)
+        // Swap: retire the old touched dirs, then move staged dirs in.
+        // Not atomic across partitions (parquet has no transaction log);
+        // a crash mid-swap leaves the retired dir in place for manual
+        // recovery, and never a half-written partition — each dir move
+        // is a single rename.
+        fs.mkdirs(retired)
+        oldDirs.foreach { d =>
+          if (!fs.rename(d, new org.apache.hadoop.fs.Path(retired, d.getName))) {
+            fs.delete(staging, true)
+            throw new java.io.IOException(s"could not retire partition dir $d")
           }
         }
-        touched.filterNot(written.contains).foreach { v =>
-          val dir = new org.apache.hadoop.fs.Path(
-            target,
-            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .getPartitionPathString(pcol, String.valueOf(v)))
-          fs.delete(dir, true)
+        stagedDirs.foreach { s =>
+          if (!fs.rename(s, new org.apache.hadoop.fs.Path(target, s.getName))) {
+            throw new java.io.IOException(
+              s"could not swap $s into place (old partitions preserved in $retired)")
+          }
         }
+        fs.delete(staging, true)
+        fs.delete(retired, true)
       case None =>
         val merged = current
           .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")

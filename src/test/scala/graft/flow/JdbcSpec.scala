@@ -66,4 +66,37 @@ class JdbcSpec extends AnyFunSuite {
     assert(dim.count() == 3)
     assert(dim.select("sk").distinct().count() == 3)
   }
+
+  test("A18 dim upsert resolves a schema-qualified dim table name") {
+    val url = memUrl("graft_schema")
+    // Derby auto-creates a schema on first write; the probe must pass the
+    // qualifier as getTables' schemaPattern — matched against bare
+    // TABLE_NAME, "dw.t_dim" looks missing forever and batch 2's
+    // errorifexists write would throw.
+    val b1 = Seq((1L, "acme"), (2L, "zenith")).toDF("fact_id", "brand")
+    val r1 = graft.operators.DimUpsert.upsertJdbc(spark, url, "dw.t_dim", b1, "brand")
+      .select("fact_id", "sk").as[(Long, Long)].collect().toMap
+    assert(r1.values.toSet.size == 2)
+    val b2 = Seq((3L, "acme"), (4L, "nimbus")).toDF("fact_id", "brand")
+    val r2 = graft.operators.DimUpsert.upsertJdbc(spark, url, "dw.t_dim", b2, "brand")
+      .select("fact_id", "sk").as[(Long, Long)].collect().toMap
+    assert(r2(3L) == r1(1L))
+    assert(spark.read.jdbc(url, "dw.t_dim", props).count() == 3)
+  }
+
+  test("A18 existence probe treats _ in the table name literally, not as " +
+    "a LIKE wildcard") {
+    val url = memUrl("graft_like")
+    // Only "tzdimx" exists; probing for "t_dimx" with an UNESCAPED LIKE
+    // pattern would match it (`_` = any char) → phantom "exists" → the
+    // subsequent spark.read.jdbc("t_dimx") fails. With escaping, the
+    // probe correctly reports missing and the upsert creates the table.
+    Seq((1L, "acme")).toDF("fact_id", "brand")
+      .write.option("createTableColumnTypes", "brand VARCHAR(255)")
+      .jdbc(url, "tzdimx", props)
+    val b = Seq((1L, "acme")).toDF("fact_id", "brand")
+    val out = graft.operators.DimUpsert.upsertJdbc(spark, url, "t_dimx", b, "brand")
+    assert(out.count() == 1)
+    assert(spark.read.jdbc(url, "t_dimx", props).count() == 1)
+  }
 }

@@ -63,11 +63,32 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("nearDupClusters throws rather than returning unconverged labels") {
-    // a 6-node path needs several propagation rounds; cap at 1 → must fail
+    // a 6-node path needs several propagation rounds; cap at 1 → must
+    // fail (maxLocalPairs = 0 forces the distributed loop under test)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      Dedup.nearDupClusters(pairs, maxRounds = 1)
+      Dedup.nearDupClusters(pairs, maxRounds = 1, maxLocalPairs = 0L)
     }
+  }
+
+  test("driver union-find fast path agrees with the distributed loop") {
+    // long chain + star + isolated pair, shuffled edge order
+    val edges = Seq(
+      (5L, 4L), (2L, 3L), (1L, 2L), (3L, 4L), // chain 1..5 out of order
+      (20L, 25L), (20L, 21L), (22L, 20L),     // star rooted at 20
+      (40L, 41L))
+    val pairs = edges.toDF("id_a", "id_b")
+    val local = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.nearDupClusters(pairs, maxLocalPairs = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+    assert(local(5L) == 1L && local(25L) == 20L && local(41L) == 40L)
+  }
+
+  test("union-find fast path handles string ids (min = lexicographic)") {
+    val pairs = Seq(("docB", "docA"), ("docC", "docB")).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(pairs).as[(String, String)].collect().toMap
+    assert(clusters == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA"))
   }
 
   test("dedupNear keeps one survivor per near-dup cluster and all unique docs") {

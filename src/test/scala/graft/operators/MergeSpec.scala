@@ -131,6 +131,45 @@ class MergeSpec extends AnyFunSuite {
       "emptied partition directory survived the merge")
   }
 
+  test("partition-scoped merge handles a DATE partition column whose " +
+    "emptied partition must be cleared") {
+    val path = freshStore()
+    // A date's on-disk dir is "day=2024-01-01"; reconstructing it from
+    // java.sql.Date.toString happens to match, but Timestamp.toString
+    // ("2024-01-01 00:00:00.0") never does — both types go through the
+    // same listing-based dir discovery now. Date case first:
+    Seq((1L, "2024-01-01", "a"), (2L, "2024-01-02", "b"))
+      .toDF("k", "day", "v").withColumn("day", $"day".cast("date"))
+      .write.partitionBy("day").parquet(path)
+    // key 2 is day 2024-01-02's only row and moves to 2024-01-01
+    val src = Seq((2L, "2024-01-01", "B2")).toDF("k", "day", "v")
+      .withColumn("day", $"day".cast("date"))
+    val out = Merge.into(spark, path, src, Seq("k"), prunePartitions = Some("day"))
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "B2")))
+    assert(spark.read.parquet(path).filter($"k" === 2L).count() == 1,
+      "moved key duplicated across date partitions")
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("day=2024-01-01"), s"stale date partition survived: $dirs")
+  }
+
+  test("partition-scoped merge handles a TIMESTAMP partition column " +
+    "(escaped on-disk dir names)") {
+    val path = freshStore()
+    Seq((1L, "2024-01-01 10:30:00", "a"), (2L, "2024-01-02 11:00:00", "b"))
+      .toDF("k", "ts", "v").withColumn("ts", $"ts".cast("timestamp"))
+      .write.partitionBy("ts").parquet(path)
+    val src = Seq((2L, "2024-01-01 10:30:00", "B2")).toDF("k", "ts", "v")
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val out = Merge.into(spark, path, src, Seq("k"), prunePartitions = Some("ts"))
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "B2")))
+    assert(spark.read.parquet(path).filter($"k" === 2L).count() == 1)
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.size == 1 && dirs.head.startsWith("ts=2024-01-01"),
+      s"stale timestamp partition survived: $dirs")
+  }
+
   test("schema evolution composes with partition pruning: untouched " +
     "old-schema partitions read NULL for evolved columns") {
     val path = freshStore()
