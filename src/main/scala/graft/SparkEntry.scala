@@ -22,6 +22,8 @@ object SparkEntry {
       ExtendedQueries.all ++
       LateralMapQueries.all ++
       CoverageQueries.all ++
+      AnalyticsQueries.all ++
+      CurationQueries.all ++
       NonOracleQueries.all
 
   require(

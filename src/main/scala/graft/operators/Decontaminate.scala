@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: remove training documents that share any
+  * word `n`-gram with an evaluation/benchmark set — the standard guard
+  * against test-set leakage when curating a training corpus (13-gram
+  * overlap is the convention for LLM pretraining sets).
+  *
+  * Scale design (100 TB corpus, eval-set-sized benchmark): the benchmark
+  * side collapses to a DISTINCT set of 8-byte n-gram hashes and is
+  * BROADCAST; the corpus side is a narrow explode of per-document n-gram
+  * hashes filtered by the broadcast semi-join — no shuffle ever carries
+  * exploded corpus data, only the (tiny) matched id set is aggregated.
+  */
+object Decontaminate {
+
+  private def ngramHashes(text: org.apache.spark.sql.Column, n: Int) =
+    transform(TextFunctions.shingles(text, n), s => xxhash64(s))
+
+  /** Distinct ids of corpus documents sharing ≥1 word n-gram with the
+    * benchmark. Column: `idCol`. */
+  def contaminatedIds(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 13): DataFrame = {
+    val benchHashes = benchmark
+      .select(explode(ngramHashes(col(benchTextCol), n)).as("graft_h"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(ngramHashes(col(textCol), n)).as("graft_h"))
+      .join(broadcast(benchHashes), Seq("graft_h"), "left_semi")
+      .select(idCol)
+      .distinct()
+  }
+
+  /** The corpus minus contaminated documents. */
+  def clean(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 13): DataFrame =
+    corpus.join(
+      contaminatedIds(corpus, idCol, textCol, benchmark, benchTextCol, n),
+      Seq(idCol), "left_anti")
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral-analytics operators over the `events` table: ordered funnel
+  * conversion, cohort retention, Markov transitions, stratified sampling —
+  * plus higher-moment statistics and PII redaction. All oracle-gated.
+  *
+  * Scale notes (100 TB): every query shuffles on `user_id` (or the group
+  * key) exactly as many times as it has aggregation levels; the funnel's
+  * three stage-joins are all co-partitioned on user_id so AQE plans them
+  * as one exchange reuse. Nothing collects; nothing is quadratic.
+  */
+object AnalyticsQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Ordered funnel: first view → first click within 24h → first
+    // purchase within 72h of the click. The classic "did the user
+    // convert, in order, within windows" analytics operator. Stage
+    // frames are per-user minima (one groupBy each), joined
+    // co-partitioned on user_id.
+    GraftQuery(
+      "q_funnel",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val c = e.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") > col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") > col("t2") &&
+            col("ts") <= col("t2") + expr("INTERVAL 72 HOURS"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+             |           WHERE event_type='view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+             |      WHERE event_type='click' AND e.ts > v.t1
+             |        AND e.ts <= v.t1 + INTERVAL 24 HOUR GROUP BY 1),
+             |p AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
+             |      WHERE event_type='purchase' AND e.ts > c.t2
+             |        AND e.ts <= c.t2 + INTERVAL 72 HOUR GROUP BY 1)
+             |SELECT (SELECT count(*) FROM v) AS n_view,
+             |       (SELECT count(*) FROM c) AS n_click,
+             |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin)),
+
+    // Cohort retention: users grouped by first-seen week, distinct-user
+    // counts per (cohort week, weeks since). Two shuffles: the first-seen
+    // aggregate and the final distinct count.
+    GraftQuery(
+      "q_cohort",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val fw = e.groupBy("user_id").agg(date_trunc("week", min("ts")).as("cw"))
+        e.join(fw, "user_id")
+          .select(
+            col("cw").cast("date").as("cohort_week"),
+            (datediff(date_trunc("week", col("ts")).cast("date"),
+              col("cw").cast("date")) / 7).cast("int").as("week_offset"),
+            col("user_id"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH fw AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+             |            FROM events GROUP BY 1)
+             |SELECT CAST(cw AS DATE) AS cohort_week,
+             |       CAST(datediff('day', cw, date_trunc('week', e.ts))/7 AS INT) AS week_offset,
+             |       count(DISTINCT e.user_id) AS n_users
+             |FROM events e JOIN fw USING (user_id)
+             |GROUP BY 1,2 ORDER BY cohort_week, week_offset""".stripMargin)),
+
+    // Markov transition counts: (previous event type → current) per user
+    // session order. One window shuffle on user_id + one small aggregate.
+    GraftQuery(
+      "q_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .select(col("event_type"), lag("event_type", 1).over(w).as("prev"))
+          .filter(col("prev").isNotNull)
+          .groupBy("prev", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .select(col("prev"), col("event_type").as("curr"), col("n"))
+          .orderBy("prev", "curr")
+      },
+      Some("""SELECT prev, event_type AS curr, count(*) AS n FROM (
+             |  SELECT event_type,
+             |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events) t
+             |WHERE prev IS NOT NULL GROUP BY 1,2 ORDER BY prev, curr""".stripMargin)),
+
+    // Stratified deterministic sampling: a different hash-sample rate per
+    // stratum (event_type), reproducible across engines — how a 100 TB
+    // corpus gets a class-balanced eval carve-out without TABLESAMPLE's
+    // nondeterminism. Hex-prefix of md5(id) < per-stratum bound ⇒ rates
+    // 1/2, 1/4, 1 (all), 1/8, 1/16.
+    GraftQuery(
+      "q_stratified_sample",
+      (s, d) => {
+        val bound = when(col("event_type") === "view", lit("8"))
+          .when(col("event_type") === "click", lit("4"))
+          .when(col("event_type") === "purchase", lit("g"))
+          .when(col("event_type") === "signup", lit("2"))
+          .otherwise(lit("1"))
+        Tables.events(s, d)
+          .filter(substring(md5(col("event_id").cast("string")), 1, 1) < bound)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_sampled"), round(avg("value"), 4).as("avg_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n_sampled,
+             |       ROUND(avg(value), 4) AS avg_value
+             |FROM events
+             |WHERE substring(md5(CAST(event_id AS VARCHAR)), 1, 1) <
+             |      CASE event_type WHEN 'view' THEN '8' WHEN 'click' THEN '4'
+             |        WHEN 'purchase' THEN 'g' WHEN 'signup' THEN '2' ELSE '1' END
+             |GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // Higher central moments: population skewness and excess kurtosis per
+    // group (Spark's skewness/kurtosis definitions). The oracle computes
+    // the same moments two-pass-centered (join group mean, then average
+    // centered powers) — numerically stable where raw-power expansion
+    // catastrophically cancels at price⁴ magnitudes.
+    GraftQuery(
+      "q_stats_moments",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_linestatus")
+          .agg(
+            round(skewness(col("l_extendedprice")), 4).as("skew"),
+            round(kurtosis(col("l_extendedprice")), 4).as("kurt"))
+          .orderBy("l_linestatus"),
+      Some("""WITH mu AS (SELECT l_linestatus AS g, avg(l_extendedprice) AS m
+             |            FROM lineitem GROUP BY 1)
+             |SELECT l_linestatus,
+             |  ROUND(avg(pow(l_extendedprice - m, 3))
+             |        / pow(avg(pow(l_extendedprice - m, 2)), 1.5), 4) AS skew,
+             |  ROUND(avg(pow(l_extendedprice - m, 4))
+             |        / pow(avg(pow(l_extendedprice - m, 2)), 2) - 3, 4) AS kurt
+             |FROM lineitem JOIN mu ON l_linestatus = mu.g
+             |GROUP BY 1 ORDER BY l_linestatus""".stripMargin)),
+
+    // PII redaction: scrub synthetic emails/phones from documents (every
+    // third doc gets PII planted so the null case is exercised too), and
+    // count what was found. Narrow codegen'd regex pass — the shape of a
+    // 100 TB scrubbing job. Patterns stay in the RE2 ∩ Java-regex
+    // dialect intersection.
+    GraftQuery(
+      "q_pii_redact",
+      (s, d) => {
+        val synth = when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example now or call 555-"),
+            lpad(col("doc_id").cast("string"), 4, "0")))
+          .otherwise(col("text"))
+        val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+        val phonePat = "555-[0-9]{4}"
+        Tables.documents(s, d)
+          .select(col("doc_id"), synth.as("synth"))
+          .select(
+            col("doc_id"),
+            regexp_replace(regexp_replace(col("synth"), emailPat, "[EMAIL]"),
+              phonePat, "[PHONE]").as("redacted"),
+            size(regexp_extract_all(col("synth"), lit(emailPat), lit(0)))
+              .as("n_emails"),
+            size(regexp_extract_all(col("synth"), lit(phonePat), lit(0)))
+              .as("n_phones"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(synth, '[a-z0-9]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+             |                 '555-[0-9]{4}', '[PHONE]', 'g') AS redacted,
+             |  CAST(len(regexp_extract_all(synth, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS INT) AS n_emails,
+             |  CAST(len(regexp_extract_all(synth, '555-[0-9]{4}')) AS INT) AS n_phones
+             |FROM (SELECT doc_id,
+             |        CASE WHEN doc_id % 3 = 0
+             |          THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |               || '@mail.example now or call 555-'
+             |               || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+             |          ELSE text END AS synth
+             |      FROM documents) t
+             |ORDER BY doc_id""".stripMargin)))
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.operators.{Chunker, Decontaminate}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators over `documents`: overlapping
+  * token-window chunking, repetition scoring, benchmark decontamination.
+  * Chunking and repetition are oracle-gated (DuckDB list functions can
+  * express both); decontamination's shingle-hash semi-join is not
+  * SQL-expressible in DuckDB and is rows-only + ScalaTest.
+  */
+object CurationQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Overlapping token chunks: 10-token windows advancing 8 tokens.
+    // Narrow (tokenize → explode starts → slice): chunking is scan-bound
+    // at any corpus size.
+    GraftQuery(
+      "q_chunk",
+      (s, d) =>
+        Chunker.chunk(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 10, stride = 8)
+          .orderBy("doc_id", "chunk_ix"),
+      Some("""SELECT doc_id, CAST(g AS INT) AS chunk_ix,
+             |       array_to_string(toks[g*8+1 : g*8+10], ' ') AS chunk
+             |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+             |LATERAL (SELECT unnest(generate_series(0,
+             |           CAST(floor((len(toks)-1)/8) AS INT))) AS g) s
+             |ORDER BY doc_id, chunk_ix""".stripMargin)),
+
+    // Repetition score (Gopher-style quality rule): fraction of duplicate
+    // word bigrams within each document. Pure per-row higher-order
+    // functions — no shuffle.
+    GraftQuery(
+      "q_repetition",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val bg = transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            when(size(toks) >= 2,
+              round(lit(1.0) -
+                size(array_distinct(bg)).cast("double") / size(bg), 4))
+              .otherwise(lit(0.0)).as("dup_bigram_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN len(toks) >= 2
+             |    THEN ROUND(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)/len(bg), 4)
+             |    ELSE 0.0 END AS dup_bigram_ratio
+             |FROM (SELECT doc_id, toks,
+             |        list_transform(generate_series(1, len(toks)-1),
+             |                       i -> toks[i] || ' ' || toks[i+1]) AS bg
+             |      FROM (SELECT doc_id, string_split(text,' ') AS toks
+             |            FROM documents) x) y
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination: docs sharing any 8-gram with a held-out
+    // "benchmark" carve (every 97th document stands in for an eval set).
+    // Shingle-hash broadcast semi-join — rows-only (no DuckDB shingle
+    // SQL); semantics are ScalaTest-gated (DecontaminateSpec).
+    GraftQuery(
+      "q_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val benchmark = docs.filter(col("doc_id") % 97 === 0)
+        Decontaminate.contaminatedIds(docs, "doc_id", "text", benchmark, "text", n = 8)
+          .orderBy("doc_id")
+      },
+      None))
+}

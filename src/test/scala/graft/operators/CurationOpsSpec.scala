@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.flow.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationOpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("chunker emits overlapping windows and never drops the tail") {
+    val docs = Seq((1L, "a b c d e f g h i j k")).toDF("doc_id", "text") // 11 tokens
+    val out = Chunker.chunk(docs, "doc_id", "text", chunkTokens = 5, stride = 3)
+      .as[(Long, Int, String)].collect().sortBy(_._2)
+    assert(out.map(_._3).toSeq == Seq(
+      "a b c d e", // 1..5
+      "d e f g h", // 4..8
+      "g h i j k", // 7..11
+      "j k"))      // 10..11 partial tail kept
+    // overlap = chunkTokens - stride = 2 tokens between consecutive chunks
+    assert(out(0)._3.split(" ").takeRight(2).sameElements(out(1)._3.split(" ").take(2)))
+  }
+
+  test("chunker: document shorter than one chunk yields exactly one chunk") {
+    val docs = Seq((1L, "x y")).toDF("doc_id", "text")
+    val out = Chunker.chunk(docs, "doc_id", "text", chunkTokens = 10, stride = 8)
+      .as[(Long, Int, String)].collect()
+    assert(out.toSeq == Seq((1L, 0, "x y")))
+  }
+
+  test("chunker rejects stride > chunkTokens (tokens would be dropped)") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Chunker.chunk(docs, "doc_id", "text", chunkTokens = 4, stride = 5)
+    }
+  }
+
+  test("decontamination flags docs sharing an n-gram with the benchmark " +
+    "and clean() drops exactly those") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // contains bench 3-gram
+      (2L, "completely unrelated text about spark engines"),
+      (3L, "another doc where quick brown fox appears too")) // same 3-gram
+      .toDF("doc_id", "text")
+    val benchmark = Seq("benchmark asks about the quick brown fox story")
+      .toDF("q")
+    val flagged = Decontaminate
+      .contaminatedIds(corpus, "doc_id", "text", benchmark, "q", n = 3)
+      .as[Long].collect().toSet
+    assert(flagged == Set(1L, 3L))
+    val kept = Decontaminate.clean(corpus, "doc_id", "text", benchmark, "q", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
+  test("decontamination with no overlap keeps the whole corpus") {
+    val corpus = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val benchmark = Seq("epsilon zeta eta theta").toDF("q")
+    assert(Decontaminate.clean(corpus, "doc_id", "text", benchmark, "q", n = 2)
+      .count() == 1)
+  }
+}
