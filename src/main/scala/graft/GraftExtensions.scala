@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, HyperplaneSig, MinHashSig, MinHashTextSig, SimHash64, TopKAgg}
+import org.apache.spark.sql.graft.{CosineSimilarity, HyperplaneSig, MinHashSig, MinHashTextSig, NormalizeString, SimHash64, TopKAgg}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** Engine extension point: registers graft's native expressions with a
@@ -72,6 +72,19 @@ object GraftExtensions {
             "graft_minhash_text expects (text, shingleN, numHashes, seed)")
           MinHashTextSig(args.head, litLong(args(1), "shingleN").toInt,
             litLong(args(2), "numHashes").toInt, litLong(args(3), "seed"))
+        }),
+      (
+        FunctionIdentifier("graft_normalize"),
+        new ExpressionInfo(classOf[NormalizeString].getName, "graft_normalize"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1 || args.length == 2,
+            "graft_normalize expects (text[, form])")
+          val form = if (args.length == 2) args(1) match {
+            case Literal(v, _) => v.toString
+            case other => throw new IllegalArgumentException(
+              s"form must be a literal string, got $other")
+          } else "NFC"
+          NormalizeString(args.head, form)
         }),
       (
         FunctionIdentifier("graft_top_k"),

@@ -24,6 +24,7 @@ object SparkEntry {
       CoverageQueries.all ++
       AnalyticsQueries.all ++
       CurationQueries.all ++
+      StoreQueries.all ++
       NonOracleQueries.all
 
   require(

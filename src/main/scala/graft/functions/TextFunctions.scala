@@ -124,6 +124,13 @@ object TextFunctions {
       lit(0L),
       (acc, ch) => pmod(acc * base + coalesce(ascii(ch).cast("long"), lit(0L)), lit(mod)))
 
+  /** Unicode normalization (codegen'd native expression — no UDF).
+    * Canonicalize BEFORE hashing/dedup: composed vs decomposed accents
+    * must fingerprint identically. Forms: NFC (default), NFD, NFKC,
+    * NFKD. */
+  def normalize(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graft.NormalizeString(text, form)
+
   /** Exact Jaccard similarity of two shingle arrays (set semantics). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained aggregate store (materialized-view
+  * maintenance): per-key mergeable statistics (count / sum / min / max —
+  * avg derives as sum/n) kept in a parquet store and UPDATED per batch
+  * without ever rescanning history.
+  *
+  * Why it matters at 100 TB: re-aggregating an append-only fact table
+  * costs a full history scan per refresh; merging batch partials into a
+  * key-sized store costs one shuffle of the BATCH plus a rewrite of the
+  * (distinct-key-sized) store. This is the classic partial-aggregate
+  * merge — the same algebra Spark's own partial/final aggregation uses,
+  * persisted across batches.
+  *
+  * Store writes use the staged-swap protocol (write fully, then two
+  * renames) — see Merge.
+  */
+object IncrementalAgg {
+
+  /** Fold one batch into the store at `path`.
+    * Store schema: `keyCols* , n, sum, min, max`.
+    * @return the updated store, read back. */
+  def update(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+
+    val partial = batch.groupBy(keyCols.map(col): _*).agg(
+      count(col(valueCol)).as("n"),
+      sum(col(valueCol)).cast("double").as("sum"),
+      min(col(valueCol)).cast("double").as("min"),
+      max(col(valueCol)).cast("double").as("max"))
+
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) {
+      partial.write.parquet(path)
+      return spark.read.parquet(path)
+    }
+
+    val store = spark.read.parquet(path)
+    // mergeable-statistic combine over a full outer join: a key present
+    // on one side only passes through; present on both → n+n, sum+sum,
+    // min(min), max(max)
+    val s = store.as("s")
+    val p = partial.as("p")
+    val joinCond = keyCols.map(k => col(s"s.$k") <=> col(s"p.$k")).reduce(_ && _)
+    val keyOut = keyCols.map(k => coalesce(col(s"s.$k"), col(s"p.$k")).as(k))
+    val merged = s.join(p, joinCond, "full_outer")
+      .select(keyOut ++ Seq(
+        (coalesce(col("s.n"), lit(0L)) + coalesce(col("p.n"), lit(0L))).as("n"),
+        (coalesce(col("s.sum"), lit(0.0)) + coalesce(col("p.sum"), lit(0.0))).as("sum"),
+        least(col("s.min"), col("p.min")).as("min"), // least/greatest skip NULLs
+        greatest(col("s.max"), col("p.max")).as("max")): _*)
+
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging-" + tag)
+    val retired = new org.apache.hadoop.fs.Path(path + ".old-" + tag)
+    merged.write.parquet(staging.toString)
+    if (!fs.rename(target, retired)) {
+      fs.delete(staging, true)
+      throw new java.io.IOException(s"could not retire $target")
+    }
+    if (!fs.rename(staging, target)) {
+      fs.rename(retired, target)
+      throw new java.io.IOException(s"could not swap $staging into place")
+    }
+    fs.delete(retired, true)
+    spark.read.parquet(path)
+  }
+
+  /** Read the store with the derived average attached. */
+  def withAvg(store: DataFrame): DataFrame =
+    store.withColumn("avg",
+      when(col("n") > 0, col("sum") / col("n")))
+}

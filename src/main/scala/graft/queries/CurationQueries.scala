@@ -60,6 +60,29 @@ object CurationQueries {
              |            FROM documents) x) y
              |ORDER BY doc_id""".stripMargin)),
 
+    // Unicode canonicalization ahead of hashing/dedup: decomposed accents
+    // (e + U+0301) must fingerprint like their composed form (é). Native
+    // codegen'd expression (Spark has no builtin normalize); the oracle
+    // is DuckDB's nfc_normalize. A decomposed suffix is planted so the
+    // transform is observable on the ASCII fixture.
+    GraftQuery(
+      "q_normalize",
+      (s, d) => {
+        val raw = concat(col("text"), lit(" cafe"), lit("\u0301"))
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            graft.functions.TextFunctions.normalize(raw).as("norm"),
+            length(raw).as("n_raw"),
+            length(graft.functions.TextFunctions.normalize(raw)).as("n_nfc"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  nfc_normalize(text || ' cafe' || chr(769)) AS norm,
+             |  CAST(length(text || ' cafe' || chr(769)) AS INT) AS n_raw,
+             |  CAST(length(nfc_normalize(text || ' cafe' || chr(769))) AS INT) AS n_nfc
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Benchmark decontamination: docs sharing any 8-gram with a held-out
     // "benchmark" carve (every 97th document stands in for an eval set).
     // Shingle-hash broadcast semi-join — rows-only (no DuckDB shingle

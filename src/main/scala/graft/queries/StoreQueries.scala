@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.operators.{IncrementalAgg, Scd2}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Store-maintenance operators, oracle-gated end to end: SCD Type 2
+  * dimension history and incremental aggregate maintenance. Like q_merge,
+  * each run drives the real operator against a scratch parquet store and
+  * the oracle states the expected post-maintenance table directly in SQL.
+  */
+object StoreQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // SCD2: batch 1 loads every supplier at t1; batch 2 (keys ≤ 30)
+    // renames the even keys (→ close + re-open), repeats the odd keys
+    // verbatim (→ no churn) and adds brand-new keys. The oracle spells
+    // out the resulting version table.
+    GraftQuery(
+      "q_scd2",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_scd2q").toString + "/dim"
+        val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+        Scd2.apply(s, tmp, sup, "s_suppkey", "2024-01-01 00:00:00")
+        val b2 = sup.filter(col("s_suppkey") <= 30)
+          .withColumn("s_name",
+            when(col("s_suppkey") % 2 === 0, upper(col("s_name")))
+              .otherwise(col("s_name")))
+          .unionByName(
+            sup.filter(col("s_suppkey") <= 30).select(
+              (col("s_suppkey") + 1000000).as("s_suppkey"),
+              concat(lit("NEW_"), col("s_suppkey").cast("string")).as("s_name")))
+        Scd2.apply(s, tmp, b2, "s_suppkey", "2024-02-01 00:00:00")
+          .orderBy("s_suppkey", "valid_from")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT s_suppkey, s_name,
+             |         TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+             |         TIMESTAMP '2024-02-01 00:00:00' AS valid_to,
+             |         FALSE AS is_current
+             |  FROM supplier WHERE s_suppkey <= 30 AND s_suppkey % 2 = 0
+             |  UNION ALL
+             |  SELECT s_suppkey, UPPER(s_name),
+             |         TIMESTAMP '2024-02-01 00:00:00', NULL, TRUE
+             |  FROM supplier WHERE s_suppkey <= 30 AND s_suppkey % 2 = 0
+             |  UNION ALL
+             |  SELECT s_suppkey, s_name,
+             |         TIMESTAMP '2024-01-01 00:00:00', NULL, TRUE
+             |  FROM supplier WHERE NOT (s_suppkey <= 30 AND s_suppkey % 2 = 0)
+             |  UNION ALL
+             |  SELECT s_suppkey + 1000000, 'NEW_' || CAST(s_suppkey AS VARCHAR),
+             |         TIMESTAMP '2024-02-01 00:00:00', NULL, TRUE
+             |  FROM supplier WHERE s_suppkey <= 30
+             |) t ORDER BY s_suppkey, valid_from""".stripMargin)),
+
+    // Incremental aggregation: three disjoint batches of lineitem folded
+    // into the store must equal one direct aggregation of the whole
+    // table — the materialized-view maintenance identity.
+    GraftQuery(
+      "q_incr_agg",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_incrq").toString + "/agg"
+        val li = Tables.lineitem(s, d)
+        (0 until 3).foreach { i =>
+          IncrementalAgg.update(s, tmp,
+            li.filter(col("l_orderkey") % 3 === i), Seq("l_returnflag"), "l_quantity")
+        }
+        IncrementalAgg.withAvg(s.read.parquet(tmp))
+          .select(
+            col("l_returnflag"), col("n"),
+            round(col("sum"), 2).as("sum"),
+            round(col("min"), 2).as("min"),
+            round(col("max"), 2).as("max"),
+            round(col("avg"), 4).as("avg"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(l_quantity) AS n,
+             |  ROUND(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum,
+             |  ROUND(CAST(min(l_quantity) AS DOUBLE), 2) AS min,
+             |  ROUND(CAST(max(l_quantity) AS DOUBLE), 2) AS max,
+             |  ROUND(CAST(sum(l_quantity) AS DOUBLE)/count(l_quantity), 4) AS avg
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)))
+}

@@ -53,4 +53,33 @@ class PlanInvariantsSpec extends AnyFunSuite {
     val plan = executedPlan("q_exists")
     assert(plan.contains("LeftSemi"), plan)
   }
+
+  test("runtime bloom-filter pruning: a selective dim filter injects a " +
+    "bloom filter into the fact scan of a shuffle join") {
+    // At 100 TB the pre-shuffle row cull from a runtime bloom filter is
+    // the difference between shuffling the whole fact table and shuffling
+    // the ~matching slice. Thresholds are tuned down because the fixture
+    // is tiny; a real cluster hits the defaults (10 MB creation side).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a shuffle join
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val dim = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(dim,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter"), plan.take(4000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.flow.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class Scd2Spec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshStore(): String =
+    Files.createTempDirectory("graft_scd2").toString + "/dim"
+
+  test("first batch creates open versions; changes close and re-open; " +
+    "unchanged and absent keys are untouched") {
+    val path = freshStore()
+    val b1 = Seq((1L, "acme", "NY"), (2L, "zenith", "SF"), (3L, "nimbus", "LA"))
+      .toDF("id", "name", "city")
+    Scd2.apply(spark, path, b1, "id", "2024-01-01 00:00:00")
+
+    // batch 2: key 1 changes city, key 2 unchanged, key 3 absent, key 4 new
+    val b2 = Seq((1L, "acme", "BOS"), (2L, "zenith", "SF"), (4L, "vertex", "SEA"))
+      .toDF("id", "name", "city")
+    val out = Scd2.apply(spark, path, b2, "id", "2024-02-01 00:00:00")
+
+    val current = out.filter($"is_current")
+      .select("id", "city").as[(Long, String)].collect().toMap
+    assert(current == Map(1L -> "BOS", 2L -> "SF", 3L -> "LA", 4L -> "SEA"))
+
+    // key 1 history: closed NY version with valid_to = batch-2 ts
+    val v1 = out.filter($"id" === 1L).orderBy("valid_from")
+      .select("city", "valid_to", "is_current")
+      .as[(String, Option[java.sql.Timestamp], Boolean)].collect()
+    assert(v1.length == 2)
+    assert(v1(0) == (("NY", Some(java.sql.Timestamp.valueOf("2024-02-01 00:00:00")), false)))
+    assert(v1(1)._1 == "BOS" && v1(1)._2.isEmpty && v1(1)._3)
+
+    // unchanged key 2 has exactly ONE version (no churn)
+    assert(out.filter($"id" === 2L).count() == 1)
+  }
+
+  test("re-applying the same batch is a no-op (idempotent on unchanged attrs)") {
+    val path = freshStore()
+    val b = Seq((1L, "acme")).toDF("id", "name")
+    Scd2.apply(spark, path, b, "id", "2024-01-01 00:00:00")
+    val out = Scd2.apply(spark, path, b, "id", "2024-03-01 00:00:00")
+    assert(out.count() == 1)
+    assert(out.filter($"is_current").count() == 1)
+  }
+
+  test("null-safe change detection: NULL → value counts as a change") {
+    val path = freshStore()
+    Scd2.apply(spark, path,
+      Seq((1L, Option.empty[String])).toDF("id", "name"), "id", "2024-01-01 00:00:00")
+    val out = Scd2.apply(spark, path,
+      Seq((1L, Option("acme"))).toDF("id", "name"), "id", "2024-02-01 00:00:00")
+    assert(out.count() == 2)
+    assert(out.filter($"is_current").select("name").as[String].head() == "acme")
+  }
+
+  test("asOf returns the version valid at a point in time") {
+    val path = freshStore()
+    Scd2.apply(spark, path, Seq((1L, "v1")).toDF("id", "v"), "id", "2024-01-01 00:00:00")
+    Scd2.apply(spark, path, Seq((1L, "v2")).toDF("id", "v"), "id", "2024-02-01 00:00:00")
+    Scd2.apply(spark, path, Seq((1L, "v3")).toDF("id", "v"), "id", "2024-03-01 00:00:00")
+    val store = spark.read.parquet(path)
+    assert(Scd2.asOf(store, "2024-01-15 00:00:00").select("v").as[String].head() == "v1")
+    assert(Scd2.asOf(store, "2024-02-15 00:00:00").select("v").as[String].head() == "v2")
+    // exactly at a boundary the NEW version wins (valid_to exclusive)
+    assert(Scd2.asOf(store, "2024-02-01 00:00:00").select("v").as[String].head() == "v2")
+    assert(Scd2.asOf(store, "2024-09-01 00:00:00").select("v").as[String].head() == "v3")
+  }
+}
