@@ -83,6 +83,50 @@ object CurationQueries {
              |  CAST(length(nfc_normalize(text || ' cafe' || chr(769))) AS INT) AS n_nfc
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // TF-IDF top terms: tf per (doc, term), document frequency over the
+    // FULL corpus, idf = ln((N+1)/(df+1)), top-3 terms per doc. Ranking
+    // is pinned to (rounded score desc, term) so float last-ulp noise
+    // can't flip the cut across engines. Scale: two key-shuffles (doc,
+    // term) and (term) — the canonical inverted-index build shape.
+    GraftQuery(
+      "q_tfidf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val term = explode(split(col("text"), " ")).as("term")
+        val tf = docs.filter(col("doc_id") < 50)
+          .select(col("doc_id"), term)
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = docs.select(col("doc_id"), term)
+          .groupBy("term").agg(countDistinct("doc_id").as("df"))
+        val nDf = docs.agg(count(lit(1)).as("n"))
+        val scored = tf.join(dfreq, "term")
+          .crossJoin(broadcast(nDf))
+          .withColumn("score",
+            col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(round(col("score"), 6).desc, col("term"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("term"), round(col("score"), 4).as("tfidf"))
+          .orderBy("doc_id", "term")
+      },
+      Some("""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM
+             |        (SELECT doc_id, unnest(string_split(text,' ')) AS term
+             |         FROM documents WHERE doc_id < 50) t GROUP BY 1,2),
+             |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM
+             |        (SELECT doc_id, unnest(string_split(text,' ')) AS term
+             |         FROM documents) t GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM documents)
+             |SELECT doc_id, term, ROUND(score, 4) AS tfidf FROM (
+             |  SELECT tf.doc_id, tf.term,
+             |         tf.tf * ln((n.n + 1.0)/(dfreq.df + 1.0)) AS score,
+             |         row_number() OVER (PARTITION BY tf.doc_id
+             |           ORDER BY ROUND(tf.tf * ln((n.n+1.0)/(dfreq.df+1.0)), 6) DESC,
+             |                    tf.term) AS rk
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN n) x
+             |WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin)),
+
     // Benchmark decontamination: docs sharing any 8-gram with a held-out
     // "benchmark" carve (every 97th document stands in for an eval set).
     // Shingle-hash broadcast semi-join — rows-only (no DuckDB shingle

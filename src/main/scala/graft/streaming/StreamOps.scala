@@ -156,6 +156,54 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming incremental aggregation: fold each micro-batch's partial
+    * aggregates into the parquet store (see
+    * graft.operators.IncrementalAgg) — the streaming materialized-view
+    * refresh. Unlike MERGE/dim-upsert, the fold is NOT idempotent (a
+    * replayed batch would double-count), so the last applied batchId is
+    * recorded next to the store and replays are skipped — exactly-once
+    * store state under foreachBatch's at-least-once delivery. */
+  def incrementalAggStream(
+      facts: DataFrame,
+      storePath: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyAggBatchOnce(batch, storePath, keyCols, valueCol, batchId)
+        ()
+      }
+      .start()
+
+  /** The guarded fold behind [[incrementalAggStream]]: applies the batch
+    * only when `batchId` is beyond the store's recorded high-water mark.
+    * @return true when the batch was applied, false when skipped as a
+    *         replay. */
+  def applyAggBatchOnce(
+      batch: DataFrame,
+      storePath: String,
+      keyCols: Seq[String],
+      valueCol: String,
+      batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(storePath + "._graft_last_batch")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val last =
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        try new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+          .readLine().toLong
+        finally in.close()
+      } else -1L
+    if (batchId <= last) return false
+    graft.operators.IncrementalAgg.update(spark, storePath, batch, keyCols, valueCol)
+    val out = fs.create(marker, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    true
+  }
+
   /** Running per-key event counters (A19 StatisticsRecorder, streaming
     * form): emits (key, cumulative count) on every update.
     *
