@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, HyperplaneSig, MinHashSig, MinHashTextSig, NormalizeString, SimHash64, TopKAgg}
+import org.apache.spark.sql.graft.{CosineSimilarity, HyperplaneSig, MinHashSig, MinHashTextSig, NormalizeString, ShingleHashes, SimHash64, TopKAgg}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** Engine extension point: registers graft's native expressions with a
@@ -72,6 +72,13 @@ object GraftExtensions {
             "graft_minhash_text expects (text, shingleN, numHashes, seed)")
           MinHashTextSig(args.head, litLong(args(1), "shingleN").toInt,
             litLong(args(2), "numHashes").toInt, litLong(args(3), "seed"))
+        }),
+      (
+        FunctionIdentifier("graft_shingle_hashes"),
+        new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "graft_shingle_hashes expects (text, n, seed)")
+          ShingleHashes(args.head, litLong(args(1), "n").toInt, litLong(args(2), "seed"))
         }),
       (
         FunctionIdentifier("graft_normalize"),

@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  // Fused native expression: text → n-gram hashes in one codegen'd pass
+  // (the composed transform(shingles(...), xxhash64) form runs its
+  // lambdas interpreted and drags the corpus scan out of whole-stage
+  // codegen — measured 2.96 s → see NOTES_r4). Both join sides use the
+  // same expression, so hash-family choice is internal.
   private def ngramHashes(text: org.apache.spark.sql.Column, n: Int) =
-    transform(TextFunctions.shingles(text, n), s => xxhash64(s))
+    org.apache.spark.sql.graft.ShingleHashes.column(text, n, 42L)
 
   /** Distinct ids of corpus documents sharing ≥1 word n-gram with the
     * benchmark. Column: `idCol`. */

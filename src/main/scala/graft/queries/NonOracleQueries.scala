@@ -137,5 +137,25 @@ object NonOracleQueries {
         Tables.documents(s, d)
           .select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rfp"))
           .orderBy("doc_id")),
+
+    // Z-order layout effectiveness: write lineitem z-ordered on
+    // (l_orderkey, l_partkey), then report how many files an equality
+    // filter on EACH dimension touches vs the file count — the scan-
+    // pruning property the layout buys at 100 TB. (Layout itself is
+    // file-system-level; semantics are LayoutSpec-gated.)
+    GraftQuery(
+      "q_zorder",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_zq").toString + "/z"
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        graft.operators.Layout.writeZOrdered(li, Seq("l_orderkey", "l_partkey"), tmp, 16)
+        val z = s.read.parquet(tmp)
+        def hit(c: String, v: Int) = z.filter(col(c) === v)
+          .select(input_file_name().as("f")).distinct()
+          .agg(count(lit(1)).as(s"files_$c"))
+        hit("l_orderkey", 1000).crossJoin(hit("l_partkey", 500))
+          .withColumn("files_total", lit(16))
+      }),
   )
 }

@@ -399,3 +399,74 @@ case class SimHash64(child: Expression, seed: Long)
 
   override def prettyName: String = "graft_simhash"
 }
+
+/** Fused text → word-`n`-gram → per-shingle 64-bit hashes in ONE
+  * codegen'd pass, materializing no shingle strings in the row output —
+  * the corpus-side scan of benchmark decontamination
+  * (graft.operators.Decontaminate). Shingle walk and ≤n-token whole-doc
+  * fallback are identical to MinHashTextSig's (and TextFunctions.shingles);
+  * only the fold differs: every shingle hash is emitted instead of k mins.
+  */
+case class ShingleHashes(child: Expression, shingleN: Int, seed: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(shingleN > 0)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      ShingleHashes.compute(input.asInstanceOf[UTF8String], shingleN, seed))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = "org.apache.spark.sql.graft.ShingleHashes"
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $cls.compute($c, $shingleN, ${seed}L));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
+object ShingleHashes {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(text: UTF8String, shingleN: Int, seed: Long): Array[Long] = {
+    val toks = ws.split(text.toString, -1)
+    val sb = new java.lang.StringBuilder(64)
+    def hashOf(): Long =
+      HashExpressions.hash64(UTF8String.fromString(sb.toString), seed)
+    if (toks.length <= shingleN) {
+      var i = 0
+      while (i < toks.length) {
+        if (i > 0) sb.append(' ')
+        sb.append(toks(i)); i += 1
+      }
+      Array(hashOf())
+    } else {
+      val out = new Array[Long](toks.length - shingleN + 1)
+      var start = 0
+      while (start < out.length) {
+        sb.setLength(0)
+        var i = 0
+        while (i < shingleN) {
+          if (i > 0) sb.append(' ')
+          sb.append(toks(start + i)); i += 1
+        }
+        out(start) = hashOf()
+        start += 1
+      }
+      out
+    }
+  }
+
+  def column(text: org.apache.spark.sql.Column, n: Int, seed: Long): org.apache.spark.sql.Column =
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), n, seed))
+}

@@ -155,4 +155,33 @@ class HashExpressionsSpec extends AnyFunSuite {
     assert(plan3.linesIterator.exists(l =>
       l.contains("graft_hyperplane_sig") && l.contains("*(")), plan3)
   }
+
+  test("fused shingle hashes equal hash64 over the composed shingle walk " +
+    "(incl. short-doc and whitespace edges)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val samples = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one", "a b", "exactly three tokens", " leading space",
+      "trailing space ", "double  space", "")
+    val df = samples.toDF("text")
+    val got = df.select(
+      org.apache.spark.sql.graft.ShingleHashes.column(col("text"), 3, 42L).as("h"))
+      .as[Seq[Long]].collect()
+    // reference walk: the composed shingles() column, hashed driver-side
+    val want = df.select(TextFunctions.shingles(col("text"), 3).as("s"))
+      .as[Seq[String]].collect()
+      .map(_.map(s => org.apache.spark.sql.graft.HashExpressions
+        .hash64(UTF8String.fromString(s), 42L)))
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+  }
+
+  test("shingle-hash scan stays inside whole-stage codegen") {
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val q = d.select(
+      org.apache.spark.sql.graft.ShingleHashes.column(col("text"), 8, 42L).as("h"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_shingle_hashes") && l.contains("*(")), plan)
+  }
 }
