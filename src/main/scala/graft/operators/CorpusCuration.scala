@@ -32,8 +32,15 @@ object CorpusCuration {
       .withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
       .withColumn("uniq_ratio",
         size(array_distinct(toks)).cast("double") / greatest(size(toks), lit(1)))
+      // regex alternation, not filter(toks, isin(...)): the lambda HOF is
+      // CodegenFallback and drags the WHOLE annotate projection out of
+      // whole-stage codegen — this stage is the full-corpus scan, so it
+      // must stay fused. \b-bounded alternation counts the same hits on
+      // whitespace-tokenized text.
       .withColumn("stopword_ratio",
-        size(filter(toks, t => t.isin(TextFunctions.languageMarkers("en"): _*)))
+        size(regexp_extract_all(lower(col(textCol)),
+          lit("\\b(" + TextFunctions.languageMarkers("en").mkString("|") + ")\\b"),
+          lit(0)))
           .cast("double") / greatest(size(toks), lit(1)))
       .withColumn("alpha_ratio",
         (length(regexp_replace(col(textCol), "[^A-Za-z]", "")).cast("double")

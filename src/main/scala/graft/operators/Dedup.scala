@@ -73,7 +73,10 @@ object Dedup {
         explode(bandKeys(col("graft_sig"), bands, numHashes)).as("graft_band"))
       .select(col("graft_id"), col("graft_band.band"), col("graft_band.bucket"))
 
-    // Skew guard: drop buckets too common to be informative.
+    // Skew guard: drop buckets too common to be informative. (A count
+    // window over (band, bucket) would fold guard and join into one
+    // exchange, but WindowExec SORTS each partition — strictly worse than
+    // this hash aggregate + semi-join at scale; measured a wash locally.)
     val smallBuckets = banded
       .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBucket && col("n") >= 2)
