@@ -126,6 +126,24 @@ object AnalyticsQueries {
              |        WHEN 'purchase' THEN 'g' WHEN 'signup' THEN '2' ELSE '1' END
              |GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
+    // Deterministic per-group reservoir sample: bottom-k by md5 of the
+    // unique id ≡ uniform k-sample, reproducible across engines, and run
+    // on the bounded-heap TopKAgg (map-side partial — the shuffle carries
+    // k rows per group, no window sort; the oracle's row_number spells
+    // out the same cut).
+    GraftQuery(
+      "q_reservoir_sample",
+      (s, d) =>
+        graft.operators.TopK.sampleKPerKey(
+          Tables.orders(s, d), Seq("o_orderpriority"), Seq("o_orderkey"), k = 5)
+          .orderBy("o_orderpriority", "o_orderkey"),
+      Some("""SELECT o_orderpriority, o_orderkey FROM (
+             |  SELECT o_orderpriority, o_orderkey,
+             |         row_number() OVER (PARTITION BY o_orderpriority
+             |           ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rk
+             |  FROM orders) t
+             |WHERE rk <= 5 ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
     // Higher central moments: population skewness and excess kurtosis per
     // group (Spark's skewness/kurtosis definitions). The oracle computes
     // the same moments two-pass-centered (join group mean, then average

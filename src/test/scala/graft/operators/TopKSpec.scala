@@ -48,4 +48,28 @@ class TopKSpec extends AnyFunSuite {
     assert(plan.contains("partial_graft_top_k"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("deterministic reservoir sample: k rows per group, stable across " +
+    "runs and equal to the window formulation") {
+    val o = graft.sources.Tables.orders(spark, sfDir)
+    val s1 = TopK.sampleKPerKey(o, Seq("o_orderpriority"), Seq("o_orderkey"), k = 4)
+      .as[(String, Long)].collect().toSet
+    val s2 = TopK.sampleKPerKey(o, Seq("o_orderpriority"), Seq("o_orderkey"), k = 4)
+      .as[(String, Long)].collect().toSet
+    assert(s1 == s2, "sample must be reproducible")
+    assert(s1.groupBy(_._1).forall(_._2.size == 4))
+    // same cut as the window spelling (the oracle formulation)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(md5($"o_orderkey".cast("string")), $"o_orderkey")
+    val viaWindow = o
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 4)
+      .select("o_orderpriority", "o_orderkey").as[(String, Long)].collect().toSet
+    assert(s1 == viaWindow)
+    // and it merges: a partial sample of a partial sample is the sample
+    val partial = TopK.sampleKPerKey(o, Seq("o_orderpriority"), Seq("o_orderkey"), k = 16)
+    val refined = TopK.sampleKPerKey(partial, Seq("o_orderpriority"), Seq("o_orderkey"), k = 4)
+      .as[(String, Long)].collect().toSet
+    assert(refined == s1)
+  }
 }
