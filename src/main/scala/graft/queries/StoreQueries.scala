@@ -55,6 +55,68 @@ object StoreQueries {
              |  FROM supplier WHERE s_suppkey <= 30
              |) t ORDER BY s_suppkey, valid_from""".stripMargin)),
 
+    // Snapshot diff (table-level CDC): old = customer, new = customer
+    // with every 10th key dropped, every 7th surviving key renamed, and
+    // 50 synthetic keys added. The oracle spells the change feed out.
+    GraftQuery(
+      "q_snapshot_diff",
+      (s, d) => {
+        val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+        val neu = cust.filter(col("c_custkey") % 10 =!= 0)
+          .withColumn("c_name",
+            when(col("c_custkey") % 7 === 0, upper(col("c_name")))
+              .otherwise(col("c_name")))
+          .unionByName(cust.filter(col("c_custkey") < 50).select(
+            (col("c_custkey") + 1000000).as("c_custkey"),
+            concat(lit("NEW_"), col("c_custkey").cast("string")).as("c_name")))
+        graft.operators.SnapshotDiff.diff(cust, neu, Seq("c_custkey"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, change_type FROM (
+             |  SELECT c_custkey, c_name, 'delete' AS change_type
+             |  FROM customer WHERE c_custkey % 10 = 0
+             |  UNION ALL
+             |  SELECT c_custkey, UPPER(c_name), 'update'
+             |  FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey % 7 = 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, 'NEW_' || CAST(c_custkey AS VARCHAR), 'insert'
+             |  FROM customer WHERE c_custkey < 50
+             |) t ORDER BY c_custkey""".stripMargin)),
+
+    // Data-quality report: one row per declared check with its violation
+    // count (NotNull/predicate checks fold into ONE table pass; Unique
+    // pays one groupBy; referential integrity one broadcast anti-join).
+    GraftQuery(
+      "q_quality",
+      (s, d) => {
+        import graft.operators.Quality
+        Quality.report(Tables.orders(s, d), Seq(
+          Quality.NotNull("o_custkey"),
+          Quality.Satisfies("positive_total", "o_totalprice > 0"),
+          Quality.Satisfies("no_urgent", "o_orderpriority <> '1-URGENT'"),
+          Quality.Unique(Seq("o_orderkey")),
+          Quality.RefIntegrity("o_custkey", Tables.customer(s, d), "c_custkey")))
+          .orderBy("check")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'not_null_o_custkey' AS "check",
+             |         count(*) FILTER (WHERE o_custkey IS NULL) AS violations FROM orders
+             |  UNION ALL
+             |  SELECT 'positive_total', count(*) FILTER (WHERE NOT (o_totalprice > 0))
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'no_urgent',
+             |         count(*) FILTER (WHERE NOT (o_orderpriority <> '1-URGENT'))
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'unique_o_orderkey', count(*) - count(DISTINCT o_orderkey)
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'ref_o_custkey', count(*) FROM orders
+             |  WHERE o_custkey IS NOT NULL
+             |    AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+             |) t ORDER BY "check"""".stripMargin)),
+
     // Incremental aggregation: three disjoint batches of lineitem folded
     // into the store must equal one direct aggregation of the whole
     // table — the materialized-view maintenance identity.
