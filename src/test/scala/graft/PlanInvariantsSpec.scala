@@ -54,6 +54,29 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("q_reservoir_sample: the sample aggregates partially map-side, " +
+    "never a window sort") {
+    val plan = executedPlan("q_reservoir_sample")
+    assert(plan.contains("partial_graft_top_k"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q_tfidf: both aggregation levels are partial before their shuffles") {
+    val plan = executedPlan("q_tfidf")
+    assert(plan.contains("partial_"), plan)
+  }
+
+  test("q_snapshot_diff: the diff is one join, no nested-loop fallback") {
+    val plan = executedPlan("q_snapshot_diff")
+    assert(plan.contains("FullOuter"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q_quality: referential integrity broadcasts the dimension") {
+    val plan = executedPlan("q_quality")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("runtime bloom-filter pruning: a selective dim filter injects a " +
     "bloom filter into the fact scan of a shuffle join") {
     // At 100 TB the pre-shuffle row cull from a runtime bloom filter is
