@@ -20,15 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
+  /** Name of the batch high-water-mark file kept INSIDE the store dir.
+    * The leading underscore keeps it invisible to parquet scans, and
+    * living inside the dir means the staged-swap rename commits it
+    * atomically WITH the data it describes. */
+  val BatchMarker = "_graft_last_batch"
+
   /** Fold one batch into the store at `path`.
     * Store schema: `keyCols* , n, sum, min, max`.
+    * @param batchId when set, recorded in the store's [[BatchMarker]] file
+    *   as part of the same directory swap that commits the data — there is
+    *   no state where the fold is applied but the marker says otherwise
+    *   (the exactly-once contract [[graft.streaming.StreamOps.applyAggBatchOnce]]
+    *   relies on).
     * @return the updated store, read back. */
   def update(
       spark: SparkSession,
       path: String,
       batch: DataFrame,
       keyCols: Seq[String],
-      valueCol: String): DataFrame = {
+      valueCol: String,
+      batchId: Option[Long] = None): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
 
     val partial = batch.groupBy(keyCols.map(col): _*).agg(
@@ -39,8 +51,24 @@ object IncrementalAgg {
 
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def writeMarker(dir: org.apache.hadoop.fs.Path): Unit =
+      batchId.foreach { id =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(dir, BatchMarker), true)
+        try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+      }
+
     if (!fs.exists(target)) {
-      partial.write.parquet(path)
+      // first batch: stage + single rename, so data and marker appear
+      // together or not at all
+      val staging = new org.apache.hadoop.fs.Path(
+        path + ".staging-" + java.util.UUID.randomUUID().toString.take(8))
+      partial.write.parquet(staging.toString)
+      writeMarker(staging)
+      if (!fs.rename(staging, target)) {
+        fs.delete(staging, true)
+        throw new java.io.IOException(s"could not move $staging to $target")
+      }
       return spark.read.parquet(path)
     }
 
@@ -63,6 +91,7 @@ object IncrementalAgg {
     val staging = new org.apache.hadoop.fs.Path(path + ".staging-" + tag)
     val retired = new org.apache.hadoop.fs.Path(path + ".old-" + tag)
     merged.write.parquet(staging.toString)
+    writeMarker(staging)
     if (!fs.rename(target, retired)) {
       fs.delete(staging, true)
       throw new java.io.IOException(s"could not retire $target")

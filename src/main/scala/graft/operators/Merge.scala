@@ -166,7 +166,20 @@ object Merge {
           }
         }
         stagedDirs.foreach { s =>
-          if (!fs.rename(s, new org.apache.hadoop.fs.Path(target, s.getName))) {
+          val dest = new org.apache.hadoop.fs.Path(target, s.getName)
+          // The row scan above can miss a touched dir whose files hold
+          // ZERO rows (empty-parquet leftovers) — and Hadoop rename into
+          // an existing directory nests the source INSIDE it
+          // (pcol=v/pcol=v), silently corrupting the layout. The staged
+          // dir name is the writer's own encoding of the partition value,
+          // so name-match is exact: retire any survivor before the swap.
+          if (fs.exists(dest) &&
+              !fs.rename(dest, new org.apache.hadoop.fs.Path(retired, dest.getName))) {
+            throw new java.io.IOException(
+              s"could not retire leftover partition dir $dest " +
+                s"(old partitions preserved in $retired)")
+          }
+          if (!fs.rename(s, dest)) {
             throw new java.io.IOException(
               s"could not swap $s into place (old partitions preserved in $retired)")
           }

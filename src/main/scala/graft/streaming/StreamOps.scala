@@ -161,8 +161,9 @@ object StreamOps {
     * graft.operators.IncrementalAgg) — the streaming materialized-view
     * refresh. Unlike MERGE/dim-upsert, the fold is NOT idempotent (a
     * replayed batch would double-count), so the last applied batchId is
-    * recorded next to the store and replays are skipped — exactly-once
-    * store state under foreachBatch's at-least-once delivery. */
+    * committed inside the store by the same rename that commits the data,
+    * and replays are skipped — exactly-once store state under
+    * foreachBatch's at-least-once delivery. */
   def incrementalAggStream(
       facts: DataFrame,
       storePath: String,
@@ -179,6 +180,13 @@ object StreamOps {
 
   /** The guarded fold behind [[incrementalAggStream]]: applies the batch
     * only when `batchId` is beyond the store's recorded high-water mark.
+    *
+    * Exactly-once protocol: the marker lives INSIDE the store directory
+    * and is written into the staging dir that IncrementalAgg's swap
+    * renames into place — data and marker commit in the same atomic
+    * rename, so no crash point leaves an applied fold with a stale
+    * marker (which would double-count on replay) or vice versa.
+    *
     * @return true when the batch was applied, false when skipped as a
     *         replay. */
   def applyAggBatchOnce(
@@ -188,19 +196,37 @@ object StreamOps {
       valueCol: String,
       batchId: Long): Boolean = {
     val spark = batch.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(storePath + "._graft_last_batch")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val marker = new org.apache.hadoop.fs.Path(
+      store, graft.operators.IncrementalAgg.BatchMarker)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val last =
-      if (fs.exists(marker)) {
+      if (!fs.exists(store)) -1L
+      else if (fs.exists(marker)) {
         val in = fs.open(marker)
-        try new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
-          .readLine().toLong
-        finally in.close()
-      } else -1L
+        val line =
+          try new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+            .readLine()
+          finally in.close()
+        // never NPE/NumberFormat into a wedged stream: an unreadable
+        // marker means the store's provenance is unknown — fail loudly
+        // with the recovery path instead of guessing
+        try {
+          require(line != null && line.trim.nonEmpty)
+          line.trim.toLong
+        } catch {
+          case _: Exception => throw new IllegalStateException(
+            s"unreadable batch marker $marker (content: ${Option(line).getOrElse("<empty>")}) — " +
+              "cannot tell which batches are applied; rebuild the store or " +
+              "restore the marker before resuming the stream")
+        }
+      } else throw new IllegalStateException(
+        s"store $storePath exists but has no batch marker — it was not " +
+          "maintained by incrementalAggStream, so replay safety is unknown; " +
+          "start from a fresh store path or add the marker manually")
     if (batchId <= last) return false
-    graft.operators.IncrementalAgg.update(spark, storePath, batch, keyCols, valueCol)
-    val out = fs.create(marker, true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    graft.operators.IncrementalAgg.update(
+      spark, storePath, batch, keyCols, valueCol, batchId = Some(batchId))
     true
   }
 

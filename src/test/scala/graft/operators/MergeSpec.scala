@@ -170,6 +170,36 @@ class MergeSpec extends AnyFunSuite {
       s"stale timestamp partition survived: $dirs")
   }
 
+  test("partition-scoped merge retires a leftover dir whose files hold zero " +
+    "rows instead of nesting the staged dir inside it") {
+    val path = freshStore()
+    Seq((2L, "p2", "b")).toDF("k", "part", "v")
+      .write.partitionBy("part").parquet(path)
+    // plant part=p1 holding only a schema-only (zero-row) parquet file —
+    // the residue a crashed/emptied earlier write can leave. It yields no
+    // rows, so file-scan-based dir discovery can't see it; the swap must
+    // still retire it or rename would nest part=p1/part=p1.
+    val emptyTmp = Files.createTempDirectory("graft_merge_empty").toString
+    Seq((0L, "x")).toDF("k", "v").filter(lit(false))
+      .repartition(1).write.parquet(emptyTmp)
+    val emptyFile = new java.io.File(emptyTmp).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .head
+    val leftover = new java.io.File(path, "part=p1")
+    assert(leftover.mkdirs())
+    java.nio.file.Files.copy(emptyFile.toPath,
+      new java.io.File(leftover, emptyFile.getName).toPath)
+
+    val src = Seq((1L, "p1", "a")).toDF("k", "part", "v")
+    val out = Merge.into(spark, path, src, Seq("k"), prunePartitions = Some("part"))
+      .select("k", "part", "v").as[(Long, String, String)].collect().toSet
+    assert(out == Set((1L, "p1", "a"), (2L, "p2", "b")))
+    assert(!new java.io.File(leftover, "part=p1").exists(),
+      "staged dir was nested inside the leftover partition dir")
+    assert(!new java.io.File(leftover, emptyFile.getName).exists(),
+      "zero-row leftover file survived the swap")
+  }
+
   test("schema evolution composes with partition pruning: untouched " +
     "old-schema partitions read NULL for evolved columns") {
     val path = freshStore()

@@ -126,10 +126,14 @@ class StreamSinkSpec extends AnyFunSuite {
     assert(out == Set(("a", 3L, 9.0, 1.0, 5.0), ("b", 1L, 10.0, 10.0, 10.0)))
 
     // replay guard: re-applying an already-recorded batchId is a no-op —
-    // exactly the restart-replay case foreachBatch can deliver
+    // exactly the restart-replay case foreachBatch can deliver. The
+    // marker is committed INSIDE the store dir by the same rename as the
+    // data (no marker-behind-data crash window).
     val replay = Seq(Ev(Timestamp.valueOf("2024-01-01 00:04:00"), "a", 5.0)).toDF()
-    val lastId = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$store._graft_last_batch")), "UTF-8").trim.toLong
+    val markerFile = java.nio.file.Paths.get(
+      store, graft.operators.IncrementalAgg.BatchMarker)
+    val lastId = new String(
+      java.nio.file.Files.readAllBytes(markerFile), "UTF-8").trim.toLong
     assert(!StreamOps.applyAggBatchOnce(replay, store, Seq("user"), "value", lastId))
     assert(spark.read.parquet(store)
       .select("user", "n", "sum", "min", "max")
@@ -139,5 +143,39 @@ class StreamSinkSpec extends AnyFunSuite {
     assert(StreamOps.applyAggBatchOnce(replay, store, Seq("user"), "value", lastId + 1))
     assert(spark.read.parquet(store).filter(col("user") === "a")
       .select("n").as[Long].head() == 4L)
+  }
+
+  test("incremental agg marker failure modes fail loudly, never wedge or double-count") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_incr_marker").toString
+    val batch = Seq(Ev(Timestamp.valueOf("2024-01-01 00:01:00"), "a", 1.0)).toDF()
+
+    // a store built OUTSIDE the stream (no marker) has unknown replay
+    // state — refuse rather than silently re-apply
+    val bare = s"$dir/bare"
+    graft.operators.IncrementalAgg.update(spark, bare, batch, Seq("user"), "value")
+    val eNoMarker = intercept[IllegalStateException] {
+      StreamOps.applyAggBatchOnce(batch, bare, Seq("user"), "value", 0L)
+    }
+    assert(eNoMarker.getMessage.contains("no batch marker"))
+
+    // a truncated/empty marker (the old crash-mid-write artifact) raises
+    // a clear error instead of NPE-wedging every subsequent batch
+    val torn = s"$dir/torn"
+    assert(StreamOps.applyAggBatchOnce(batch, torn, Seq("user"), "value", 0L))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(torn, graft.operators.IncrementalAgg.BatchMarker),
+      Array.emptyByteArray)
+    val eTorn = intercept[IllegalStateException] {
+      StreamOps.applyAggBatchOnce(batch, torn, Seq("user"), "value", 1L)
+    }
+    assert(eTorn.getMessage.contains("unreadable batch marker"))
+
+    // happy path: marker advances atomically with each applied fold
+    val ok = s"$dir/ok"
+    assert(StreamOps.applyAggBatchOnce(batch, ok, Seq("user"), "value", 0L))
+    assert(StreamOps.applyAggBatchOnce(batch, ok, Seq("user"), "value", 1L))
+    assert(!StreamOps.applyAggBatchOnce(batch, ok, Seq("user"), "value", 1L))
+    assert(spark.read.parquet(ok).select("n").as[Long].head() == 2L)
   }
 }
