@@ -42,11 +42,17 @@ object Bench {
       SparkEntry.queries("q_agg_group")(spark, sfDir).count()
     } catch { case _: Throwable => () }
     // Deterministic iteration order (sorted by name) so per-query numbers
-    // are comparable across rounds.
+    // are comparable across rounds. Each query is timed twice and the MIN
+    // reported: identical-code rounds were jittering ±30% on sub-second
+    // queries (JIT warm-up, GC luck), which drowned real plan regressions;
+    // min-of-2 measures the plan, not the JVM's mood.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, HyperplaneSig, MinHashSig, MinHashTextSig, NormalizeString, ShingleHashes, SimHash64, TopKAgg}
+import org.apache.spark.sql.graft.{CosineSimilarity, HilbertIndex, HyperplaneSig, MinHashSig, MinHashTextSig, NormalizeString, ShingleHashes, SimHash64, TopKAgg}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** Engine extension point: registers graft's native expressions with a
@@ -92,6 +92,14 @@ object GraftExtensions {
               s"form must be a literal string, got $other")
           } else "NFC"
           NormalizeString(args.head, form)
+        }),
+      (
+        FunctionIdentifier("graft_hilbert"),
+        new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3,
+            "graft_hilbert expects (x, y, bits) with pre-scaled long cell coords")
+          HilbertIndex(args.head, args(1), litLong(args(2), "bits").toInt)
         }),
       (
         FunctionIdentifier("graft_top_k"),

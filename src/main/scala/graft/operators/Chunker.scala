@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * Entirely narrow — tokenize, generate chunk starts, slice, join — one
   * codegen'd pass per document with no shuffle: chunking 100 TB is
   * scan-bound. The final chunk may be shorter than `chunkTokens` (the
-  * document's tail is never dropped).
+  * document's tail is never dropped), and a chunk is emitted only when
+  * the PREVIOUS chunk did not already reach the document's end — a
+  * fully-contained tail chunk would inject duplicated text into a
+  * training corpus.
   */
 object Chunker {
 
@@ -29,8 +32,13 @@ object Chunker {
     df.select(col(idCol), toks.as("graft_toks"))
       .select(
         col(idCol),
+        // last start s must satisfy (s-1)*stride + chunkTokens < size —
+        // i.e. emit chunk s only when chunk s-1 stopped short of the
+        // document end — so maxS = max(0, ceil((size - chunkTokens) / stride))
         explode(sequence(lit(0),
-          floor((size(col("graft_toks")) - lit(1)) / lit(stride)).cast("int")))
+          greatest(lit(0L),
+            floor((size(col("graft_toks")) - lit(chunkTokens - stride + 1)) /
+              lit(stride.toDouble))).cast("int")))
           .as("chunk_ix"),
         col("graft_toks"))
       .select(

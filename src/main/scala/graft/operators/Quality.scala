@@ -36,6 +36,12 @@ object Quality {
     *         preserved via an explicit sort column. */
   def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "need at least one check")
+    // check names key the report (and the map literal the row checks fold
+    // into) — a duplicate would surface as a runtime DUPLICATED_MAP_KEY
+    // deep inside the plan instead of here
+    val dupNames = checks.groupBy(_.name).collect { case (n, cs) if cs.size > 1 => n }
+    require(dupNames.isEmpty,
+      s"duplicate check names: ${dupNames.mkString(", ")} — every check needs a distinct name")
     // fold all single-pass row checks into one aggregate
     val rowChecks = checks.collect {
       case c: NotNull => c.name -> col(c.col).isNull

@@ -16,14 +16,35 @@ import org.apache.spark.sql.functions._
   *  - a brand-new key appends its first open version;
   *  - keys absent from the batch are untouched (batches are deltas).
   *
+  * Key matching is NULL-SAFE (`<=>`): a NULL natural key — dubious but
+  * possible in source data — is ONE key value, matched and versioned like
+  * any other; with plain `=` it would never match itself and every batch
+  * would append another open version for it.
+  *
   * Scale notes: attribute comparison happens on the CURRENT slice only
   * (`is_current`), joined on the natural key — dimension-sized, not
-  * fact-sized. History rows (`is_current = false`) pass through
-  * untouched; the store rewrite reuses Merge's staged-swap protocol shape
-  * (write staging fully, then swap) so readers never see a half-applied
-  * batch.
+  * fact-sized. The store is laid out in SLICES (hive partitions on a
+  * synthetic column): `open` holds all current versions; `c<yyyy-MM>`
+  * holds the versions CLOSED in that month. A batch rewrites exactly two
+  * slice dirs — `open` and the batch month's closed slice — with Merge's
+  * staged-write + dir-swap protocol; a 100 TB-era dimension's history
+  * accumulated over years is untouched on disk by a trickle batch, and
+  * never even scanned (the read is partition-pruned to the two touched
+  * slices).
   */
 object Scd2 {
+
+  /** Synthetic hive-partition column carrying the slice a version lives
+    * in. Present only on disk / raw reads; [[apply]] and [[read]] return
+    * the logical schema without it. */
+  val SliceCol = "graft_slice"
+  private val OpenSlice = "open"
+  /** Closed-version slice for a batch timestamp: its calendar month. */
+  private def closedSlice(batchTs: String): String = "c" + batchTs.substring(0, 7)
+
+  /** The store with the slice column dropped — the logical SCD2 table. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop(SliceCol)
 
   /** Apply one delta batch to the SCD2 store at `path`. `batchTs` is the
     * effectivity timestamp ("yyyy-MM-dd HH:mm:ss"); passing it explicitly
@@ -37,7 +58,10 @@ object Scd2 {
       batchTs: String): DataFrame = {
     val attrCols = batch.columns.filterNot(_ == keyCol).toSeq
     require(attrCols.nonEmpty, "SCD2 needs at least one attribute column")
-    // one version per key per batch — same multi-match rule as SQL MERGE
+    require(!batch.columns.contains(SliceCol),
+      s"$SliceCol is reserved for the store layout")
+    // one version per key per batch — same multi-match rule as SQL MERGE.
+    // groupBy buckets NULL keys together, so duplicate NULLs are caught too.
     val dup = batch.groupBy(keyCol).agg(count(lit(1)).as("graft_n"))
       .filter(col("graft_n") > 1).limit(1).count()
     require(dup == 0, s"batch has multiple rows for the same $keyCol")
@@ -50,58 +74,113 @@ object Scd2 {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(target)) {
-      asVersion.write.parquet(path)
-      return spark.read.parquet(path)
+      asVersion.withColumn(SliceCol, lit(OpenSlice))
+        .write.partitionBy(SliceCol).parquet(path)
+      return read(spark, path)
     }
+    migrateLegacyLayout(spark, fs, path)
 
+    val slice = closedSlice(batchTs)
     val store = spark.read.parquet(path)
-    val current = store.filter(col("is_current"))
-    val history = store.filter(!col("is_current"))
+    // partition-pruned reads: only the open slice (current versions) and
+    // this month's closed slice are ever scanned; other history slices
+    // stay cold
+    val current = store.filter(col(SliceCol) === OpenSlice).drop(SliceCol)
+    val sliceRows = store.filter(col(SliceCol) === slice).drop(SliceCol)
 
     // attribute-change detection on the current slice: null-safe equality
     // per attribute (a NULL→value or value→NULL flip IS a change)
     val changedPred = attrCols
       .map(a => !(col(s"cur.$a") <=> col(s"b.$a")))
       .reduce(_ || _)
+    // graft_matched (never NULL on the batch side) tells matched from
+    // unmatched — `b.key IS NOT NULL` can't, now that NULL is a valid key
     val joined = current.as("cur")
-      .join(batch.as("b"), col(s"cur.$keyCol") === col(s"b.$keyCol"), "left")
+      .join(batch.withColumn("graft_matched", lit(true)).as("b"),
+        col(s"cur.$keyCol") <=> col(s"b.$keyCol"), "left")
+    val matched = col("graft_matched").isNotNull
     // current versions to CLOSE: matched by the batch with changed attrs
     val closed = joined
-      .filter(col(s"b.$keyCol").isNotNull && changedPred)
+      .filter(matched && changedPred)
       .select(col("cur.*"))
       .withColumn("valid_to", ts)
       .withColumn("is_current", lit(false))
     // current versions kept open: unmatched, or matched-but-unchanged
     val keptOpen = joined
-      .filter(col(s"b.$keyCol").isNull || !changedPred)
+      .filter(!matched || !changedPred)
       .select(col("cur.*"))
     // batch rows that open a NEW version: new keys, or changed keys
-    val changedKeys = closed.select(col(keyCol))
-    val newVersions = asVersion.join(
-      current.select(col(keyCol)), Seq(keyCol), "left_anti")
-      .unionByName(asVersion.join(changedKeys, Seq(keyCol), "left_semi"))
+    val changedKeys = closed.select(col(keyCol).as("graft_k"))
+    val currentKeys = current.select(col(keyCol).as("graft_k"))
+    val newVersions = asVersion
+      .join(currentKeys, col(keyCol) <=> col("graft_k"), "left_anti")
+      .unionByName(
+        asVersion.join(changedKeys, col(keyCol) <=> col("graft_k"), "left_semi"))
 
-    val updated = history
-      .unionByName(closed)
-      .unionByName(keptOpen)
-      .unionByName(newVersions)
+    val updated = sliceRows.unionByName(closed)
+      .withColumn(SliceCol, lit(slice))
+      .unionByName(
+        keptOpen.unionByName(newVersions).withColumn(SliceCol, lit(OpenSlice)))
 
-    // staged write + swap (Merge's protocol): never overwrite the store
-    // while the plan that produced `updated` still scans it
+    // staged write + slice-dir swap (Merge's pruned protocol): the plan
+    // above still scans the store, so stage FULLY before renaming, then
+    // swap only the two touched slice dirs. A crash mid-swap leaves the
+    // retired dirs in place for recovery, never a half-written slice.
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new org.apache.hadoop.fs.Path(path + ".staging-" + tag)
     val retired = new org.apache.hadoop.fs.Path(path + ".old-" + tag)
-    updated.write.parquet(staging.toString)
+    updated.write.partitionBy(SliceCol).parquet(staging.toString)
+    val stagedDirs = fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(SliceCol + "="))
+      .map(_.getPath)
+    fs.mkdirs(retired)
+    Seq(OpenSlice, slice).distinct.foreach { v =>
+      val dest = new org.apache.hadoop.fs.Path(target, SliceCol + "=" + v)
+      if (fs.exists(dest) &&
+          !fs.rename(dest, new org.apache.hadoop.fs.Path(retired, dest.getName))) {
+        fs.delete(staging, true)
+        throw new java.io.IOException(s"could not retire slice dir $dest")
+      }
+    }
+    stagedDirs.foreach { s =>
+      if (!fs.rename(s, new org.apache.hadoop.fs.Path(target, s.getName))) {
+        throw new java.io.IOException(
+          s"could not swap $s into place (old slices preserved in $retired)")
+      }
+    }
+    fs.delete(staging, true)
+    fs.delete(retired, true)
+    read(spark, path)
+  }
+
+  /** One-time migration of a store written before the sliced layout
+    * (flat parquet, no `graft_slice=` dirs): derive each row's slice and
+    * rewrite once with the staged-swap protocol. */
+  private def migrateLegacyLayout(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val sliced = fs.listStatus(target)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith(SliceCol + "="))
+    if (sliced) return
+    val legacy = spark.read.parquet(path)
+    val withSlice = legacy.withColumn(SliceCol,
+      when(col("is_current"), lit(OpenSlice))
+        .otherwise(concat(lit("c"), date_format(col("valid_to"), "yyyy-MM"))))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging-" + tag)
+    val retired = new org.apache.hadoop.fs.Path(path + ".old-" + tag)
+    withSlice.write.partitionBy(SliceCol).parquet(staging.toString)
     if (!fs.rename(target, retired)) {
       fs.delete(staging, true)
-      throw new java.io.IOException(s"could not retire $target")
+      throw new java.io.IOException(s"could not retire $target for migration")
     }
     if (!fs.rename(staging, target)) {
       fs.rename(retired, target)
-      throw new java.io.IOException(s"could not swap $staging into place")
+      throw new java.io.IOException(s"could not swap migrated layout into $target")
     }
     fs.delete(retired, true)
-    spark.read.parquet(path)
   }
 
   /** Point-in-time lookup: the version of each key valid at `asOf`. */

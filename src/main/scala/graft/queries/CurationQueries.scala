@@ -28,7 +28,7 @@ object CurationQueries {
              |       array_to_string(toks[g*8+1 : g*8+10], ' ') AS chunk
              |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
              |LATERAL (SELECT unnest(generate_series(0,
-             |           CAST(floor((len(toks)-1)/8) AS INT))) AS g) s
+             |           greatest(0, (len(toks) - 3) // 8))) AS g) s
              |ORDER BY doc_id, chunk_ix""".stripMargin)),
 
     // Repetition score (Gopher-style quality rule): fraction of duplicate
@@ -86,8 +86,11 @@ object CurationQueries {
     // TF-IDF top terms: tf per (doc, term), document frequency over the
     // FULL corpus, idf = ln((N+1)/(df+1)), top-3 terms per doc. Ranking
     // is pinned to (rounded score desc, term) so float last-ulp noise
-    // can't flip the cut across engines. Scale: two key-shuffles (doc,
-    // term) and (term) — the canonical inverted-index build shape.
+    // can't flip the cut across engines. Scale: one key-shuffle on (doc,
+    // term) for tf; the vocabulary side (dfreq) goes through the MEASURED
+    // broadcast switch — vocab grows sub-linearly (Heaps' law) so it
+    // broadcasts at any realistic corpus, but if it ever doesn't, the
+    // switch degrades to a shuffle join instead of OOMing the driver.
     GraftQuery(
       "q_tfidf",
       (s, d) => {
@@ -97,8 +100,9 @@ object CurationQueries {
         val tf = docs.filter(col("doc_id") < 50)
           .select(col("doc_id"), term)
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val dfreq = docs.select(col("doc_id"), term)
-          .groupBy("term").agg(countDistinct("doc_id").as("df"))
+        val dfreq = graft.operators.Joins.broadcastIfSmall(
+          docs.select(col("doc_id"), term)
+            .groupBy("term").agg(countDistinct("doc_id").as("df")))
         val nDf = docs.agg(count(lit(1)).as("n"))
         val scored = tf.join(dfreq, "term")
           .crossJoin(broadcast(nDf))
@@ -126,6 +130,27 @@ object CurationQueries {
              |                    tf.term) AS rk
              |  FROM tf JOIN dfreq USING (term) CROSS JOIN n) x
              |WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin)),
+
+    // Host extraction + per-host doc counts — the provenance histogram a
+    // crawl-curation pipeline runs first (which domains dominate the
+    // corpus?). URL synthesized from the doc's source tag; the operator is
+    // regexp_extract + a map-side-combinable count.
+    GraftQuery(
+      "q_url_extract",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            concat(lit("https://"), col("source"), lit(".example.com/d/"),
+              col("doc_id")).as("url"))
+          .select(regexp_extract(col("url"), "https?://([^/]+)/", 1).as("host"))
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("host"),
+      Some("""SELECT regexp_extract(
+             |         concat('https://', source, '.example.com/d/', doc_id),
+             |         'https?://([^/]+)/', 1) AS host,
+             |       COUNT(*) AS n_docs
+             |FROM documents GROUP BY 1 ORDER BY host""".stripMargin)),
 
     // Benchmark decontamination: docs sharing any 8-gram with a held-out
     // "benchmark" carve (every 97th document stands in for an eval set).

@@ -157,5 +157,41 @@ object NonOracleQueries {
         hit("l_orderkey", 1000).crossJoin(hit("l_partkey", 500))
           .withColumn("files_total", lit(16))
       }),
+
+    // Hilbert-curve layout: same contract as q_zorder with the seam-free
+    // curve — per-file index ranges cover tighter rectangles, so range
+    // filters touch at most as many files (LayoutSpec proves the bound
+    // against Morton on an independent-dims grid).
+    GraftQuery(
+      "q_hilbert",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_hq").toString + "/h"
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        graft.operators.Layout.writeHilbertOrdered(
+          li, Seq("l_orderkey", "l_partkey"), tmp, 16)
+        val h = s.read.parquet(tmp)
+        def hit(c: String, v: Int) = h.filter(col(c) === v)
+          .select(input_file_name().as("f")).distinct()
+          .agg(count(lit(1)).as(s"files_$c"))
+        hit("l_orderkey", 1000).crossJoin(hit("l_partkey", 500))
+          .withColumn("files_total", lit(16))
+      }),
+
+    // Mergeable Datasketches HLL: sketch per group, union the sketches,
+    // estimate the merged cardinality — the two-level pattern that scales
+    // distinct-counting to 100 TB (each executor sketches its partition;
+    // only fixed-size register arrays move). Estimate differs from
+    // DuckDB's HLL → rows-only.
+    GraftQuery(
+      "q_hll_sketch",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy("lang")
+          .agg(expr("hll_sketch_agg(text, 12)").as("sk"))
+          .agg(
+            expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+              .as("merged_distinct_texts"),
+            count(lit(1)).as("n_groups"))),
   )
 }

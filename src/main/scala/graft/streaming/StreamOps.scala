@@ -200,33 +200,85 @@ object StreamOps {
     val marker = new org.apache.hadoop.fs.Path(
       store, graft.operators.IncrementalAgg.BatchMarker)
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // Interrupted-swap recovery: IncrementalAgg.update commits by
+    // rename(store → .old-tag) then rename(.staging-tag → store). A crash
+    // between the two leaves NO store dir — treating that as "fresh"
+    // would silently rebuild from one batch and discard all history
+    // (still sitting in .old-tag). The staged dir was fully written
+    // (data + marker) before the first rename, so the one completable
+    // case is rolled forward; anything else fails loudly with the
+    // recovery path instead of guessing.
+    if (!fs.exists(store)) {
+      val parent = store.getParent
+      val siblings: Array[String] =
+        if (parent != null && fs.exists(parent))
+          fs.listStatus(parent).map(_.getPath.getName)
+        else Array.empty
+      val olds = siblings.filter(_.startsWith(store.getName + ".old-")).sorted
+      if (olds.nonEmpty) {
+        val tags = olds.map(_.stripPrefix(store.getName + ".old-"))
+        val completable =
+          tags.filter(t => siblings.contains(store.getName + ".staging-" + t))
+        if (olds.length == 1 && completable.length == 1) {
+          val staging = new org.apache.hadoop.fs.Path(
+            parent, store.getName + ".staging-" + completable.head)
+          val retired = new org.apache.hadoop.fs.Path(parent, olds.head)
+          if (!fs.rename(staging, store)) throw new IllegalStateException(
+            s"store $storePath is missing after an interrupted swap and the " +
+              s"completed staging dir $staging could not be moved into place — " +
+              s"restore manually ($retired holds the pre-batch store)")
+          fs.delete(retired, true)
+        } else throw new IllegalStateException(
+          s"store $storePath is missing but retired sibling dirs " +
+            s"${olds.mkString(", ")} exist — an interrupted swap retired the " +
+            "previous store without a completable staging dir; rename the " +
+            ".old-<tag> dir back to the store path before resuming the stream")
+      }
+      // store missing with no .old sibling: nothing was ever committed
+      // (a lone .staging-* is a first-batch crash mid-write and will be
+      // rebuilt by replay) — genuinely fresh
+    }
+
+    def readMarkerFile(p: org.apache.hadoop.fs.Path): Long = {
+      val in = fs.open(p)
+      val line =
+        try new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+          .readLine()
+        finally in.close()
+      // never NPE/NumberFormat into a wedged stream: an unreadable
+      // marker means the store's provenance is unknown — fail loudly
+      // with the recovery path instead of guessing
+      try {
+        require(line != null && line.trim.nonEmpty)
+        line.trim.toLong
+      } catch {
+        case _: Exception => throw new IllegalStateException(
+          s"unreadable batch marker $p (content: ${Option(line).getOrElse("<empty>")}) — " +
+            "cannot tell which batches are applied; rebuild the store or " +
+            "restore the marker before resuming the stream")
+      }
+    }
+
+    // stores written before the in-store marker kept it as a SIBLING file
+    // (storePath + "._graft_last_batch") — honor it as the high-water mark
+    // and migrate: the next applied batch commits the in-store marker, then
+    // the legacy file is removed
+    val legacyMarker = new org.apache.hadoop.fs.Path(
+      storePath + "." + graft.operators.IncrementalAgg.BatchMarker)
     val last =
       if (!fs.exists(store)) -1L
-      else if (fs.exists(marker)) {
-        val in = fs.open(marker)
-        val line =
-          try new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
-            .readLine()
-          finally in.close()
-        // never NPE/NumberFormat into a wedged stream: an unreadable
-        // marker means the store's provenance is unknown — fail loudly
-        // with the recovery path instead of guessing
-        try {
-          require(line != null && line.trim.nonEmpty)
-          line.trim.toLong
-        } catch {
-          case _: Exception => throw new IllegalStateException(
-            s"unreadable batch marker $marker (content: ${Option(line).getOrElse("<empty>")}) — " +
-              "cannot tell which batches are applied; rebuild the store or " +
-              "restore the marker before resuming the stream")
-        }
-      } else throw new IllegalStateException(
+      else if (fs.exists(marker)) readMarkerFile(marker)
+      else if (fs.exists(legacyMarker)) readMarkerFile(legacyMarker)
+      else throw new IllegalStateException(
         s"store $storePath exists but has no batch marker — it was not " +
           "maintained by incrementalAggStream, so replay safety is unknown; " +
           "start from a fresh store path or add the marker manually")
     if (batchId <= last) return false
     graft.operators.IncrementalAgg.update(
       spark, storePath, batch, keyCols, valueCol, batchId = Some(batchId))
+    // the in-store marker is now committed; the legacy sibling is migrated
+    if (fs.exists(legacyMarker)) fs.delete(legacyMarker, false)
     true
   }
 

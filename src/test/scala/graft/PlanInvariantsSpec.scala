@@ -66,6 +66,11 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), plan)
   }
 
+  test("q_tfidf: the measured switch broadcasts the (small) vocabulary side") {
+    val plan = executedPlan("q_tfidf")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q_snapshot_diff: the diff is one join, no nested-loop fallback") {
     val plan = executedPlan("q_snapshot_diff")
     assert(plan.contains("FullOuter"), plan)

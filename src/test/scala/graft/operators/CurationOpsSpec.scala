@@ -13,12 +13,37 @@ class CurationOpsSpec extends AnyFunSuite {
     val out = Chunker.chunk(docs, "doc_id", "text", chunkTokens = 5, stride = 3)
       .as[(Long, Int, String)].collect().sortBy(_._2)
     assert(out.map(_._3).toSeq == Seq(
-      "a b c d e", // 1..5
-      "d e f g h", // 4..8
-      "g h i j k", // 7..11
-      "j k"))      // 10..11 partial tail kept
+      "a b c d e",   // 1..5
+      "d e f g h",   // 4..8
+      "g h i j k"))  // 7..11 — reaches the end, so no (contained) 10..11 tail
     // overlap = chunkTokens - stride = 2 tokens between consecutive chunks
     assert(out(0)._3.split(" ").takeRight(2).sameElements(out(1)._3.split(" ").take(2)))
+  }
+
+  test("chunker never emits a tail chunk fully contained in the previous one " +
+    "(chunkTokens > stride)") {
+    // 400 tokens at defaults 512/384: one chunk covers everything; the old
+    // start sequence also emitted chunk 1 = tokens 385..400, a duplicate
+    // of chunk 0's tail — poisoned training text
+    val text = (1 to 400).map(i => s"t$i").mkString(" ")
+    val out = Chunker.chunk(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text").as[(Long, Int, String)].collect()
+    assert(out.length == 1 && out.head._2 == 0)
+    assert(out.head._3.split(" ").length == 400)
+  }
+
+  test("chunker emits a shorter final chunk when the tail extends past the " +
+    "previous chunk's end") {
+    // 11 tokens, 10/8: chunk 0 = 1..10, chunk 1 = 9..11 (token 11 is new)
+    val text = (1 to 11).map(i => s"t$i").mkString(" ")
+    val out = Chunker.chunk(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", chunkTokens = 10, stride = 8)
+      .as[(Long, Int, String)].collect().sortBy(_._2)
+    assert(out.map(_._3).toSeq == Seq(
+      (1 to 10).map(i => s"t$i").mkString(" "),
+      (9 to 11).map(i => s"t$i").mkString(" ")))
+    // every token still appears in some chunk (tail never dropped)
+    assert(out.flatMap(_._3.split(" ")).toSet == (1 to 11).map(i => s"t$i").toSet)
   }
 
   test("chunker: document shorter than one chunk yields exactly one chunk") {

@@ -50,6 +50,20 @@ class DiffQualitySpec extends AnyFunSuite {
       ("ref_id", 0L)))
   }
 
+  test("quality report rejects duplicate check names up front") {
+    val df = Seq((1L, 10.0)).toDF("id", "amount")
+    val e = intercept[IllegalArgumentException] {
+      Quality.report(df, Seq(
+        Quality.Satisfies("amount_ok", "amount > 0"),
+        Quality.Satisfies("amount_ok", "amount < 100")))
+    }
+    assert(e.getMessage.contains("amount_ok"))
+    // two NotNull on the same column collide via derived names too
+    intercept[IllegalArgumentException] {
+      Quality.report(df, Seq(Quality.NotNull("id"), Quality.NotNull("id")))
+    }
+  }
+
   test("enforce throws listing only the failing checks") {
     val df = Seq((1L, -1.0)).toDF("id", "amount")
     val e = intercept[IllegalStateException] {

@@ -179,7 +179,10 @@ class MergeSpec extends AnyFunSuite {
     // the residue a crashed/emptied earlier write can leave. It yields no
     // rows, so file-scan-based dir discovery can't see it; the swap must
     // still retire it or rename would nest part=p1/part=p1.
-    val emptyTmp = Files.createTempDirectory("graft_merge_empty").toString
+    // write to a subpath of the temp dir: createTempDirectory already
+    // created the dir itself, and Spark's parquet writer refuses an
+    // existing destination ([PATH_ALREADY_EXISTS])
+    val emptyTmp = Files.createTempDirectory("graft_merge_empty").toString + "/d"
     Seq((0L, "x")).toDF("k", "v").filter(lit(false))
       .repartition(1).write.parquet(emptyTmp)
     val emptyFile = new java.io.File(emptyTmp).listFiles()

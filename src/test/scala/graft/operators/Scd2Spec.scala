@@ -60,6 +60,70 @@ class Scd2Spec extends AnyFunSuite {
     assert(out.filter($"is_current").select("name").as[String].head() == "acme")
   }
 
+  test("NULL natural key matches null-safely: repeated batches never " +
+    "accumulate duplicate open versions") {
+    val path = freshStore()
+    val b1 = Seq((Option(1L), "a"), (Option.empty[Long], "n1")).toDF("id", "name")
+    Scd2.apply(spark, path, b1, "id", "2024-01-01 00:00:00")
+    // batch 2 repeats the NULL-key row verbatim → no churn (with a plain
+    // `=` join the NULL key never matches and every batch appends a dup)
+    val out2 = Scd2.apply(spark, path, b1, "id", "2024-02-01 00:00:00")
+    assert(out2.filter($"id".isNull).count() == 1)
+    assert(out2.filter($"id".isNull && $"is_current").count() == 1)
+    // batch 3 changes the NULL key's attribute → close + reopen
+    val out3 = Scd2.apply(spark, path,
+      Seq((Option.empty[Long], "n2")).toDF("id", "name"), "id", "2024-03-01 00:00:00")
+    val vers = out3.filter($"id".isNull).orderBy("valid_from")
+      .select("name", "is_current").as[(String, Boolean)].collect().toSeq
+    assert(vers == Seq(("n1", false), ("n2", true)))
+  }
+
+  test("trickle batch rewrites only the open slice and its month's closed " +
+    "slice; older history dirs are untouched on disk") {
+    val path = freshStore()
+    Scd2.apply(spark, path,
+      Seq((1L, "v1"), (2L, "w1")).toDF("id", "v"), "id", "2024-01-01 00:00:00")
+    // closes key 1 → its old version lands in slice c2024-02
+    Scd2.apply(spark, path,
+      Seq((1L, "v2")).toDF("id", "v"), "id", "2024-02-01 00:00:00")
+    val histDir = new java.io.File(path, s"${Scd2.SliceCol}=c2024-02")
+    assert(histDir.isDirectory, "closed slice dir missing")
+    def snap(d: java.io.File): Set[(String, Long)] =
+      d.listFiles().map(f => (f.getName, f.lastModified())).toSet
+    val before = snap(histDir)
+    // a later-month batch must not touch the February history slice
+    val out = Scd2.apply(spark, path,
+      Seq((2L, "w2")).toDF("id", "v"), "id", "2024-03-15 00:00:00")
+    assert(snap(histDir) == before,
+      "untouched history slice was rewritten by a trickle batch")
+    assert(out.count() == 4)
+    val current = out.filter($"is_current")
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(current == Map(1L -> "v2", 2L -> "w2"))
+  }
+
+  test("legacy flat store (pre-slice layout) is migrated on first apply") {
+    val path = freshStore()
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    Seq(
+      (1L, "old", t1, Option(t2), false),
+      (1L, "new", t2, Option.empty[java.sql.Timestamp], true))
+      .toDF("id", "v", "valid_from", "valid_to", "is_current")
+      .write.parquet(path)
+    val out = Scd2.apply(spark, path,
+      Seq((2L, "x")).toDF("id", "v"), "id", "2024-03-01 00:00:00")
+    assert(out.count() == 3)
+    assert(out.filter($"is_current").count() == 2)
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    // the legacy closed version (valid_to 2024-02-01) lands in c2024-02
+    assert(dirs == Set(s"${Scd2.SliceCol}=open", s"${Scd2.SliceCol}=c2024-02"),
+      s"unexpected slice layout: $dirs")
+    // full history preserved through the migration
+    assert(out.filter($"id" === 1L).count() == 2)
+  }
+
   test("asOf returns the version valid at a point in time") {
     val path = freshStore()
     Scd2.apply(spark, path, Seq((1L, "v1")).toDF("id", "v"), "id", "2024-01-01 00:00:00")

@@ -178,4 +178,70 @@ class StreamSinkSpec extends AnyFunSuite {
     assert(!StreamOps.applyAggBatchOnce(batch, ok, Seq("user"), "value", 1L))
     assert(spark.read.parquet(ok).select("n").as[Long].head() == 2L)
   }
+
+  test("a crash between the swap's two renames is rolled forward, not " +
+    "silently rebuilt from one batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_incr_crash").toString
+    val batch = Seq(Ev(Timestamp.valueOf("2024-01-01 00:01:00"), "a", 1.0)).toDF()
+
+    // stage the exact on-disk state a crash between rename(store→.old) and
+    // rename(.staging→store) leaves: no store dir, a retired pre-batch
+    // store, and a COMPLETE staged store (data + marker for batch 1)
+    val store = s"$dir/agg"
+    assert(StreamOps.applyAggBatchOnce(batch, store, Seq("user"), "value", 0L))
+    val after1 = s"$dir/after1"
+    assert(StreamOps.applyAggBatchOnce(batch, after1, Seq("user"), "value", 0L))
+    assert(StreamOps.applyAggBatchOnce(batch, after1, Seq("user"), "value", 1L))
+    assert(new java.io.File(store).renameTo(new java.io.File(s"$store.old-t1")))
+    assert(new java.io.File(after1).renameTo(new java.io.File(s"$store.staging-t1")))
+
+    // the foreachBatch replay of batch 1 completes the swap and is then
+    // SKIPPED (the staged marker says 1 is applied) — exactly once
+    assert(!StreamOps.applyAggBatchOnce(batch, store, Seq("user"), "value", 1L))
+    assert(spark.read.parquet(store).select("n").as[Long].head() == 2L,
+      "rolled-forward store must hold both applied batches")
+    assert(!new java.io.File(s"$store.old-t1").exists())
+    assert(!new java.io.File(s"$store.staging-t1").exists())
+    // and the stream proceeds normally afterwards
+    assert(StreamOps.applyAggBatchOnce(batch, store, Seq("user"), "value", 2L))
+    assert(spark.read.parquet(store).select("n").as[Long].head() == 3L)
+
+    // a retired dir WITHOUT a completable staging is unknown provenance:
+    // fail loudly with the recovery path, never treat the store as fresh
+    val lost = s"$dir/lost"
+    assert(StreamOps.applyAggBatchOnce(batch, lost, Seq("user"), "value", 0L))
+    assert(new java.io.File(lost).renameTo(new java.io.File(s"$lost.old-t9")))
+    val e = intercept[IllegalStateException] {
+      StreamOps.applyAggBatchOnce(batch, lost, Seq("user"), "value", 1L)
+    }
+    assert(e.getMessage.contains(".old-"))
+  }
+
+  test("legacy sibling marker is honored as the high-water mark and " +
+    "migrated into the store") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_incr_legacy").toString
+    val batch = Seq(Ev(Timestamp.valueOf("2024-01-01 00:01:00"), "a", 1.0)).toDF()
+
+    // a store maintained by the previous version: no in-store marker,
+    // high-water mark in a sibling file storePath + "._graft_last_batch"
+    val store = s"$dir/agg"
+    graft.operators.IncrementalAgg.update(spark, store, batch, Seq("user"), "value")
+    val legacy = java.nio.file.Paths.get(
+      store + "." + graft.operators.IncrementalAgg.BatchMarker)
+    java.nio.file.Files.write(legacy, "5".getBytes("UTF-8"))
+
+    // replays at or below the legacy mark are skipped, not re-applied
+    assert(!StreamOps.applyAggBatchOnce(batch, store, Seq("user"), "value", 5L))
+    assert(spark.read.parquet(store).select("n").as[Long].head() == 1L)
+    // the next applied batch commits the in-store marker and removes the
+    // legacy file
+    assert(StreamOps.applyAggBatchOnce(batch, store, Seq("user"), "value", 6L))
+    assert(!java.nio.file.Files.exists(legacy), "legacy marker left orphaned")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      store, graft.operators.IncrementalAgg.BatchMarker)))
+    assert(!StreamOps.applyAggBatchOnce(batch, store, Seq("user"), "value", 6L))
+    assert(spark.read.parquet(store).select("n").as[Long].head() == 2L)
+  }
 }
