@@ -189,4 +189,18 @@ object Scd2 {
     store.filter(col("valid_from") <= ts &&
       (col("valid_to").isNull || col("valid_to") > ts))
   }
+
+  /** Point-in-time lookup straight off the sliced store, partition-pruned:
+    * a version valid at T is either open, or closed AFTER T — i.e. lives
+    * in a `c<yyyy-MM>` slice with month ≥ month(T) (slice names are
+    * zero-padded, so the lexicographic string comparison on the partition
+    * column prunes at planning time). History closed before T's month —
+    * the bulk of a years-old dimension — is never scanned. */
+  def asOfStore(spark: SparkSession, path: String, asOfTs: String): DataFrame = {
+    val pruned = spark.read.parquet(path)
+      .filter(col(SliceCol) === OpenSlice ||
+        col(SliceCol) >= lit(closedSlice(asOfTs)))
+      .drop(SliceCol)
+    asOf(pruned, asOfTs)
+  }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import java.nio.file.Files
 
 import graft.flow.SparkTestSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class Scd2Spec extends AnyFunSuite {
@@ -135,5 +136,29 @@ class Scd2Spec extends AnyFunSuite {
     // exactly at a boundary the NEW version wins (valid_to exclusive)
     assert(Scd2.asOf(store, "2024-02-01 00:00:00").select("v").as[String].head() == "v2")
     assert(Scd2.asOf(store, "2024-09-01 00:00:00").select("v").as[String].head() == "v3")
+  }
+
+  test("asOfStore prunes history slices closed before the lookup month " +
+    "and still answers every point in time correctly") {
+    val path = freshStore()
+    Scd2.apply(spark, path, Seq((1L, "v1")).toDF("id", "v"), "id", "2024-01-01 00:00:00")
+    Scd2.apply(spark, path, Seq((1L, "v2")).toDF("id", "v"), "id", "2024-02-01 00:00:00")
+    Scd2.apply(spark, path, Seq((1L, "v3")).toDF("id", "v"), "id", "2024-03-01 00:00:00")
+    // same answers as the unpruned asOf at every probe point
+    for ((ts, want) <- Seq(
+        "2024-01-15 00:00:00" -> "v1",
+        "2024-02-15 00:00:00" -> "v2",
+        "2024-02-01 00:00:00" -> "v2",
+        "2024-09-01 00:00:00" -> "v3")) {
+      assert(Scd2.asOfStore(spark, path, ts).select("v").as[String].head() == want,
+        s"asOfStore($ts)")
+    }
+    // a recent lookup must not read the old closed slices: the c2024-02
+    // slice (v1, closed 2024-02-01) is pruned from the 2024-09 scan
+    val files = Scd2.asOfStore(spark, path, "2024-09-01 00:00:00")
+      .select(input_file_name().as("f")).distinct().as[String].collect()
+    assert(files.nonEmpty)
+    assert(!files.exists(_.contains("c2024-02")),
+      s"history slice scanned by a recent point-in-time lookup: ${files.mkString(", ")}")
   }
 }
