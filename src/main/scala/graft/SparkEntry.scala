@@ -25,6 +25,7 @@ object SparkEntry {
       AnalyticsQueries.all ++
       CurationQueries.all ++
       StoreQueries.all ++
+      ProfileQueries.all ++
       NonOracleQueries.all
 
   require(

@@ -152,6 +152,60 @@ object CurationQueries {
              |       COUNT(*) AS n_docs
              |FROM documents GROUP BY 1 ORDER BY host""".stripMargin)),
 
+    // Token-budget corpus selection — the data-mixing primitive: per
+    // language, admit documents in quality order (vocabulary-uniqueness
+    // ratio, doc_id tiebreak) until a token budget fills. One window
+    // cumsum per language partition; at 100 TB this is a single shuffle
+    // on lang with per-partition sorts, no global sort. The sort key is
+    // rounded so float last-ulp noise can't reorder admissions across
+    // engines.
+    GraftQuery(
+      "q_token_budget",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = split(col("text"), " ")
+        val scored = Tables.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_toks"),
+          round(size(array_distinct(toks)).cast("double") / size(toks), 6)
+            .as("uq"))
+        val w = Window.partitionBy("lang")
+          .orderBy(col("uq").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        scored.withColumn("cum_toks", sum("n_toks").over(w))
+          .filter(col("cum_toks") <= 3000)
+          .select("doc_id", "lang", "n_toks", "cum_toks")
+          .orderBy("lang", "doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_toks,
+             |  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             |        / len(string_split(text, ' ')), 6) AS uq
+             |  FROM documents),
+             |c AS (SELECT doc_id, lang, n_toks,
+             |        CAST(SUM(n_toks) OVER (PARTITION BY lang
+             |          ORDER BY uq DESC, doc_id
+             |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+             |      FROM t)
+             |SELECT doc_id, lang, n_toks, cum_toks FROM c
+             |WHERE cum_toks <= 3000 ORDER BY lang, doc_id""".stripMargin)),
+
+    // Vocabulary heavy hitters: exact top-20 terms by frequency. The
+    // groupBy partial-aggregates map-side (term counts combine before the
+    // shuffle) and the top-20 runs as TakeOrderedAndProject — no global
+    // sort materializes. Tie-broken on term so the cut is total.
+    GraftQuery(
+      "q_heavy_hitters",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term")).limit(20),
+      Some("""SELECT term, COUNT(*) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS term
+             |      FROM documents) t
+             |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin)),
+
     // Benchmark decontamination: docs sharing any 8-gram with a held-out
     // "benchmark" carve (every 97th document stands in for an eval set).
     // Shingle-hash broadcast semi-join — rows-only (no DuckDB shingle

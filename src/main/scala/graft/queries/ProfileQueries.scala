@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Table/corpus introspection: per-column data profiling and sketch-based
+  * frequency estimation — the "what is in this 100 TB pile" pass every
+  * ingest pipeline runs before curation.
+  */
+object ProfileQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Per-column profile (null count, exact distinct, min, max) in ONE
+    // pass over the table: all aggregates run in a single agg, then the
+    // per-column rows unfold from an array of structs — no per-column
+    // rescans. The multi-countDistinct expands the aggregate (one
+    // distinct-shuffle per column, same shape as q_agg_multidistinct);
+    // at 100 TB swap countDistinct for approx_count_distinct and the
+    // plan collapses to one partial-aggregated pass. l_tax_nz plants
+    // NULLs (nullif) so the null-count leg is exercised on the
+    // null-free TPC-H fixture.
+    GraftQuery(
+      "q_profile",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("l_tax_nz", when(col("l_tax") =!= 0, col("l_tax")))
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax_nz")
+        val agg = li.agg(
+          count(when(col(cols.head).isNull, lit(1))).as(s"${cols.head}__nn"),
+          cols.tail.map(c => count(when(col(c).isNull, lit(1))).as(s"${c}__nn")) ++
+            cols.map(c => countDistinct(col(c)).as(s"${c}__nd")) ++
+            cols.map(c => round(min(col(c)).cast("double"), 4).as(s"${c}__mn")) ++
+            cols.map(c => round(max(col(c)).cast("double"), 4).as(s"${c}__mx")): _*)
+        val rows = array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col(s"${c}__nn").as("n_null"),
+          col(s"${c}__nd").as("n_distinct"),
+          col(s"${c}__mn").as("vmin"),
+          col(s"${c}__mx").as("vmax"))): _*)
+        agg.select(explode(rows).as("p")).select("p.*").orderBy("col_name")
+      },
+      Some("""WITH li AS (SELECT *, nullif(l_tax, 0.0) AS l_tax_nz FROM lineitem)
+             |SELECT 'l_quantity' AS col_name, COUNT(*) - COUNT(l_quantity) AS n_null,
+             |       COUNT(DISTINCT l_quantity) AS n_distinct,
+             |       ROUND(CAST(MIN(l_quantity) AS DOUBLE), 4) AS vmin,
+             |       ROUND(CAST(MAX(l_quantity) AS DOUBLE), 4) AS vmax FROM li
+             |UNION ALL
+             |SELECT 'l_extendedprice', COUNT(*) - COUNT(l_extendedprice),
+             |       COUNT(DISTINCT l_extendedprice),
+             |       ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 4),
+             |       ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 4) FROM li
+             |UNION ALL
+             |SELECT 'l_discount', COUNT(*) - COUNT(l_discount),
+             |       COUNT(DISTINCT l_discount),
+             |       ROUND(CAST(MIN(l_discount) AS DOUBLE), 4),
+             |       ROUND(CAST(MAX(l_discount) AS DOUBLE), 4) FROM li
+             |UNION ALL
+             |SELECT 'l_tax_nz', COUNT(*) - COUNT(l_tax_nz),
+             |       COUNT(DISTINCT l_tax_nz),
+             |       ROUND(CAST(MIN(l_tax_nz) AS DOUBLE), 4),
+             |       ROUND(CAST(MAX(l_tax_nz) AS DOUBLE), 4) FROM li
+             |ORDER BY col_name""".stripMargin)),
+
+    // Count-min-sketch term frequencies validated against exact counts:
+    // the sketch is the 100 TB path (fixed-size, mergeable, built in one
+    // partial-aggregated pass — only sketch arrays cross the shuffle);
+    // here it is probed at the exact top-20 so FreqSketchSpec can pin the
+    // CMS guarantee (est ≥ exact, est ≤ exact + ε·N). The two driver
+    // materializations are bounded: one sketch blob and 20 rows.
+    // Estimates are sketch-specific → rows-only, no DuckDB oracle.
+    GraftQuery(
+      "q_freq_sketch",
+      (s, d) => {
+        val terms = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("term"))
+        val skBytes = terms
+          .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("sk"))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(skBytes))
+        val top = terms.groupBy("term").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("term")).limit(20)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1),
+            cms.estimateCount(r.getString(0))))
+        import s.implicits._
+        top.toSeq.toDF("term", "n_exact", "n_est").orderBy("term")
+      },
+      None))
+}

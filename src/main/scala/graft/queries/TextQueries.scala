@@ -108,5 +108,34 @@ object TextQueries {
           .orderBy("doc_id"),
       Some("""SELECT doc_id, md5(text) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // n-gram Jaccard near-dup with EXACT-threshold semantics: LSH banding
+    // (128 hashes, 64 bands of 2) is only the blocking strategy; every
+    // candidate pair is verified with exact shingle-set Jaccard. At
+    // threshold 0.5 a qualifying pair escapes candidacy with probability
+    // ≤ (1-0.5²)^64 ≈ 1e-8 (and the hashing is seeded-deterministic), so
+    // the result EQUALS the O(n²) oracle below — while the Spark plan
+    // never materializes the quadratic pair space.
+    GraftQuery(
+      "q_ngram_jaccard",
+      (s, d) =>
+        graft.operators.Dedup.ngramJaccardNearDup(
+          Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+             |           FROM documents),
+             |g AS (SELECT doc_id,
+             |        CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |             ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+             |                                 FOR i IN range(1, len(w)-1)])
+             |        END AS sh
+             |      FROM t)
+             |SELECT id_a, id_b, ROUND(jc, 4) AS jaccard FROM (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |           len(list_distinct(list_concat(a.sh, b.sh))) AS jc
+             |  FROM g a JOIN g b ON a.doc_id < b.doc_id) p
+             |WHERE jc >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
   )
 }

@@ -44,6 +44,23 @@ class DedupSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("ngram-jaccard near-dup equals the brute-force O(n²) answer " +
+    "(LSH is blocking only — q_ngram_jaccard's oracle contract)") {
+    val docs = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+    val got = Dedup.ngramJaccardNearDup(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sh = TextFunctions.shingles(col("text"), 3)
+    val g = docs.select(col("doc_id"), sh.as("sh"))
+    val want = g.as("a").join(g.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(TextFunctions.jaccard(col("a.sh"), col("b.sh")) >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)]
+      .collect().toSet
+    assert(got == want, s"LSH-blocked=${got.size} brute=${want.size}")
+    assert(want.nonEmpty) // fixture plants near-dups — the test must bite
+  }
+
   test("simhash near-dup finds the one-word edit within small hamming distance") {
     val pairs = Dedup.simhashNearDup(corpus, "doc_id", "text",
       maxHamming = 16, chunks = 32)
