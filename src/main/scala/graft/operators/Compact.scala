@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction for parquet stores — the table-maintenance pass
+  * every trickle-ingested store needs: thousands of per-batch files turn
+  * a 100 TB scan into a listing + task-scheduling bottleneck (one task
+  * per tiny file) long before I/O matters.
+  *
+  * Protocol: stage the rewritten files FULLY, row-count-check them, then
+  * swap via two renames (same crash posture as Merge: a failure leaves
+  * either the old store or the old store in `.old-<tag>`, never a half
+  * store). Data content is preserved exactly; file layout is not (that is
+  * the point). Use [[Layout]] writers instead when the rewrite should
+  * also re-order rows.
+  */
+object Compact {
+
+  /** files and bytes before/after, for the caller's telemetry. */
+  final case class CompactStats(
+      filesBefore: Int, filesAfter: Int, bytes: Long, rows: Long)
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataFiles(spark: SparkSession, dir: Path) =
+    fsOf(spark, dir).listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+
+  /** Compact one flat parquet dir to ~`targetFileBytes` files. Returns the
+    * stats; no-ops (and skips the rewrite entirely) when the dir already
+    * has ≤ the target file count. */
+  def compactDir(
+      spark: SparkSession,
+      dir: String,
+      targetFileBytes: Long = 128L << 20): CompactStats = {
+    val target = new Path(dir)
+    val fs = fsOf(spark, target)
+    val files = dataFiles(spark, target)
+    val bytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(dir)
+    if (files.length <= nOut)
+      return CompactStats(files.length, files.length, bytes, df.count())
+
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(dir + ".staging-" + tag)
+    val retired = new Path(dir + ".old-" + tag)
+    val before = df.count()
+    // repartition, not coalesce: coalesce folds into the SCAN tasks and
+    // would chain the read parallelism to nOut; repartition keeps the
+    // read wide and only funnels at the write.
+    df.repartition(nOut).write.parquet(staging.toString)
+    val after = spark.read.parquet(staging.toString).count()
+    if (after != before) {
+      fs.delete(staging, true)
+      throw new IllegalStateException(
+        s"compaction row mismatch for $dir: $before -> $after (store untouched)")
+    }
+    if (!fs.rename(target, retired)) {
+      fs.delete(staging, true)
+      throw new java.io.IOException(s"could not retire $target")
+    }
+    if (!fs.rename(staging, target)) {
+      throw new java.io.IOException(
+        s"could not swap staged compaction into $target " +
+          s"(previous store preserved at $retired)")
+    }
+    val outFiles = dataFiles(spark, target).length
+    fs.delete(retired, true)
+    CompactStats(files.length, outFiles, bytes, before)
+  }
+
+  /** Compact a hive-partitioned store: each `pcol=v` dir compacts
+    * independently, and ONLY dirs holding more than `maxFilesPerDir`
+    * files rewrite — trickle ingest concentrates small files in hot
+    * partitions, and cold partitions keep their files (and their
+    * modification identity) untouched. Returns per-partition stats for
+    * the dirs that were rewritten. */
+  def compactStore(
+      spark: SparkSession,
+      storePath: String,
+      pcol: String,
+      targetFileBytes: Long = 128L << 20,
+      maxFilesPerDir: Int = 8): Map[String, CompactStats] = {
+    val root = new Path(storePath)
+    val fs = fsOf(spark, root)
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(pcol + "="))
+      .filter(s => dataFiles(spark, s.getPath).length > maxFilesPerDir)
+      .map { s =>
+        s.getPath.getName ->
+          compactDir(spark, s.getPath.toString, targetFileBytes)
+      }.toMap
+  }
+}

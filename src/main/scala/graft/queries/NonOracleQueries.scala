@@ -178,6 +178,24 @@ object NonOracleQueries {
           .withColumn("files_total", lit(16))
       }),
 
+    // Small-file compaction (table maintenance): a store trickle-written
+    // as 32 tiny files folds to ~1 per 128 MB, rows preserved exactly —
+    // the pass that keeps a 100 TB store's task count scan-bound instead
+    // of listing-bound. File-system-level → rows-only; the swap protocol
+    // and partition-scoped rewrite are CompactSpec-gated.
+    GraftQuery(
+      "q_compact",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_cq").toString + "/c"
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_partkey", "l_quantity")
+          .repartition(32).write.parquet(dir)
+        val st = graft.operators.Compact.compactDir(s, dir)
+        import s.implicits._
+        Seq((st.filesBefore, st.filesAfter, st.rows))
+          .toDF("files_before", "files_after", "rows")
+      }),
+
     // Mergeable Datasketches HLL: sketch per group, union the sketches,
     // estimate the merged cardinality — the two-level pattern that scales
     // distinct-counting to 100 TB (each executor sketches its partition;

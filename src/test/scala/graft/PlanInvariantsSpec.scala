@@ -18,7 +18,9 @@ class PlanInvariantsSpec extends AnyFunSuite {
   private def executedPlan(q: String): String = {
     val df = SparkEntry.queries(q)(spark, sfDir)
     df.collect() // let AQE finalize
-    df.queryExecution.executedPlan.toString
+    // keep only the final adaptive plan: the "Initial Plan" echo AQE
+    // appends would double-count scans/exchanges in line-count asserts
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
 
   test("q_filter: the predicate is pushed into the parquet scan") {
@@ -80,6 +82,28 @@ class PlanInvariantsSpec extends AnyFunSuite {
   test("q_quality: referential integrity broadcasts the dimension") {
     val plan = executedPlan("q_quality")
     assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q_heavy_hitters: exact top-k runs as partial agg + " +
+    "TakeOrderedAndProject, never a global sort") {
+    val plan = executedPlan("q_heavy_hitters")
+    assert(plan.contains("partial_"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q_profile: the one-pass profile scans lineitem once") {
+    val plan = executedPlan("q_profile")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
+  }
+
+  test("q_token_budget: one shuffle on lang, no global sort before the " +
+    "window") {
+    val plan = executedPlan("q_token_budget")
+    // the window must partition by lang (hash exchange + per-partition
+    // sort); the only range exchange allowed is the final presentation
+    // ORDER BY the oracle contract requires
+    assert(plan.contains("hashpartitioning(lang"), plan)
+    assert(plan.linesIterator.count(_.contains("rangepartitioning")) <= 1, plan)
   }
 
   test("runtime bloom-filter pruning: a selective dim filter injects a " +

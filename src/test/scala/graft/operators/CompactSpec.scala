@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.flow.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CompactSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // order-insensitive content fingerprint; bit_xor can't overflow where
+  // an ANSI sum of full-range hashes would
+  private def contentHash(path: String): Long =
+    spark.read.parquet(path)
+      .agg(expr("bit_xor(xxhash64(k, v))")).head().getLong(0)
+
+  test("compactDir folds many small files into few, preserving every row") {
+    val dir = tmp("graft_compact") + "/d"
+    (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(40).write.parquet(dir)
+    val before = contentHash(dir)
+    val stats = Compact.compactDir(spark, dir, targetFileBytes = 1L << 30)
+    assert(stats.filesBefore == 40 && stats.filesAfter == 1, stats)
+    assert(stats.rows == 2000)
+    assert(contentHash(dir) == before)
+  }
+
+  test("compactDir is a no-op when the dir already meets the target " +
+    "(file identity preserved)") {
+    val dir = tmp("graft_compact_noop") + "/d"
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.parquet(dir)
+    def names = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val beforeNames = names
+    val stats = Compact.compactDir(spark, dir, targetFileBytes = 1L << 30)
+    assert(stats.filesBefore == stats.filesAfter)
+    assert(names == beforeNames) // not rewritten, same physical files
+  }
+
+  test("compactStore rewrites only partitions over the file cap; " +
+    "cold partitions keep their physical files") {
+    val store = tmp("graft_compact_store") + "/s"
+    // hot partition: 20 trickle files; cold: 2
+    (1 to 1000).map(i => (i.toLong, s"v$i", "hot")).toDF("k", "v", "p")
+      .repartition(20).write.partitionBy("p").mode("append").parquet(store)
+    (1 to 50).map(i => ((i + 10000).toLong, s"w$i", "cold")).toDF("k", "v", "p")
+      .repartition(2).write.partitionBy("p").mode("append").parquet(store)
+    def files(p: String) = new java.io.File(s"$store/p=$p").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+    val coldBefore = files("cold")
+    val totalBefore = spark.read.parquet(store).count()
+    val hashBefore = spark.read.parquet(store)
+      .agg(expr("bit_xor(xxhash64(k, v, p))")).head().getLong(0)
+
+    val stats = Compact.compactStore(spark, store, "p",
+      targetFileBytes = 1L << 30, maxFilesPerDir = 8)
+
+    assert(stats.keySet == Set("p=hot"), stats) // cold under the cap
+    assert(stats("p=hot").filesBefore == 20 && stats("p=hot").filesAfter == 1)
+    assert(files("cold") == coldBefore) // untouched, same names + mtimes
+    assert(spark.read.parquet(store).count() == totalBefore)
+    assert(spark.read.parquet(store)
+      .agg(expr("bit_xor(xxhash64(k, v, p))")).head().getLong(0)
+      == hashBefore)
+  }
+}
