@@ -29,15 +29,49 @@ object Compact {
     fsOf(spark, dir).listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
 
+  /** Roll an interrupted swap forward. A crash in [[compactDir]] between
+    * rename(target, retired) and rename(staging, target) leaves the
+    * store path MISSING with the full rewrite in `.staging-<tag>` (it
+    * was completely written and row-count-checked before the first
+    * rename) and the previous files in `.old-<tag>`. Treating that as
+    * "no store" would read-fail (or worse, let a caller recreate an
+    * empty store); completing the rename loses nothing. Unknown
+    * provenance — a missing store with retired files but NO matching
+    * staging — fails loudly instead of guessing. */
+  private def recoverInterruptedSwap(spark: SparkSession, target: Path): Unit = {
+    val fs = fsOf(spark, target)
+    if (fs.exists(target)) return
+    val parent = target.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val siblings = fs.listStatus(parent).map(_.getPath.getName)
+    val stagings = siblings.filter(_.startsWith(target.getName + ".staging-"))
+    val olds = siblings.filter(_.startsWith(target.getName + ".old-"))
+    if (olds.isEmpty && stagings.isEmpty) return // genuinely no store
+    val tags = olds.map(_.stripPrefix(target.getName + ".old-"))
+      .filter(t => stagings.contains(target.getName + ".staging-" + t))
+    if (tags.length != 1)
+      throw new IllegalStateException(
+        s"$target is missing but compaction leftovers exist " +
+          s"(${(stagings ++ olds).mkString(", ")}) without exactly one " +
+          "matched .old-/.staging- pair — refusing to guess; inspect and " +
+          "restore manually")
+    val tag = tags.head
+    if (!fs.rename(new Path(parent, target.getName + ".staging-" + tag), target))
+      throw new java.io.IOException(s"could not roll forward staged compaction for $target")
+    fs.delete(new Path(parent, target.getName + ".old-" + tag), true)
+  }
+
   /** Compact one flat parquet dir to ~`targetFileBytes` files. Returns the
     * stats; no-ops (and skips the rewrite entirely) when the dir already
-    * has ≤ the target file count. */
+    * has ≤ the target file count. Recovers an interrupted previous swap
+    * first (see [[recoverInterruptedSwap]]). */
   def compactDir(
       spark: SparkSession,
       dir: String,
       targetFileBytes: Long = 128L << 20): CompactStats = {
     val target = new Path(dir)
     val fs = fsOf(spark, target)
+    recoverInterruptedSwap(spark, target)
     val files = dataFiles(spark, target)
     val bytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)

@@ -207,5 +207,36 @@ object AnalyticsQueries {
              |               || lpad(CAST(doc_id AS VARCHAR), 4, '0')
              |          ELSE text END AS synth
              |      FROM documents) t
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // IQR outlier detection (Tukey fences) per event type: flag values
+    // above q3 + 1.5·IQR. Quantiles are EXACT order statistics (the
+    // deterministic choice — stddev-based z-scores would hinge on
+    // accumulation order), the per-group fence table is tiny and
+    // broadcast, and the fence is rounded to cents so a last-ulp
+    // interpolation difference between engines cannot move it. The
+    // detection pass is then one broadcast join over the fact scan — at
+    // 100 TB the only full-data cost is the quantile aggregation itself.
+    GraftQuery(
+      "q_outliers",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val fences = e.groupBy("event_type").agg(
+          expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.75)").as("q3"))
+          .select(col("event_type"),
+            round(col("q3") + lit(1.5) * (col("q3") - col("q1")), 2).as("fence"))
+        e.join(broadcast(fences), Seq("event_type"))
+          .filter(col("value") > col("fence"))
+          .select(col("event_id"), col("event_type"), col("value"), col("fence"))
+          .orderBy("event_id")
+      },
+      Some("""WITH f AS (SELECT event_type,
+             |  ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY value) +
+             |        1.5*(percentile_cont(0.75) WITHIN GROUP (ORDER BY value) -
+             |             percentile_cont(0.25) WITHIN GROUP (ORDER BY value)), 2) AS fence
+             |  FROM events GROUP BY 1)
+             |SELECT event_id, event_type, value, fence
+             |FROM events JOIN f USING (event_type)
+             |WHERE value > fence ORDER BY event_id""".stripMargin)))
 }

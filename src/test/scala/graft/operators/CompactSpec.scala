@@ -42,6 +42,38 @@ class CompactSpec extends AnyFunSuite {
     assert(names == beforeNames) // not rewritten, same physical files
   }
 
+  test("an interrupted swap rolls forward: missing store + matched " +
+    ".old/.staging pair completes the rename, losing nothing") {
+    val base = tmp("graft_compact_crash")
+    val dir = base + "/d"
+    (1 to 500).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.parquet(dir)
+    val want = contentHash(dir)
+    // simulate the crash window: target retired, staging complete
+    val f = new java.io.File(dir)
+    assert(f.renameTo(new java.io.File(base + "/d.old-deadbeef")))
+    (1 to 500).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.parquet(base + "/d.staging-deadbeef")
+    val stats = Compact.compactDir(spark, dir, targetFileBytes = 1L << 30)
+    assert(stats.rows == 500)
+    assert(contentHash(dir) == want)
+    assert(!new java.io.File(base + "/d.old-deadbeef").exists())
+    assert(!new java.io.File(base + "/d.staging-deadbeef").exists())
+  }
+
+  test("a missing store with UNMATCHED leftovers fails loudly instead " +
+    "of guessing") {
+    val base = tmp("graft_compact_orphan")
+    val dir = base + "/d"
+    // retired files but no staging: unknown provenance
+    (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.parquet(base + "/d.old-cafe0001")
+    val e = intercept[IllegalStateException] {
+      Compact.compactDir(spark, dir)
+    }
+    assert(e.getMessage.contains("refusing to guess"), e.getMessage)
+  }
+
   test("compactStore rewrites only partitions over the file cap; " +
     "cold partitions keep their physical files") {
     val store = tmp("graft_compact_store") + "/s"
