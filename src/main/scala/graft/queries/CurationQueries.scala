@@ -190,6 +190,38 @@ object CurationQueries {
              |SELECT doc_id, lang, n_toks, cum_toks FROM c
              |WHERE cum_toks <= 3000 ORDER BY lang, doc_id""".stripMargin)),
 
+    // Unigram language-model quality score — the cheap perplexity proxy a
+    // curation pipeline runs where a real LM is too expensive: score each
+    // doc by the average negative log-probability of its tokens under the
+    // corpus's own unigram distribution (high = surprising/rare tokens,
+    // low = boilerplate). The vocabulary side goes through the measured
+    // broadcast switch; the corpus-total is one scalar broadcast. At
+    // 100 TB: two passes over tokens (freq build + score), both
+    // partial-aggregated, vocabulary broadcast by Heaps' law.
+    GraftQuery(
+      "q_unigram_logprob",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val freq = graft.operators.Joins.broadcastIfSmall(
+          tok.groupBy("term").agg(count(lit(1)).as("n")))
+        val tot = tok.agg(count(lit(1)).as("n_total"))
+        tok.join(freq, "term").crossJoin(broadcast(tot))
+          .groupBy("doc_id")
+          .agg(round(avg(-log(col("n").cast("double") / col("n_total"))), 4)
+            .as("avg_neg_logp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |             FROM documents),
+             |freq AS (SELECT term, count(*) AS n FROM tok GROUP BY 1),
+             |tot AS (SELECT count(*) AS n_total FROM tok)
+             |SELECT doc_id,
+             |       ROUND(AVG(-ln(CAST(freq.n AS DOUBLE)/tot.n_total)), 4)
+             |         AS avg_neg_logp
+             |FROM tok JOIN freq USING (term) CROSS JOIN tot
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Vocabulary heavy hitters: exact top-20 terms by frequency. The
     // groupBy partial-aggregates map-side (term counts combine before the
     // shuffle) and the top-20 runs as TakeOrderedAndProject — no global
