@@ -29,6 +29,22 @@ object Compact {
     fsOf(spark, dir).listStatus(dir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
 
+  /** Exact row count from the parquet FOOTERS — driver-side metadata
+    * reads, no cluster job. Both the no-op stats and the pre/post-swap
+    * parity check use this: compaction must never need a full data scan
+    * just to count (at 100 TB the no-op probe would otherwise cost as
+    * much as the rewrite it avoids). */
+  private def footerRows(
+      spark: SparkSession,
+      files: Array[org.apache.hadoop.fs.FileStatus]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Roll an interrupted swap forward. A crash in [[compactDir]] between
     * rename(target, retired) and rename(staging, target) leaves the
     * store path MISSING with the full rewrite in `.staging-<tag>` (it
@@ -75,19 +91,18 @@ object Compact {
     val files = dataFiles(spark, target)
     val bytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val df = spark.read.parquet(dir)
+    val before = footerRows(spark, files)
     if (files.length <= nOut)
-      return CompactStats(files.length, files.length, bytes, df.count())
+      return CompactStats(files.length, files.length, bytes, before)
 
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(dir + ".staging-" + tag)
     val retired = new Path(dir + ".old-" + tag)
-    val before = df.count()
     // repartition, not coalesce: coalesce folds into the SCAN tasks and
     // would chain the read parallelism to nOut; repartition keeps the
     // read wide and only funnels at the write.
-    df.repartition(nOut).write.parquet(staging.toString)
-    val after = spark.read.parquet(staging.toString).count()
+    spark.read.parquet(dir).repartition(nOut).write.parquet(staging.toString)
+    val after = footerRows(spark, dataFiles(spark, staging))
     if (after != before) {
       fs.delete(staging, true)
       throw new IllegalStateException(

@@ -156,6 +156,35 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming SCD2: apply each micro-batch as a dimension delta to the
+    * type-2 history store (changed keys close their current version and
+    * open a new one — see graft.operators.Scd2). `batchTs` maps the
+    * batchId to the version-effectivity timestamp — it must be
+    * DETERMINISTIC (derive from batchId or the batch's own event time,
+    * never now()): replaying a batch with the same timestamp is
+    * idempotent (unchanged attributes produce no version churn), which is
+    * what makes this exactly-once under foreachBatch's at-least-once
+    * delivery. `prepare` pre-aggregates to one row per key (same contract
+    * as [[mergeStream]]). */
+  def scd2Stream(
+      facts: DataFrame,
+      storePath: String,
+      keyCol: String,
+      checkpoint: String)(
+      prepare: DataFrame => DataFrame,
+      batchTs: Long => String): org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val prepared = prepare(batch)
+        if (!prepared.isEmpty) {
+          graft.operators.Scd2.apply(
+            batch.sparkSession, storePath, prepared, keyCol, batchTs(batchId))
+          ()
+        }
+      }
+      .start()
+
   /** Streaming incremental aggregation: fold each micro-batch's partial
     * aggregates into the parquet store (see
     * graft.operators.IncrementalAgg) — the streaming materialized-view
@@ -319,5 +348,129 @@ object StreamOps {
           Iterator((k, next))
         }
     }
+  }
+
+  /** Incremental corpus near-dup dedup: each micro-batch of documents is
+    * checked against a persistent MinHash-signature store of everything
+    * ever admitted; near-dups of history (and within the batch) are
+    * dropped, and the admitted docs' signatures append to the store.
+    * This is continuous-ingestion dedup — the batch operator re-run over
+    * the full corpus per day does not scale; this touches only
+    * batch × LSH-bucket-mates.
+    *
+    * Cross-batch similarity is ESTIMATED from signature agreement (the
+    * store holds k-long signatures, never text — at 100 TB the store is
+    * the only thing that persists, and it is fixed-width per doc); the
+    * MinHash estimator's error is ~1/√k. Within-batch dedup has the text
+    * in hand and verifies exactly.
+    *
+    * Exactly-once admissions without a marker: admitted signatures land
+    * in a `batch=<id>` hive partition OVERWRITTEN per attempt, and the
+    * history join excludes rows of the current batchId — a replayed
+    * batch dedups against strictly-older history, recomputes the same
+    * admitted set, and overwrites its own partition idempotently. */
+  def nearDupStream(
+      docs: DataFrame,
+      storePath: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1000)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val admitted = applyNearDupBatch(batch, storePath, batchId, idCol,
+          textCol, numHashes, bands, shingleN, threshold, maxBucket)
+        sink(admitted, batchId)
+      }
+      .start()
+
+  /** The per-batch step behind [[nearDupStream]] (driveable directly in
+    * tests and backfills). Returns the admitted rows of `batch`. */
+  def applyNearDupBatch(
+      batch: DataFrame,
+      storePath: String,
+      batchId: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1000): DataFrame = {
+    import graft.functions.TextFunctions._
+    val spark = batch.sparkSession
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // one fused text→signature pass over the batch
+    val sigB = batch.select(
+      col(idCol).as("graft_id"),
+      minhashTextSignature(col(textCol), shingleN, numHashes).as("graft_sig"))
+      .persist()
+    val bandB = sigB.select(col("graft_id"),
+      explode(bandKeys(col("graft_sig"), bands, numHashes)).as("graft_band"))
+      .select(col("graft_id"), col("graft_band.band"), col("graft_band.bucket"))
+
+    // history = all admitted signatures from STRICTLY OLDER batches (the
+    // same-batch exclusion is what makes replays idempotent: an earlier
+    // attempt's own partition must not flag the recomputed batch as dups
+    // of itself). That partition is deleted up front: a crashed attempt
+    // can leave partial parquet files there, and even schema inference
+    // over them could wedge the replay.
+    val ownPartition = new org.apache.hadoop.fs.Path(store, s"batch=$batchId")
+    if (fs.exists(ownPartition)) fs.delete(ownPartition, true)
+    val hasHistory = fs.exists(store) &&
+      fs.listStatus(store).exists(_.getPath.getName.startsWith("batch="))
+    val history = (if (hasHistory)
+      spark.read.parquet(storePath).filter(col("batch") =!= batchId)
+        .select(col("graft_id").as("hist_id"), col("graft_sig").as("hist_sig"))
+    else
+      sigB.select(col("graft_id").as("hist_id"), col("graft_sig").as("hist_sig"))
+        .limit(0)).persist()
+
+    val bandH = history.select(col("hist_id"),
+      explode(bandKeys(col("hist_sig"), bands, numHashes)).as("graft_band"))
+      .select(col("hist_id"), col("graft_band.band"), col("graft_band.bucket"))
+    // hot-bucket cap on the history side — the standard LSH skew guard:
+    // a boilerplate bucket holding half the corpus must not cross-join
+    // against every future batch
+    val smallBuckets = bandH.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+      .select("band", "bucket")
+    val candidates = bandB
+      .join(bandH.join(smallBuckets, Seq("band", "bucket"), "left_semi"),
+        Seq("band", "bucket"))
+      .select("graft_id", "hist_id").distinct()
+
+    // MinHash estimator: fraction of agreeing signature positions
+    val agree = size(filter(
+      zip_with(col("graft_sig"), col("hist_sig"), (a, b) => a === b),
+      x => x)).cast("double") / numHashes
+    val dupOfHistory = candidates
+      .join(sigB, "graft_id")
+      .join(history, "hist_id")
+      .filter(agree >= threshold)
+      .select(col("graft_id").as(idCol)).distinct()
+
+    // within-batch: the text is in hand — exact-verified LSH pairs, min
+    // id survives (deterministic, matching Dedup.dedupNear's convention)
+    val batchPairs = graft.operators.Dedup.minhashNearDup(
+      batch, idCol, textCol, numHashes, bands, shingleN, threshold)
+    val dupInBatch = batchPairs.select(col("id_b").as(idCol)).distinct()
+
+    val admitted = batch
+      .join(dupOfHistory.unionByName(dupInBatch).distinct(), Seq(idCol), "left_anti")
+      .persist()
+    // admitted signatures → this batch's own partition; overwrite makes
+    // the replayed attempt idempotent
+    sigB.join(admitted.select(col(idCol).as("graft_id")), Seq("graft_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    admitted
   }
 }

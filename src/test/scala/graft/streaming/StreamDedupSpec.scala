@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.flow.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Doc(doc_id: Long, text: String)
+
+/** Incremental near-dup dedup against a persistent signature store
+  * (StreamOps.nearDupStream): cross-batch dups are dropped, within-batch
+  * dups keep the min-id survivor, and a replayed batch is idempotent
+  * (same admissions, store unchanged) — the continuous-ingestion form of
+  * corpus dedup. */
+class StreamDedupSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+
+  // long enough that a one-word edit stays above jaccard 0.9 (an edit
+  // moves ~3 of ~n shingles; at ~60 tokens J ≈ 55/61 ≈ 0.9)
+  private val base = "the quick brown fox jumps over the lazy dog and " +
+    "runs far away home tonight under a bright cold moon with friends " +
+    "while the river keeps rolling softly past the old stone bridge and " +
+    "the wind carries dry leaves across the empty market square where " +
+    "lanterns swing slowly casting long amber shadows on the cobblestones " +
+    "until the first light of morning returns the town to its usual noise"
+  private def edit(w: String) = base.replace("tonight", w)
+  private val other = "completely different content about spark engines " +
+    "distributed joins shuffles and the adaptive query execution planner"
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+
+  test("cross-batch near-dups are dropped; within-batch keeps min id; " +
+    "new content admits") {
+    import spark.implicits._
+    val store = tmp() + "/sigs"
+
+    // batch 0: doc 1 and its near-dup 2 (one-word edit), unrelated 3
+    val b0 = Seq(Doc(1, base), Doc(2, edit("today")), Doc(3, other)).toDF()
+    val a0 = StreamOps.applyNearDupBatch(b0, store, 0L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a0 == Seq(1L, 3L), s"admitted $a0")
+
+    // batch 1: doc 4 near-dups ADMITTED history (doc 1), doc 5 is new
+    val b1 = Seq(Doc(4, edit("tomorrow")), Doc(5, other + " but reworded " +
+      "entirely with novel phrasing and extra unmatched vocabulary")).toDF()
+    val a1 = StreamOps.applyNearDupBatch(b1, store, 1L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a1 == Seq(5L), s"admitted $a1")
+
+    // the store holds exactly the admitted signatures
+    val stored = spark.read.parquet(store)
+      .select("graft_id").as[Long].collect().sorted.toSeq
+    assert(stored == Seq(1L, 3L, 5L), s"store $stored")
+  }
+
+  test("a replayed batch is idempotent: same admissions, no duplicate " +
+    "store rows, and its own prior partition never flags it") {
+    import spark.implicits._
+    val store = tmp() + "/sigs"
+    val b0 = Seq(Doc(1, base), Doc(2, other)).toDF()
+    val first = StreamOps.applyNearDupBatch(b0, store, 0L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // replay the same batchId (foreachBatch is at-least-once)
+    val replay = StreamOps.applyNearDupBatch(b0, store, 0L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(replay == first, s"replay $replay vs first $first")
+    val stored = spark.read.parquet(store)
+      .select("graft_id").as[Long].collect().sorted.toSeq
+    assert(stored == Seq(1L, 2L), s"store $stored")
+  }
+
+  test("end to end through foreachBatch on a MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp()
+    val store = dir + "/sigs"
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    val mem = MemoryStream[Doc]
+    val q = StreamOps.nearDupStream(mem.toDF(), store, dir + "/ckpt") {
+      (df, _) =>
+        admitted.synchronized {
+          admitted ++= df.select("doc_id").as[Long].collect()
+        }
+        ()
+    }
+    try {
+      mem.addData(Doc(10, base), Doc(11, other))
+      q.processAllAvailable()
+      mem.addData(Doc(12, edit("someday")))  // near-dup of stored 10
+      q.processAllAvailable()
+      assert(admitted.sorted.toSeq == Seq(10L, 11L), admitted)
+    } finally q.stop()
+  }
+}

@@ -44,6 +44,36 @@ class StreamSinkSpec extends AnyFunSuite {
     assert(back.filter(col("user") === "a").count() == 2)
   }
 
+  test("streaming SCD2 closes a changed key's version and opens a new one " +
+    "across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_stream_scd2").toString
+    val store = s"$dir/dim"
+    val mem = MemoryStream[Ev]
+    // version effectivity derived from batchId — deterministic on replay
+    val q = StreamOps.scd2Stream(mem.toDF(), store, "user", s"$dir/ckpt")(
+      b => b.groupBy("user").agg(max_by(col("value"), col("ts")).as("value")),
+      id => f"2024-01-01 00:0$id%01d:00")
+    try {
+      mem.addData(Ev(Timestamp.valueOf("2024-01-01 00:00:10"), "a", 1.0),
+        Ev(Timestamp.valueOf("2024-01-01 00:00:20"), "b", 5.0))
+      q.processAllAvailable()
+      // a changes value → close v1, open v2; b unchanged → no churn
+      mem.addData(Ev(Timestamp.valueOf("2024-01-01 00:01:10"), "a", 2.0),
+        Ev(Timestamp.valueOf("2024-01-01 00:01:20"), "b", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val hist = graft.operators.Scd2.read(spark, store)
+    assert(hist.count() == 3) // a: closed v1 + open v2; b: one open version
+    val aRows = hist.filter(col("user") === "a")
+      .select("value", "is_current").collect()
+      .map(r => (r.getDouble(0), r.getBoolean(1))).toSet
+    assert(aRows == Set((1.0, false), (2.0, true)), aRows)
+    assert(hist.filter(col("user") === "b").count() == 1)
+  }
+
   test("streaming MERGE keeps one last-event-wins row per key in the store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
