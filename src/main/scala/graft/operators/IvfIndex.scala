@@ -57,6 +57,19 @@ final class IvfIndex private (
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Persist the index: the assigned table lands hive-partitioned by
+    * `list_id` (so a loaded index's probes PRUNE to nprobe/nlist of the
+    * files on disk — the read-side payoff of IVF), centroids + column
+    * names in a small sidecar table. Build once, query many. */
+  def save(path: String): Unit = {
+    val spark = assigned.sparkSession
+    assigned.write.partitionBy("list_id").parquet(s"$path/data")
+    import spark.implicits._
+    centroids.toSeq.map { case (i, c) => (i, c, idCol, vecCol) }
+      .toDF("list_id", "centroid", "id_col", "vec_col")
+      .coalesce(1).write.parquet(s"$path/centroids")
+  }
 }
 
 object IvfIndex {
@@ -100,5 +113,17 @@ object IvfIndex {
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (v: Vector, i) => (i, v.toArray) }
     new IvfIndex(assigned, centroids, idCol, vecCol)
+  }
+
+  /** Load an index written by [[IvfIndex.save]]. The assigned table is
+    * read lazily from its `list_id=` partitions — topK's list filter
+    * becomes a partition filter, touching nprobe/nlist of the store. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val meta = spark.read.parquet(s"$path/centroids").collect()
+    require(meta.nonEmpty, s"no centroids at $path/centroids — not an IVF index?")
+    val centroids = meta.map(r =>
+      (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val (idCol, vecCol) = (meta.head.getString(2), meta.head.getString(3))
+    new IvfIndex(spark.read.parquet(s"$path/data"), centroids, idCol, vecCol)
   }
 }

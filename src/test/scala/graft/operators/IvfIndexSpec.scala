@@ -28,6 +28,33 @@ class IvfIndexSpec extends AnyFunSuite {
     idx.assigned.unpersist()
   }
 
+  test("a saved index loads with identical topK and its probes prune " +
+    "to the selected list partitions") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val probe = e.filter($"vec_id" === 0).select("embedding")
+      .as[Array[Float]].head()
+    val built = IvfIndex.build(e, "vec_id", "embedding", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    built.save(dir)
+    val loaded = IvfIndex.load(spark, dir)
+
+    val a = built.topK(probe, 10, nprobe = 3).as[(Long, Double)].collect().toSeq
+    val b = loaded.topK(probe, 10, nprobe = 3).as[(Long, Double)].collect().toSeq
+    assert(a == b, s"built=$a loaded=$b")
+
+    // the on-disk layout is hive-partitioned on list_id, and the probe's
+    // list filter reaches the scan as a PARTITION filter (file pruning —
+    // the read-side point of IVF at 100 TB)
+    assert(new java.io.File(s"$dir/data/list_id=0").exists())
+    val q = loaded.topK(probe, 10, nprobe = 3)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("list_id"), plan.linesIterator
+        .filter(_.contains("PartitionFilters")).mkString("\n"))
+    built.assigned.unpersist()
+  }
+
   test("IVF assignment is complete and deterministic under a seed") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     val a1 = IvfIndex.build(e, "vec_id", "embedding", nlist = 4)

@@ -70,6 +70,22 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(stored == Seq(1L, 2L), s"store $stored")
   }
 
+  test("degenerate batches: an empty batch admits nothing and leaves " +
+    "history intact; an all-dup batch admits nothing") {
+    import spark.implicits._
+    val store = tmp() + "/sigs"
+    val b0 = Seq(Doc(1, base)).toDF()
+    assert(StreamOps.applyNearDupBatch(b0, store, 0L).count() == 1)
+    // empty batch
+    val empty = StreamOps.applyNearDupBatch(b0.limit(0), store, 1L)
+    assert(empty.count() == 0)
+    // every row a near-dup of history
+    val b2 = Seq(Doc(7, edit("whenever")), Doc(8, base)).toDF()
+    assert(StreamOps.applyNearDupBatch(b2, store, 2L).count() == 0)
+    assert(spark.read.parquet(store).select("graft_id").as[Long]
+      .collect().toSeq == Seq(1L))
+  }
+
   test("end to end through foreachBatch on a MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
