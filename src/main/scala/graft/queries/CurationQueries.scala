@@ -238,6 +238,77 @@ object CurationQueries {
              |      FROM documents) t
              |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin)),
 
+    // HTML → text extraction — the first stage of a crawl pipeline:
+    // drop script/style bodies and comments, strip tags, decode the
+    // common entities, collapse whitespace. Pure per-row regexp chain
+    // (codegen'd, no shuffle, scan-bound at any corpus size). The HTML
+    // wrapper is synthesized from the fixture text so the transform is
+    // observable; entity decode happens AFTER tag stripping (the
+    // standard pipeline order — escaped markup in text must not become
+    // live tags before stripping, here they surface as harmless text).
+    // No regex backreferences: DuckDB's RE2 has none, so script/style
+    // strip separately.
+    GraftQuery(
+      "q_html_strip",
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><title>t</title><script>var x=1;</script>" +
+            "<style>p{color:red}</style></head><body><p>"),
+          regexp_replace(col("text"), " ", "&nbsp; "),
+          lit("</p><!-- crawler note --><div>footer &amp; nav</div></body></html>"))
+        val stripped = trim(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(html, "<script[^>]*>.*?</script>", ""),
+                    "<style[^>]*>.*?</style>", ""),
+                  "<!--.*?-->", ""),
+                "<[^>]+>", " "),
+              "&nbsp;", " "),
+            "&amp;", "&"),
+          "\\s+", " "))
+        Tables.documents(s, d)
+          .select(col("doc_id"), stripped.as("stripped"),
+            length(stripped).as("n_stripped"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH raw AS (SELECT doc_id,
+             |  '<html><head><title>t</title><script>var x=1;</script>' ||
+             |  '<style>p{color:red}</style></head><body><p>' ||
+             |  replace(text, ' ', '&nbsp; ') ||
+             |  '</p><!-- crawler note --><div>footer &amp; nav</div></body></html>' AS html
+             |  FROM documents)
+             |SELECT doc_id,
+             |  trim(regexp_replace(
+             |    replace(
+             |      replace(
+             |        regexp_replace(
+             |          regexp_replace(
+             |            regexp_replace(
+             |              regexp_replace(html, '<script[^>]*>.*?</script>', '', 'g'),
+             |              '<style[^>]*>.*?</style>', '', 'g'),
+             |            '<!--.*?-->', '', 'g'),
+             |          '<[^>]+>', ' ', 'g'),
+             |        '&nbsp;', ' '),
+             |      '&amp;', '&'),
+             |    '\s+', ' ', 'g')) AS stripped,
+             |  CAST(length(trim(regexp_replace(
+             |    replace(
+             |      replace(
+             |        regexp_replace(
+             |          regexp_replace(
+             |            regexp_replace(
+             |              regexp_replace(html, '<script[^>]*>.*?</script>', '', 'g'),
+             |              '<style[^>]*>.*?</style>', '', 'g'),
+             |            '<!--.*?-->', '', 'g'),
+             |          '<[^>]+>', ' ', 'g'),
+             |        '&nbsp;', ' '),
+             |      '&amp;', '&'),
+             |    '\s+', ' ', 'g'))) AS INT) AS n_stripped
+             |FROM raw ORDER BY doc_id""".stripMargin)),
+
     // Benchmark decontamination: docs sharing any 8-gram with a held-out
     // "benchmark" carve (every 97th document stands in for an eval set).
     // Shingle-hash broadcast semi-join — rows-only (no DuckDB shingle
