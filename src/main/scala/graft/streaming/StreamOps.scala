@@ -386,7 +386,11 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val admitted = applyNearDupBatch(batch, storePath, batchId, idCol,
           textCol, numHashes, bands, shingleN, threshold, maxBucket)
-        sink(admitted, batchId)
+        try sink(admitted, batchId)
+        // per-batch caches must not accumulate across a long-running
+        // stream — admitted is the last one standing (the inner ones are
+        // released inside applyNearDupBatch)
+        finally admitted.unpersist()
       }
       .start()
 
@@ -468,9 +472,14 @@ object StreamOps {
       .join(dupOfHistory.unionByName(dupInBatch).distinct(), Seq(idCol), "left_anti")
       .persist()
     // admitted signatures → this batch's own partition; overwrite makes
-    // the replayed attempt idempotent
+    // the replayed attempt idempotent. The write also MATERIALIZES the
+    // admitted cache, so the inner caches can be released here — a
+    // long-running stream must not accumulate per-batch persists
+    // (nearDupStream releases `admitted` itself after the sink runs).
     sigB.join(admitted.select(col(idCol).as("graft_id")), Seq("graft_id"), "left_semi")
       .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    sigB.unpersist()
+    history.unpersist()
     admitted
   }
 }
