@@ -106,6 +106,19 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(plan.linesIterator.count(_.contains("rangepartitioning")) <= 1, plan)
   }
 
+  test("q_outliers: the per-group fence table broadcasts into the " +
+    "detection scan") {
+    val plan = executedPlan("q_outliers")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q_unigram_logprob: the vocabulary side broadcasts through the " +
+    "measured switch") {
+    val plan = executedPlan("q_unigram_logprob")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("runtime bloom-filter pruning: a selective dim filter injects a " +
     "bloom filter into the fact scan of a shuffle join") {
     // At 100 TB the pre-shuffle row cull from a runtime bloom filter is
