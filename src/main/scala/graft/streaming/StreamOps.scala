@@ -438,6 +438,17 @@ object StreamOps {
       sigB.select(col("graft_id").as("hist_id"), col("graft_sig").as("hist_sig"))
         .limit(0)).persist()
 
+    // a store written with a different numHashes would zip_with against
+    // mismatched signature widths and SILENTLY skew every similarity
+    // estimate — fail loudly instead (one 1-row probe per batch)
+    if (hasHistory) {
+      val w = history.select(size(col("hist_sig"))).limit(1).collect()
+      if (w.nonEmpty) require(w.head.getInt(0) == numHashes,
+        s"signature store at $storePath was built with numHashes=" +
+          s"${w.head.getInt(0)}, this stream uses $numHashes — rebuild the " +
+          "store or match the configuration")
+    }
+
     val bandH = history.select(col("hist_id"),
       explode(bandKeys(col("hist_sig"), bands, numHashes)).as("graft_band"))
       .select(col("hist_id"), col("graft_band.band"), col("graft_band.bucket"))

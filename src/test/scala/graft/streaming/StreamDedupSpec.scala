@@ -86,6 +86,18 @@ class StreamDedupSpec extends AnyFunSuite {
       .collect().toSeq == Seq(1L))
   }
 
+  test("a store built with a different numHashes is rejected loudly, " +
+    "never silently skewing similarity estimates") {
+    import spark.implicits._
+    val store = tmp() + "/sigs"
+    val b0 = Seq(Doc(1, base)).toDF()
+    StreamOps.applyNearDupBatch(b0, store, 0L, numHashes = 64)
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.applyNearDupBatch(b0, store, 1L, numHashes = 128)
+    }
+    assert(e.getMessage.contains("numHashes=64"), e.getMessage)
+  }
+
   test("end to end through foreachBatch on a MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
