@@ -38,6 +38,53 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: chunking covers every token, in order, with no chunk " +
+    "fully contained in its predecessor") {
+    for (seed <- 1L to 8L) {
+      val text = sample(wordGen, seed)
+      val nToks = text.split(" ").length
+      for ((ck, st) <- Seq((5, 3), (8, 8), (10, 4), (3, 1))) {
+        val chunks = graft.operators.Chunker.chunk(
+          Seq((0L, text)).toDF("doc_id", "text"), "doc_id", "text", ck, st)
+          .orderBy("chunk_ix")
+          .select("chunk").as[String].collect()
+        // coverage in order: strided chunks reassemble to the document
+        val rebuilt = (chunks.head +: chunks.tail.map(
+          _.split(" ").drop(ck - st).mkString(" ")).filter(_.nonEmpty))
+          .mkString(" ")
+        assert(rebuilt == text,
+          s"seed=$seed ck=$ck st=$st n=$nToks:\n$rebuilt\n$text")
+        // the round-5 ADVICE bug: no chunk may end exactly where its
+        // predecessor ended (fully-contained duplicate tail)
+        val ends = chunks.zipWithIndex.map { case (c, i) =>
+          i * st + c.split(" ").length }
+        assert(ends.distinct.length == ends.length,
+          s"duplicate-tail chunk at seed=$seed ck=$ck st=$st: $ends")
+      }
+    }
+  }
+
+  test("property: compaction preserves multiset content across random " +
+    "file layouts") {
+    for (seed <- 1L to 3L) {
+      val texts = sample(Gen.listOfN(50, wordGen), seed)
+      val nFiles = 1 + (seed * 7 % 20).toInt
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_prop_compact$seed").toString + "/d"
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("k", "v")
+      df.repartition(nFiles).write.parquet(dir)
+      val before = spark.read.parquet(dir)
+        .agg(expr("bit_xor(xxhash64(k, v))"), count(lit(1)))
+        .head()
+      graft.operators.Compact.compactDir(spark, dir, targetFileBytes = 1L << 30)
+      val after = spark.read.parquet(dir)
+        .agg(expr("bit_xor(xxhash64(k, v))"), count(lit(1)))
+        .head()
+      assert(before == after, s"seed=$seed nFiles=$nFiles")
+    }
+  }
+
   test("property: minhash signature agreement approximates Jaccard for identical docs") {
     for (seed <- 1L to 5L) {
       val text = sample(wordGen, seed)
