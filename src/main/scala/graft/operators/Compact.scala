@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * Protocol: stage the rewritten files FULLY, row-count-check them, then
   * swap via two renames (same crash posture as Merge: a failure leaves
-  * either the old store or the old store in `.old-<tag>`, never a half
-  * store). Data content is preserved exactly; file layout is not (that is
-  * the point). Use [[Layout]] writers instead when the rewrite should
-  * also re-order rows.
+  * either the old store or the old store in a hidden `.graft-old-<tag>-`
+  * sibling, never a half store). Staging/retired dirs are dot-prefixed
+  * so Spark/Hadoop readers skip them — a partition compaction stages
+  * INSIDE the store root, and a visible staged copy would read as a
+  * bogus partition with duplicated rows. Data content is preserved
+  * exactly; file layout is not (that is the point). Use [[Layout]]
+  * writers instead when the rewrite should also re-order rows.
   */
 object Compact {
 
@@ -45,13 +48,24 @@ object Compact {
     }.sum
   }
 
+  /** Staging/retired sibling names are DOT-PREFIXED: when the target is
+    * a partition dir, its siblings live inside the store root, and Spark
+    * and Hadoop skip hidden (`.`/`_`-prefixed) paths during both reads
+    * and partition discovery — a reader concurrent with (or after a
+    * crash of) a partition compaction must never see the staged copy as
+    * a bogus partition holding duplicated rows. */
+  private def stagingName(target: Path, tag: String) =
+    new Path(target.getParent, s".graft-staging-$tag-${target.getName}")
+  private def retiredName(target: Path, tag: String) =
+    new Path(target.getParent, s".graft-old-$tag-${target.getName}")
+
   /** Roll an interrupted swap forward. A crash in [[compactDir]] between
     * rename(target, retired) and rename(staging, target) leaves the
-    * store path MISSING with the full rewrite in `.staging-<tag>` (it
-    * was completely written and row-count-checked before the first
-    * rename) and the previous files in `.old-<tag>`. Treating that as
-    * "no store" would read-fail (or worse, let a caller recreate an
-    * empty store); completing the rename loses nothing. Unknown
+    * store path MISSING with the full rewrite in `.graft-staging-<tag>-`
+    * (it was completely written and row-count-checked before the first
+    * rename) and the previous files in `.graft-old-<tag>-`. Treating
+    * that as "no store" would read-fail (or worse, let a caller recreate
+    * an empty store); completing the rename loses nothing. Unknown
     * provenance — a missing store with retired files but NO matching
     * staging — fails loudly instead of guessing. */
   private def recoverInterruptedSwap(spark: SparkSession, target: Path): Unit = {
@@ -60,21 +74,24 @@ object Compact {
     val parent = target.getParent
     if (parent == null || !fs.exists(parent)) return
     val siblings = fs.listStatus(parent).map(_.getPath.getName)
-    val stagings = siblings.filter(_.startsWith(target.getName + ".staging-"))
-    val olds = siblings.filter(_.startsWith(target.getName + ".old-"))
+    def tagOf(name: String, prefix: String): Option[String] =
+      if (name.startsWith(prefix) && name.endsWith("-" + target.getName))
+        Some(name.stripPrefix(prefix).stripSuffix("-" + target.getName))
+      else None
+    val stagings = siblings.flatMap(tagOf(_, ".graft-staging-"))
+    val olds = siblings.flatMap(tagOf(_, ".graft-old-"))
     if (olds.isEmpty && stagings.isEmpty) return // genuinely no store
-    val tags = olds.map(_.stripPrefix(target.getName + ".old-"))
-      .filter(t => stagings.contains(target.getName + ".staging-" + t))
+    val tags = olds.filter(stagings.contains)
     if (tags.length != 1)
       throw new IllegalStateException(
         s"$target is missing but compaction leftovers exist " +
-          s"(${(stagings ++ olds).mkString(", ")}) without exactly one " +
-          "matched .old-/.staging- pair — refusing to guess; inspect and " +
-          "restore manually")
+          s"(staging tags ${stagings.mkString(",")}, old tags " +
+          s"${olds.mkString(",")}) without exactly one matched pair — " +
+          "refusing to guess; inspect and restore manually")
     val tag = tags.head
-    if (!fs.rename(new Path(parent, target.getName + ".staging-" + tag), target))
+    if (!fs.rename(stagingName(target, tag), target))
       throw new java.io.IOException(s"could not roll forward staged compaction for $target")
-    fs.delete(new Path(parent, target.getName + ".old-" + tag), true)
+    fs.delete(retiredName(target, tag), true)
   }
 
   /** Compact one flat parquet dir to ~`targetFileBytes` files. Returns the
@@ -96,8 +113,8 @@ object Compact {
       return CompactStats(files.length, files.length, bytes, before)
 
     val tag = java.util.UUID.randomUUID().toString.take(8)
-    val staging = new Path(dir + ".staging-" + tag)
-    val retired = new Path(dir + ".old-" + tag)
+    val staging = stagingName(target, tag)
+    val retired = retiredName(target, tag)
     // repartition, not coalesce: coalesce folds into the SCAN tasks and
     // would chain the read parallelism to nOut; repartition keeps the
     // read wide and only funnels at the write.
@@ -137,6 +154,9 @@ object Compact {
     val root = new Path(storePath)
     val fs = fsOf(spark, root)
     fs.listStatus(root)
+      // dot-prefixed staging/retired leftovers are invisible to Spark
+      // reads and are NOT partitions — never compact (or recurse into)
+      // them from here; compactDir's own recovery handles them
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(pcol + "="))
       .filter(s => dataFiles(spark, s.getPath).length > maxFilesPerDir)
       .map { s =>

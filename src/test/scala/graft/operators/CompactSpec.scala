@@ -51,14 +51,14 @@ class CompactSpec extends AnyFunSuite {
     val want = contentHash(dir)
     // simulate the crash window: target retired, staging complete
     val f = new java.io.File(dir)
-    assert(f.renameTo(new java.io.File(base + "/d.old-deadbeef")))
+    assert(f.renameTo(new java.io.File(base + "/.graft-old-deadbeef-d")))
     (1 to 500).map(i => (i.toLong, s"v$i")).toDF("k", "v")
-      .coalesce(1).write.parquet(base + "/d.staging-deadbeef")
+      .coalesce(1).write.parquet(base + "/.graft-staging-deadbeef-d")
     val stats = Compact.compactDir(spark, dir, targetFileBytes = 1L << 30)
     assert(stats.rows == 500)
     assert(contentHash(dir) == want)
-    assert(!new java.io.File(base + "/d.old-deadbeef").exists())
-    assert(!new java.io.File(base + "/d.staging-deadbeef").exists())
+    assert(!new java.io.File(base + "/.graft-old-deadbeef-d").exists())
+    assert(!new java.io.File(base + "/.graft-staging-deadbeef-d").exists())
   }
 
   test("a missing store with UNMATCHED leftovers fails loudly instead " +
@@ -67,11 +67,29 @@ class CompactSpec extends AnyFunSuite {
     val dir = base + "/d"
     // retired files but no staging: unknown provenance
     (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
-      .coalesce(1).write.parquet(base + "/d.old-cafe0001")
+      .coalesce(1).write.parquet(base + "/.graft-old-cafe0001-d")
     val e = intercept[IllegalStateException] {
       Compact.compactDir(spark, dir)
     }
     assert(e.getMessage.contains("refusing to guess"), e.getMessage)
+  }
+
+  test("crash leftovers inside a partitioned store root are invisible " +
+    "to readers: no duplicate rows, no bogus partitions") {
+    val store = tmp("graft_compact_hidden") + "/s"
+    (1 to 100).map(i => (i.toLong, s"v$i", "hot")).toDF("k", "v", "p")
+      .repartition(4).write.partitionBy("p").parquet(store)
+    val before = spark.read.parquet(store).count()
+    // a crashed partition compaction leaves its staged COPY of p=hot
+    // inside the store root — dot-prefixed, so Spark must skip it
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$store/.graft-staging-feed0001-p=hot")
+    assert(spark.read.parquet(store).count() == before) // not doubled
+    assert(spark.read.parquet(store).select("p").distinct().count() == 1)
+    // and compactStore never treats the leftover as a partition
+    val stats = Compact.compactStore(spark, store, "p",
+      targetFileBytes = 1L << 30, maxFilesPerDir = 999)
+    assert(stats.isEmpty, stats)
   }
 
   test("compactStore rewrites only partitions over the file cap; " +
