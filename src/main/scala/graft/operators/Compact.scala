@@ -48,63 +48,24 @@ object Compact {
     }.sum
   }
 
-  /** Staging/retired sibling names are DOT-PREFIXED: when the target is
-    * a partition dir, its siblings live inside the store root, and Spark
-    * and Hadoop skip hidden (`.`/`_`-prefixed) paths during both reads
-    * and partition discovery — a reader concurrent with (or after a
-    * crash of) a partition compaction must never see the staged copy as
-    * a bogus partition holding duplicated rows. */
-  private def stagingName(target: Path, tag: String) =
-    new Path(target.getParent, s".graft-staging-$tag-${target.getName}")
-  private def retiredName(target: Path, tag: String) =
-    new Path(target.getParent, s".graft-old-$tag-${target.getName}")
-
-  /** Roll an interrupted swap forward. A crash in [[compactDir]] between
-    * rename(target, retired) and rename(staging, target) leaves the
-    * store path MISSING with the full rewrite in `.graft-staging-<tag>-`
-    * (it was completely written and row-count-checked before the first
-    * rename) and the previous files in `.graft-old-<tag>-`. Treating
-    * that as "no store" would read-fail (or worse, let a caller recreate
-    * an empty store); completing the rename loses nothing. Unknown
-    * provenance — a missing store with retired files but NO matching
-    * staging — fails loudly instead of guessing. */
-  private def recoverInterruptedSwap(spark: SparkSession, target: Path): Unit = {
-    val fs = fsOf(spark, target)
-    if (fs.exists(target)) return
-    val parent = target.getParent
-    if (parent == null || !fs.exists(parent)) return
-    val siblings = fs.listStatus(parent).map(_.getPath.getName)
-    def tagOf(name: String, prefix: String): Option[String] =
-      if (name.startsWith(prefix) && name.endsWith("-" + target.getName))
-        Some(name.stripPrefix(prefix).stripSuffix("-" + target.getName))
-      else None
-    val stagings = siblings.flatMap(tagOf(_, ".graft-staging-"))
-    val olds = siblings.flatMap(tagOf(_, ".graft-old-"))
-    if (olds.isEmpty && stagings.isEmpty) return // genuinely no store
-    val tags = olds.filter(stagings.contains)
-    if (tags.length != 1)
-      throw new IllegalStateException(
-        s"$target is missing but compaction leftovers exist " +
-          s"(staging tags ${stagings.mkString(",")}, old tags " +
-          s"${olds.mkString(",")}) without exactly one matched pair — " +
-          "refusing to guess; inspect and restore manually")
-    val tag = tags.head
-    if (!fs.rename(stagingName(target, tag), target))
-      throw new java.io.IOException(s"could not roll forward staged compaction for $target")
-    fs.delete(retiredName(target, tag), true)
-  }
-
   /** Compact one flat parquet dir to ~`targetFileBytes` files. Returns the
     * stats; no-ops (and skips the rewrite entirely) when the dir already
     * has ≤ the target file count. Recovers an interrupted previous swap
-    * first (see [[recoverInterruptedSwap]]). */
+    * first (see [[Swap.recoverWholeDir]]) — a crash between the swap's two
+    * renames leaves the store path missing with the row-count-checked
+    * rewrite fully staged, and completing the rename loses nothing. The
+    * [[Swap.Hidden]] dot-prefixed sibling naming matters here: a partition
+    * compaction stages INSIDE the store root, and a visible staged copy
+    * would read as a bogus partition with duplicated rows. */
   def compactDir(
       spark: SparkSession,
       dir: String,
       targetFileBytes: Long = 128L << 20): CompactStats = {
     val target = new Path(dir)
     val fs = fsOf(spark, target)
-    recoverInterruptedSwap(spark, target)
+    // lone staging without a retired pair is unknown provenance for a
+    // compaction (the store is never first-written through a stage)
+    Swap.recoverWholeDir(spark, target, Swap.Hidden, allowLoneStaging = false)
     val files = dataFiles(spark, target)
     val bytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
@@ -112,9 +73,9 @@ object Compact {
     if (files.length <= nOut)
       return CompactStats(files.length, files.length, bytes, before)
 
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    val staging = stagingName(target, tag)
-    val retired = retiredName(target, tag)
+    val tag = Swap.newTag()
+    val staging = Swap.Hidden.staging(target, tag)
+    val retired = Swap.Hidden.retired(target, tag)
     // repartition, not coalesce: coalesce folds into the SCAN tasks and
     // would chain the read parallelism to nOut; repartition keeps the
     // read wide and only funnels at the write.
@@ -125,18 +86,8 @@ object Compact {
       throw new IllegalStateException(
         s"compaction row mismatch for $dir: $before -> $after (store untouched)")
     }
-    if (!fs.rename(target, retired)) {
-      fs.delete(staging, true)
-      throw new java.io.IOException(s"could not retire $target")
-    }
-    if (!fs.rename(staging, target)) {
-      throw new java.io.IOException(
-        s"could not swap staged compaction into $target " +
-          s"(previous store preserved at $retired)")
-    }
-    val outFiles = dataFiles(spark, target).length
-    fs.delete(retired, true)
-    CompactStats(files.length, outFiles, bytes, before)
+    Swap.commitWholeDir(fs, target, staging, retired)
+    CompactStats(files.length, dataFiles(spark, target).length, bytes, before)
   }
 
   /** Compact a hive-partitioned store: each `pcol=v` dir compacts

@@ -87,20 +87,12 @@ object IncrementalAgg {
         least(col("s.min"), col("p.min")).as("min"), // least/greatest skip NULLs
         greatest(col("s.max"), col("p.max")).as("max")): _*)
 
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    val staging = new org.apache.hadoop.fs.Path(path + ".staging-" + tag)
-    val retired = new org.apache.hadoop.fs.Path(path + ".old-" + tag)
+    val tag = Swap.newTag()
+    val staging = Swap.Suffix.staging(target, tag)
+    val retired = Swap.Suffix.retired(target, tag)
     merged.write.parquet(staging.toString)
     writeMarker(staging)
-    if (!fs.rename(target, retired)) {
-      fs.delete(staging, true)
-      throw new java.io.IOException(s"could not retire $target")
-    }
-    if (!fs.rename(staging, target)) {
-      fs.rename(retired, target)
-      throw new java.io.IOException(s"could not swap $staging into place")
-    }
-    fs.delete(retired, true)
+    Swap.commitWholeDir(fs, target, staging, retired)
     spark.read.parquet(path)
   }
 

@@ -59,6 +59,13 @@ object Merge {
     val target = new org.apache.hadoop.fs.Path(targetPath)
     val fs = target.getFileSystem(hconf)
 
+    // recover any interrupted previous merge before reading the store:
+    // whole-dir swap crash window (store path missing, staged copy
+    // complete) and partition-scoped swap crash window (touched dirs
+    // retired, staged replacements pending behind the intent marker)
+    Swap.recoverWholeDir(spark, target, Swap.Suffix, allowLoneStaging = true)
+    if (fs.exists(target)) Swap.recoverDirs(spark, target, Swap.Suffix)
+
     if (!fs.exists(target)) {
       // nothing to match: MERGE degenerates to insert-all
       source.write.parquet(targetPath)
@@ -143,68 +150,31 @@ object Merge {
         // and never replaced, which also clears stale files that dynamic
         // overwrite (rewriting only partitions PRESENT in the output)
         // would leave behind.
-        val tag = java.util.UUID.randomUUID().toString.take(8)
-        val staging = new org.apache.hadoop.fs.Path(targetPath + ".staging-" + tag)
-        val retired = new org.apache.hadoop.fs.Path(targetPath + ".old-" + tag)
+        // Swap via the shared marker-gated protocol (Swap.commitDirs):
+        // retire the old touched dirs, then move staged dirs in. Not
+        // atomic across partitions (parquet has no transaction log), but
+        // once the intent marker lands a crash ROLLS FORWARD on the next
+        // merge; before it, the target is untouched. The staged dir name
+        // is the writer's own encoding of the partition value, so the
+        // leftover handling inside commitDirs (zero-row dirs the row
+        // scan missed) name-matches exactly.
+        val tag = Swap.newTag()
+        val staging = Swap.Suffix.staging(target, tag)
+        val retired = Swap.Suffix.retired(target, tag)
         val merged = scoped
           .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
           .unionByName(source, allowMissingColumns = evolveSchema)
         merged.write.partitionBy(pcol).parquet(staging.toString)
-        val stagedDirs = fs.listStatus(staging)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith(pcol + "="))
-          .map(_.getPath)
-        // Swap: retire the old touched dirs, then move staged dirs in.
-        // Not atomic across partitions (parquet has no transaction log);
-        // a crash mid-swap leaves the retired dir in place for manual
-        // recovery, and never a half-written partition — each dir move
-        // is a single rename.
-        fs.mkdirs(retired)
-        oldDirs.foreach { d =>
-          if (!fs.rename(d, new org.apache.hadoop.fs.Path(retired, d.getName))) {
-            fs.delete(staging, true)
-            throw new java.io.IOException(s"could not retire partition dir $d")
-          }
-        }
-        stagedDirs.foreach { s =>
-          val dest = new org.apache.hadoop.fs.Path(target, s.getName)
-          // The row scan above can miss a touched dir whose files hold
-          // ZERO rows (empty-parquet leftovers) — and Hadoop rename into
-          // an existing directory nests the source INSIDE it
-          // (pcol=v/pcol=v), silently corrupting the layout. The staged
-          // dir name is the writer's own encoding of the partition value,
-          // so name-match is exact: retire any survivor before the swap.
-          if (fs.exists(dest) &&
-              !fs.rename(dest, new org.apache.hadoop.fs.Path(retired, dest.getName))) {
-            throw new java.io.IOException(
-              s"could not retire leftover partition dir $dest " +
-                s"(old partitions preserved in $retired)")
-          }
-          if (!fs.rename(s, dest)) {
-            throw new java.io.IOException(
-              s"could not swap $s into place (old partitions preserved in $retired)")
-          }
-        }
-        fs.delete(staging, true)
-        fs.delete(retired, true)
+        Swap.commitDirs(fs, target, staging, retired, oldDirs.map(_.getName).toSeq)
       case None =>
+        val tag = Swap.newTag()
+        val staging = Swap.Suffix.staging(target, tag)
+        val retired = Swap.Suffix.retired(target, tag)
         val merged = current
           .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
           .unionByName(source, allowMissingColumns = evolveSchema)
-        val staging = new org.apache.hadoop.fs.Path(
-          targetPath + ".staging-" + java.util.UUID.randomUUID().toString.take(8))
-        val retired = new org.apache.hadoop.fs.Path(
-          targetPath + ".old-" + java.util.UUID.randomUUID().toString.take(8))
         merged.write.parquet(staging.toString)
-        // two renames: old→retired, staging→target; then drop retired
-        if (!fs.rename(target, retired)) {
-          fs.delete(staging, true)
-          throw new java.io.IOException(s"could not retire $target")
-        }
-        if (!fs.rename(staging, target)) {
-          fs.rename(retired, target) // roll back
-          throw new java.io.IOException(s"could not swap $staging into place")
-        }
-        fs.delete(retired, true)
+        Swap.commitWholeDir(fs, target, staging, retired)
     }
     readStore()
   }

@@ -42,9 +42,36 @@ object Scd2 {
   /** Closed-version slice for a batch timestamp: its calendar month. */
   private def closedSlice(batchTs: String): String = "c" + batchTs.substring(0, 7)
 
+  /** Recover an interrupted store rewrite before any read or write: the
+    * legacy-layout migration uses the whole-dir swap (crash window =
+    * store path missing, staged copy complete) and every batch apply
+    * uses the marker-gated partition-dir swap (crash window = hot slice
+    * dirs retired, staged replacements not yet moved in). Without this,
+    * a crash mid-swap leaves the store with NO open slice and the next
+    * apply() silently reopens every key as new — corruption, not an
+    * error. After recovery, a sliced store that still lacks an open
+    * slice has unknown provenance: fail loudly. */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = Swap.fsOf(spark, target)
+    Swap.recoverWholeDir(spark, target, Swap.Suffix, allowLoneStaging = true)
+    if (!fs.exists(target)) return
+    Swap.recoverDirs(spark, target, Swap.Suffix)
+    val slices = fs.listStatus(target)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(SliceCol + "="))
+      .map(_.getPath.getName)
+    if (slices.nonEmpty && !slices.contains(SliceCol + "=" + OpenSlice))
+      throw new IllegalStateException(
+        s"SCD2 store $path has closed slices [${slices.mkString(",")}] but no " +
+          s"$SliceCol=$OpenSlice dir and no recoverable swap leftovers — " +
+          "current versions are missing; restore the store manually")
+  }
+
   /** The store with the slice column dropped — the logical SCD2 table. */
-  def read(spark: SparkSession, path: String): DataFrame =
+  def read(spark: SparkSession, path: String): DataFrame = {
+    recover(spark, path)
     spark.read.parquet(path).drop(SliceCol)
+  }
 
   /** Apply one delta batch to the SCD2 store at `path`. `batchTs` is the
     * effectivity timestamp ("yyyy-MM-dd HH:mm:ss"); passing it explicitly
@@ -73,6 +100,7 @@ object Scd2 {
 
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(spark, path)
     if (!fs.exists(target)) {
       asVersion.withColumn(SliceCol, lit(OpenSlice))
         .write.partitionBy(SliceCol).parquet(path)
@@ -122,34 +150,17 @@ object Scd2 {
       .unionByName(
         keptOpen.unionByName(newVersions).withColumn(SliceCol, lit(OpenSlice)))
 
-    // staged write + slice-dir swap (Merge's pruned protocol): the plan
-    // above still scans the store, so stage FULLY before renaming, then
-    // swap only the two touched slice dirs. A crash mid-swap leaves the
-    // retired dirs in place for recovery, never a half-written slice.
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    val staging = new org.apache.hadoop.fs.Path(path + ".staging-" + tag)
-    val retired = new org.apache.hadoop.fs.Path(path + ".old-" + tag)
+    // staged write + marker-gated slice-dir swap (Swap.commitDirs): the
+    // plan above still scans the store, so stage FULLY before renaming,
+    // then swap only the two touched slice dirs. Once the intent marker
+    // lands, any crash rolls FORWARD via recover(); before it, the store
+    // is untouched and a half-written staging is discarded.
+    val tag = Swap.newTag()
+    val staging = Swap.Suffix.staging(target, tag)
+    val retired = Swap.Suffix.retired(target, tag)
     updated.write.partitionBy(SliceCol).parquet(staging.toString)
-    val stagedDirs = fs.listStatus(staging)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(SliceCol + "="))
-      .map(_.getPath)
-    fs.mkdirs(retired)
-    Seq(OpenSlice, slice).distinct.foreach { v =>
-      val dest = new org.apache.hadoop.fs.Path(target, SliceCol + "=" + v)
-      if (fs.exists(dest) &&
-          !fs.rename(dest, new org.apache.hadoop.fs.Path(retired, dest.getName))) {
-        fs.delete(staging, true)
-        throw new java.io.IOException(s"could not retire slice dir $dest")
-      }
-    }
-    stagedDirs.foreach { s =>
-      if (!fs.rename(s, new org.apache.hadoop.fs.Path(target, s.getName))) {
-        throw new java.io.IOException(
-          s"could not swap $s into place (old slices preserved in $retired)")
-      }
-    }
-    fs.delete(staging, true)
-    fs.delete(retired, true)
+    Swap.commitDirs(fs, target, staging, retired,
+      Seq(OpenSlice, slice).distinct.map(SliceCol + "=" + _))
     read(spark, path)
   }
 
@@ -165,22 +176,22 @@ object Scd2 {
       .exists(s => s.isDirectory && s.getPath.getName.startsWith(SliceCol + "="))
     if (sliced) return
     val legacy = spark.read.parquet(path)
+    // a non-current version with NULL valid_to would land in the hive
+    // default partition, which asOfStore's slice pruning silently drops
+    // from every point-in-time read — reject the malformed store instead
+    val malformed = legacy
+      .filter(!col("is_current") && col("valid_to").isNull).limit(1).count()
+    require(malformed == 0,
+      s"legacy SCD2 store $path has closed versions with NULL valid_to — " +
+        "cannot derive their slice; repair the store before migrating")
     val withSlice = legacy.withColumn(SliceCol,
       when(col("is_current"), lit(OpenSlice))
         .otherwise(concat(lit("c"), date_format(col("valid_to"), "yyyy-MM"))))
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    val staging = new org.apache.hadoop.fs.Path(path + ".staging-" + tag)
-    val retired = new org.apache.hadoop.fs.Path(path + ".old-" + tag)
+    val tag = Swap.newTag()
+    val staging = Swap.Suffix.staging(target, tag)
+    val retired = Swap.Suffix.retired(target, tag)
     withSlice.write.partitionBy(SliceCol).parquet(staging.toString)
-    if (!fs.rename(target, retired)) {
-      fs.delete(staging, true)
-      throw new java.io.IOException(s"could not retire $target for migration")
-    }
-    if (!fs.rename(staging, target)) {
-      fs.rename(retired, target)
-      throw new java.io.IOException(s"could not swap migrated layout into $target")
-    }
-    fs.delete(retired, true)
+    Swap.commitWholeDir(fs, target, staging, retired)
   }
 
   /** Point-in-time lookup: the version of each key valid at `asOf`. */
@@ -197,6 +208,7 @@ object Scd2 {
     * column prunes at planning time). History closed before T's month —
     * the bulk of a years-old dimension — is never scanned. */
   def asOfStore(spark: SparkSession, path: String, asOfTs: String): DataFrame = {
+    recover(spark, path)
     val pruned = spark.read.parquet(path)
       .filter(col(SliceCol) === OpenSlice ||
         col(SliceCol) >= lit(closedSlice(asOfTs)))

@@ -1,0 +1,306 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** The ONE staged-swap protocol behind every store rewrite in graft
+  * (Merge, Scd2, Compact, IncrementalAgg / StreamOps.applyAggBatchOnce).
+  * Each of those operators used to carry its own copy of the
+  * stage/retire/rename/recover dance — four separate crash matrices to
+  * keep correct, and bug classes fixed in one (e.g. interrupted-swap
+  * roll-forward) had to be re-fixed in the others. This utility is that
+  * matrix, once.
+  *
+  * Two shapes:
+  *
+  *  - WHOLE-DIR swap: the caller fully writes a staged replacement for
+  *    `target`, then [[commitWholeDir]] does rename(target→retired),
+  *    rename(staging→target), delete(retired). A crash between the two
+  *    renames leaves the store path MISSING with a complete staging and
+  *    a retired pre-swap copy; [[recoverWholeDir]] rolls that forward.
+  *
+  *  - PARTITION-DIR swap: the caller stages a rewrite of SOME partition
+  *    dirs of `target` (trickle batches touch two slices of a years-old
+  *    store; the rest stays cold on disk). [[commitDirs]] first commits
+  *    an intent marker (atomic rename of a `_`-prefixed file inside
+  *    staging, invisible to parquet readers) listing the dirs to retire
+  *    — from that point every crash ROLLS FORWARD via [[recoverDirs]];
+  *    before it, a crash rolls back (staging is garbage, target is
+  *    untouched). A retire failure mid-commit renames already-retired
+  *    dirs back before throwing, so an explicit failure never strands
+  *    the store without its hot partitions.
+  *
+  * Naming is pluggable because the staged siblings must be invisible to
+  * readers in BOTH placements: a store-root swap stages at
+  * `<target>.staging-<tag>` (outside the store, nothing to hide), while
+  * a partition-dir swap stages INSIDE the store root, where a visible
+  * sibling would read back as a bogus partition of duplicated rows —
+  * those use dot-prefixed hidden names (Spark/Hadoop skip `.`/`_`
+  * prefixes in reads and partition discovery).
+  *
+  * Single-writer per store, like every parquet-backed store here; a
+  * table format with a transaction log (Delta/Iceberg) is the
+  * concurrent-writer upgrade path.
+  */
+object Swap {
+
+  /** Intent marker inside a staged partition-dir swap: its presence
+    * means "retire list is final, roll forward"; `_` prefix keeps it
+    * invisible to parquet scans while staged dirs move into the store. */
+  val DirsMarker = "_graft_swap_retire"
+
+  def newTag(): String = java.util.UUID.randomUUID().toString.take(8)
+
+  def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Where the staged/retired siblings of a target live and what they
+    * are called. */
+  sealed trait Naming {
+    def staging(target: Path, tag: String): Path
+    def retired(target: Path, tag: String): Path
+    /** Inverse: the tag, if `siblingName` is a staging (resp. retired)
+      * sibling of `target`. */
+    def stagingTag(target: Path, siblingName: String): Option[String]
+    def retiredTag(target: Path, siblingName: String): Option[String]
+  }
+
+  /** `<target>.staging-<tag>` / `<target>.old-<tag>` — for store ROOTS
+    * (the sibling sits outside the store, no reader ever lists it). */
+  case object Suffix extends Naming {
+    def staging(target: Path, tag: String) =
+      new Path(target.toString + ".staging-" + tag)
+    def retired(target: Path, tag: String) =
+      new Path(target.toString + ".old-" + tag)
+    def stagingTag(target: Path, n: String): Option[String] =
+      if (n.startsWith(target.getName + ".staging-"))
+        Some(n.stripPrefix(target.getName + ".staging-")) else None
+    def retiredTag(target: Path, n: String): Option[String] =
+      if (n.startsWith(target.getName + ".old-"))
+        Some(n.stripPrefix(target.getName + ".old-")) else None
+  }
+
+  /** `.graft-staging-<tag>-<name>` / `.graft-old-<tag>-<name>` — for
+    * PARTITION DIRS, staged inside the store root: the dot prefix hides
+    * them from Spark/Hadoop reads and partition discovery, so a reader
+    * concurrent with (or after a crash of) the swap never sees the
+    * staged copy as a bogus partition holding duplicated rows. */
+  case object Hidden extends Naming {
+    def staging(target: Path, tag: String) =
+      new Path(target.getParent, s".graft-staging-$tag-${target.getName}")
+    def retired(target: Path, tag: String) =
+      new Path(target.getParent, s".graft-old-$tag-${target.getName}")
+    private def tagOf(n: String, prefix: String, target: Path): Option[String] =
+      if (n.startsWith(prefix) && n.endsWith("-" + target.getName))
+        Some(n.stripPrefix(prefix).stripSuffix("-" + target.getName))
+      else None
+    def stagingTag(target: Path, n: String): Option[String] =
+      tagOf(n, ".graft-staging-", target)
+    def retiredTag(target: Path, n: String): Option[String] =
+      tagOf(n, ".graft-old-", target)
+  }
+
+  private def siblingNames(fs: FileSystem, target: Path): Array[String] = {
+    val parent = target.getParent
+    if (parent == null || !fs.exists(parent)) Array.empty
+    else fs.listStatus(parent).map(_.getPath.getName)
+  }
+
+  // ---------------------------------------------------------------- whole dir
+
+  /** Swap a fully-staged replacement into `target`. The staging dir must
+    * be COMPLETELY written (and verified — row counts, markers) before
+    * calling: after the first rename the old store is gone from its
+    * path, and recovery assumes staging needs no further work. */
+  def commitWholeDir(fs: FileSystem, target: Path, staging: Path, retired: Path): Unit = {
+    if (!fs.rename(target, retired)) {
+      fs.delete(staging, true)
+      throw new java.io.IOException(s"could not retire $target")
+    }
+    if (!fs.rename(staging, target)) {
+      if (fs.rename(retired, target)) { // roll back: store restored
+        fs.delete(staging, true)
+        throw new java.io.IOException(
+          s"could not swap $staging into $target (previous store restored)")
+      }
+      throw new java.io.IOException(
+        s"could not swap $staging into $target and the retired copy at " +
+          s"$retired could not be restored — recovery will roll the " +
+          "staged copy forward on the next access")
+    }
+    fs.delete(retired, true)
+  }
+
+  /** Roll an interrupted whole-dir swap forward. A crash between
+    * rename(target→retired) and rename(staging→target) leaves `target`
+    * MISSING with the full rewrite staged (it was completely written
+    * before the first rename) and the previous store retired. Treating
+    * that as "no store" would read-fail — or worse, let a caller
+    * silently rebuild from one batch and discard all history; completing
+    * the rename loses nothing. Unknown provenance — retired leftovers
+    * without exactly one completable staging — fails loudly instead of
+    * guessing.
+    *
+    * @param allowLoneStaging a staging sibling with NO retired pair is a
+    *   crash during a FIRST write (stores that stage even their first
+    *   batch, e.g. IncrementalAgg committing data+marker in one rename):
+    *   pass true to treat the store as genuinely fresh and let the
+    *   caller rebuild. Stores whose first write is direct (no staging)
+    *   pass false: a lone staging there is unknown provenance. */
+  def recoverWholeDir(
+      spark: SparkSession,
+      target: Path,
+      naming: Naming,
+      allowLoneStaging: Boolean): Unit = {
+    val fs = fsOf(spark, target)
+    if (fs.exists(target)) return
+    val siblings = siblingNames(fs, target)
+    val stagings = siblings.flatMap(naming.stagingTag(target, _))
+    val olds = siblings.flatMap(naming.retiredTag(target, _))
+    if (olds.isEmpty && (stagings.isEmpty || allowLoneStaging)) return
+    val matched = olds.filter(stagings.contains)
+    if (olds.length == 1 && matched.length == 1) {
+      val tag = matched.head
+      if (!fs.rename(naming.staging(target, tag), target))
+        throw new java.io.IOException(
+          s"could not roll forward staged swap for $target")
+      fs.delete(naming.retired(target, tag), true)
+    } else {
+      val oldNames = siblings.filter(n => naming.retiredTag(target, n).isDefined)
+      throw new IllegalStateException(
+        s"$target is missing but staged-swap leftovers exist (staging tags " +
+          s"[${stagings.mkString(",")}], retired dirs [${oldNames.mkString(",")}]) " +
+          "without exactly one completable pair — refusing to guess; rename " +
+          "the retired dir back to the store path (or remove stale " +
+          "leftovers) before resuming")
+    }
+  }
+
+  // ----------------------------------------------------------- partition dirs
+
+  private def writeMarker(fs: FileSystem, staging: Path, retireNames: Seq[String]): Unit = {
+    // write-then-rename so the marker appears ATOMICALLY complete: a torn
+    // retire list rolled forward would skip retiring some dirs and
+    // resurrect their old rows next to the staged replacements
+    val tmp = new Path(staging, DirsMarker + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(retireNames.mkString("\n").getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(staging, DirsMarker)))
+      throw new java.io.IOException(s"could not commit swap marker in $staging")
+  }
+
+  private def readMarker(fs: FileSystem, staging: Path): Seq[String] = {
+    val in = fs.open(new Path(staging, DirsMarker))
+    val text =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+    text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private def stagedDirs(fs: FileSystem, staging: Path): Array[Path] =
+    fs.listStatus(staging).filter(_.isDirectory).map(_.getPath)
+
+  /** Swap staged partition dirs into `target`, retiring `retireNames`
+    * (dir names directly under `target`; a retired name with no staged
+    * replacement is simply removed — e.g. a partition whose rows all
+    * moved elsewhere). The staging dir must be completely written.
+    * Crash posture: before the intent marker lands, `target` is
+    * untouched and recovery discards staging; after it, recovery rolls
+    * the swap forward. An explicit retire FAILURE (rename returns false,
+    * no crash) rolls already-retired dirs back and restores the store
+    * before throwing. */
+  def commitDirs(
+      fs: FileSystem,
+      target: Path,
+      staging: Path,
+      retired: Path,
+      retireNames: Seq[String]): Unit = {
+    writeMarker(fs, staging, retireNames) // point of no return: roll forward
+    fs.mkdirs(retired)
+    val retiredSoFar = scala.collection.mutable.ArrayBuffer[String]()
+    retireNames.foreach { n =>
+      val d = new Path(target, n)
+      if (fs.exists(d)) {
+        if (!fs.rename(d, new Path(retired, n))) {
+          // roll back: restore the store to its pre-swap state before
+          // throwing — never strand it without its hot partitions while
+          // also deleting the roll-forward copy
+          retiredSoFar.foreach(m => fs.rename(new Path(retired, m), new Path(target, m)))
+          fs.delete(staging, true)
+          fs.delete(retired, true)
+          throw new java.io.IOException(s"could not retire partition dir $d " +
+            "(already-retired dirs restored, store unchanged)")
+        }
+        retiredSoFar += n
+      }
+    }
+    moveStagedIn(fs, target, staging, retired)
+    fs.delete(staging, true)
+    fs.delete(retired, true)
+  }
+
+  /** Move every staged dir into the store. A dest that still exists is
+    * an old leftover the retire list missed (e.g. a dir whose files hold
+    * zero rows, invisible to the row scan that built the list) — and
+    * Hadoop rename into an existing directory NESTS the source inside it
+    * (pcol=v/pcol=v), silently corrupting the layout: retire survivors
+    * first. Idempotent for recovery: staged dirs already moved are gone
+    * from staging and skip themselves. */
+  private def moveStagedIn(fs: FileSystem, target: Path, staging: Path, retired: Path): Unit =
+    stagedDirs(fs, staging).foreach { s =>
+      val dest = new Path(target, s.getName)
+      if (fs.exists(dest) &&
+          !fs.rename(dest, new Path(retired, dest.getName + ".leftover")))
+        throw new java.io.IOException(
+          s"could not retire leftover partition dir $dest (old partitions " +
+            s"preserved in $retired; recovery will roll forward)")
+      if (!fs.rename(s, dest))
+        throw new java.io.IOException(
+          s"could not swap $s into place (old partitions preserved in " +
+            s"$retired; recovery will roll forward)")
+    }
+
+  /** Recover every interrupted partition-dir swap of `target`: a staging
+    * sibling WITHOUT the intent marker is a pre-commit crash (the store
+    * was never touched — discard it); one WITH the marker rolls forward
+    * (idempotent: dirs already retired or already moved skip
+    * themselves). Call before reading or writing a store maintained with
+    * [[commitDirs]]. */
+  def recoverDirs(spark: SparkSession, target: Path, naming: Naming): Unit = {
+    val fs = fsOf(spark, target)
+    val siblings = siblingNames(fs, target)
+    siblings.flatMap(naming.stagingTag(target, _)).foreach { tag =>
+      val staging = naming.staging(target, tag)
+      val retired = naming.retired(target, tag)
+      if (!fs.exists(new Path(staging, DirsMarker))) {
+        // pre-commit: staging may be half-written, target is intact
+        fs.delete(staging, true)
+        fs.delete(retired, true)
+      } else {
+        val retireNames = readMarker(fs, staging)
+        fs.mkdirs(retired)
+        retireNames.foreach { n =>
+          val d = new Path(target, n)
+          // a dir both present in target AND already in retired was
+          // already swapped (target holds the NEW copy) — leave it
+          if (fs.exists(d) && !fs.exists(new Path(retired, n)) &&
+              !fs.rename(d, new Path(retired, n)))
+            throw new java.io.IOException(s"recovery could not retire $d")
+        }
+        moveStagedIn(fs, target, staging, retired)
+        fs.delete(staging, true)
+        fs.delete(retired, true)
+      }
+    }
+    // orphaned retired dirs whose staging is gone: the swap COMPLETED
+    // through its staging delete and crashed before the retired delete —
+    // everything it holds was replaced; drop it
+    siblings.flatMap(naming.retiredTag(target, _)).foreach { tag =>
+      if (!fs.exists(naming.staging(target, tag)))
+        fs.delete(naming.retired(target, tag), true)
+    }
+  }
+}

@@ -236,38 +236,11 @@ object StreamOps {
     // would silently rebuild from one batch and discard all history
     // (still sitting in .old-tag). The staged dir was fully written
     // (data + marker) before the first rename, so the one completable
-    // case is rolled forward; anything else fails loudly with the
-    // recovery path instead of guessing.
-    if (!fs.exists(store)) {
-      val parent = store.getParent
-      val siblings: Array[String] =
-        if (parent != null && fs.exists(parent))
-          fs.listStatus(parent).map(_.getPath.getName)
-        else Array.empty
-      val olds = siblings.filter(_.startsWith(store.getName + ".old-")).sorted
-      if (olds.nonEmpty) {
-        val tags = olds.map(_.stripPrefix(store.getName + ".old-"))
-        val completable =
-          tags.filter(t => siblings.contains(store.getName + ".staging-" + t))
-        if (olds.length == 1 && completable.length == 1) {
-          val staging = new org.apache.hadoop.fs.Path(
-            parent, store.getName + ".staging-" + completable.head)
-          val retired = new org.apache.hadoop.fs.Path(parent, olds.head)
-          if (!fs.rename(staging, store)) throw new IllegalStateException(
-            s"store $storePath is missing after an interrupted swap and the " +
-              s"completed staging dir $staging could not be moved into place — " +
-              s"restore manually ($retired holds the pre-batch store)")
-          fs.delete(retired, true)
-        } else throw new IllegalStateException(
-          s"store $storePath is missing but retired sibling dirs " +
-            s"${olds.mkString(", ")} exist — an interrupted swap retired the " +
-            "previous store without a completable staging dir; rename the " +
-            ".old-<tag> dir back to the store path before resuming the stream")
-      }
-      // store missing with no .old sibling: nothing was ever committed
-      // (a lone .staging-* is a first-batch crash mid-write and will be
-      // rebuilt by replay) — genuinely fresh
-    }
+    // case is rolled forward; anything else fails loudly instead of
+    // guessing. allowLoneStaging: a lone .staging-* is a first-batch
+    // crash mid-write and will be rebuilt by replay — genuinely fresh.
+    graft.operators.Swap.recoverWholeDir(
+      spark, store, graft.operators.Swap.Suffix, allowLoneStaging = true)
 
     def readMarkerFile(p: org.apache.hadoop.fs.Path): Long = {
       val in = fs.open(p)

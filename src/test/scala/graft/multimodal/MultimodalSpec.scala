@@ -41,6 +41,84 @@ class MultimodalSpec extends AnyFunSuite {
     assert(perVideo == expected)
   }
 
+  // ------------------------------------------------- real JDK codec paths
+
+  /** A real PNG: w×h gradient (pixel value depends on position and seed,
+    * so two seeds give genuinely different pictures). */
+  private def pngBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 7 + y * 13 + seed * 31) % 256
+      img.setRGB(x, y, (v << 16) | ((255 - v) << 8) | ((v * seed) % 256))
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** A real WAV: 16-bit signed mono PCM sine at `hz`, `ms` long. */
+  private def wavBytes(rate: Float, hz: Double, ms: Int, amp: Double): Array[Byte] = {
+    val n = (rate * ms / 1000).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * hz * i / rate) * amp * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, rate, 16, 1, 2, rate, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  private def mediaRow(id: Long, kind: String, bytes: Array[Byte]): Multimodal.MediaRow =
+    // metadata dims deliberately WRONG (999×999): the real decoder must
+    // report what the pixels say, not what the metadata claims
+    Multimodal.MediaRow(id, kind, bytes, "application/octet-stream",
+      Some(999), Some(999), None, None)
+
+  test("real PNG bytes decode through ImageIO: true pixel dimensions, " +
+    "content-dependent unit-norm features") {
+    val rows = Seq(
+      mediaRow(1L, "image", pngBytes(40, 30, seed = 1)),
+      mediaRow(2L, "image", pngBytes(40, 30, seed = 2)),
+      mediaRow(3L, "image", pngBytes(40, 30, seed = 1))).toDS()
+    val feats = Multimodal.extractImageFeatures(rows, dim = 16)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(f => (f.width, f.height)).toSeq == Seq((40, 30), (40, 30), (40, 30)),
+      "dimensions must come from the decoded pixels, not the (wrong) metadata")
+    assert(feats.forall(f => math.abs(f.features.map(x => x.toDouble * x).sum - 1.0) < 1e-3))
+    assert(feats(0).features.sameElements(feats(2).features), "same pixels, same features")
+    assert(!feats(0).features.sameElements(feats(1).features), "different pictures differ")
+  }
+
+  test("real resize re-samples the pixels: the output decodes at the new size") {
+    val rows = Seq(mediaRow(1L, "image", pngBytes(64, 48, seed = 3))).toDS()
+    val out = Multimodal.resizeImages(rows, 16, 12).head()
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.bytes))
+    assert(img != null, "resized bytes must still be a decodable image")
+    assert(img.getWidth == 16 && img.getHeight == 12)
+  }
+
+  test("real WAV bytes decode through AudioSystem: sample rate, duration " +
+    "and PCM amplitude stats") {
+    val rows = Seq(mediaRow(7L, "audio", wavBytes(8000f, hz = 440, ms = 500, amp = 0.5)),
+      mediaRow(8L, "audio", "not audio at all".getBytes("UTF-8"))).toDS()
+    val feats = Multimodal.extractAudioFeatures(rows).collect()
+    assert(feats.length == 1, "undecodable audio rows are dropped, not poison")
+    val f = feats.head
+    assert(f.media_id == 7L && f.sample_rate == 8000 && f.channels == 1)
+    assert(math.abs(f.duration_ms - 500) <= 1, s"duration ${f.duration_ms}")
+    // sine at amplitude a: peak ≈ a, rms ≈ a/√2
+    assert(math.abs(f.peak - 0.5) < 0.01, s"peak ${f.peak}")
+    assert(math.abs(f.rms - 0.5 / math.sqrt(2)) < 0.01, s"rms ${f.rms}")
+  }
+
   test("resize rewrites bytes and metadata for images, passes others through") {
     val media = Multimodal.mediaFromDocuments(spark, sfDir)
     val resized = Multimodal.resizeImages(media, 32, 32)
