@@ -48,6 +48,12 @@ object Compact {
     }.sum
   }
 
+  /** Footer-based row count summed across several dirs — for callers
+    * (e.g. StreamOps' batch-partition folds) that need the same
+    * no-cluster-job parity check over a set of partition dirs. */
+  private[graft] def footerRowsIn(spark: SparkSession, dirs: Seq[Path]): Long =
+    dirs.map(d => footerRows(spark, dataFiles(spark, d))).sum
+
   /** Compact one flat parquet dir to ~`targetFileBytes` files. Returns the
     * stats; no-ops (and skips the rewrite entirely) when the dir already
     * has ≤ the target file count. Recovers an interrupted previous swap

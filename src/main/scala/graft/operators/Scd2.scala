@@ -38,7 +38,7 @@ object Scd2 {
     * in. Present only on disk / raw reads; [[apply]] and [[read]] return
     * the logical schema without it. */
   val SliceCol = "graft_slice"
-  private val OpenSlice = "open"
+  private[graft] val OpenSlice = "open"
   /** Closed-version slice for a batch timestamp: its calendar month. */
   private def closedSlice(batchTs: String): String = "c" + batchTs.substring(0, 7)
 
@@ -192,6 +192,25 @@ object Scd2 {
     val retired = Swap.Suffix.retired(target, tag)
     withSlice.write.partitionBy(SliceCol).parquet(staging.toString)
     Swap.commitWholeDir(fs, target, staging, retired)
+  }
+
+  /** Table maintenance: compact slice dirs that trickle batches have
+    * fragmented. Every apply() stages a fresh rewrite of the open slice
+    * plus this month's closed slice, so a store fed one small batch at a
+    * time accumulates small files in exactly those hot dirs — the
+    * listing/task-scheduling small-file failure mode Compact exists for.
+    * Cold month slices keep their files untouched (Compact skips dirs at
+    * or under `maxFilesPerDir`). Content-preserving, crash-safe (each
+    * slice dir swaps whole via the row-count-checked staged swap), and
+    * safe to run between batches of a live scd2Stream — single-writer
+    * per store, like every parquet store here. */
+  def maintain(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L << 20,
+      maxFilesPerDir: Int = 8): Map[String, Compact.CompactStats] = {
+    recover(spark, path)
+    Compact.compactStore(spark, path, SliceCol, targetFileBytes, maxFilesPerDir)
   }
 
   /** Point-in-time lookup: the version of each key valid at `asOf`. */

@@ -154,26 +154,56 @@ object CurationQueries {
 
     // Token-budget corpus selection — the data-mixing primitive: per
     // language, admit documents in quality order (vocabulary-uniqueness
-    // ratio, doc_id tiebreak) until a token budget fills. One window
-    // cumsum per language partition; at 100 TB this is a single shuffle
-    // on lang with per-partition sorts, no global sort. The sort key is
-    // rounded so float last-ulp noise can't reorder admissions across
+    // ratio, doc_id tiebreak) until a token budget fills. The sort key
+    // is rounded so float last-ulp noise can't reorder admissions across
     // engines.
+    //
+    // Scale design (two-pass, NO per-language global window): a naive
+    // `Window.partitionBy(lang).orderBy(uq desc)` cumsum funnels the
+    // entire corpus of one language through a single task — a ~50 TB
+    // partition for English at 100 TB. Instead:
+    //   1. Aggregate tokens per (lang, uq) bucket — map-side combined
+    //      shuffle; uq is rounded to 1e-6 so the bucket table is bounded
+    //      at <= 1,000,001 rows per language REGARDLESS of corpus size.
+    //   2. Cumsum over that small bucket table (per-lang window over a
+    //      bounded input) gives each bucket the token mass strictly
+    //      above it; buckets whose prefix already exceeds the budget are
+    //      dropped — only budget-crossing candidates survive, so the
+    //      surviving bucket table is tiny and goes through the measured
+    //      broadcast switch.
+    //   3. Join docs to candidate buckets (broadcast semi: non-candidate
+    //      docs never shuffle) and finish the exact per-doc cumsum with
+    //      a window partitioned by (lang, uq) — up to 1e6-way parallel
+    //      per language, over candidate docs only (token mass bounded by
+    //      ~budget + one bucket), not the whole corpus.
+    // Identical admissions and cum_toks to the single-window form; the
+    // oracle runs the naive window and hash-matches.
     GraftQuery(
       "q_token_budget",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        val budget = 3000L
         val toks = split(col("text"), " ")
         val scored = Tables.documents(s, d).select(
           col("doc_id"), col("lang"),
           graft.functions.TextFunctions.tokenCount(col("text")).as("n_toks"),
           round(size(array_distinct(toks)).cast("double") / size(toks), 6)
             .as("uq"))
-        val w = Window.partitionBy("lang")
-          .orderBy(col("uq").desc, col("doc_id"))
+        val buckets = scored.groupBy("lang", "uq")
+          .agg(sum("n_toks").as("g_toks"))
+        val wb = Window.partitionBy("lang").orderBy(col("uq").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        scored.withColumn("cum_toks", sum("n_toks").over(w))
-          .filter(col("cum_toks") <= 3000)
+        val candidates = graft.operators.Joins.broadcastIfSmall(
+          buckets.withColumn("toks_above",
+              sum("g_toks").over(wb) - col("g_toks"))
+            .filter(col("toks_above") <= budget)
+            .select("lang", "uq", "toks_above"))
+        val wd = Window.partitionBy("lang", "uq").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        scored.join(candidates, Seq("lang", "uq"))
+          .withColumn("cum_toks",
+            col("toks_above") + sum("n_toks").over(wd))
+          .filter(col("cum_toks") <= budget)
           .select("doc_id", "lang", "n_toks", "cum_toks")
           .orderBy("lang", "doc_id")
       },

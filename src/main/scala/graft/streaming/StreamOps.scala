@@ -170,7 +170,8 @@ object StreamOps {
       facts: DataFrame,
       storePath: String,
       keyCol: String,
-      checkpoint: String)(
+      checkpoint: String,
+      maintainEvery: Int = 32)(
       prepare: DataFrame => DataFrame,
       batchTs: Long => String): org.apache.spark.sql.streaming.StreamingQuery =
     facts.writeStream
@@ -180,6 +181,12 @@ object StreamOps {
         if (!prepared.isEmpty) {
           graft.operators.Scd2.apply(
             batch.sparkSession, storePath, prepared, keyCol, batchTs(batchId))
+          ()
+        }
+        // periodic small-file compaction of the hot slice dirs each
+        // trickle batch rewrites; crash-safe, content-preserving
+        if (maintainEvery > 0 && batchId > 0 && batchId % maintainEvery == 0) {
+          graft.operators.Scd2.maintain(batch.sparkSession, storePath)
           ()
         }
       }
@@ -352,7 +359,8 @@ object StreamOps {
       bands: Int = 16,
       shingleN: Int = 3,
       threshold: Double = 0.8,
-      maxBucket: Int = 1000)(
+      maxBucket: Int = 1000,
+      maintainEvery: Int = 32)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -364,11 +372,36 @@ object StreamOps {
         // stream — admitted is the last one standing (the inner ones are
         // released inside applyNearDupBatch)
         finally admitted.unpersist()
+        // periodic store maintenance: fold the one-dir-per-trigger
+        // batch partitions so per-batch read cost stays O(compacted +
+        // recent deltas) instead of O(#triggers ever). Runs AFTER the
+        // sink — a crash mid-fold recovers on the next batch.
+        if (maintainEvery > 0 && batchId > 0 && batchId % maintainEvery == 0)
+          maintainNearDupStore(batch.sparkSession, storePath)
       }
       .start()
 
   /** The per-batch step behind [[nearDupStream]] (driveable directly in
-    * tests and backfills). Returns the admitted rows of `batch`. */
+    * tests and backfills). Returns the admitted rows of `batch`.
+    *
+    * Store layout (all maintained by [[maintainNearDupStore]]):
+    *  - `<store>/batch=<id>/`       admitted MinHash signatures
+    *  - `<store>.bands/batch=<id>/` their exploded LSH band keys
+    *  - `<store>.buckets/batch=<id>/` partial bucket counts per batch
+    *  - `<store>.meta`              numHashes/bands/shingleN sidecar
+    *
+    * The band/bucket sidecars are what keep the per-batch cost from
+    * growing with corpus history: without them every trigger re-exploded
+    * the ENTIRE signature store (x bands) and re-aggregated the bucket
+    * histogram from scratch — O(history) work per micro-batch, growing
+    * forever under trickle ingest. Band keys and bucket counts of an
+    * admitted batch never change, so they are written once at admission
+    * and only READ afterwards; after a maintenance fold the bucket scan
+    * is O(distinct buckets + recent deltas), not O(all signatures ever).
+    * The remaining per-batch history scan is the signature column for
+    * the candidate verify join — narrow, fixed-width per doc, and only
+    * because parquet can't prune on hist_id (bucketing the store by id
+    * is the upgrade path if that scan ever dominates). */
   def applyNearDupBatch(
       batch: DataFrame,
       storePath: String,
@@ -383,7 +416,16 @@ object StreamOps {
     import graft.functions.TextFunctions._
     val spark = batch.sparkSession
     val store = new org.apache.hadoop.fs.Path(storePath)
+    val bandsRoot = new org.apache.hadoop.fs.Path(storePath + BandsSuffix)
+    val bucketsRoot = new org.apache.hadoop.fs.Path(storePath + BucketsSuffix)
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // roll forward any maintenance fold interrupted mid-swap; folds
+    // preserve content (old batches move into batch=-1), so a fold that
+    // completed on one store root but crashed before the next leaves the
+    // three roots differently partitioned yet semantically consistent
+    Seq(store, bandsRoot, bucketsRoot).foreach(
+      graft.operators.Swap.recoverDirs(spark, _, graft.operators.Swap.Suffix))
 
     // one fused text→signature pass over the batch
     val sigB = batch.select(
@@ -397,13 +439,31 @@ object StreamOps {
     // history = all admitted signatures from STRICTLY OLDER batches (the
     // same-batch exclusion is what makes replays idempotent: an earlier
     // attempt's own partition must not flag the recomputed batch as dups
-    // of itself). That partition is deleted up front: a crashed attempt
-    // can leave partial parquet files there, and even schema inference
-    // over them could wedge the replay.
-    val ownPartition = new org.apache.hadoop.fs.Path(store, s"batch=$batchId")
-    if (fs.exists(ownPartition)) fs.delete(ownPartition, true)
+    // of itself). Own partitions are deleted up front in all THREE
+    // stores: a crashed attempt can leave partial parquet files there,
+    // and even schema inference over them could wedge the replay.
+    Seq(store, bandsRoot, bucketsRoot).foreach { r =>
+      val own = new org.apache.hadoop.fs.Path(r, s"batch=$batchId")
+      if (fs.exists(own)) fs.delete(own, true)
+    }
     val hasHistory = fs.exists(store) &&
       fs.listStatus(store).exists(_.getPath.getName.startsWith("batch="))
+
+    // a store written with a different numHashes would zip_with against
+    // mismatched signature widths and SILENTLY skew every similarity
+    // estimate; a different bands/shingleN would bucket inconsistently.
+    // The config sidecar is checked per batch in O(1); a pre-sidecar
+    // store validates its width ONCE as an aggregate over all history
+    // (min==max==numHashes — a 1-row probe could sample a lucky row of a
+    // mixed-width store) and then records the sidecar.
+    ensureNearDupMeta(spark, fs, storePath, hasHistory, numHashes, bands, shingleN)
+    // stores created before the band/bucket sidecars existed: derive
+    // both from the signature store once (write-then-rename; a crash
+    // mid-write leaves only a .tmp that gets rebuilt, and a crash
+    // BETWEEN the two sidecars resumes with just the missing one)
+    if (hasHistory && (!fs.exists(bandsRoot) || !fs.exists(bucketsRoot)))
+      bootstrapNearDupSidecars(spark, fs, storePath, numHashes, bands)
+
     val history = (if (hasHistory)
       spark.read.parquet(storePath).filter(col("batch") =!= batchId)
         .select(col("graft_id").as("hist_id"), col("graft_sig").as("hist_sig"))
@@ -411,25 +471,24 @@ object StreamOps {
       sigB.select(col("graft_id").as("hist_id"), col("graft_sig").as("hist_sig"))
         .limit(0)).persist()
 
-    // a store written with a different numHashes would zip_with against
-    // mismatched signature widths and SILENTLY skew every similarity
-    // estimate — fail loudly instead (one 1-row probe per batch)
-    if (hasHistory) {
-      val w = history.select(size(col("hist_sig"))).limit(1).collect()
-      if (w.nonEmpty) require(w.head.getInt(0) == numHashes,
-        s"signature store at $storePath was built with numHashes=" +
-          s"${w.head.getInt(0)}, this stream uses $numHashes — rebuild the " +
-          "store or match the configuration")
-    }
-
-    val bandH = history.select(col("hist_id"),
-      explode(bandKeys(col("hist_sig"), bands, numHashes)).as("graft_band"))
-      .select(col("hist_id"), col("graft_band.band"), col("graft_band.bucket"))
+    // precomputed band keys + bucket histogram — READ, never recomputed
+    val bandH = if (hasHistory)
+      spark.read.parquet(bandsRoot.toString).filter(col("batch") =!= batchId)
+        .select("hist_id", "band", "bucket")
+    else
+      history.select(col("hist_id"), lit(0).as("band"), lit(0L).as("bucket"))
+        .limit(0)
     // hot-bucket cap on the history side — the standard LSH skew guard:
     // a boilerplate bucket holding half the corpus must not cross-join
-    // against every future batch
-    val smallBuckets = bandH.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+    // against every future batch. Summing per-batch partials costs
+    // O(partial rows); maintenance folds keep that near O(distinct
+    // buckets).
+    val smallBuckets = (if (hasHistory)
+      spark.read.parquet(bucketsRoot.toString).filter(col("batch") =!= batchId)
+        .groupBy("band", "bucket").agg(sum("n").as("n"))
+    else
+      bandH.groupBy("band", "bucket").agg(count(lit(1)).as("n")))
+      .filter(col("n") <= maxBucket)
       .select("band", "bucket")
     val candidates = bandB
       .join(bandH.join(smallBuckets, Seq("band", "bucket"), "left_semi"),
@@ -455,15 +514,200 @@ object StreamOps {
     val admitted = batch
       .join(dupOfHistory.unionByName(dupInBatch).distinct(), Seq(idCol), "left_anti")
       .persist()
-    // admitted signatures → this batch's own partition; overwrite makes
-    // the replayed attempt idempotent. The write also MATERIALIZES the
+    // admitted signatures (+ their band keys and bucket-count partial) →
+    // this batch's own partitions; overwrite makes the replayed attempt
+    // idempotent, and a crash between the three writes replays the whole
+    // batch (foreachBatch commits only after the sink returns), which
+    // deletes and rewrites all three. The writes also MATERIALIZE the
     // admitted cache, so the inner caches can be released here — a
     // long-running stream must not accumulate per-batch persists
     // (nearDupStream releases `admitted` itself after the sink runs).
-    sigB.join(admitted.select(col(idCol).as("graft_id")), Seq("graft_id"), "left_semi")
-      .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    val sigA = sigB
+      .join(admitted.select(col(idCol).as("graft_id")), Seq("graft_id"), "left_semi")
+      .persist()
+    sigA.write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    val bandA = sigA.select(col("graft_id").as("hist_id"),
+      explode(bandKeys(col("graft_sig"), bands, numHashes)).as("graft_band"))
+      .select(col("hist_id"), col("graft_band.band"), col("graft_band.bucket"))
+    bandA.write.mode("overwrite").parquet(s"$storePath$BandsSuffix/batch=$batchId")
+    bandA.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$storePath$BucketsSuffix/batch=$batchId")
+    sigA.unpersist()
     sigB.unpersist()
     history.unpersist()
     admitted
+  }
+
+  private[graft] val BandsSuffix = ".bands"
+  private[graft] val BucketsSuffix = ".buckets"
+  private[graft] val MetaSuffix = ".meta"
+
+  /** Validate (or create) the `<store>.meta` config sidecar. */
+  private def ensureNearDupMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String,
+      hasHistory: Boolean,
+      numHashes: Int,
+      bands: Int,
+      shingleN: Int): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(storePath + MetaSuffix)
+    if (fs.exists(metaPath)) {
+      val in = fs.open(metaPath)
+      val text =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          new String(buf.toByteArray, "UTF-8")
+        } finally in.close()
+      val m = text.split("\n").map(_.trim).filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+      require(
+        m.get("numHashes").contains(numHashes.toString) &&
+          m.get("bands").contains(bands.toString) &&
+          m.get("shingleN").contains(shingleN.toString),
+        s"signature store at $storePath was built with " +
+          s"(numHashes=${m.getOrElse("numHashes", "?")}, " +
+          s"bands=${m.getOrElse("bands", "?")}, " +
+          s"shingleN=${m.getOrElse("shingleN", "?")}), this stream uses " +
+          s"($numHashes, $bands, $shingleN) — rebuild the store or match " +
+          "the configuration")
+    } else {
+      if (hasHistory) {
+        // legacy pre-sidecar store: the signature width is checkable
+        // retroactively (bands/shingleN are not — signatures don't
+        // record them; they are recorded as THIS config from here on)
+        val w = spark.read.parquet(storePath)
+          .agg(min(size(col("graft_sig"))).as("lo"),
+            max(size(col("graft_sig"))).as("hi")).collect().head
+        if (!w.isNullAt(0)) require(
+          w.getInt(0) == numHashes && w.getInt(1) == numHashes,
+          s"signature store at $storePath holds widths " +
+            s"[${w.getInt(0)}, ${w.getInt(1)}], this stream uses " +
+            s"numHashes=$numHashes — rebuild the store or match the " +
+            "configuration")
+      }
+      val tmp = new org.apache.hadoop.fs.Path(metaPath.toString + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(
+        s"numHashes=$numHashes\nbands=$bands\nshingleN=$shingleN\n"
+          .getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, metaPath))
+        throw new java.io.IOException(s"could not write sidecar $metaPath")
+    }
+  }
+
+  /** One-time derivation of the band/bucket sidecars from a signature
+    * store written before they existed. O(history) ONCE, not per batch.
+    * Each sidecar builds only if missing (a crash between the two
+    * resumes with just the missing one — the bucket partials then derive
+    * from the already-committed band store, which is cheaper anyway). */
+  private def bootstrapNearDupSidecars(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String,
+      numHashes: Int,
+      bands: Int): Unit = {
+    import graft.functions.TextFunctions._
+    def writeVia(df: DataFrame, dest: String): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(dest + ".tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      df.write.partitionBy("batch").parquet(tmp.toString)
+      if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dest)))
+        throw new java.io.IOException(s"could not commit sidecar store $dest")
+    }
+    val bandsDest = storePath + BandsSuffix
+    if (!fs.exists(new org.apache.hadoop.fs.Path(bandsDest)))
+      writeVia(
+        spark.read.parquet(storePath)
+          .select(col("batch"), col("graft_id").as("hist_id"),
+            explode(bandKeys(col("graft_sig"), bands, numHashes)).as("graft_band"))
+          .select(col("batch"), col("hist_id"),
+            col("graft_band.band"), col("graft_band.bucket")),
+        bandsDest)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(storePath + BucketsSuffix)))
+      writeVia(
+        spark.read.parquet(bandsDest).groupBy("batch", "band", "bucket")
+          .agg(count(lit(1)).as("n")),
+        storePath + BucketsSuffix)
+  }
+
+  /** Maintenance for a [[nearDupStream]] store: fold every batch
+    * partition except the latest into a single `batch=-1` dir (merging
+    * with the previous fold) in the signature store and both sidecars.
+    * Trickle ingest otherwise accumulates one tiny dir per trigger
+    * forever — the listing/task-scheduling small-file failure mode — and
+    * the bucket-histogram partials would re-sum one partial per trigger
+    * ever. The LATEST batch keeps its own partition: under at-least-once
+    * foreachBatch only the most recent batch can replay, and a replay
+    * needs its own partition excludable (batch =!= id) and deletable;
+    * folded older batches keep working because batch=-1 passes the
+    * exclusion filter for every live id.
+    *
+    * Crash posture: each root folds via the staged partition-dir swap
+    * ([[graft.operators.Swap.commitDirs]]) — marker-gated roll-forward,
+    * recovered at the top of every applyNearDupBatch. Signature and band
+    * folds are content-preserving and row-count-verified from parquet
+    * footers; the bucket fold re-aggregates partials (one row per bucket
+    * afterwards) so its row count legitimately shrinks. */
+  def maintainNearDupStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    foldBatchPartitions(spark, storePath, targetFileBytes, reagg = None)
+    foldBatchPartitions(spark, storePath + BandsSuffix, targetFileBytes, reagg = None)
+    foldBatchPartitions(spark, storePath + BucketsSuffix, targetFileBytes,
+      reagg = Some(df => df.groupBy("band", "bucket").agg(sum("n").as("n"))))
+  }
+
+  /** Fold all `batch=<id>` dirs of `rootPath` except the highest id into
+    * `batch=-1`. No-op when there is nothing to fold. */
+  private def foldBatchPartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      rootPath: String,
+      targetFileBytes: Long,
+      reagg: Option[DataFrame => DataFrame]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(rootPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    graft.operators.Swap.recoverDirs(spark, root, graft.operators.Swap.Suffix)
+    val partDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+    val ids = partDirs.map(_.getPath.getName.stripPrefix("batch=").toLong)
+    val live = ids.filter(_ >= 0)
+    if (live.isEmpty) return
+    val maxId = live.max
+    val foldIds = ids.filter(_ < maxId).sorted // includes a previous -1
+    if (foldIds.count(_ >= 0) == 0) return     // only the fold itself left
+    val foldNames = foldIds.map("batch=" + _)
+    val foldBytes = partDirs
+      .filter(s => foldNames.contains(s.getPath.getName))
+      .flatMap(s => fs.listStatus(s.getPath))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(foldBytes.toDouble / targetFileBytes).toInt)
+    val folded = spark.read.parquet(rootPath)
+      .filter(col("batch").isin(foldIds: _*)).drop("batch")
+    val out = reagg.fold(folded)(f => f(folded)).repartition(nOut)
+    val tag = graft.operators.Swap.newTag()
+    val staging = graft.operators.Swap.Suffix.staging(root, tag)
+    val retired = graft.operators.Swap.Suffix.retired(root, tag)
+    out.write.parquet(new org.apache.hadoop.fs.Path(staging, "batch=-1").toString)
+    // content parity before the point of no return: a fold must never
+    // lose rows (footer reads, no cluster job; skipped when the fold
+    // legitimately re-aggregates)
+    if (reagg.isEmpty) {
+      val before = graft.operators.Compact.footerRowsIn(
+        spark, foldNames.map(new org.apache.hadoop.fs.Path(root, _)))
+      val after = graft.operators.Compact.footerRowsIn(
+        spark, Seq(new org.apache.hadoop.fs.Path(staging, "batch=-1")))
+      if (before != after) {
+        fs.delete(staging, true)
+        throw new IllegalStateException(
+          s"fold row mismatch for $rootPath: $before -> $after (store untouched)")
+      }
+    }
+    graft.operators.Swap.commitDirs(fs, root, staging, retired, foldNames.toSeq)
   }
 }

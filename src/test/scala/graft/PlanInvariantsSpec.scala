@@ -96,13 +96,18 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan)
   }
 
-  test("q_token_budget: one shuffle on lang, no global sort before the " +
-    "window") {
+  test("q_token_budget: doc-level cumsum partitions by (lang, uq) — " +
+    "never one task per language — and candidate buckets broadcast") {
     val plan = executedPlan("q_token_budget")
-    // the window must partition by lang (hash exchange + per-partition
-    // sort); the only range exchange allowed is the final presentation
-    // ORDER BY the oracle contract requires
-    assert(plan.contains("hashpartitioning(lang"), plan)
+    // the per-doc window must partition by (lang, uq) so no task ever
+    // holds a whole language; the only per-lang window runs over the
+    // bounded bucket aggregate. Candidate buckets join back by broadcast
+    // (they are budget-bounded), and the only range exchange allowed is
+    // the final presentation ORDER BY the oracle contract requires.
+    assert(plan.contains("hashpartitioning(lang") &&
+      plan.linesIterator.exists(l =>
+        l.contains("hashpartitioning(lang") && l.contains("uq")), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
     assert(plan.linesIterator.count(_.contains("rangepartitioning")) <= 1, plan)
   }
 

@@ -84,4 +84,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(Decontaminate.clean(corpus, "doc_id", "text", benchmark, "q", n = 2)
       .count() == 1)
   }
+
+  test("token-budget two-pass selection equals the naive single-window " +
+    "cumsum on real documents, at two scales") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the scale-safe plan (bucket aggregate + boundary-only window) must
+    // admit EXACTLY the docs — with exactly the cum_toks — of the
+    // one-task-per-language window it replaces (which is also what the
+    // DuckDB oracle runs)
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val d = s"/root/testdata/$sf"
+      val fast = graft.SparkEntry.queries("q_token_budget")(spark, d)
+      val toks = split(col("text"), " ")
+      val scored = graft.sources.Tables.documents(spark, d).select(
+        col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_toks"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 6)
+          .as("uq"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("uq").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val naive = scored.withColumn("cum_toks", sum("n_toks").over(w))
+        .filter(col("cum_toks") <= 3000)
+        .select("doc_id", "lang", "n_toks", "cum_toks")
+        .orderBy("lang", "doc_id")
+      assert(fast.collect().toSeq == naive.collect().toSeq, sf)
+    }
+  }
 }

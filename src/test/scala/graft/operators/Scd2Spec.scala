@@ -161,4 +161,46 @@ class Scd2Spec extends AnyFunSuite {
     assert(!files.exists(_.contains("c2024-02")),
       s"history slice scanned by a recent point-in-time lookup: ${files.mkString(", ")}")
   }
+
+  test("maintain compacts the small files trickle batches leave in hot " +
+    "slice dirs, preserving content exactly") {
+    val path = freshStore()
+    // a hot slice fragments through WRITE PARALLELISM: a real rewrite
+    // fans out over every shuffle partition, each task leaving one small
+    // file. AQE coalesces that away on fixture-sized data, so pin the
+    // pre-AQE shape the way a loaded cluster would produce it.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      for (i <- 1 to 3) {
+        Scd2.apply(spark, path,
+          (1 to 40).map(k => (k.toLong, s"v$i-$k")).toDF("id", "v"), "id",
+          f"2024-01-${i * 2}%02d 00:00:00")
+      }
+    } finally spark.conf.set(coalesceKey, prev)
+    val before = Scd2.read(spark, path).orderBy("id", "valid_from")
+      .collect().toSeq
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def openFiles() = fs.listStatus(
+      new org.apache.hadoop.fs.Path(path, Scd2.SliceCol + "=" + Scd2.OpenSlice))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val filesBefore = openFiles()
+    val stats = Scd2.maintain(spark, path, maxFilesPerDir = 2)
+    assert(stats.nonEmpty, "expected the open slice to compact")
+    assert(openFiles() < filesBefore,
+      s"open slice still has ${openFiles()} files (was $filesBefore)")
+    val after = Scd2.read(spark, path).orderBy("id", "valid_from")
+      .collect().toSeq
+    assert(after == before, "maintain changed store content")
+    // still writable and readable after compaction
+    Scd2.apply(spark, path, Seq((1L, "v1b")).toDF("id", "v"), "id",
+      "2024-02-01 00:00:00")
+    // 3 loop versions + the post-compaction change
+    assert(Scd2.read(spark, path).filter($"id" === 1L).count() == 4)
+    assert(Scd2.read(spark, path)
+      .filter($"id" === 1L && $"is_current").select("v").as[String]
+      .head() == "v1b")
+  }
 }

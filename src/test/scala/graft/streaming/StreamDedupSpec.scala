@@ -98,6 +98,92 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("numHashes=64"), e.getMessage)
   }
 
+  test("maintenance folds old batch partitions into batch=-1 in the " +
+    "store and both sidecars; dedup and latest-batch replay survive") {
+    import spark.implicits._
+    val store = tmp() + "/sigs"
+    val other2 = "a third unrelated corpus segment describing parquet " +
+      "footers columnar encodings dictionary pages and row group statistics"
+    StreamOps.applyNearDupBatch(Seq(Doc(1, base), Doc(2, other)).toDF(), store, 0L)
+    StreamOps.applyNearDupBatch(Seq(Doc(3, other2)).toDF(), store, 1L)
+    val b2 = Seq(Doc(4, edit("forever")), Doc(5, other2 + " but reworded " +
+      "with enough additional novel unmatched vocabulary to stay distinct " +
+      "from anything previously admitted into the signature store")).toDF()
+    val a2 = StreamOps.applyNearDupBatch(b2, store, 2L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a2 == Seq(5L), s"admitted $a2") // 4 near-dups batch-0's doc 1
+
+    StreamOps.maintainNearDupStore(spark, store)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partNames(p: String) = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    // batches 0 and 1 folded; the latest (2) keeps its own partition so
+    // an at-least-once replay can still exclude and overwrite itself
+    assert(partNames(store) == Seq("batch=-1", "batch=2"), partNames(store))
+    assert(partNames(store + ".bands") == Seq("batch=-1", "batch=2"))
+    assert(partNames(store + ".buckets") == Seq("batch=-1", "batch=2"))
+    val stored = spark.read.parquet(store)
+      .select("graft_id").as[Long].collect().sorted.toSeq
+    assert(stored == Seq(1L, 2L, 3L, 5L), s"store $stored")
+
+    // replay of the latest batch after the fold: identical admissions
+    val replay = StreamOps.applyNearDupBatch(b2, store, 2L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(replay == a2, s"replay $replay vs $a2")
+
+    // new batches keep deduping against FOLDED history
+    val a3 = StreamOps.applyNearDupBatch(
+      Seq(Doc(6, edit("anytime"))).toDF(), store, 3L).count()
+    assert(a3 == 0, "near-dup of folded history must still be dropped")
+
+    // a second maintenance pass with nothing new to fold is a no-op
+    StreamOps.maintainNearDupStore(spark, store)
+    assert(spark.read.parquet(store).count() == 4)
+  }
+
+  test("a legacy store without sidecars bootstraps them once and keeps " +
+    "detecting history dups") {
+    import spark.implicits._
+    val store = tmp() + "/sigs"
+    StreamOps.applyNearDupBatch(Seq(Doc(1, base), Doc(2, other)).toDF(), store, 0L)
+    // simulate a store written before the sidecars existed
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(".bands", ".buckets", ".meta").foreach { s =>
+      fs.delete(new org.apache.hadoop.fs.Path(store + s), true)
+    }
+    val a1 = StreamOps.applyNearDupBatch(
+      Seq(Doc(3, edit("sometime")), Doc(4, other + " extended with many " +
+        "fresh tokens so the jaccard overlap stays far below threshold " +
+        "levels across every band of the minhash signature")).toDF(),
+      store, 1L).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a1 == Seq(4L), s"admitted $a1") // 3 near-dups legacy doc 1
+    assert(fs.exists(new org.apache.hadoop.fs.Path(store + ".bands")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(store + ".buckets")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(store + ".meta")))
+
+    // a crash BETWEEN the two sidecar builds resumes with just the
+    // missing one (buckets rebuild from the committed band store)
+    fs.delete(new org.apache.hadoop.fs.Path(store + ".buckets"), true)
+    val a2 = StreamOps.applyNearDupBatch(
+      Seq(Doc(5, edit("whenever"))).toDF(), store, 2L).count()
+    assert(a2 == 0, "near-dup must still be dropped after partial bootstrap")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(store + ".buckets")))
+  }
+
+  test("a store built with different LSH banding is rejected loudly via " +
+    "the config sidecar") {
+    import spark.implicits._
+    val store = tmp() + "/sigs"
+    val b0 = Seq(Doc(1, base)).toDF()
+    StreamOps.applyNearDupBatch(b0, store, 0L, bands = 16)
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.applyNearDupBatch(b0, store, 1L, bands = 8)
+    }
+    assert(e.getMessage.contains("bands=16"), e.getMessage)
+  }
+
   test("end to end through foreachBatch on a MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
