@@ -220,6 +220,38 @@ object CurationQueries {
              |SELECT doc_id, lang, n_toks, cum_toks FROM c
              |WHERE cum_toks <= 3000 ORDER BY lang, doc_id""".stripMargin)),
 
+    // Mixture sampling — the other data-mixing primitive next to
+    // q_token_budget: rebalance an over-represented language by capping
+    // it at an expected K docs, admitting doc iff u(doc) < min(1, K/n_lang)
+    // with u = md5(doc_id)[0,8) / 2³² — a deterministic uniform.
+    // Deterministic beats a seeded RNG here: the same corpus always
+    // yields the same sample regardless of partitioning, and ingesting
+    // more documents never flips the admission of an untouched doc
+    // (TABLESAMPLE and per-partition RNG are both layout-dependent).
+    // At 100 TB: one tiny per-lang count aggregate (bounded by #languages)
+    // broadcast into a narrow scan-filter — the corpus itself never
+    // shuffles.
+    GraftQuery(
+      "q_mixture_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val rates = docs.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("rate", least(lit(1.0), lit(100.0) / col("n_docs")))
+        val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0)
+        docs.join(broadcast(rates), "lang")
+          .filter(u < col("rate"))
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+             |r AS (SELECT lang, LEAST(1.0, 100.0 / n_docs) AS rate FROM c)
+             |SELECT doc_id, lang FROM documents JOIN r USING (lang)
+             |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |        / 4294967296.0 < rate
+             |ORDER BY doc_id""".stripMargin)),
+
     // Unigram language-model quality score — the cheap perplexity proxy a
     // curation pipeline runs where a real LM is too expensive: score each
     // doc by the average negative log-probability of its tokens under the
@@ -341,8 +373,14 @@ object CurationQueries {
 
     // Benchmark decontamination: docs sharing any 8-gram with a held-out
     // "benchmark" carve (every 97th document stands in for an eval set).
-    // Shingle-hash broadcast semi-join — rows-only (no DuckDB shingle
-    // SQL); semantics are ScalaTest-gated (DecontaminateSpec).
+    // Shingle-hash broadcast semi-join. ORACLE-gated: the Spark side
+    // matches on xxhash64(8-gram) while DuckDB matches on the raw 8-gram
+    // STRINGS — equal up to a 64-bit hash collision (~#grams²/2⁶⁵,
+    // negligible), so the hash-based scalable path must reproduce the
+    // exact string-overlap semantics. Tokenization mirrors ShingleHashes:
+    // \s+ split, single-space join, whole-text shingle when ≤ n tokens
+    // (DuckDB list slicing clamps, so i=1 over a short list IS the
+    // whole-text case).
     GraftQuery(
       "q_decontaminate",
       (s, d) => {
@@ -351,5 +389,11 @@ object CurationQueries {
         Decontaminate.contaminatedIds(docs, "doc_id", "text", benchmark, "text", n = 8)
           .orderBy("doc_id")
       },
-      None))
+      Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+             |              FROM documents),
+             |g AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+             |      FROM toks, UNNEST(range(1, greatest(len(w) - 7, 1) + 1)) AS t(i)),
+             |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+             |SELECT DISTINCT doc_id FROM g JOIN bench USING (gram)
+             |ORDER BY doc_id""".stripMargin)))
 }

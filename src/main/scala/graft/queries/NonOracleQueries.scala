@@ -23,16 +23,31 @@ object NonOracleQueries {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))),
 
-    // Sliding-window aggregation (DuckDB has no sliding tumble).
+    // Sliding-window aggregation. ORACLE-gated: DuckDB has no sliding
+    // tumble, but Spark's window assignment is pure arithmetic — an
+    // event at t lands in the 4 windows starting at floor₁₅ₘ(t) − j·15m,
+    // j∈0..3 — so the oracle materializes exactly those starts in epoch
+    // microseconds (integer division, matching Spark's µs floor).
     GraftQuery(
       "q_sliding_window",
       (s, d) =>
         StreamOps.sliding(Tables.events(s, d), "ts", "1 hour", "15 minutes",
           col("event_type"))(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
           .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sv"))
-          .orderBy("ws", "event_type")),
+          .orderBy("ws", "event_type"),
+      Some("""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+             |           FROM events),
+             |w AS (SELECT make_timestamp((us // 900000000) * 900000000
+             |               - CAST(j AS BIGINT) * 900000000) AS ws,
+             |             event_type, value
+             |      FROM e, UNNEST([0,1,2,3]) AS t(j))
+             |SELECT ws, event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sv
+             |FROM w GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)),
 
-    // Session windows (gaps-and-islands oracle is brittle; property-tested).
+    // Session windows. ORACLE-gated via gaps-and-islands: a session
+    // breaks where the gap to the previous event is ≥ 5 min (STRICT
+    // merge bound — Spark's session end t+gap is exclusive, so an event
+    // exactly gap-later starts a NEW session).
     GraftQuery(
       "q_session_window",
       (s, d) =>
@@ -42,7 +57,18 @@ object NonOracleQueries {
             col("user_id"),
             col("session_window.start").as("ss"),
             col("n_events"))
-          .orderBy("user_id", "ss")),
+          .orderBy("user_id", "ss"),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+             |m AS (SELECT user_id, ts,
+             |        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |               < INTERVAL 5 MINUTE THEN 0 ELSE 1 END AS new_s
+             |      FROM e),
+             |s AS (SELECT user_id, ts,
+             |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |          ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM m)
+             |SELECT user_id, MIN(ts) AS ss, COUNT(*) AS n_events
+             |FROM s GROUP BY user_id, sid ORDER BY user_id, ss""".stripMargin)),
 
     // MinHash LSH near-duplicate pairs over documents (seeded). 8 rows per
     // band → LSH match threshold ≈ (1/16)^(1/8) ≈ 0.71: catches the

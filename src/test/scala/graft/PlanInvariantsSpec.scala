@@ -111,6 +111,17 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(plan.linesIterator.count(_.contains("rangepartitioning")) <= 1, plan)
   }
 
+  test("q_mixture_sample: the per-lang rate table broadcasts and the " +
+    "corpus itself never shuffles") {
+    val plan = executedPlan("q_mixture_sample")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the only exchanges: the tiny rate aggregate's shuffle, its
+    // broadcast, and the presentation ORDER BY — never a hash exchange
+    // of the documents scan itself
+    assert(plan.linesIterator.count(_.contains("hashpartitioning")) <= 1, plan)
+  }
+
   test("q_outliers: the per-group fence table broadcasts into the " +
     "detection scan") {
     val plan = executedPlan("q_outliers")
