@@ -49,6 +49,38 @@ object SimilarityQueries {
              |FROM embeddings WHERE vec_id <> 0
              |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // Int8 embedding quantization — the standard ANN memory lever: 4×
+    // smaller vectors (float32 → int8) with per-vector max-abs scaling,
+    // so a 100 TB embedding store's candidate scan reads a quarter of
+    // the bytes and the full-precision vector is only fetched for the
+    // final re-rank. Pure per-row map (codegen'd higher-order functions,
+    // no UDF, no shuffle); dequantize as qvec * scale / 127. All
+    // arithmetic in Double with identical IEEE op order to the oracle,
+    // so round() crosses the same boundaries in both engines.
+    GraftQuery(
+      "q_embed_quantize",
+      (s, d) => {
+        val dbl = transform(col("embedding"), _.cast("double"))
+        val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+        Tables.embeddings(s, d)
+          .select(
+            col("vec_id"),
+            round(mx, 6).as("scale"),
+            when(mx === 0d, transform(dbl, _ => lit(0)))
+              .otherwise(transform(dbl, x => round(x / mx * 127).cast("int")))
+              .as("qvec"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings),
+             |m AS (SELECT vec_id, v,
+             |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e)
+             |SELECT vec_id, ROUND(mx, 6) AS scale,
+             |       CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+             |            ELSE list_transform(v, x -> CAST(ROUND(x / mx * 127) AS INT))
+             |       END AS qvec
+             |FROM m ORDER BY vec_id""".stripMargin)),
+
     // Per-label centroid norms: aggregate over vector columns (element-wise
     // mean via explode-free posexplode aggregation would shuffle per
     // element; for 64-dim this stays a single zip_with fold per row).
