@@ -147,4 +147,62 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Quantized-scan approximate top-k — the int8 memory path: score the
+    * corpus with an integer dot product over per-vector max-abs int8
+    * quantized vectors (the stored index reads a QUARTER of the float32
+    * bytes at 100 TB), pool the top `poolK` coarse candidates via
+    * TakeOrderedAndProject, then fetch full precision for exactly those
+    * ids (broadcast semi-join — at scale, the re-rank fetch) and rerank
+    * by exact cosine. Recall loss happens only when a true neighbor's
+    * quantized score falls outside the pool — bounded by quantization
+    * error; `poolK` is the recall/cost dial.
+    *
+    * Coarse score: qdot · (scaleₓ·scaleₚ/127²) / (normₓ·normₚ) ≈ cosine.
+    * Scale and exact norm are computed once at quantization time and
+    * stored beside the int8 vector (index build cost, not query cost). */
+  def quantizedTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probe: Array[Float],
+      k: Int,
+      poolK: Int = 50): DataFrame = {
+    require(poolK >= k, s"poolK=$poolK must be >= k=$k")
+    val mp = probe.map(x => math.abs(x.toDouble)).max
+    require(mp > 0, "probe vector is all zeros")
+    val qp = probe.map(x => math.round(x.toDouble / mp * 127).toInt).toSeq
+    val pnorm = math.sqrt(probe.map(x => x.toDouble * x.toDouble).sum)
+
+    // the quantized index projection: (id, qvec, scale, norm) — at scale
+    // this is materialized once and scanned instead of the float store
+    val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val qIndex = df.select(
+      col(idCol),
+      mx.as("graft_qscale"),
+      norm(col(vecCol)).as("graft_qnorm"),
+      when(mx === 0d, transform(col(vecCol), _ => lit(0)))
+        .otherwise(transform(col(vecCol),
+          x => round(x.cast("double") / mx * 127).cast("int")))
+        .as("graft_qvec"))
+
+    val qdot = aggregate(
+      zip_with(col("graft_qvec"), typedLit(qp), (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val coarse = when(col("graft_qnorm") === 0d, lit(0.0)).otherwise(
+      qdot.cast("double") * (col("graft_qscale") * mp / (127.0 * 127.0)) /
+        (col("graft_qnorm") * pnorm))
+    val pool = qIndex
+      .select(col(idCol), coarse.as("graft_coarse"))
+      .orderBy(col("graft_coarse").desc, col(idCol).asc)
+      .limit(poolK)
+      .select(idCol)
+
+    df.join(broadcast(pool), Seq(idCol), "left_semi")
+      .select(
+        col(idCol),
+        round(cosine(col(vecCol), array(probe.map(lit(_)): _*)), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

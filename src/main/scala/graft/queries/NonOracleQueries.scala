@@ -112,6 +112,20 @@ object NonOracleQueries {
         Similarity.lshTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", p, 10)
       }),
 
+    // Quantized-scan ANN: int8 coarse scoring over the quarter-size
+    // quantized index, top-pool, exact re-rank (see
+    // Similarity.quantizedTopK). Approximate → rows-only;
+    // SimilaritySpec pins recall@k against the exact scan.
+    GraftQuery(
+      "q_ann_topk_q8",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val p = e.filter(col("vec_id") === 0)
+          .select("embedding").collect().head.getSeq[Float](0).toArray
+        Similarity.quantizedTopK(e.filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", p, 10)
+      }),
+
     // Approximate percentile sketch (KLL/GK-style) — the form users reach
     // for at 100 TB where exact percentile's full sort is off the table.
     // Approximation differs from DuckDB's sketch → rows-only here;

@@ -35,6 +35,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall too low for planes=6 with multi-probe")
   }
 
+  test("int8 quantized-scan top-k reranks to near-perfect recall against " +
+    "the exact scan, and degrades gracefully with a tiny pool") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val probe = probeVec()
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding", probe, 10)
+      .as[(Long, Double)].collect()
+    val approx = Similarity.quantizedTopK(e, "vec_id", "embedding", probe, 10,
+      poolK = 50).as[(Long, Double)].collect()
+    assert(approx.length == 10)
+    assert(approx.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    val recall = (exact.map(_._1).toSet intersect approx.map(_._1).toSet).size / 10.0
+    // int8 max-abs quantization of 64-dim unit-ish vectors keeps coarse
+    // ranking close to exact; a 5× pool should recover essentially all
+    // true neighbors
+    assert(recall >= 0.9, s"recall=$recall with poolK=50")
+    // re-ranked sims of the ids BOTH paths returned match the exact scan
+    val exactBy = exact.toMap
+    approx.filter(kv => exactBy.contains(kv._1)).foreach { case (id, sim) =>
+      assert(math.abs(sim - exactBy(id)) < 1e-9, s"sim mismatch for $id")
+    }
+    // pool of exactly k still returns k ordered rows (worst-case dial)
+    assert(Similarity.quantizedTopK(e, "vec_id", "embedding", probe, 10,
+      poolK = 10).count() == 10)
+  }
+
   test("hyperplane buckets are deterministic and assign similar vectors together") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.2f, 0.1f)),
