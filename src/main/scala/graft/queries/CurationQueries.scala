@@ -252,6 +252,35 @@ object CurationQueries {
              |        / 4294967296.0 < rate
              |ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic train/val/test split — the reproducibility primitive
+    // under every training run: assign each doc to a split by where its
+    // md5-uniform lands in [0, .9), [.9, .95), [.95, 1). Hash-ranged
+    // (not randomized) so the split is stable across runs, engines, and
+    // re-partitioning, and a re-ingested corpus never moves an untouched
+    // doc between splits — leakage-safe by construction. Stateless
+    // per-row map: no shuffle, works identically on a stream.
+    GraftQuery(
+      "q_train_split",
+      (s, d) => {
+        val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double") / lit(4294967296.0)
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            when(u < 0.9, "train").when(u < 0.95, "val").otherwise("test")
+              .as("split"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN u < 0.9 THEN 'train'
+             |       WHEN u < 0.95 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |          / 4294967296.0 AS u
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Unigram language-model quality score — the cheap perplexity proxy a
     // curation pipeline runs where a real LM is too expensive: score each
     // doc by the average negative log-probability of its tokens under the
