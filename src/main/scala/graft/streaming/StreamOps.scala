@@ -662,8 +662,10 @@ object StreamOps {
   }
 
   /** Fold all `batch=<id>` dirs of `rootPath` except the highest id into
-    * `batch=-1`. No-op when there is nothing to fold. */
-  private def foldBatchPartitions(
+    * `batch=-1`. No-op when there is nothing to fold. (Test-visible so
+    * the crash window BETWEEN per-root folds — store folded, sidecars
+    * not — can be driven directly.) */
+  private[graft] def foldBatchPartitions(
       spark: org.apache.spark.sql.SparkSession,
       rootPath: String,
       targetFileBytes: Long,

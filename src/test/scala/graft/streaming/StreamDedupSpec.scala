@@ -142,6 +142,42 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(store).count() == 4)
   }
 
+  test("a crash between per-root maintenance folds (store folded, " +
+    "sidecars not) leaves the store semantically consistent: dedup and " +
+    "a completing fold both still work") {
+    import spark.implicits._
+    val store = tmp() + "/sigs"
+    val other2 = "a separate corpus fragment on shuffle hash joins sort " +
+      "merge exchanges and broadcast thresholds inside the planner"
+    StreamOps.applyNearDupBatch(Seq(Doc(1, base)).toDF(), store, 0L)
+    StreamOps.applyNearDupBatch(Seq(Doc(2, other)).toDF(), store, 1L)
+    StreamOps.applyNearDupBatch(Seq(Doc(3, other2)).toDF(), store, 2L)
+    // simulate the crash: ONLY the signature store folds; .bands and
+    // .buckets keep their per-batch layout
+    StreamOps.foldBatchPartitions(spark, store, 128L << 20, reagg = None)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partNames(p: String) = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(partNames(store) == Seq("batch=-1", "batch=2"))
+    assert(partNames(store + ".bands") == Seq("batch=0", "batch=1", "batch=2"))
+
+    // the mixed layout still dedups correctly against all of history
+    val a3 = StreamOps.applyNearDupBatch(
+      Seq(Doc(4, edit("today")), Doc(5, other2 + " with sufficient extra " +
+        "novel vocabulary appended to remain fully distinct from history")
+      ).toDF(), store, 3L).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a3 == Seq(5L), s"admitted $a3") // 4 near-dups folded doc 1
+
+    // the next full maintenance pass completes the interrupted fold
+    StreamOps.maintainNearDupStore(spark, store)
+    assert(partNames(store) == Seq("batch=-1", "batch=3"))
+    assert(partNames(store + ".bands") == Seq("batch=-1", "batch=3"))
+    assert(partNames(store + ".buckets") == Seq("batch=-1", "batch=3"))
+    assert(spark.read.parquet(store).select("graft_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
   test("a legacy store without sidecars bootstraps them once and keeps " +
     "detecting history dups") {
     import spark.implicits._
