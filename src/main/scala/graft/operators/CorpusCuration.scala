@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   *  3. exact dedup: hash-groupBy on md5 fingerprint (16-byte shuffle
   *     keys);
   *  4. near dedup: MinHash-LSH pairs → connected components → keep the
-  *     min-id survivor per cluster (only bucket-mates are compared).
+  *     min-id survivor per cluster (only bucket-mates are compared);
+  *  5. decontaminate (optional): drop survivors sharing a word n-gram
+  *     with an eval benchmark — AFTER dedup so the shingle semi-join
+  *     scans only survivors;
+  *  6. split (optional): attach a deterministic md5-hash-ranged
+  *     train/val/test label (pure map — see [[Splits]]).
   *
   * Returns surviving rows with the annotation columns attached —
   * downstream tokenization reads `n_tokens`/`lang` for free.
@@ -60,7 +65,11 @@ object CorpusCuration {
       minUniqRatio: Double = 0.0,
       minAlphaRatio: Double = 0.0,
       nearDup: Boolean = true,
-      nearDupThreshold: Double = 0.8): DataFrame = {
+      nearDupThreshold: Double = 0.8,
+      benchmark: Option[DataFrame] = None,
+      benchmarkTextCol: String = "text",
+      decontaminateN: Int = 8,
+      splitCol: Option[String] = None): DataFrame = {
 
     val annotated = annotate(df, textCol)
 
@@ -70,7 +79,7 @@ object CorpusCuration {
       .filter(col("uniq_ratio") >= minUniqRatio)
       .filter(col("alpha_ratio") >= minAlphaRatio)
 
-    if (!nearDup) Dedup.exact(filtered, idCol, textCol)
+    val deduped = if (!nearDup) Dedup.exact(filtered, idCol, textCol)
     else {
       // The exact-dedup survivors feed the near-dup stage in THREE places
       // (signature scan, candidate-shingle semi-join, final survivor
@@ -81,5 +90,9 @@ object CorpusCuration {
       val exactDeduped = Dedup.exact(filtered, idCol, textCol).persist()
       Dedup.dedupNear(exactDeduped, idCol, textCol, threshold = nearDupThreshold)
     }
+    val cleaned = benchmark.fold(deduped)(b =>
+      Decontaminate.clean(deduped, idCol, textCol, b, benchmarkTextCol,
+        decontaminateN))
+    splitCol.fold(cleaned)(c => cleaned.withColumn(c, Splits.split(col(idCol))))
   }
 }

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-ranged assignment — the reproducibility primitive
+  * under sampling and train/val/test splitting. An id maps to a uniform
+  * in [0, 1) via its md5 prefix: stable across runs, engines, and
+  * re-partitioning, and ingesting more rows never moves an untouched
+  * row's assignment (a seeded RNG or TABLESAMPLE is layout-dependent —
+  * the same corpus shuffled differently yields a different sample).
+  * md5 (not xxhash64) so external systems — including the DuckDB
+  * oracle — reproduce the assignment bit-for-bit. */
+object Splits {
+
+  /** Uniform [0, 1) from the first 8 hex digits of md5(id). */
+  def uniform(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Three-way split label: `train` / `val` / `test` by where
+    * [[uniform]] lands in [0, trainFrac), [trainFrac, trainFrac+valFrac),
+    * [trainFrac+valFrac, 1). */
+  def split(
+      id: Column,
+      trainFrac: Double = 0.9,
+      valFrac: Double = 0.05): Column = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1,
+      s"invalid split fractions train=$trainFrac val=$valFrac")
+    val u = uniform(id)
+    when(u < trainFrac, "train")
+      .when(u < trainFrac + valFrac, "val")
+      .otherwise("test")
+  }
+}

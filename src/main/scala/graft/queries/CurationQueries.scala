@@ -238,10 +238,8 @@ object CurationQueries {
         val rates = docs.groupBy("lang")
           .agg(count(lit(1)).as("n_docs"))
           .withColumn("rate", least(lit(1.0), lit(100.0) / col("n_docs")))
-        val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("double") / lit(4294967296.0)
         docs.join(broadcast(rates), "lang")
-          .filter(u < col("rate"))
+          .filter(graft.operators.Splits.uniform(col("doc_id")) < col("rate"))
           .select("doc_id", "lang")
           .orderBy("doc_id")
       },
@@ -261,16 +259,12 @@ object CurationQueries {
     // per-row map: no shuffle, works identically on a stream.
     GraftQuery(
       "q_train_split",
-      (s, d) => {
-        val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("double") / lit(4294967296.0)
+      (s, d) =>
         Tables.documents(s, d)
           .select(
             col("doc_id"),
-            when(u < 0.9, "train").when(u < 0.95, "val").otherwise("test")
-              .as("split"))
-          .orderBy("doc_id")
-      },
+            graft.operators.Splits.split(col("doc_id")).as("split"))
+          .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  CASE WHEN u < 0.9 THEN 'train'
              |       WHEN u < 0.95 THEN 'val'

@@ -152,14 +152,18 @@ object NonOracleQueries {
     // CorpusCurationSpec pins the per-stage semantics.
     GraftQuery(
       "q_corpus_curate",
-      (s, d) =>
+      (s, d) => {
+        val docs = Tables.documents(s, d)
         graft.operators.CorpusCuration.curate(
-          Tables.documents(s, d), "doc_id", "text",
+          docs, "doc_id", "text",
           keepLangs = Set("en", "de", "fr", "es"),
           minTokens = 3,
-          minUniqRatio = 0.1)
-          .select("doc_id", "lang", "n_tokens")
-          .orderBy("doc_id")),
+          minUniqRatio = 0.1,
+          benchmark = Some(docs.filter(col("doc_id") % 97 === 0)),
+          splitCol = Some("split"))
+          .select("doc_id", "lang", "n_tokens", "split")
+          .orderBy("doc_id")
+      }),
 
     // Language ID heuristic over documents (native single-pass scorer).
     GraftQuery(

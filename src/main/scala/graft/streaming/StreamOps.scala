@@ -655,10 +655,17 @@ object StreamOps {
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
       targetFileBytes: Long = 128L << 20): Unit = {
-    foldBatchPartitions(spark, storePath, targetFileBytes, reagg = None)
-    foldBatchPartitions(spark, storePath + BandsSuffix, targetFileBytes, reagg = None)
+    // folds also SORT: the signature store by graft_id (tight row-group
+    // min/max for the candidate verify join's id lookups + better
+    // compression), the band store by its join key (runs of equal
+    // buckets compress and map-side combine well)
+    foldBatchPartitions(spark, storePath, targetFileBytes, reagg = None,
+      sortCols = Seq("graft_id"))
+    foldBatchPartitions(spark, storePath + BandsSuffix, targetFileBytes,
+      reagg = None, sortCols = Seq("band", "bucket", "hist_id"))
     foldBatchPartitions(spark, storePath + BucketsSuffix, targetFileBytes,
-      reagg = Some(df => df.groupBy("band", "bucket").agg(sum("n").as("n"))))
+      reagg = Some(df => df.groupBy("band", "bucket").agg(sum("n").as("n"))),
+      sortCols = Seq("band", "bucket"))
   }
 
   /** Fold all `batch=<id>` dirs of `rootPath` except the highest id into
@@ -669,7 +676,8 @@ object StreamOps {
       spark: org.apache.spark.sql.SparkSession,
       rootPath: String,
       targetFileBytes: Long,
-      reagg: Option[DataFrame => DataFrame]): Unit = {
+      reagg: Option[DataFrame => DataFrame],
+      sortCols: Seq[String] = Nil): Unit = {
     val root = new org.apache.hadoop.fs.Path(rootPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
@@ -691,7 +699,15 @@ object StreamOps {
     val nOut = math.max(1, math.ceil(foldBytes.toDouble / targetFileBytes).toInt)
     val folded = spark.read.parquet(rootPath)
       .filter(col("batch").isin(foldIds: _*)).drop("batch")
-    val out = reagg.fold(folded)(f => f(folded)).repartition(nOut)
+    val combined = reagg.fold(folded)(f => f(folded))
+    // range-partition + sort (not a global sort): each output file holds
+    // a contiguous key range, so parquet row-group min/max stats prune
+    // point lookups and similar rows compress together
+    val out =
+      if (sortCols.isEmpty) combined.repartition(nOut)
+      else combined
+        .repartitionByRange(nOut, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
     val tag = graft.operators.Swap.newTag()
     val staging = graft.operators.Swap.Suffix.staging(root, tag)
     val retired = graft.operators.Swap.Suffix.retired(root, tag)

@@ -49,4 +49,24 @@ class CorpusCurationSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(out == Set(0L, 1L, 6L)) // near-dup 1 survives, exact-dup 3 does not
   }
+
+  test("benchmark decontamination and split stages compose onto the " +
+    "pipeline: contaminated survivors drop, the rest get stable labels") {
+    // benchmark shares a 4-gram with doc 6 only (doc 0's text does not
+    // contain this span)
+    val benchmark = Seq("quite original piece of english").toDF("q")
+    val out = CorpusCuration.curate(
+      corpus, "doc_id", "text",
+      keepLangs = Set("en"), minTokens = 5, minUniqRatio = 0.3,
+      nearDupThreshold = 0.6,
+      benchmark = Some(benchmark), benchmarkTextCol = "q",
+      decontaminateN = 4, splitCol = Some("split"))
+    val rows = out.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(rows.keySet == Set(0L), s"survivors ${rows.keySet}") // 6 contaminated
+    // the split label equals the standalone deterministic assignment
+    val expected = Seq(0L).toDF("doc_id")
+      .select(Splits.split(org.apache.spark.sql.functions.col("doc_id")))
+      .as[String].head()
+    assert(rows(0L) == expected)
+  }
 }
