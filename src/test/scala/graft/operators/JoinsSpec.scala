@@ -30,6 +30,18 @@ class JoinsSpec extends AnyFunSuite {
         "side above the measured threshold must not be hint-broadcast")
       // both paths compute the same join
       assert(small.count() == 100 && large.count() == 100)
+
+      // BYTE cap: a side that passes the row gate but whose sampled
+      // bytes exceed maxBytes must shuffle — row count alone
+      // under-constrains memory for wide rows
+      val wide = (1 to 50).map(i => (i.toLong, "y" * 100000)).toDF("k", "w")
+        .groupBy("k").agg(org.apache.spark.sql.functions.first("w").as("w"))
+      val byteCapped = big.join(
+        Joins.broadcastIfSmall(wide, maxRows = 1000, maxBytes = 1024L), "k")
+      byteCapped.collect()
+      assert(!byteCapped.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "side above the byte cap must not be hint-broadcast")
+      assert(byteCapped.count() == 50)
     } finally saved match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
