@@ -51,8 +51,15 @@ object Multimodal {
     /** Decode image bytes (PNG/JPEG/BMP/GIF — whatever ImageIO readers
       * are registered). None = not a decodable image. */
     def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      // NonFatal, not just IOException: ImageIO readers throw runtime
+      // exceptions on corrupt-but-recognized files (CMMException for a
+      // broken ICC profile, ArrayIndexOutOfBounds for a truncated JPEG,
+      // IllegalArgument/NegativeArraySize for bogus header dims). In a
+      // web-scale corpus those WILL occur, and any one escaping here
+      // fails the whole partition — undecodable bytes are data, not
+      // poison pills.
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
 
     /** Pixel-derived feature vector: mean luminance over a ⌈√d⌉×⌈√d⌉
       * grid of the image (the classic tiny-thumbnail embedding), first
@@ -127,8 +134,12 @@ object Multimodal {
             if (nSamples > 0) math.sqrt(sumSq / nSamples) else 0.0, peak))
         } finally in.close()
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
+        // NonFatal: besides UnsupportedAudioFileException/IOException,
+        // AudioSystem.getAudioInputStream(target, in) throws
+        // IllegalArgumentException for PCM conversions the codec chain
+        // can't do (e.g. some 24-bit/float WAVs) — a valid-but-
+        // unconvertible file must fall back, not fail the partition.
+        case scala.util.control.NonFatal(_) => None
       }
   }
 

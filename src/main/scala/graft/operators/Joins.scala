@@ -37,7 +37,16 @@ object Joins {
     val mat = df.localCheckpoint()
     val n = mat.count()
     if (n > maxRows) return mat
-    val sample = mat.limit(sampleRows).collect()
+    // a RANDOM sample, not limit(): the first rows of an aggregate are
+    // whatever partition finished first and can be systematically
+    // narrower than the tail (e.g. small groups sorting first), which
+    // would under-estimate and broadcast an oversized side. Seeded so
+    // the estimate — and therefore the chosen plan — is reproducible.
+    val sample =
+      (if (n <= sampleRows) mat
+       else mat.sample(withReplacement = false,
+         math.min(1.0, sampleRows * 1.5 / n), seed = 42L))
+        .limit(sampleRows).collect()
     val estBytes =
       if (sample.isEmpty) 0L
       else (SizeEstimator.estimate(sample).toDouble / sample.length * n).toLong

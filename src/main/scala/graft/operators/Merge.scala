@@ -63,7 +63,12 @@ object Merge {
     // whole-dir swap crash window (store path missing, staged copy
     // complete) and partition-scoped swap crash window (touched dirs
     // retired, staged replacements pending behind the intent marker)
-    Swap.recoverWholeDir(spark, target, Swap.Suffix, allowLoneStaging = true)
+    // allowLoneStaging=false: Merge's FIRST write is direct (the
+    // insert-all below, no staging), so a lone staging sibling with the
+    // store missing is unknown provenance — treating it as "fresh" would
+    // silently rebuild from this one batch and discard whatever the
+    // staging holds. Fail loudly instead (Swap's documented contract).
+    Swap.recoverWholeDir(spark, target, Swap.Suffix, allowLoneStaging = false)
     if (fs.exists(target)) Swap.recoverDirs(spark, target, Swap.Suffix)
 
     if (!fs.exists(target)) {

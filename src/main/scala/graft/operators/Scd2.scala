@@ -54,9 +54,36 @@ object Scd2 {
   def recover(spark: SparkSession, path: String): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = Swap.fsOf(spark, target)
-    Swap.recoverWholeDir(spark, target, Swap.Suffix, allowLoneStaging = true)
+    // allowLoneStaging=false: SCD2's FIRST write is direct (apply writes
+    // the initial sliced store without staging), so a lone staging with
+    // the store missing is unknown provenance, not a fresh store.
+    Swap.recoverWholeDir(spark, target, Swap.Suffix, allowLoneStaging = false)
     if (!fs.exists(target)) return
     Swap.recoverDirs(spark, target, Swap.Suffix)
+    // maintain() compacts SLICE dirs via the Hidden-naming whole-dir
+    // swap (staging sits INSIDE the store root); a crash between its two
+    // renames leaves that slice dir missing with `.graft-staging-…` /
+    // `.graft-old-…` siblings. Roll those forward here too — otherwise a
+    // mechanically recoverable store fails the open-slice check below
+    // and bricks the stream until manual repair (maintain() itself calls
+    // recover() first, so it could never reach Compact's own recovery).
+    fs.listStatus(target).map(_.getPath.getName)
+      .flatMap { n =>
+        val withoutTag = (pre: String) =>
+          n.stripPrefix(pre).split("-", 2) match {
+            case Array(_, rest) => Some(rest)
+            case _ => None
+          }
+        if (n.startsWith(".graft-staging-")) withoutTag(".graft-staging-")
+        else if (n.startsWith(".graft-old-")) withoutTag(".graft-old-")
+        else None
+      }
+      .distinct
+      .filter(_.startsWith(SliceCol + "="))
+      .foreach { sliceName =>
+        Swap.recoverWholeDir(spark, new org.apache.hadoop.fs.Path(target, sliceName),
+          Swap.Hidden, allowLoneStaging = false)
+      }
     val slices = fs.listStatus(target)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(SliceCol + "="))
       .map(_.getPath.getName)
@@ -161,7 +188,10 @@ object Scd2 {
     updated.write.partitionBy(SliceCol).parquet(staging.toString)
     Swap.commitDirs(fs, target, staging, retired,
       Seq(OpenSlice, slice).distinct.map(SliceCol + "=" + _))
-    read(spark, path)
+    // not read(): recovery already ran at entry and the swap just
+    // committed — re-running it would pay two more store listings plus a
+    // parent-dir sibling scan on EVERY trickle batch for nothing
+    spark.read.parquet(path).drop(SliceCol)
   }
 
   /** One-time migration of a store written before the sliced layout

@@ -226,13 +226,25 @@ object Swap {
       if (fs.exists(d)) {
         if (!fs.rename(d, new Path(retired, n))) {
           // roll back: restore the store to its pre-swap state before
-          // throwing — never strand it without its hot partitions while
-          // also deleting the roll-forward copy
-          retiredSoFar.foreach(m => fs.rename(new Path(retired, m), new Path(target, m)))
-          fs.delete(staging, true)
-          fs.delete(retired, true)
+          // throwing — never strand it without its hot partitions. The
+          // cleanup deletes are GATED on every rename-back succeeding:
+          // a failed rename-back means the retired dir still holds the
+          // only pre-swap copy of that partition, and deleting it would
+          // destroy data while the exception claims the store is fine.
+          // In that case leave staging AND retired in place — the
+          // committed marker makes the next recoverDirs roll the whole
+          // swap FORWARD (idempotent over the dirs already restored).
+          val restoredAll = retiredSoFar.forall(m =>
+            fs.rename(new Path(retired, m), new Path(target, m)))
+          if (restoredAll) {
+            fs.delete(staging, true)
+            fs.delete(retired, true)
+            throw new java.io.IOException(s"could not retire partition dir $d " +
+              "(already-retired dirs restored, store unchanged)")
+          }
           throw new java.io.IOException(s"could not retire partition dir $d " +
-            "(already-retired dirs restored, store unchanged)")
+            "and some already-retired dirs could not be restored — staging " +
+            "and retired copies preserved; recovery will roll the swap forward")
         }
         retiredSoFar += n
       }

@@ -162,6 +162,35 @@ class Scd2Spec extends AnyFunSuite {
       s"history slice scanned by a recent point-in-time lookup: ${files.mkString(", ")}")
   }
 
+  test("a crash inside maintain()'s slice compaction (between the swap's " +
+    "two renames) recovers on the next read instead of bricking the store") {
+    val path = freshStore()
+    Scd2.apply(spark, path, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      "id", "2024-01-01 00:00:00")
+    Scd2.apply(spark, path, Seq((1L, "a2")).toDF("id", "v"),
+      "id", "2024-02-01 00:00:00")
+    val before = Scd2.read(spark, path).orderBy("id", "valid_from").collect().toSeq
+
+    // simulate compactDir crashing between rename(open → retired) and
+    // rename(staging → open): the open slice dir is MISSING, its old
+    // copy retired and its rewrite fully staged under Hidden naming
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val open = new org.apache.hadoop.fs.Path(root, Scd2.SliceCol + "=" + Scd2.OpenSlice)
+    val retired = new org.apache.hadoop.fs.Path(root,
+      s".graft-old-t1-${Scd2.SliceCol}=${Scd2.OpenSlice}")
+    val staging = new org.apache.hadoop.fs.Path(root,
+      s".graft-staging-t1-${Scd2.SliceCol}=${Scd2.OpenSlice}")
+    assert(fs.rename(open, retired))
+    org.apache.hadoop.fs.FileUtil.copy(fs, retired, fs, staging, false, false,
+      spark.sparkContext.hadoopConfiguration)
+
+    // without slice-dir recovery this threw "no graft_slice=open dir"
+    val after = Scd2.read(spark, path).orderBy("id", "valid_from").collect().toSeq
+    assert(after == before, "recovered store content changed")
+    assert(fs.exists(open) && !fs.exists(staging) && !fs.exists(retired))
+  }
+
   test("maintain compacts the small files trickle batches leave in hot " +
     "slice dirs, preserving content exactly") {
     val path = freshStore()
