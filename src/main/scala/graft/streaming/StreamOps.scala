@@ -398,10 +398,12 @@ object StreamOps {
     * admitted batch never change, so they are written once at admission
     * and only READ afterwards; after a maintenance fold the bucket scan
     * is O(distinct buckets + recent deltas), not O(all signatures ever).
-    * The remaining per-batch history scan is the signature column for
-    * the candidate verify join — narrow, fixed-width per doc, and only
-    * because parquet can't prune on hist_id (bucketing the store by id
-    * is the upgrade path if that scan ever dominates). */
+    * The verify join's history read pushes the candidate id set into
+    * the parquet scan as an In filter when it is small (the common case
+    * — bounded by batch size × bucket cap): maintenance folds SORT the
+    * store by graft_id, so row-group min/max stats skip the bulk of a
+    * years-old store and the read approximates an indexed fetch. Above
+    * `maxVerifyFetch` ids it falls back to the full-scan join. */
   def applyNearDupBatch(
       batch: DataFrame,
       storePath: String,
@@ -412,7 +414,8 @@ object StreamOps {
       bands: Int = 16,
       shingleN: Int = 3,
       threshold: Double = 0.8,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      maxVerifyFetch: Int = 100000): DataFrame = {
     import graft.functions.TextFunctions._
     val spark = batch.sparkSession
     val store = new org.apache.hadoop.fs.Path(storePath)
@@ -494,6 +497,26 @@ object StreamOps {
       .join(bandH.join(smallBuckets, Seq("band", "bucket"), "left_semi"),
         Seq("band", "bucket"))
       .select("graft_id", "hist_id").distinct()
+      .persist() // read twice: id-set probe + verify join
+
+    // History signatures for the verify join. The candidate id set is
+    // bounded by batch size × maxBucket, so in the common case it is
+    // tiny relative to the store: push it into the parquet read as an
+    // In filter — maintenance folds sort the store by graft_id, so
+    // row-group min/max stats skip the bulk of years-old history and
+    // the read approximates an indexed fetch instead of a full scan.
+    // Above the cap (or with a hot batch), fall back to the scan join.
+    val candIds =
+      if (hasHistory) candidates.select("hist_id").distinct().limit(maxVerifyFetch + 1)
+        .collect().map(_.get(0))
+      else Array.empty[Any]
+    val histVerify =
+      if (!hasHistory || candIds.isEmpty) history.limit(0)
+      else if (candIds.length <= maxVerifyFetch)
+        spark.read.parquet(storePath).filter(col("batch") =!= batchId)
+          .filter(col("graft_id").isInCollection(candIds.toSeq))
+          .select(col("graft_id").as("hist_id"), col("graft_sig").as("hist_sig"))
+      else history
 
     // MinHash estimator: fraction of agreeing signature positions
     val agree = size(filter(
@@ -501,7 +524,7 @@ object StreamOps {
       x => x)).cast("double") / numHashes
     val dupOfHistory = candidates
       .join(sigB, "graft_id")
-      .join(history, "hist_id")
+      .join(histVerify, "hist_id")
       .filter(agree >= threshold)
       .select(col("graft_id").as(idCol)).distinct()
 
@@ -535,6 +558,7 @@ object StreamOps {
     sigA.unpersist()
     sigB.unpersist()
     history.unpersist()
+    candidates.unpersist()
     admitted
   }
 

@@ -220,6 +220,28 @@ class StreamDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bands=16"), e.getMessage)
   }
 
+  test("the id-pushdown verify fetch and the full-scan fallback admit " +
+    "identically") {
+    import spark.implicits._
+    val mk = (suffix: String) => {
+      val store = tmp() + "/sigs" + suffix
+      StreamOps.applyNearDupBatch(
+        Seq(Doc(1, base), Doc(2, other)).toDF(), store, 0L)
+      store
+    }
+    val b1 = Seq(Doc(3, edit("eventually")), Doc(4, other + " padded with " +
+      "plenty of additional distinct vocabulary to stay clear of every " +
+      "admitted signature in the persistent history store")).toDF()
+    // pushdown path (default cap) vs forced full-scan path (cap = 0)
+    val viaPushdown = StreamOps.applyNearDupBatch(b1, mk("a"), 1L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaScan = StreamOps.applyNearDupBatch(b1, mk("b"), 1L,
+      maxVerifyFetch = 0)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaPushdown == Seq(4L), s"pushdown admitted $viaPushdown")
+    assert(viaScan == viaPushdown, s"scan path admitted $viaScan")
+  }
+
   test("end to end through foreachBatch on a MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
