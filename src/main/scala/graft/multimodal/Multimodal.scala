@@ -105,42 +105,50 @@ object Multimodal {
     /** Decode WAV bytes: header → rate/channels/duration, then the PCM
       * samples (converted to 16-bit signed if stored otherwise) →
       * amplitude stats normalized to [-1, 1]. None = not WAV/AIFF/AU. */
-    def decodeWav(bytes: Array[Byte]): Option[WavInfo] =
-      try {
-        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+    def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
+      // The broad catch wraps ONLY the JDK decode calls: besides
+      // UnsupportedAudioFileException/IOException,
+      // AudioSystem.getAudioInputStream(target, in) throws
+      // IllegalArgumentException for PCM conversions the codec chain
+      // can't do (e.g. some 24-bit/float WAVs) — a valid-but-
+      // unconvertible file must fall back, not fail the partition. The
+      // in-house stats loop below stays OUTSIDE it so a genuine bug
+      // there propagates instead of masquerading as "not decodable".
+      val decoded =
         try {
-          val fmt = in.getFormat
-          val durationMs = (in.getFrameLength * 1000.0 / fmt.getFrameRate).round
-          val target = new javax.sound.sampled.AudioFormat(
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-            fmt.getSampleRate, 16, fmt.getChannels, 2 * fmt.getChannels,
-            fmt.getSampleRate, false)
-          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](8192)
-          var n = pcm.read(chunk)
-          while (n > 0) { buf.write(chunk, 0, n); n = pcm.read(chunk) }
-          val data = buf.toByteArray
-          var (sumSq, peak, i) = (0.0, 0.0, 0)
-          while (i + 1 < data.length) {
-            val s = (((data(i + 1) << 8) | (data(i) & 0xff)).toShort / 32768.0)
-            sumSq += s * s
-            if (math.abs(s) > peak) peak = math.abs(s)
-            i += 2
-          }
-          val nSamples = data.length / 2
-          Some(WavInfo(fmt.getSampleRate.toInt, fmt.getChannels, durationMs,
-            if (nSamples > 0) math.sqrt(sumSq / nSamples) else 0.0, peak))
-        } finally in.close()
-      } catch {
-        // NonFatal: besides UnsupportedAudioFileException/IOException,
-        // AudioSystem.getAudioInputStream(target, in) throws
-        // IllegalArgumentException for PCM conversions the codec chain
-        // can't do (e.g. some 24-bit/float WAVs) — a valid-but-
-        // unconvertible file must fall back, not fail the partition.
-        case scala.util.control.NonFatal(_) => None
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = in.getFormat
+            val durationMs = (in.getFrameLength * 1000.0 / fmt.getFrameRate).round
+            val target = new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              fmt.getSampleRate, 16, fmt.getChannels, 2 * fmt.getChannels,
+              fmt.getSampleRate, false)
+            val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](8192)
+            var n = pcm.read(chunk)
+            while (n > 0) { buf.write(chunk, 0, n); n = pcm.read(chunk) }
+            Some((fmt.getSampleRate.toInt, fmt.getChannels, durationMs,
+              buf.toByteArray))
+          } finally in.close()
+        } catch {
+          case scala.util.control.NonFatal(_) => None
+        }
+      decoded.map { case (rate, channels, durationMs, data) =>
+        var (sumSq, peak, i) = (0.0, 0.0, 0)
+        while (i + 1 < data.length) {
+          val s = (((data(i + 1) << 8) | (data(i) & 0xff)).toShort / 32768.0)
+          sumSq += s * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          i += 2
+        }
+        val nSamples = data.length / 2
+        WavInfo(rate, channels, durationMs,
+          if (nSamples > 0) math.sqrt(sumSq / nSamples) else 0.0, peak)
       }
+    }
   }
 
   /** STUB codec — deterministic fakes where no JDK decoder exists (video

@@ -38,15 +38,17 @@ object Joins {
     val n = mat.count()
     if (n > maxRows) return mat
     // a RANDOM sample, not limit(): the first rows of an aggregate are
-    // whatever partition finished first and can be systematically
-    // narrower than the tail (e.g. small groups sorting first), which
-    // would under-estimate and broadcast an oversized side. Seeded so
-    // the estimate — and therefore the chosen plan — is reproducible.
+    // whatever partition sorts first and can be systematically narrower
+    // than the tail (e.g. small groups sorting first), which would
+    // under-estimate and broadcast an oversized side. No trailing
+    // limit() either — GlobalLimit drains partitions IN ORDER, which
+    // would re-introduce the same bias; the seeded fraction already
+    // bounds the collect at ~sampleRows expected rows.
     val sample =
       (if (n <= sampleRows) mat
        else mat.sample(withReplacement = false,
-         math.min(1.0, sampleRows * 1.5 / n), seed = 42L))
-        .limit(sampleRows).collect()
+         math.min(1.0, sampleRows.toDouble / n), seed = 42L))
+        .collect()
     val estBytes =
       if (sample.isEmpty) 0L
       else (SizeEstimator.estimate(sample).toDouble / sample.length * n).toLong

@@ -67,24 +67,18 @@ object Scd2 {
     // mechanically recoverable store fails the open-slice check below
     // and bricks the stream until manual repair (maintain() itself calls
     // recover() first, so it could never reach Compact's own recovery).
-    fs.listStatus(target).map(_.getPath.getName)
-      .flatMap { n =>
-        val withoutTag = (pre: String) =>
-          n.stripPrefix(pre).split("-", 2) match {
-            case Array(_, rest) => Some(rest)
-            case _ => None
-          }
-        if (n.startsWith(".graft-staging-")) withoutTag(".graft-staging-")
-        else if (n.startsWith(".graft-old-")) withoutTag(".graft-old-")
-        else None
-      }
+    // ONE listing serves both this scan and the slice check below;
+    // re-list only when recovery actually acted on a slice dir.
+    val listed = fs.listStatus(target)
+    val recoveredSlices = listed.map(_.getPath.getName)
+      .flatMap(Swap.Hidden.parse(_).map(_._2))
       .distinct
       .filter(_.startsWith(SliceCol + "="))
-      .foreach { sliceName =>
-        Swap.recoverWholeDir(spark, new org.apache.hadoop.fs.Path(target, sliceName),
-          Swap.Hidden, allowLoneStaging = false)
-      }
-    val slices = fs.listStatus(target)
+    recoveredSlices.foreach { sliceName =>
+      Swap.recoverWholeDir(spark, new org.apache.hadoop.fs.Path(target, sliceName),
+        Swap.Hidden, allowLoneStaging = false)
+    }
+    val slices = (if (recoveredSlices.nonEmpty) fs.listStatus(target) else listed)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(SliceCol + "="))
       .map(_.getPath.getName)
     if (slices.nonEmpty && !slices.contains(SliceCol + "=" + OpenSlice))

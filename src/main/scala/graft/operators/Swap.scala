@@ -98,6 +98,20 @@ object Swap {
       tagOf(n, ".graft-staging-", target)
     def retiredTag(target: Path, n: String): Option[String] =
       tagOf(n, ".graft-old-", target)
+
+    /** Inverse without knowing the target: (tag, targetName) if
+      * `siblingName` is ANY Hidden staging/retired sibling. Lives here —
+      * not re-derived at call sites — so the name format (and the fact
+      * that [[newTag]] is dash-free) stays in one place. */
+    def parse(siblingName: String): Option[(String, String)] = {
+      val prefix = Seq(".graft-staging-", ".graft-old-").find(siblingName.startsWith)
+      prefix.flatMap { p =>
+        siblingName.stripPrefix(p).split("-", 2) match {
+          case Array(tag, targetName) if targetName.nonEmpty => Some((tag, targetName))
+          case _ => None
+        }
+      }
+    }
   }
 
   private def siblingNames(fs: FileSystem, target: Path): Array[String] = {
@@ -153,18 +167,48 @@ object Swap {
       naming: Naming,
       allowLoneStaging: Boolean): Unit = {
     val fs = fsOf(spark, target)
-    if (fs.exists(target)) return
     val siblings = siblingNames(fs, target)
     val stagings = siblings.flatMap(naming.stagingTag(target, _))
     val olds = siblings.flatMap(naming.retiredTag(target, _))
+    // A staging carrying the PARTITION-swap intent marker belongs to
+    // commitDirs, not to any whole-dir swap: it is a live roll-forward
+    // copy that recoverDirs must complete (partition swaps run against
+    // an EXISTING target root, so "target exists + marker staging" is
+    // that protocol's normal crash state). Never treat it — or its
+    // retired pair — as stale here.
+    val live = stagings.filter(t =>
+      fs.exists(new Path(naming.staging(target, t), DirsMarker))).toSet
+    if (fs.exists(target)) {
+      // Target intact: every NON-live leftover of this target's naming
+      // is stale — a retired copy whose swap completed (crash before
+      // its delete) or an abandoned staging from a crashed rewrite
+      // attempt. Clean them NOW: left in place, a later crash of a new
+      // swap on the same target would see multiple retired dirs, fail
+      // the exactly-one-completable-pair check below, and brick a
+      // mechanically recoverable store. Callers create their own
+      // staging only AFTER this recovery runs, so nothing else is live.
+      (stagings.filterNot(live).map(naming.staging(target, _)) ++
+        olds.filterNot(live).map(naming.retired(target, _)))
+        .foreach(fs.delete(_, true))
+      return
+    }
     if (olds.isEmpty && (stagings.isEmpty || allowLoneStaging)) return
-    val matched = olds.filter(stagings.contains)
-    if (olds.length == 1 && matched.length == 1) {
+    // a live (marker) pair stages only a partition SUBSET — rolling it
+    // forward as a whole-dir replacement would install that subset as
+    // the entire store; exclude it so such a state fails loudly below
+    val matched = olds.filter(t => stagings.contains(t) && !live(t))
+    if (matched.length == 1) {
       val tag = matched.head
       if (!fs.rename(naming.staging(target, tag), target))
         throw new java.io.IOException(
           s"could not roll forward staged swap for $target")
       fs.delete(naming.retired(target, tag), true)
+      // retired dirs without a staging pair belong to OLDER swaps that
+      // completed (their staging became the target and was itself later
+      // retired-and-replaced) — stale copies, drop them with the rest
+      (stagings.filterNot(live).filterNot(_ == tag).map(naming.staging(target, _)) ++
+        olds.filterNot(live).filterNot(_ == tag).map(naming.retired(target, _)))
+        .foreach(fs.delete(_, true))
     } else {
       val oldNames = siblings.filter(n => naming.retiredTag(target, n).isDefined)
       throw new IllegalStateException(

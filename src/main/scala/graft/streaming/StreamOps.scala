@@ -506,8 +506,10 @@ object StreamOps {
     // row-group min/max stats skip the bulk of years-old history and
     // the read approximates an indexed fetch instead of a full scan.
     // Above the cap (or with a hot batch), fall back to the scan join.
+    // cap+1 probe, overflow-safe for maxVerifyFetch = Int.MaxValue
+    val capProbe = math.min(maxVerifyFetch.toLong + 1L, Int.MaxValue.toLong).toInt
     val candIds =
-      if (hasHistory) candidates.select("hist_id").distinct().limit(maxVerifyFetch + 1)
+      if (hasHistory) candidates.select("hist_id").distinct().limit(capProbe)
         .collect().map(_.get(0))
       else Array.empty[Any]
     val histVerify =

@@ -30,6 +30,33 @@ class SwapSpec extends AnyFunSuite {
     try out.write(retireNames.mkString("\n").getBytes("UTF-8")) finally out.close()
   }
 
+  test("completed-swap orphans are cleaned when the target is intact, " +
+    "and a later crash recovers despite them") {
+    val base = tmp("graft_swap_orphan")
+    val store = s"$base/d"
+    Seq((1L, "v1")).toDF("k", "v").write.parquet(store)
+
+    // scenario A: a previous swap completed but crashed before deleting
+    // its retired copy — recovery with the target intact cleans it
+    copyDir(store, Swap.Hidden.retired(new Path(store), "t1").toString)
+    Swap.recoverWholeDir(spark, new Path(store), Swap.Hidden, allowLoneStaging = false)
+    assert(!fs.exists(Swap.Hidden.retired(new Path(store), "t1")))
+    assert(spark.read.parquet(store).count() == 1)
+
+    // scenario B: the orphan was NOT cleaned (no recovery ran) and a
+    // later swap crashes between its two renames — olds = [orphan t2,
+    // pair t3], stagings = [t3]. The single completable pair must roll
+    // forward (this used to fail the olds.length==1 check and brick the
+    // dir), and the stale orphan is dropped.
+    copyDir(store, Swap.Hidden.retired(new Path(store), "t2").toString)
+    copyDir(store, Swap.Hidden.staging(new Path(store), "t3").toString)
+    assert(fs.rename(new Path(store), Swap.Hidden.retired(new Path(store), "t3")))
+    Swap.recoverWholeDir(spark, new Path(store), Swap.Hidden, allowLoneStaging = false)
+    assert(spark.read.parquet(store).count() == 1)
+    assert(!fs.exists(Swap.Hidden.retired(new Path(store), "t2")))
+    assert(!fs.exists(Swap.Hidden.retired(new Path(store), "t3")))
+  }
+
   test("commitDirs + recoverDirs: a crash after the intent marker rolls " +
     "forward — retired-but-not-replaced dirs complete their swap") {
     val base = tmp("graft_swap_dirs")
