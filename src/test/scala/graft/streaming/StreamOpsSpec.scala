@@ -265,4 +265,33 @@ class StreamOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("EventTimeTimeout"))
   }
+
+  test("train/val/test assignment is stream-identical: the same doc gets " +
+    "the same label through a stream as in batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ids = (1L to 200L)
+    val batchLabels = ids.toDF("doc_id")
+      .select(col("doc_id"), graft.operators.Splits.split(col("doc_id")).as("split"))
+      .as[(Long, String)].collect().toMap
+    val mem = MemoryStream[Long]
+    val streamed = scala.collection.mutable.Map[Long, String]()
+    val q = mem.toDF().toDF("doc_id")
+      .select(col("doc_id"), graft.operators.Splits.split(col("doc_id")).as("split"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        streamed.synchronized {
+          df.as[(Long, String)].collect().foreach { case (k, v) => streamed(k) = v }
+        }
+      }.start()
+    try {
+      mem.addData(ids.take(100): _*)
+      q.processAllAvailable()
+      mem.addData(ids.drop(100): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(streamed.toMap == batchLabels)
+    // sanity: all three splits actually occur at n=200
+    assert(batchLabels.values.toSet == Set("train", "val", "test"))
+  }
 }
