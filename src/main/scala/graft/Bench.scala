@@ -46,14 +46,23 @@ object Bench {
     // reported: identical-code rounds were jittering ±30% on sub-second
     // queries (JIT warm-up, GC luck), which drowned real plan regressions;
     // min-of-2 measures the plan, not the JVM's mood.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    // Builder-local iteration hooks (driver sets neither): restrict to a
+    // comma-separated query subset and/or raise the per-query repeat count
+    // when chasing a specific regression's variance.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        if (only.isDefined) System.err.println(
+          s"[bench] $name raw: ${times.map(fmt).mkString(", ")}")
+        name -> times.min
       }
-      name -> times.min
-    }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -32,6 +32,11 @@ object SparkEntry {
     registry.map(_.name).distinct.size == registry.size,
     "duplicate query names in registry")
 
+  /** Full declared-query registry, exposed for contract specs
+    * (OracleContractSpec validates every oracle query's output schema
+    * against the driver-comparator sortability contract). */
+  private[graft] def allQueries: Seq[GraftQuery] = registry
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_agg_group")(spark, "/root/testdata/sf0.001")

@@ -57,6 +57,11 @@ object SimilarityQueries {
     // no UDF, no shuffle); dequantize as qvec * scale / 127. All
     // arithmetic in Double with identical IEEE op order to the oracle,
     // so round() crosses the same boundaries in both engines.
+    // The driver's comparator sorts every output column with pandas, which
+    // cannot sort raw arrays — so the int8 vector is digested into sortable
+    // scalars (first element, middle element, exact 64-element sum) that
+    // pin every element through the same op order while emitting only
+    // scalar columns.
     GraftQuery(
       "q_embed_quantize",
       (s, d) => {
@@ -69,17 +74,26 @@ object SimilarityQueries {
             when(mx === 0d, transform(dbl, _ => lit(0)))
               .otherwise(transform(dbl, x => round(x / mx * 127).cast("int")))
               .as("qvec"))
+          .select(
+            col("vec_id"),
+            col("scale"),
+            element_at(col("qvec"), 1).as("q_first"),
+            element_at(col("qvec"), 33).as("q_mid"),
+            expr("aggregate(qvec, 0L, (a, x) -> a + x)").as("q_sum"))
           .orderBy("vec_id")
       },
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
              |           FROM embeddings),
              |m AS (SELECT vec_id, v,
-             |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e)
-             |SELECT vec_id, ROUND(mx, 6) AS scale,
-             |       CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
-             |            ELSE list_transform(v, x -> CAST(ROUND(x / mx * 127) AS INT))
-             |       END AS qvec
-             |FROM m ORDER BY vec_id""".stripMargin)),
+             |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+             |q AS (SELECT vec_id, ROUND(mx, 6) AS scale,
+             |        CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+             |             ELSE list_transform(v, x -> CAST(ROUND(x / mx * 127) AS INT))
+             |        END AS qvec
+             |      FROM m)
+             |SELECT vec_id, scale, qvec[1] AS q_first, qvec[33] AS q_mid,
+             |       CAST(list_sum(qvec) AS BIGINT) AS q_sum
+             |FROM q ORDER BY vec_id""".stripMargin)),
 
     // Per-label centroid norms: aggregate over vector columns (element-wise
     // mean via explode-free posexplode aggregation would shuffle per
