@@ -66,7 +66,8 @@ object Compact {
   def compactDir(
       spark: SparkSession,
       dir: String,
-      targetFileBytes: Long = 128L << 20): CompactStats = {
+      targetFileBytes: Long = 128L << 20,
+      lease: Option[Swap.Lease] = None): CompactStats = {
     val target = new Path(dir)
     val fs = fsOf(spark, target)
     // lone staging without a retired pair is unknown provenance for a
@@ -92,7 +93,7 @@ object Compact {
       throw new IllegalStateException(
         s"compaction row mismatch for $dir: $before -> $after (store untouched)")
     }
-    Swap.commitWholeDir(fs, target, staging, retired)
+    Swap.commitWholeDir(fs, target, staging, retired, lease)
     CompactStats(files.length, dataFiles(spark, target).length, bytes, before)
   }
 
@@ -107,18 +108,30 @@ object Compact {
       storePath: String,
       pcol: String,
       targetFileBytes: Long = 128L << 20,
-      maxFilesPerDir: Int = 8): Map[String, CompactStats] = {
+      maxFilesPerDir: Int = 8,
+      lease: Option[Swap.Lease] = None): Map[String, CompactStats] = {
     val root = new Path(storePath)
     val fs = fsOf(spark, root)
-    fs.listStatus(root)
-      // dot-prefixed staging/retired leftovers are invisible to Spark
-      // reads and are NOT partitions — never compact (or recurse into)
-      // them from here; compactDir's own recovery handles them
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(pcol + "="))
-      .filter(s => dataFiles(spark, s.getPath).length > maxFilesPerDir)
-      .map { s =>
-        s.getPath.getName ->
-          compactDir(spark, s.getPath.toString, targetFileBytes)
-      }.toMap
+    // A store fed only empty batches so far has no directory yet (apply()
+    // skips on empty prepare); a maintenance tick then must be a no-op,
+    // not a FileNotFoundException that crash-loops the stream.
+    if (!fs.exists(root)) return Map.empty
+    // the STORE-root lease covers every slice-dir swap below; acquire one
+    // here only when the caller (e.g. Scd2.maintain) doesn't already hold it
+    def run(l: Swap.Lease): Map[String, CompactStats] =
+      fs.listStatus(root)
+        // dot-prefixed staging/retired leftovers are invisible to Spark
+        // reads and are NOT partitions — never compact (or recurse into)
+        // them from here; compactDir's own recovery handles them
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(pcol + "="))
+        .filter(s => dataFiles(spark, s.getPath).length > maxFilesPerDir)
+        .map { s =>
+          s.getPath.getName ->
+            compactDir(spark, s.getPath.toString, targetFileBytes, Some(l))
+        }.toMap
+    lease match {
+      case Some(l) => run(l)
+      case None => Swap.withStoreLease(spark, root)(run)
+    }
   }
 }

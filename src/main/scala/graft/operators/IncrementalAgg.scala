@@ -40,7 +40,8 @@ object IncrementalAgg {
       batch: DataFrame,
       keyCols: Seq[String],
       valueCol: String,
-      batchId: Option[Long] = None): DataFrame = {
+      batchId: Option[Long] = None,
+      lease: Option[Swap.Lease] = None): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
 
     val partial = batch.groupBy(keyCols.map(col): _*).agg(
@@ -51,6 +52,12 @@ object IncrementalAgg {
 
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // single-writer lease across the whole fold (first-write rename
+    // included): two streams folding into one store must fail loudly.
+    // A caller that already holds the store lease (applyAggBatchOnce
+    // spans marker-check + fold under one lease) passes it in.
+    def run(held: Swap.Lease): DataFrame = {
 
     def writeMarker(dir: org.apache.hadoop.fs.Path): Unit =
       batchId.foreach { id =>
@@ -92,8 +99,14 @@ object IncrementalAgg {
     val retired = Swap.Suffix.retired(target, tag)
     merged.write.parquet(staging.toString)
     writeMarker(staging)
-    Swap.commitWholeDir(fs, target, staging, retired)
+    Swap.commitWholeDir(fs, target, staging, retired, Some(held))
     spark.read.parquet(path)
+    }
+
+    lease match {
+      case Some(l) => run(l)
+      case None => Swap.withStoreLease(spark, target)(run)
+    }
   }
 
   /** Read the store with the derived average attached. */

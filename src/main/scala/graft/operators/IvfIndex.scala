@@ -61,13 +61,18 @@ final class IvfIndex private (
   /** Persist the index: the assigned table lands hive-partitioned by
     * `list_id` (so a loaded index's probes PRUNE to nprobe/nlist of the
     * files on disk — the read-side payoff of IVF), centroids + column
-    * names in a small sidecar table. Build once, query many. */
+    * names + per-list build-time mean assignment distance (the drift
+    * baseline [[IvfIndex.append]] checks against) in a small sidecar
+    * table. Build once, query many, append incrementally. */
   def save(path: String): Unit = {
     val spark = assigned.sparkSession
     assigned.write.partitionBy("list_id").parquet(s"$path/data")
     import spark.implicits._
-    centroids.toSeq.map { case (i, c) => (i, c, idCol, vecCol) }
-      .toDF("list_id", "centroid", "id_col", "vec_col")
+    val meanD = IvfIndex.meanAssignDist2(assigned, vecCol, centroids)
+    centroids.toSeq.map { case (i, c) =>
+      (i, c, idCol, vecCol, meanD.getOrElse(i, Double.NaN))
+    }
+      .toDF("list_id", "centroid", "id_col", "vec_col", "mean_dist2")
       .coalesce(1).write.parquet(s"$path/centroids")
   }
 }
@@ -119,11 +124,168 @@ object IvfIndex {
     * read lazily from its `list_id=` partitions — topK's list filter
     * becomes a partition filter, touching nprobe/nlist of the store. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
-    val meta = spark.read.parquet(s"$path/centroids").collect()
+    // roll forward an append interrupted mid-swap before reading
+    Swap.recoverDirs(spark, new org.apache.hadoop.fs.Path(s"$path/data"),
+      Swap.Suffix)
+    val meta = readSidecar(spark, path)
+    new IvfIndex(spark.read.parquet(s"$path/data"), meta.centroids,
+      meta.idCol, meta.vecCol)
+  }
+
+  private final case class Sidecar(
+      centroids: Array[(Int, Array[Double])],
+      idCol: String,
+      vecCol: String,
+      // NaN / absent column (pre-drift-baseline index) → None
+      baselineDist2: Map[Int, Double])
+
+  private def readSidecar(
+      spark: org.apache.spark.sql.SparkSession, path: String): Sidecar = {
+    val df = spark.read.parquet(s"$path/centroids")
+    val hasBaseline = df.columns.contains("mean_dist2")
+    val meta = df.collect()
     require(meta.nonEmpty, s"no centroids at $path/centroids — not an IVF index?")
     val centroids = meta.map(r =>
-      (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-    val (idCol, vecCol) = (meta.head.getString(2), meta.head.getString(3))
-    new IvfIndex(spark.read.parquet(s"$path/data"), centroids, idCol, vecCol)
+      (r.getInt(r.fieldIndex("list_id")),
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray)).sortBy(_._1)
+    val baseline =
+      if (!hasBaseline) Map.empty[Int, Double]
+      else meta.map(r => r.getInt(r.fieldIndex("list_id")) ->
+        r.getDouble(r.fieldIndex("mean_dist2")))
+        .filterNot(_._2.isNaN).toMap
+    Sidecar(centroids,
+      meta.head.getString(meta.head.fieldIndex("id_col")),
+      meta.head.getString(meta.head.fieldIndex("vec_col")), baseline)
+  }
+
+  /** L2-normalized double array from a float-array vector column. */
+  private def nvecExpr(vecCol: String): org.apache.spark.sql.Column = {
+    val dbl = transform(col(vecCol), _.cast("double"))
+    val nrm = sqrt(aggregate(transform(dbl, x => x * x), lit(0.0), _ + _))
+    transform(dbl, x => x / greatest(nrm, lit(1e-12)))
+  }
+
+  private def dist2Expr(
+      a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
+  /** Per-list mean squared assignment distance (normalized vectors vs
+    * their list's centroid) — the drift baseline. One broadcast join +
+    * one aggregate over the assigned table. */
+  private[operators] def meanAssignDist2(
+      assigned: DataFrame,
+      vecCol: String,
+      centroids: Array[(Int, Array[Double])]): Map[Int, Double] = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cents = centroids.toSeq.toDF("graft_cl", "graft_centroid")
+    assigned
+      .join(broadcast(cents), col("list_id") === col("graft_cl"))
+      .groupBy(col("list_id"))
+      .agg(avg(dist2Expr(nvecExpr(vecCol), col("graft_centroid"))).as("d2"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+  }
+
+  /** Per-list outcome of an [[append]]: rows added, their mean squared
+    * assignment distance, and the ratio against the build-time baseline
+    * (None when the sidecar predates the baseline or the list got fewer
+    * than `minRowsForDrift` rows). */
+  final case class ListAppendStats(
+      rows: Long, meanDist2: Double, driftRatio: Option[Double])
+
+  /** Incrementally add vectors to a SAVED index — the continuous-ingest
+    * path a 100 TB ANN store needs, instead of a full k-means rebuild per
+    * delta. New vectors are assigned to their nearest EXISTING centroid
+    * (one broadcast of the nlist×dim centroid table — the same
+    * normalized-Euclidean metric the build used), and only the TOUCHED
+    * `list_id=` partitions are rewritten (old rows + new rows staged,
+    * then swapped via the shared marker-gated Swap protocol under the
+    * store's single-writer lease — crash rolls forward, concurrent
+    * appends fail loudly).
+    *
+    * Centroids do not move on append, so quality degrades if the new
+    * data's distribution drifts from the build sample: each list's new
+    * rows are compared against the build-time mean assignment distance,
+    * and any list whose ratio exceeds `maxDriftRatio` (with at least
+    * `minRowsForDrift` new rows — small samples are noise) FAILS the
+    * append loudly before anything is written, naming the drifted lists:
+    * the correct response is a rebuild, not a silently degrading index.
+    *
+    * @return per-list append stats for the lists that received rows. */
+  def append(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newRows: DataFrame,
+      maxDriftRatio: Double = 4.0,
+      minRowsForDrift: Long = 50L): Map[Int, ListAppendStats] = {
+    import spark.implicits._
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = Swap.fsOf(spark, dataRoot)
+    Swap.withStoreLease(spark, dataRoot) { lease =>
+      Swap.recoverDirs(spark, dataRoot, Swap.Suffix)
+      val meta = readSidecar(spark, path)
+      val stored = spark.read.parquet(dataRoot.toString)
+      require(
+        newRows.columns.toSet == stored.columns.toSet - "list_id",
+        s"append schema ${newRows.columns.sorted.mkString(",")} != index " +
+          s"schema ${(stored.columns.toSet - "list_id").toSeq.sorted.mkString(",")}")
+
+      // nearest-centroid assignment: rows × nlist broadcast expansion,
+      // folded back map-side by min_by before the per-id shuffle
+      val cents = meta.centroids.toSeq.toDF("graft_cl", "graft_centroid")
+      val assignedNew = newRows
+        .withColumn("graft_nvec", nvecExpr(meta.vecCol))
+        .crossJoin(broadcast(cents))
+        .withColumn("graft_d2", dist2Expr(col("graft_nvec"), col("graft_centroid")))
+        .groupBy(col(meta.idCol))
+        .agg(
+          min_by(
+            struct(col("graft_cl").as("list_id") +:
+              newRows.columns.filterNot(_ == meta.idCol).map(col): _*),
+            col("graft_d2")).as("graft_s"),
+          min(col("graft_d2")).as("graft_d2"))
+        .select(col(meta.idCol), col("graft_s.*"), col("graft_d2"))
+        .persist()
+
+      val stats = assignedNew.groupBy(col("list_id"))
+        .agg(count(lit(1)).as("n"), avg(col("graft_d2")).as("d2"))
+        .collect()
+        .map { r =>
+          val (lid, n, d2) = (r.getInt(0), r.getLong(1), r.getDouble(2))
+          val ratio = meta.baselineDist2.get(lid)
+            .filter(_ > 0).filter(_ => n >= minRowsForDrift).map(d2 / _)
+          lid -> ListAppendStats(n, d2, ratio)
+        }.toMap
+      if (stats.isEmpty) { assignedNew.unpersist(); return Map.empty }
+      val drifted = stats.filter(_._2.driftRatio.exists(_ > maxDriftRatio))
+      if (drifted.nonEmpty) {
+        assignedNew.unpersist()
+        throw new IllegalStateException(
+          s"IVF append drift check failed for lists " +
+            drifted.map { case (l, s) =>
+              f"$l (ratio ${s.driftRatio.get}%.2f over ${s.rows} rows)"
+            }.mkString("[", ", ", "]") +
+            s" — mean assignment distance exceeds $maxDriftRatio× the " +
+            "build-time baseline; the new data's distribution has moved " +
+            "away from the centroids, rebuild the index instead of " +
+            "appending into degraded lists")
+      }
+
+      // rewrite ONLY the touched list partitions: old rows read through
+      // partition pruning, merged with the new, staged, swapped
+      val touched = stats.keySet.toSeq.sorted
+      val merged = stored
+        .filter(col("list_id").isin(touched: _*))
+        .unionByName(assignedNew.drop("graft_d2"))
+      val tag = Swap.newTag()
+      val staging = Swap.Suffix.staging(dataRoot, tag)
+      val retired = Swap.Suffix.retired(dataRoot, tag)
+      merged.write.partitionBy("list_id").parquet(staging.toString)
+      Swap.commitDirs(fs, dataRoot, staging, retired,
+        touched.map("list_id=" + _), Some(lease))
+      assignedNew.unpersist()
+      stats
+    }
   }
 }

@@ -23,12 +23,17 @@ object Joins {
     *
     * The byte cap exists because row count alone under-constrains memory:
     * 4M rows of wide aggregates (arrays, long strings) can exceed the
-    * broadcast budget long before the 8 GB hard limit. Bytes are
-    * estimated as rows x the JVM size of a driver-side sample of up to
-    * `sampleRows` rows (SizeEstimator over materialized Row objects —
-    * an overestimate of the packed UnsafeRow broadcast, so the gate errs
-    * toward shuffling, never toward OOM). The sample collect is bounded
-    * and only paid when the row gate already passed. */
+    * broadcast budget long before the 8 GB hard limit. Bytes are measured
+    * EXACTLY: the side is already materialized (localCheckpoint), so one
+    * pass over its UnsafeRows sums the true packed size — no sampling, so
+    * no way for a heavy-tailed row-size distribution (a few huge
+    * array/text rows in an otherwise narrow aggregate) to slip under the
+    * gate the way a mean-extrapolated sample could. The measured bytes
+    * are doubled for the broadcast HashedRelation's hash-table overhead
+    * before comparing against `maxBytes`. If some partition yields
+    * non-UnsafeRow rows (no known case, but the InternalRow contract
+    * allows it), fall back to the conservative sample estimate blended
+    * with the sampled max so the gate still errs toward shuffling. */
   def broadcastIfSmall(
       df: DataFrame,
       maxRows: Long = 4000000L,
@@ -37,21 +42,37 @@ object Joins {
     val mat = df.localCheckpoint()
     val n = mat.count()
     if (n > maxRows) return mat
-    // a RANDOM sample, not limit(): the first rows of an aggregate are
-    // whatever partition sorts first and can be systematically narrower
-    // than the tail (e.g. small groups sorting first), which would
-    // under-estimate and broadcast an oversized side. No trailing
-    // limit() either — GlobalLimit drains partitions IN ORDER, which
-    // would re-introduce the same bias; the seeded fraction already
-    // bounds the collect at ~sampleRows expected rows.
-    val sample =
-      (if (n <= sampleRows) mat
-       else mat.sample(withReplacement = false,
-         math.min(1.0, sampleRows.toDouble / n), seed = 42L))
-        .collect()
+    val perPart = mat.queryExecution.toRdd.mapPartitions { it =>
+      var sum = 0L
+      var exact = true
+      it.foreach {
+        case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+          sum += u.getSizeInBytes
+        case _ => exact = false
+      }
+      Iterator.single((sum, exact))
+    }.collect()
     val estBytes =
-      if (sample.isEmpty) 0L
-      else (SizeEstimator.estimate(sample).toDouble / sample.length * n).toLong
+      if (perPart.forall(_._2)) perPart.map(_._1).sum * 2
+      else {
+        // a RANDOM sample, not limit(): the first rows of an aggregate are
+        // whatever partition sorts first and can be systematically narrower
+        // than the tail, which would under-estimate and broadcast an
+        // oversized side. Blend the mean-extrapolation with the sampled
+        // max so one observed wide row bounds the unobserved tail.
+        val sample =
+          (if (n <= sampleRows) mat
+           else mat.sample(withReplacement = false,
+             math.min(1.0, sampleRows.toDouble / n), seed = 42L))
+            .collect()
+        if (sample.isEmpty) 0L
+        else {
+          val mean = SizeEstimator.estimate(sample).toDouble / sample.length
+          val maxRow = sample.map(r => SizeEstimator.estimate(
+            r.asInstanceOf[AnyRef])).max
+          math.max((mean * n).toLong, maxRow * math.min(n, sampleRows.toLong))
+        }
+      }
     if (estBytes <= maxBytes) broadcast(mat) else mat
   }
 }

@@ -59,6 +59,11 @@ object Merge {
     val target = new org.apache.hadoop.fs.Path(targetPath)
     val fs = target.getFileSystem(hconf)
 
+    // the whole merge cycle (recover → read → stage → swap) runs under
+    // the store's single-writer lease — a second concurrent merge fails
+    // loudly at acquire instead of interleaving staged swaps
+    Swap.withStoreLease(spark, target) { lease =>
+
     // recover any interrupted previous merge before reading the store:
     // whole-dir swap crash window (store path missing, staged copy
     // complete) and partition-scoped swap crash window (touched dirs
@@ -170,7 +175,8 @@ object Merge {
           .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
           .unionByName(source, allowMissingColumns = evolveSchema)
         merged.write.partitionBy(pcol).parquet(staging.toString)
-        Swap.commitDirs(fs, target, staging, retired, oldDirs.map(_.getName).toSeq)
+        Swap.commitDirs(fs, target, staging, retired,
+          oldDirs.map(_.getName).toSeq, Some(lease))
       case None =>
         val tag = Swap.newTag()
         val staging = Swap.Suffix.staging(target, tag)
@@ -179,8 +185,9 @@ object Merge {
           .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
           .unionByName(source, allowMissingColumns = evolveSchema)
         merged.write.parquet(staging.toString)
-        Swap.commitWholeDir(fs, target, staging, retired)
+        Swap.commitWholeDir(fs, target, staging, retired, Some(lease))
     }
     readStore()
+    }
   }
 }

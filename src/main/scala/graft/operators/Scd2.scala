@@ -121,13 +121,17 @@ object Scd2 {
 
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the whole cycle (recover → read → stage → swap) runs under the
+    // store's single-writer lease: a second concurrent apply fails at
+    // acquire instead of staging against a store the first is rewriting
+    Swap.withStoreLease(spark, target) { lease =>
     recover(spark, path)
     if (!fs.exists(target)) {
       asVersion.withColumn(SliceCol, lit(OpenSlice))
         .write.partitionBy(SliceCol).parquet(path)
       return read(spark, path)
     }
-    migrateLegacyLayout(spark, fs, path)
+    migrateLegacyLayout(spark, fs, path, lease)
 
     val slice = closedSlice(batchTs)
     val store = spark.read.parquet(path)
@@ -181,11 +185,12 @@ object Scd2 {
     val retired = Swap.Suffix.retired(target, tag)
     updated.write.partitionBy(SliceCol).parquet(staging.toString)
     Swap.commitDirs(fs, target, staging, retired,
-      Seq(OpenSlice, slice).distinct.map(SliceCol + "=" + _))
+      Seq(OpenSlice, slice).distinct.map(SliceCol + "=" + _), Some(lease))
     // not read(): recovery already ran at entry and the swap just
     // committed — re-running it would pay two more store listings plus a
     // parent-dir sibling scan on EVERY trickle batch for nothing
     spark.read.parquet(path).drop(SliceCol)
+    }
   }
 
   /** One-time migration of a store written before the sliced layout
@@ -194,7 +199,8 @@ object Scd2 {
   private def migrateLegacyLayout(
       spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Unit = {
+      path: String,
+      lease: Swap.Lease): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val sliced = fs.listStatus(target)
       .exists(s => s.isDirectory && s.getPath.getName.startsWith(SliceCol + "="))
@@ -215,7 +221,7 @@ object Scd2 {
     val staging = Swap.Suffix.staging(target, tag)
     val retired = Swap.Suffix.retired(target, tag)
     withSlice.write.partitionBy(SliceCol).parquet(staging.toString)
-    Swap.commitWholeDir(fs, target, staging, retired)
+    Swap.commitWholeDir(fs, target, staging, retired, Some(lease))
   }
 
   /** Table maintenance: compact slice dirs that trickle batches have
@@ -232,10 +238,12 @@ object Scd2 {
       spark: SparkSession,
       path: String,
       targetFileBytes: Long = 128L << 20,
-      maxFilesPerDir: Int = 8): Map[String, Compact.CompactStats] = {
-    recover(spark, path)
-    Compact.compactStore(spark, path, SliceCol, targetFileBytes, maxFilesPerDir)
-  }
+      maxFilesPerDir: Int = 8): Map[String, Compact.CompactStats] =
+    Swap.withStoreLease(spark, new org.apache.hadoop.fs.Path(path)) { lease =>
+      recover(spark, path)
+      Compact.compactStore(
+        spark, path, SliceCol, targetFileBytes, maxFilesPerDir, Some(lease))
+    }
 
   /** Point-in-time lookup: the version of each key valid at `asOf`. */
   def asOf(store: DataFrame, asOfTs: String): DataFrame = {

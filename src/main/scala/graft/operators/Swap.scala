@@ -40,9 +40,125 @@ import org.apache.spark.sql.SparkSession
   *
   * Single-writer per store, like every parquet-backed store here; a
   * table format with a transaction log (Delta/Iceberg) is the
-  * concurrent-writer upgrade path.
+  * concurrent-writer upgrade path. Until then the single-writer RULE is
+  * enforced, not assumed: every write cycle holds the store's `.lock`
+  * lease (see [[withStoreLease]]), so a second concurrent writer fails
+  * loudly at acquire instead of silently interleaving staged swaps —
+  * at 100 TB with several ingest jobs pointed at one store, that is the
+  * difference between an operational error message and quiet data loss.
   */
 object Swap {
+
+  // ------------------------------------------------------------------ lease
+
+  /** `<store>.lock` — single-writer lease file, sibling of the store root
+    * (same placement as the `.staging-`/`.old-` swap dirs and the
+    * near-dup `.meta` sidecar, so cleaning a store's siblings cleans its
+    * lock too). Content: `token\nexpiryEpochMs`. */
+  val LockSuffix = ".lock"
+
+  /** Default lease TTL. Generous on purpose: it only matters when a
+    * writer DIES holding the lease (takeover happens after expiry), while
+    * a slow-but-alive writer past its TTL risks losing the lease to a
+    * contender — commit-time [[checkHeld]] turns that into a loud failure
+    * rather than an interleaved swap. Writers with longer cycles (a huge
+    * compaction) pass a bigger ttl. */
+  val DefaultLeaseTtlMs: Long = 30L * 60 * 1000
+
+  final case class Lease(lockPath: Path, token: String)
+
+  private def readLock(fs: FileSystem, lockPath: Path): Option[(String, Long)] =
+    try {
+      val in = fs.open(lockPath)
+      val text =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          new String(buf.toByteArray, "UTF-8")
+        } finally in.close()
+      text.split("\n").map(_.trim) match {
+        case Array(token, expiry) => Some((token, expiry.toLong))
+        case _ => None // torn write of a foreign lock: treat as held-unknown
+      }
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Acquire the store's single-writer lease or throw. Mutual exclusion
+    * comes from atomic create-if-absent (`fs.create(overwrite = false)`)
+    * — atomic on HDFS and local FS; on object stores without conditional
+    * writes this degrades to best-effort, the same caveat their rename
+    * already carries. An expired lease is taken over: the holder crashed
+    * mid-cycle, and whatever it left half-done is exactly what the
+    * recover* roll-forward already handles. A torn/unreadable lock file
+    * counts as held (fail loud, never steal a live writer's lease). */
+  def acquireLease(
+      fs: FileSystem,
+      store: Path,
+      ttlMs: Long = DefaultLeaseTtlMs): Lease = {
+    val lockPath = new Path(store.toString + LockSuffix)
+    val token = java.util.UUID.randomUUID().toString
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lockPath, false)
+        try out.write(
+          s"$token\n${System.currentTimeMillis() + ttlMs}".getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def contended(holder: Option[(String, Long)]): Nothing = {
+      val who = holder match {
+        case Some((t, e)) =>
+          s"token ${t.take(8)}.., expires ${new java.sql.Timestamp(e)}"
+        case None => "unreadable lock"
+      }
+      throw new IllegalStateException(
+        s"store $store is write-locked by another writer ($who) — " +
+          "concurrent writers on a parquet-backed store would interleave " +
+          "staged swaps; wait for the holder, or delete " +
+          s"$lockPath if the holder is known dead")
+    }
+    if (tryCreate()) return Lease(lockPath, token)
+    val holder = readLock(fs, lockPath)
+    holder match {
+      case Some((_, expiry)) if expiry < System.currentTimeMillis() =>
+        fs.delete(lockPath, false) // stale: holder died mid-cycle
+        if (tryCreate()) Lease(lockPath, token)
+        else contended(readLock(fs, lockPath)) // lost the takeover race
+      case other if other.isEmpty && tryCreate() =>
+        Lease(lockPath, token) // holder released between our create and read
+      case other => contended(other)
+    }
+  }
+
+  /** Throw if `lease` is no longer the lock file's current token — the
+    * writer outlived its TTL and a contender took over. Called by
+    * [[commitWholeDir]]/[[commitDirs]] right before the critical renames,
+    * narrowing the expiry race to the rename window itself. */
+  def checkHeld(fs: FileSystem, lease: Lease): Unit = {
+    val current = readLock(fs, lease.lockPath)
+    require(
+      current.exists(_._1 == lease.token),
+      s"write lease on ${lease.lockPath} was lost (now " +
+        s"${current.map(_._1.take(8) + "…").getOrElse("absent")}) — another " +
+        "writer took over after this one exceeded its TTL; aborting before " +
+        "the swap interleaves with the new holder's")
+  }
+
+  /** Release only if still held — deleting a successor's lock would let a
+    * third writer in behind its back. */
+  def releaseLease(fs: FileSystem, lease: Lease): Unit =
+    if (readLock(fs, lease.lockPath).exists(_._1 == lease.token))
+      fs.delete(lease.lockPath, false)
+
+  /** Run one write cycle (recover → stage → commit) under the store's
+    * lease. */
+  def withStoreLease[T](
+      spark: SparkSession,
+      store: Path,
+      ttlMs: Long = DefaultLeaseTtlMs)(f: Lease => T): T = {
+    val fs = fsOf(spark, store)
+    val lease = acquireLease(fs, store, ttlMs)
+    try f(lease) finally releaseLease(fs, lease)
+  }
 
   /** Intent marker inside a staged partition-dir swap: its presence
     * means "retire list is final, roll forward"; `_` prefix keeps it
@@ -126,7 +242,13 @@ object Swap {
     * be COMPLETELY written (and verified — row counts, markers) before
     * calling: after the first rename the old store is gone from its
     * path, and recovery assumes staging needs no further work. */
-  def commitWholeDir(fs: FileSystem, target: Path, staging: Path, retired: Path): Unit = {
+  def commitWholeDir(
+      fs: FileSystem,
+      target: Path,
+      staging: Path,
+      retired: Path,
+      lease: Option[Lease] = None): Unit = {
+    lease.foreach(checkHeld(fs, _))
     if (!fs.rename(target, retired)) {
       fs.delete(staging, true)
       throw new java.io.IOException(s"could not retire $target")
@@ -261,7 +383,9 @@ object Swap {
       target: Path,
       staging: Path,
       retired: Path,
-      retireNames: Seq[String]): Unit = {
+      retireNames: Seq[String],
+      lease: Option[Lease] = None): Unit = {
+    lease.foreach(checkHeld(fs, _))
     writeMarker(fs, staging, retireNames) // point of no return: roll forward
     fs.mkdirs(retired)
     val retiredSoFar = scala.collection.mutable.ArrayBuffer[String]()

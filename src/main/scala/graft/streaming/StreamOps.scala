@@ -237,6 +237,11 @@ object StreamOps {
       store, graft.operators.IncrementalAgg.BatchMarker)
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // one lease spans marker-check AND fold: two streams pointed at the
+    // same store would otherwise both pass `batchId <= last` and
+    // double-apply the batch before serializing on the inner lease
+    graft.operators.Swap.withStoreLease(spark, store) { lease =>
+
     // Interrupted-swap recovery: IncrementalAgg.update commits by
     // rename(store → .old-tag) then rename(.staging-tag → store). A crash
     // between the two leaves NO store dir — treating that as "fresh"
@@ -285,10 +290,12 @@ object StreamOps {
           "start from a fresh store path or add the marker manually")
     if (batchId <= last) return false
     graft.operators.IncrementalAgg.update(
-      spark, storePath, batch, keyCols, valueCol, batchId = Some(batchId))
+      spark, storePath, batch, keyCols, valueCol, batchId = Some(batchId),
+      lease = Some(lease))
     // the in-store marker is now committed; the legacy sibling is migrated
     if (fs.exists(legacyMarker)) fs.delete(legacyMarker, false)
     true
+    }
   }
 
   /** Running per-key event counters (A19 StatisticsRecorder, streaming
@@ -423,6 +430,11 @@ object StreamOps {
     val bucketsRoot = new org.apache.hadoop.fs.Path(storePath + BucketsSuffix)
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // the signature store and its sidecars mutate below (own-partition
+    // deletes + three partition writes): hold the store's single-writer
+    // lease so a concurrent backfill or second stream fails loudly
+    graft.operators.Swap.withStoreLease(spark, store) { _ =>
+
     // roll forward any maintenance fold interrupted mid-swap; folds
     // preserve content (old batches move into batch=-1), so a fold that
     // completed on one store root but crashed before the next leaves the
@@ -438,6 +450,28 @@ object StreamOps {
     val bandB = sigB.select(col("graft_id"),
       explode(bandKeys(col("graft_sig"), bands, numHashes)).as("graft_band"))
       .select(col("graft_id"), col("graft_band.band"), col("graft_band.bucket"))
+
+    // Replay-protocol guard — fail LOUD, before anything is deleted.
+    // Maintenance folds move older batches into batch=-1 and keep only
+    // the LATEST batch replayable; replaying an already-folded batch id
+    // would find its own prior admissions in batch=-1, pass the
+    // same-batch exclusion below, and silently drop the entire batch as
+    // duplicates of itself. Out-of-protocol replays (a checkpoint
+    // restored to before the store's high-water mark, or a backfill
+    // interleaved with maintenance) must surface here instead.
+    if (fs.exists(store)) {
+      val live = fs.listStatus(store).map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+      val maxLive = if (live.nonEmpty) live.max else -1L
+      require(
+        batchId >= maxLive,
+        s"out-of-protocol replay: batch $batchId is older than the newest " +
+          s"admitted batch $maxLive in $storePath — its prior admissions may " +
+          "already be folded into batch=-1, which would silently flag the " +
+          "replay as duplicates of itself; only the latest batch may replay " +
+          "(reset the checkpoint and store consistently, or rebuild the store)")
+    }
 
     // history = all admitted signatures from STRICTLY OLDER batches (the
     // same-batch exclusion is what makes replays idempotent: an earlier
@@ -501,11 +535,19 @@ object StreamOps {
 
     // History signatures for the verify join. The candidate id set is
     // bounded by batch size × maxBucket, so in the common case it is
-    // tiny relative to the store: push it into the parquet read as an
-    // In filter — maintenance folds sort the store by graft_id, so
-    // row-group min/max stats skip the bulk of years-old history and
-    // the read approximates an indexed fetch instead of a full scan.
-    // Above the cap (or with a hot batch), fall back to the scan join.
+    // tiny relative to the store: push it into the parquet read — the
+    // maintenance folds sort the store by graft_id, so row-group min/max
+    // stats skip the bulk of years-old history and the read approximates
+    // an indexed fetch instead of a full scan. Above
+    // spark.sql.parquet.pushdown.inFilterThreshold (default 10) an In
+    // predicate pushes only as ONE [min,max] range, which prunes nothing
+    // when candidates span the id space — so a gap-split OR-of-BETWEEN
+    // cover over the sorted ids is pushed alongside the exact In filter:
+    // range predicates push at any count, and each tight range hits only
+    // the row groups whose stats overlap a candidate cluster. The exact
+    // In still evaluates residually, so the cover only needs to be a
+    // superset. Above the cap (or with a hot batch), fall back to the
+    // full-scan join.
     // cap+1 probe, overflow-safe for maxVerifyFetch = Int.MaxValue
     val capProbe = math.min(maxVerifyFetch.toLong + 1L, Int.MaxValue.toLong).toInt
     val candIds =
@@ -514,11 +556,13 @@ object StreamOps {
       else Array.empty[Any]
     val histVerify =
       if (!hasHistory || candIds.isEmpty) history.limit(0)
-      else if (candIds.length <= maxVerifyFetch)
+      else if (candIds.length <= maxVerifyFetch) {
+        val cover = idCoverFilter(col("graft_id"), candIds)
         spark.read.parquet(storePath).filter(col("batch") =!= batchId)
+          .where(cover.getOrElse(lit(true)))
           .filter(col("graft_id").isInCollection(candIds.toSeq))
           .select(col("graft_id").as("hist_id"), col("graft_sig").as("hist_sig"))
-      else history
+      } else history
 
     // MinHash estimator: fraction of agreeing signature positions
     val agree = size(filter(
@@ -562,11 +606,49 @@ object StreamOps {
     history.unpersist()
     candidates.unpersist()
     admitted
+    }
   }
 
   private[graft] val BandsSuffix = ".bands"
   private[graft] val BucketsSuffix = ".buckets"
   private[graft] val MetaSuffix = ".meta"
+
+  /** Row-group-prunable cover for a candidate id set: sort the ids, split
+    * at the `maxRanges - 1` widest gaps, and return OR-of-BETWEEN over the
+    * resulting tight ranges (plus a single [min,max] range for string
+    * ids, whose gap widths are not meaningful). The cover is a SUPERSET
+    * of the ids — callers keep the exact In filter on top — so it only
+    * affects which row groups are read, never which rows qualify. None
+    * for empty or unsupported id types (cover skipped, exact filter still
+    * applies). */
+  private[graft] def idCoverFilter(
+      idCol: org.apache.spark.sql.Column,
+      ids: Array[Any],
+      maxRanges: Int = 32): Option[org.apache.spark.sql.Column] = {
+    if (ids.isEmpty) None
+    else if (ids.forall(v => v.isInstanceOf[java.lang.Long] ||
+      v.isInstanceOf[java.lang.Integer] ||
+      v.isInstanceOf[java.lang.Short] || v.isInstanceOf[java.lang.Byte])) {
+      // endpoints keep their ORIGINAL boxed type: a widening cast on the
+      // column side (int col vs long literal) can block parquet pushdown
+      val sorted = ids.map(v => (v.asInstanceOf[Number].longValue, v))
+        .distinctBy(_._1).sortBy(_._1)
+      val gaps = (1 until sorted.length)
+        .map(i => (sorted(i)._1 - sorted(i - 1)._1, i))
+        .filter(_._1 > 1)
+        .sortBy(-_._1)
+        .take(maxRanges - 1)
+        .map(_._2).sorted
+      val bounds = (0 +: gaps) :+ sorted.length
+      val rs = bounds.sliding(2)
+        .map { case Seq(a, b) => (sorted(a)._2, sorted(b - 1)._2) }.toSeq
+      Some(rs.map { case (lo, hi) => idCol >= lit(lo) && idCol <= lit(hi) }
+        .reduce(_ || _))
+    } else if (ids.forall(_.isInstanceOf[String])) {
+      val xs = ids.map(_.asInstanceOf[String])
+      Some(idCol >= lit(xs.min) && idCol <= lit(xs.max))
+    } else None
+  }
 
   /** Validate (or create) the `<store>.meta` config sidecar. */
   private def ensureNearDupMeta(
@@ -680,19 +762,23 @@ object StreamOps {
   def maintainNearDupStore(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
-      targetFileBytes: Long = 128L << 20): Unit = {
-    // folds also SORT: the signature store by graft_id (tight row-group
-    // min/max for the candidate verify join's id lookups + better
-    // compression), the band store by its join key (runs of equal
-    // buckets compress and map-side combine well)
-    foldBatchPartitions(spark, storePath, targetFileBytes, reagg = None,
-      sortCols = Seq("graft_id"))
-    foldBatchPartitions(spark, storePath + BandsSuffix, targetFileBytes,
-      reagg = None, sortCols = Seq("band", "bucket", "hist_id"))
-    foldBatchPartitions(spark, storePath + BucketsSuffix, targetFileBytes,
-      reagg = Some(df => df.groupBy("band", "bucket").agg(sum("n").as("n"))),
-      sortCols = Seq("band", "bucket"))
-  }
+      targetFileBytes: Long = 128L << 20): Unit =
+    // ONE lease on the signature-store root covers all three roots (the
+    // sidecars are derived siblings nobody writes independently)
+    graft.operators.Swap.withStoreLease(
+      spark, new org.apache.hadoop.fs.Path(storePath)) { _ =>
+      // folds also SORT: the signature store by graft_id (tight row-group
+      // min/max for the candidate verify join's id lookups + better
+      // compression), the band store by its join key (runs of equal
+      // buckets compress and map-side combine well)
+      foldBatchPartitions(spark, storePath, targetFileBytes, reagg = None,
+        sortCols = Seq("graft_id"))
+      foldBatchPartitions(spark, storePath + BandsSuffix, targetFileBytes,
+        reagg = None, sortCols = Seq("band", "bucket", "hist_id"))
+      foldBatchPartitions(spark, storePath + BucketsSuffix, targetFileBytes,
+        reagg = Some(df => df.groupBy("band", "bucket").agg(sum("n").as("n"))),
+        sortCols = Seq("band", "bucket"))
+    }
 
   /** Fold all `batch=<id>` dirs of `rootPath` except the highest id into
     * `batch=-1`. No-op when there is nothing to fold. (Test-visible so

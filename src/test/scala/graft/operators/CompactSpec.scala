@@ -18,6 +18,14 @@ class CompactSpec extends AnyFunSuite {
     spark.read.parquet(path)
       .agg(expr("bit_xor(xxhash64(k, v))")).head().getLong(0)
 
+  test("compactStore on a store that was never created is a no-op, not " +
+    "a FileNotFoundException — an all-empty-batch stream's maintenance " +
+    "tick must not crash-loop") {
+    val missing = tmp("graft_compact_missing") + "/never_written"
+    assert(Compact.compactStore(spark, missing, "slice").isEmpty)
+    assert(Scd2.maintain(spark, missing + "/dim").isEmpty)
+  }
+
   test("compactDir folds many small files into few, preserving every row") {
     val dir = tmp("graft_compact") + "/d"
     (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("k", "v")

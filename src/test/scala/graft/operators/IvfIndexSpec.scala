@@ -55,6 +55,67 @@ class IvfIndexSpec extends AnyFunSuite {
     built.assigned.unpersist()
   }
 
+  test("append: new vectors assign to existing lists, only touched " +
+    "partitions swap, full-probe topK equals brute force over the grown " +
+    "corpus, and probes still prune") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val base = e.filter($"vec_id" % 5 =!= 0)
+    val extra = e.filter($"vec_id" % 5 === 0 && $"vec_id" =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString + "/idx"
+    val built = IvfIndex.build(base, "vec_id", "embedding", nlist = 8)
+    built.save(dir)
+    built.assigned.unpersist()
+
+    val stats = IvfIndex.append(spark, dir, extra)
+    assert(stats.values.map(_.rows).sum == extra.count())
+
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.assigned.count() == base.count() + extra.count())
+
+    // query with an APPENDED vector: at nprobe = nlist the probe is
+    // exhaustive, so the result must equal brute force over the grown
+    // corpus — the append-vs-rebuild equivalence in its exact form
+    val probeId = extra.select("vec_id").as[Long].head()
+    val probe = extra.filter($"vec_id" === probeId)
+      .select("embedding").as[Array[Float]].head()
+    val grown = base.unionByName(extra)
+    val exact = Similarity.bruteForceTopK(grown, "vec_id", "embedding", probe, 10)
+      .as[(Long, Double)].collect().map(_._1)
+    val full = loaded.topK(probe, 10, nprobe = 8)
+      .as[(Long, Double)].collect().map(_._1)
+    assert(full.toSeq == exact.toSeq, s"full=$full exact=$exact")
+    // the appended vector finds itself at a pruned probe, and pruning
+    // still reaches the scan as a partition filter
+    val q = loaded.topK(probe, 10, nprobe = 2)
+    val pruned = q.as[(Long, Double)].collect()
+    assert(pruned.head._1 == probeId && pruned.head._2 == 1.0, pruned.head)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("list_id"),
+      plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
+  }
+
+  test("append drift gate: rows far from every centroid fail loudly " +
+    "before the store is touched") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString + "/idx"
+    val built = IvfIndex.build(e.filter($"vec_id" < 400), "vec_id", "embedding", nlist = 4)
+    built.save(dir)
+    built.assigned.unpersist()
+    val before = spark.read.parquet(s"$dir/data").count()
+    val drifters = e.filter($"vec_id" >= 400)
+    assert(drifters.count() == 100) // fixture holds vec_id 0..499
+    val ex = intercept[IllegalStateException] {
+      IvfIndex.append(spark, dir, drifters,
+        maxDriftRatio = 1e-9, minRowsForDrift = 1)
+    }
+    assert(ex.getMessage.contains("drift"), ex.getMessage)
+    assert(spark.read.parquet(s"$dir/data").count() == before, "store touched")
+    // with the default (sane) ratio the same rows append fine
+    val stats = IvfIndex.append(spark, dir, drifters, maxDriftRatio = 1e9)
+    assert(stats.values.map(_.rows).sum == 100)
+    assert(spark.read.parquet(s"$dir/data").count() == before + 100)
+  }
+
   test("IVF assignment is complete and deterministic under a seed") {
     val e = graft.sources.Tables.embeddings(spark, sfDir)
     val a1 = IvfIndex.build(e, "vec_id", "embedding", nlist = 4)

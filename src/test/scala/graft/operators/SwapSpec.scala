@@ -190,4 +190,55 @@ class SwapSpec extends AnyFunSuite {
     assert(rows == Map(1L -> "a2", 2L -> "b2"))
     assert(!fs.exists(new Path(staging)) && !fs.exists(new Path(retired)))
   }
+
+  test("write lease: a second writer fails loudly while the first holds " +
+    "it; release lets the next one in") {
+    val store = new Path(tmp("graft_lease") + "/s")
+    val l1 = Swap.acquireLease(fs, store)
+    val e = intercept[IllegalStateException](Swap.acquireLease(fs, store))
+    assert(e.getMessage.contains("write-locked"), e.getMessage)
+    Swap.releaseLease(fs, l1)
+    val l2 = Swap.acquireLease(fs, store)
+    Swap.releaseLease(fs, l2)
+  }
+
+  test("write lease: an expired lease is taken over; the late original " +
+    "holder then fails checkHeld and cannot commit over the successor") {
+    val base = tmp("graft_lease_stale")
+    val store = new Path(s"$base/s")
+    Seq((1L, "v1")).toDF("k", "v").write.parquet(store.toString)
+    val dead = Swap.acquireLease(fs, store, ttlMs = -1000) // born expired
+    val successor = Swap.acquireLease(fs, store) // stale takeover
+    // the outlived holder must fail loudly at commit, not interleave
+    intercept[IllegalArgumentException](Swap.checkHeld(fs, dead))
+    val staging = s"$store.staging-zz"
+    Seq((9L, "stale")).toDF("k", "v").write.parquet(staging)
+    intercept[IllegalArgumentException](Swap.commitWholeDir(
+      fs, store, new Path(staging), new Path(s"$store.old-zz"), Some(dead)))
+    // store untouched by the refused commit
+    assert(spark.read.parquet(store.toString).count() == 1)
+    // releasing the dead lease must NOT delete the successor's lock
+    Swap.releaseLease(fs, dead)
+    assert(fs.exists(successor.lockPath))
+    Swap.releaseLease(fs, successor)
+    assert(!fs.exists(successor.lockPath))
+  }
+
+  test("writer-level contention: Scd2.apply and Merge.into fail at " +
+    "acquire while a foreign lease is held, and work after release") {
+    val base = tmp("graft_lease_ops")
+    val scd = s"$base/dim"
+    val mrg = s"$base/t"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(mrg)
+    val held = Seq(new Path(scd), new Path(mrg)).map(Swap.acquireLease(fs, _))
+    val batch = Seq((1L, "a")).toDF("s_k", "s_v")
+    intercept[IllegalStateException](
+      Scd2.apply(spark, scd, batch, "s_k", "2024-01-01 00:00:00"))
+    intercept[IllegalStateException](
+      Merge.into(spark, mrg, Seq((1L, "a2")).toDF("k", "v"), Seq("k")))
+    held.foreach(Swap.releaseLease(fs, _))
+    assert(Scd2.apply(spark, scd, batch, "s_k", "2024-01-01 00:00:00").count() == 1)
+    assert(Merge.into(spark, mrg, Seq((1L, "a2")).toDF("k", "v"), Seq("k"))
+      .select("v").as[String].head() == "a2")
+  }
 }

@@ -140,6 +140,40 @@ class StreamDedupSpec extends AnyFunSuite {
     // a second maintenance pass with nothing new to fold is a no-op
     StreamOps.maintainNearDupStore(spark, store)
     assert(spark.read.parquet(store).count() == 4)
+
+    // out-of-protocol replay of an already-folded batch id fails LOUDLY
+    // before touching the store — its prior admissions sit in batch=-1
+    // and would silently flag the whole replay as duplicates of itself
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.applyNearDupBatch(
+        Seq(Doc(1, base), Doc(2, other)).toDF(), store, 0L)
+    }
+    assert(e.getMessage.contains("out-of-protocol replay"), e.getMessage)
+    assert(spark.read.parquet(store).count() == 4, "store untouched")
+  }
+
+  test("idCoverFilter: gap-split ranges cover exactly the candidate " +
+    "clusters and keep the column's literal type") {
+    import spark.implicits._
+    // two tight clusters far apart — the cover must be two ranges, not
+    // one [1, 1000009] span that would defeat row-group pruning
+    val ids: Array[Any] = Array[Any](1L, 2L, 3L, 1000007L, 1000009L)
+    val df = (Seq(1L, 2L, 3L, 500000L, 1000007L, 1000009L)).toDF("graft_id")
+    val cover = StreamOps.idCoverFilter(
+      org.apache.spark.sql.functions.col("graft_id"), ids)
+    assert(cover.isDefined)
+    val covered = df.where(cover.get).as[Long].collect().sorted.toSeq
+    // superset of the ids, but NOT the mid-gap value
+    assert(covered == Seq(1L, 2L, 3L, 1000007L, 1000009L), covered)
+    // string ids: single min/max range; unsupported types: None
+    val sCover = StreamOps.idCoverFilter(
+      org.apache.spark.sql.functions.col("s"), Array[Any]("b", "d"))
+    val sdf = Seq("a", "b", "c", "d", "e").toDF("s")
+    assert(sdf.where(sCover.get).as[String].collect().sorted.toSeq ==
+      Seq("b", "c", "d"))
+    assert(StreamOps.idCoverFilter(
+      org.apache.spark.sql.functions.col("x"),
+      Array[Any](java.math.BigDecimal.ONE)).isEmpty)
   }
 
   test("a crash between per-root maintenance folds (store folded, " +
