@@ -174,14 +174,6 @@ object NonOracleQueries {
           .groupBy("lang_pred").agg(count(lit(1)).as("n"))
           .orderBy("lang_pred")),
 
-    // Rolling-hash content fingerprint (order-sensitive).
-    GraftQuery(
-      "q_rolling_fingerprint",
-      (s, d) =>
-        Tables.documents(s, d)
-          .select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rfp"))
-          .orderBy("doc_id")),
-
     // Z-order layout effectiveness: write lineitem z-ordered on
     // (l_orderkey, l_partkey), then report how many files an equality
     // filter on EACH dimension touches vs the file count — the scan-

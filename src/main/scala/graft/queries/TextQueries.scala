@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.GraftQuery
+import graft.functions.TextFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -137,5 +138,26 @@ object TextQueries {
              |           len(list_distinct(list_concat(a.sh, b.sh))) AS jc
              |  FROM g a JOIN g b ON a.doc_id < b.doc_id) p
              |WHERE jc >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    // Rolling-hash content fingerprint (order-sensitive Karp-Rabin
+    // polynomial: acc = (acc*131 + codepoint) mod 1e9+7). Deterministic
+    // integer arithmetic, so the oracle computes the IDENTICAL polynomial
+    // in DuckDB (list_reduce over the character stream). Split semantics
+    // note: Spark splits UTF-16 code units, DuckDB codepoints — identical
+    // over BMP text, and the fixtures are ASCII (verified); astral input
+    // would diverge by construction on both engines' own terms.
+    GraftQuery(
+      "q_rolling_fingerprint",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rfp"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(string_split(text, ''),
+             |                     x -> CAST(ascii(x) AS BIGINT))),
+             |    (acc, x) -> (acc * 131 + x) % 1000000007) AS rfp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
   )
 }
