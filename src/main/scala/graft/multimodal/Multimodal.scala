@@ -7,15 +7,17 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus decode / feature-extract / resize /
   * frame-sample operators (BASELINE.json north_star).
   *
-  * Image and WAV decoding are REAL, via decoders that ship inside the
-  * JDK — `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF: true dimensions,
-  * pixel-derived features, resampling) and `javax.sound.sampled
-  * .AudioSystem` (WAV: sample rate, duration, PCM amplitude stats). Only
-  * VIDEO remains stubbed (`StubCodec`): frame extraction genuinely needs
-  * an external codec (ffmpeg) this environment does not ship. Bytes that
-  * no JDK reader can parse fall back to the deterministic StubCodec path
-  * rather than failing the partition — a corpus-scale media pipeline
-  * treats undecodable blobs as data, not as poison pills.
+  * Image, WAV, and MJPEG-AVI decoding are REAL, with no external
+  * dependency — `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF: true
+  * dimensions, pixel-derived features, resampling), `javax.sound.sampled
+  * .AudioSystem` (WAV: sample rate, duration, PCM amplitude stats), and
+  * an in-house RIFF chunk walk for MJPEG AVIs (per-frame JPEG bytes +
+  * container frame rate; each frame then decodes through ImageIO).
+  * Inter-frame codecs (H.264/VP9/AV1) genuinely need an external decoder
+  * (ffmpeg) this environment does not ship and remain stubbed. Bytes
+  * that no reader can parse fall back to the deterministic StubCodec
+  * path rather than failing the partition — a corpus-scale media
+  * pipeline treats undecodable blobs as data, not as poison pills.
   *
   * Scale notes: media bytes never shuffle — decode/extract are
   * mapPartitions (narrow); only the extracted features (small, fixed-width)
@@ -98,6 +100,70 @@ object Multimodal {
         javax.imageio.ImageIO.write(renderScaled(img, w, h), "png", baos)
         baos.toByteArray
       }
+
+    case class AviVideo(
+        width: Int, height: Int, microSecPerFrame: Long,
+        frames: IndexedSeq[Array[Byte]]) {
+      def frameTsMs(i: Int): Long = i * microSecPerFrame / 1000
+
+      /** (frameIdx, tsMs) of the first frame at or past each `everyMs`
+        * boundary — the one sampling rule every video operator shares. */
+      def sampleIndices(everyMs: Long): IndexedSeq[(Int, Long)] = {
+        val picked = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+        var nextTs = 0L
+        var i = 0
+        while (i < frames.length) {
+          val ts = frameTsMs(i)
+          if (ts >= nextTs) { picked += ((i, ts)); nextTs = ts + everyMs }
+          i += 1
+        }
+        picked.toIndexedSeq
+      }
+    }
+
+    /** Decode an MJPEG AVI (RIFF container, JPEG-compressed frames) —
+      * the one video format a pure JVM CAN take apart: the container is
+      * a flat chunk walk and every `00dc`/`00db` payload is a standalone
+      * JPEG that ImageIO decodes. Covers the long tail of
+      * surveillance/capture MJPEG files; H.264/VP9/AV1 genuinely need an
+      * external codec (ffmpeg) and still fall back. None = not a
+      * parseable AVI or no video frames found. */
+    def decodeMjpegAvi(bytes: Array[Byte]): Option[AviVideo] =
+      try {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fourcc(at: Int): String =
+          new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        if (bytes.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+          return None
+        val riffEnd = math.min(bytes.length.toLong, 8L + bb.getInt(4)).toInt
+        var microPerFrame = 0L
+        var (w, h) = (0, 0)
+        val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+        def walk(start: Int, end: Int): Unit = {
+          var pos = start
+          while (pos + 8 <= end) {
+            val id = fourcc(pos)
+            val sz = bb.getInt(pos + 4)
+            val data = pos + 8
+            if (sz < 0 || data + sz > end) return // truncated: keep what we have
+            if (id == "LIST" && sz >= 4) walk(data + 4, data + sz)
+            else if (id == "avih" && sz >= 40) {
+              // MainAVIHeader: dwMicroSecPerFrame @0, dwWidth @32, dwHeight @36
+              microPerFrame = bb.getInt(data).toLong & 0xffffffffL
+              w = bb.getInt(data + 32)
+              h = bb.getInt(data + 36)
+            } else if ((id == "00dc" || id == "00db") && sz > 0)
+              frames += java.util.Arrays.copyOfRange(bytes, data, data + sz)
+            pos = data + sz + (sz & 1) // chunks pad to even
+          }
+        }
+        walk(12, riffEnd)
+        if (frames.isEmpty) None
+        else Some(AviVideo(w, h,
+          if (microPerFrame > 0) microPerFrame else 40000L, // default 25 fps
+          frames.toIndexedSeq))
+      } catch { case scala.util.control.NonFatal(_) => None }
 
     case class WavInfo(
         sampleRate: Int, channels: Int, durationMs: Long, rms: Double, peak: Double)
@@ -235,11 +301,52 @@ object Multimodal {
     }
   }
 
-  /** Frame-sample videos into a long table of frames. */
+  /** Frame-sample videos into a long table of frames. MJPEG AVIs decode
+    * REAL: the RIFF walk yields per-frame JPEG bytes (each one ImageIO-
+    * decodable downstream) with timestamps from the container's frame
+    * rate; one frame is kept per `everyMs` bucket (the first at or past
+    * each boundary). Codecs a pure JVM cannot open (H.264 etc.) and
+    * undecodable blobs take the deterministic stub path — same shape,
+    * never a poisoned partition. */
   def sampleVideoFrames(ds: Dataset[MediaRow], everyMs: Long = 1000L): Dataset[Frame] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.filter(_.kind == "video").flatMap(r => StubCodec.sampleFrames(r, everyMs))
+    ds.filter(_.kind == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        JdkCodec.decodeMjpegAvi(r.bytes) match {
+          case Some(avi) =>
+            avi.sampleIndices(everyMs).zipWithIndex.map {
+              case ((fi, ts), outIdx) => Frame(r.media_id, outIdx, ts, avi.frames(fi))
+            }
+          case None => StubCodec.sampleFrames(r, everyMs)
+        }
+      }
+    }
+  }
+
+  /** Per-video feature rows: decode an MJPEG AVI, run the image
+    * luminance-grid embedding over each sampled frame — the video
+    * arm of the multimodal feature pipeline (one fixed-width vector per
+    * sampled frame, ready for the ANN/near-dup operators). Videos no JVM
+    * codec opens are dropped (there is no meaningful stub embedding). */
+  def extractVideoFrameFeatures(
+      ds: Dataset[MediaRow],
+      everyMs: Long = 1000L,
+      dim: Int = 64): Dataset[ImageFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(_.kind == "video").mapPartitions { rows =>
+      rows.flatMap { r =>
+        JdkCodec.decodeMjpegAvi(r.bytes).toSeq.flatMap { avi =>
+          avi.sampleIndices(everyMs).flatMap { case (i, _) =>
+            JdkCodec.decodeImage(avi.frames(i)).map { img =>
+              ImageFeatures(r.media_id * 1000000 + i, img.getWidth,
+                img.getHeight, JdkCodec.imageFeatures(img, dim))
+            }
+          }
+        }
+      }
+    }
   }
 
   /** Resize images in place (bytes column rewritten, metadata updated):

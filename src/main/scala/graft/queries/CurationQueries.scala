@@ -275,6 +275,31 @@ object CurationQueries {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Training-sequence packing (concat-then-chunk): each doc labeled with
+    // the fixed-ctx sequence its first token lands in and the offset
+    // inside it — the final batch-layout step of an LLM data pipeline.
+    // Sharded cumsum (id % 8), never one global window task; sequences
+    // never span shards, so shards pack in parallel at any scale. The
+    // oracle replays the identical shard/cumsum/div arithmetic.
+    GraftQuery(
+      "q_seq_pack",
+      (s, d) =>
+        graft.operators.SeqPack.pack(
+          Tables.documents(s, d), "doc_id", "text",
+          ctxTokens = 2048, shards = 8)
+          .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+             |  CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)
+             |    AS n_tokens FROM documents),
+             |c AS (SELECT doc_id, shard, n_tokens,
+             |        COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+             |      FROM t)
+             |SELECT doc_id, shard, n_tokens,
+             |       CAST(shard * 1000000000000 + cb // 2048 AS BIGINT) AS seq_id,
+             |       CAST(cb % 2048 AS BIGINT) AS seq_off
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     // Unigram language-model quality score — the cheap perplexity proxy a
     // curation pipeline runs where a real LM is too expensive: score each
     // doc by the average negative log-probability of its tokens under the

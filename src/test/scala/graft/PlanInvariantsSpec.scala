@@ -122,6 +122,12 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(plan.linesIterator.count(_.contains("hashpartitioning")) <= 1, plan)
   }
 
+  test("q_seq_pack: the packing cumsum partitions by shard — never one " +
+    "global single-task window") {
+    val plan = executedPlan("q_seq_pack")
+    assert(plan.contains("hashpartitioning(shard"), plan)
+  }
+
   test("q_outliers: the per-group fence table broadcasts into the " +
     "detection scan") {
     val plan = executedPlan("q_outliers")

@@ -128,4 +128,80 @@ class MultimodalSpec extends AnyFunSuite {
     val origAudio = media.filter(_.kind == "audio").head()
     assert(audio.bytes.sameElements(origAudio.bytes))
   }
+
+  /** A real MJPEG AVI assembled chunk by chunk: RIFF('AVI ') → LIST(hdrl)
+    * holding the MainAVIHeader → LIST(movi) holding one `00dc` JPEG per
+    * frame. Each frame is a distinct real JPEG (ImageIO-encoded), so the
+    * decode path is exercised end to end, not just the container walk. */
+  private def mjpegAviBytes(
+      w: Int, h: Int, nFrames: Int, microSecPerFrame: Int): Array[Byte] = {
+    def jpeg(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 3 + y * 5 + seed * 41) % 256) << 16)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    // MainAVIHeader: 14 dwords; we set µs/frame @0, totalFrames @16 bytes
+    // (dword 4), width @32, height @36; the rest zero
+    val avih = new Array[Byte](56)
+    le32(microSecPerFrame).copyToArray(avih, 0)
+    le32(nFrames).copyToArray(avih, 16)
+    le32(w).copyToArray(avih, 32)
+    le32(h).copyToArray(avih, 36)
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi",
+      (0 until nFrames).flatMap(i => chunk("00dc", jpeg(i))).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("real MJPEG AVI: the RIFF walk yields true dims and frame rate, " +
+    "sampling keeps one frame per interval, and each sampled frame is a " +
+    "decodable JPEG of the right size") {
+    // 10 frames at 100ms/frame = 1s of video
+    val avi = mjpegAviBytes(32, 24, nFrames = 10, microSecPerFrame = 100000)
+    val decoded = Multimodal.JdkCodec.decodeMjpegAvi(avi)
+    assert(decoded.isDefined)
+    assert(decoded.get.width == 32 && decoded.get.height == 24)
+    assert(decoded.get.frames.length == 10)
+    assert(decoded.get.microSecPerFrame == 100000L)
+
+    val rows = Seq(
+      mediaRow(10L, "video", avi),
+      mediaRow(11L, "video", "definitely not a video".getBytes("UTF-8"))
+        .copy(duration_ms = Some(2000L))).toDS()
+    // every 300ms over [0,900]ms → frames at ts 0, 300, 600, 900
+    val frames = Multimodal.sampleVideoFrames(rows, everyMs = 300L).collect()
+    val real = frames.filter(_.media_id == 10L).sortBy(_.frame_idx)
+    assert(real.map(_.ts_ms).toSeq == Seq(0L, 300L, 600L, 900L), real.map(_.ts_ms).toSeq)
+    real.foreach { f =>
+      val img = Multimodal.JdkCodec.decodeImage(f.frame_bytes)
+      assert(img.isDefined, s"frame ${f.frame_idx} must be a real JPEG")
+      assert(img.get.getWidth == 32 && img.get.getHeight == 24)
+    }
+    // two distinct frames carry distinct pixels (not one frame repeated)
+    assert(!real(0).frame_bytes.sameElements(real(1).frame_bytes))
+    // the non-video blob fell back to the stub path: 2000ms / 300ms → 7
+    assert(frames.count(_.media_id == 11L) == 7)
+
+    // frame features: one unit-norm vector per sampled frame
+    val feats = Multimodal.extractVideoFrameFeatures(rows, everyMs = 300L).collect()
+    assert(feats.length == 4, s"got ${feats.length}")
+    feats.foreach { f =>
+      val n = math.sqrt(f.features.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-3, s"norm $n")
+    }
+  }
 }
