@@ -180,16 +180,22 @@ object JoinQueries {
     GraftQuery(
       "q_join_dim_upsert",
       (s, d) => {
-        val p = Tables.part(s, d)
-        val dim = p.select("p_brand").distinct()
-          .withColumn("sk", dense_rank().over(Window.orderBy("p_brand")))
-        p.join(broadcast(dim), "p_brand")
+        // Drives the REAL operator (fresh store per run): distributed
+        // surrogate assignment — range-sorted zipWithIndex, no global
+        // window task — whose output is BY CONSTRUCTION dense_rank over
+        // the sorted distinct keys, which is exactly what the oracle
+        // states in SQL. The gate thus proves the distributed path ≡ the
+        // SQL-declarative definition.
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_dimupq").toString + "/dim"
+        graft.operators.DimUpsert
+          .upsert(s, tmp, Tables.part(s, d), "p_brand")
           .select("p_partkey", "sk")
           .orderBy("p_partkey")
       },
       Some("""WITH dim AS (
              |  SELECT p_brand,
-             |         CAST(DENSE_RANK() OVER (ORDER BY p_brand) AS INTEGER) AS sk
+             |         CAST(DENSE_RANK() OVER (ORDER BY p_brand) AS BIGINT) AS sk
              |  FROM (SELECT DISTINCT p_brand FROM part)
              |)
              |SELECT p_partkey, sk FROM part JOIN dim USING (p_brand)
