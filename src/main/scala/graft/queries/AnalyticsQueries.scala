@@ -238,5 +238,53 @@ object AnalyticsQueries {
              |  FROM events GROUP BY 1)
              |SELECT event_id, event_type, value, fence
              |FROM events JOIN f USING (event_type)
-             |WHERE value > fence ORDER BY event_id""".stripMargin)))
+             |WHERE value > fence ORDER BY event_id""".stripMargin)),
+
+    // Distribution drift (PSI) between two snapshots — the monitoring
+    // step of a continuously-ingested corpus: one clearly-drifted pair
+    // (quantity truncated at 40) and one stable control (random-subset
+    // snapshot, same distribution). Fixed [1,51) 10-bucket edges keep
+    // bucketing deterministic across engines; the oracle replays the
+    // identical proportion/log arithmetic. Scale shape per metric: two
+    // ≤10-row bucket aggregates, a bucket join, one scalar fold.
+    GraftQuery(
+      "q_drift_psi",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        def m(name: String, cur: org.apache.spark.sql.DataFrame) =
+          graft.operators.Drift.psi(li, cur, "l_quantity", 10, 1.0, 51.0)
+            .select(lit(name).as("metric"), col("psi"),
+              col("rows_base"), col("rows_cur"))
+        m("quantity_truncated", li.filter(col("l_quantity") <= 40))
+          .unionByName(m("random_subset", li.filter(col("l_orderkey") % 2 === 0)))
+          .orderBy("metric")
+      },
+      Some("""WITH b AS (SELECT LEAST(GREATEST(FLOOR((CAST(l_quantity AS DOUBLE)-1.0)/5.0),0),9) AS bucket FROM lineitem),
+             |c1 AS (SELECT LEAST(GREATEST(FLOOR((CAST(l_quantity AS DOUBLE)-1.0)/5.0),0),9) AS bucket FROM lineitem WHERE l_quantity <= 40),
+             |c2 AS (SELECT LEAST(GREATEST(FLOOR((CAST(l_quantity AS DOUBLE)-1.0)/5.0),0),9) AS bucket FROM lineitem WHERE l_orderkey % 2 = 0),
+             |bb AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY 1),
+             |b1 AS (SELECT bucket, COUNT(*) AS n FROM c1 GROUP BY 1),
+             |b2 AS (SELECT bucket, COUNT(*) AS n FROM c2 GROUP BY 1),
+             |m1 AS (SELECT 'quantity_truncated' AS metric,
+             |         ROUND(SUM((pc-pb)*LN(pc/pb)), 4) AS psi,
+             |         CAST(MAX(tb) AS BIGINT) AS rows_base,
+             |         CAST(MAX(tc) AS BIGINT) AS rows_cur
+             |       FROM (SELECT GREATEST(COALESCE(bb.n,0)/CAST(tb.t AS DOUBLE), 1e-6) AS pb,
+             |                    GREATEST(COALESCE(b1.n,0)/CAST(tc.t AS DOUBLE), 1e-6) AS pc,
+             |                    tb.t AS tb, tc.t AS tc
+             |             FROM bb FULL JOIN b1 USING (bucket)
+             |             CROSS JOIN (SELECT SUM(n) AS t FROM bb) tb
+             |             CROSS JOIN (SELECT SUM(n) AS t FROM b1) tc)),
+             |m2 AS (SELECT 'random_subset' AS metric,
+             |         ROUND(SUM((pc-pb)*LN(pc/pb)), 4) AS psi,
+             |         CAST(MAX(tb) AS BIGINT) AS rows_base,
+             |         CAST(MAX(tc) AS BIGINT) AS rows_cur
+             |       FROM (SELECT GREATEST(COALESCE(bb.n,0)/CAST(tb.t AS DOUBLE), 1e-6) AS pb,
+             |                    GREATEST(COALESCE(b2.n,0)/CAST(tc.t AS DOUBLE), 1e-6) AS pc,
+             |                    tb.t AS tb, tc.t AS tc
+             |             FROM bb FULL JOIN b2 USING (bucket)
+             |             CROSS JOIN (SELECT SUM(n) AS t FROM bb) tb
+             |             CROSS JOIN (SELECT SUM(n) AS t FROM b2) tc)),
+             |u AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+             |SELECT metric, psi, rows_base, rows_cur FROM u ORDER BY metric""".stripMargin)))
 }
