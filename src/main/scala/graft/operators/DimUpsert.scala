@@ -62,6 +62,10 @@ object DimUpsert {
       val p = new org.apache.hadoop.fs.Path(dimPath)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
+    // the read-maxSk → assign → append cycle runs under the dim store's
+    // single-writer lease: two concurrent upserts would otherwise both
+    // read the same max and mint overlapping surrogate keys
+    Swap.withStoreLease(spark, new org.apache.hadoop.fs.Path(dimPath)) { _ =>
     val dimExists = storeExists
     val dim: DataFrame =
       if (dimExists) spark.read.parquet(dimPath)
@@ -85,6 +89,7 @@ object DimUpsert {
     // fact batch) — fall back to the in-memory empty dim
     val updated = if (storeExists) spark.read.parquet(dimPath) else dim
     fact.join(broadcast(updated), Seq(keyCol))
+    }
   }
 
   /** A18 against a LIVE SQL store: the dim table round-trips through

@@ -229,13 +229,17 @@ class SwapSpec extends AnyFunSuite {
     val base = tmp("graft_lease_ops")
     val scd = s"$base/dim"
     val mrg = s"$base/t"
+    val dup = s"$base/du"
     Seq((1L, "a")).toDF("k", "v").write.parquet(mrg)
-    val held = Seq(new Path(scd), new Path(mrg)).map(Swap.acquireLease(fs, _))
+    val held = Seq(new Path(scd), new Path(mrg), new Path(dup))
+      .map(Swap.acquireLease(fs, _))
     val batch = Seq((1L, "a")).toDF("s_k", "s_v")
     intercept[IllegalStateException](
       Scd2.apply(spark, scd, batch, "s_k", "2024-01-01 00:00:00"))
     intercept[IllegalStateException](
       Merge.into(spark, mrg, Seq((1L, "a2")).toDF("k", "v"), Seq("k")))
+    intercept[IllegalStateException](
+      DimUpsert.upsert(spark, dup, Seq((1L, "x")).toDF("k", "v"), "k"))
     held.foreach(Swap.releaseLease(fs, _))
     assert(Scd2.apply(spark, scd, batch, "s_k", "2024-01-01 00:00:00").count() == 1)
     assert(Merge.into(spark, mrg, Seq((1L, "a2")).toDF("k", "v"), Seq("k"))
