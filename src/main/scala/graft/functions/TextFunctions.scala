@@ -124,6 +124,28 @@ object TextFunctions {
       lit(0L),
       (acc, ch) => pmod(acc * base + coalesce(ascii(ch).cast("long"), lit(0L)), lit(mod)))
 
+  /** URL canonicalization for crawl dedup: lowercase, strip fragment,
+    * strip trailing `utm_*` tracking query, strip default ports (:443
+    * https / :80 http), strip a leading `www.`, strip one trailing
+    * slash. A pure regexp_replace chain — codegen'd, and every pattern
+    * is RE2-safe (no lookaround) so an oracle can replay it verbatim.
+    * Deliberately conservative: query-param SORTING and scheme folding
+    * (http≡https) are policy choices left to the caller. */
+  def canonicalUrl(url: Column): Column = {
+    val lowered = lower(trim(url))
+    val noFrag = regexp_replace(lowered, "#.*$", "")
+    val noUtm = regexp_replace(noFrag, "\\?utm_[^#]*$", "")
+    val noPort = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(noUtm, "^(https://[^/:]+):443/", "$1/"),
+          "^(https://[^/:]+):443$", "$1"),
+        "^(http://[^/:]+):80/", "$1/"),
+      "^(http://[^/:]+):80$", "$1")
+    val noWww = regexp_replace(noPort, "^(https?://)www\\.", "$1")
+    regexp_replace(noWww, "/$", "")
+  }
+
   /** Unicode normalization (codegen'd native expression — no UDF).
     * Canonicalize BEFORE hashing/dedup: composed vs decomposed accents
     * must fingerprint identically. Forms: NFC (default), NFD, NFKC,

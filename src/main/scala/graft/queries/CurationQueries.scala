@@ -152,6 +152,54 @@ object CurationQueries {
              |       COUNT(*) AS n_docs
              |FROM documents GROUP BY 1 ORDER BY host""".stripMargin)),
 
+    // URL canonicalization dedup — crawl stage 0: the same page arrives
+    // under casing/port/fragment/tracking-param/www/trailing-slash
+    // variants, and the canonical form is the dedup key. Four synthetic
+    // variants per group of 4 docs; after canonicalization the three
+    // https variants collapse (count 3) while the http one stays its own
+    // key (scheme folding is a policy choice, deliberately not taken).
+    // The oracle replays the identical RE2-safe regexp chain.
+    GraftQuery(
+      "q_url_canon",
+      (s, d) => {
+        val g = expr("doc_id div 4")
+        val gh = g % 5
+        val url = when(col("doc_id") % 4 === 0,
+          concat(lit("HTTPS://WWW.h"), gh, lit(".Example.COM:443/P"), g, lit("/#frag")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("https://h"), gh, lit(".example.com/P"), g, lit("/")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("http://www.h"), gh, lit(".example.com:80/P"), g))
+          .otherwise(
+            concat(lit("https://h"), gh, lit(".example.com/P"), g, lit("?utm_source=x")))
+        Tables.documents(s, d)
+          .select(graft.functions.TextFunctions.canonicalUrl(url).as("canon"))
+          .groupBy("canon").agg(count(lit(1)).as("n"))
+          .orderBy("canon")
+      },
+      Some("""WITH u AS (SELECT CASE doc_id % 4
+             |    WHEN 0 THEN 'HTTPS://WWW.h' || (doc_id // 4) % 5 || '.Example.COM:443/P' || (doc_id // 4) || '/#frag'
+             |    WHEN 1 THEN 'https://h' || (doc_id // 4) % 5 || '.example.com/P' || (doc_id // 4) || '/'
+             |    WHEN 2 THEN 'http://www.h' || (doc_id // 4) % 5 || '.example.com:80/P' || (doc_id // 4)
+             |    ELSE 'https://h' || (doc_id // 4) % 5 || '.example.com/P' || (doc_id // 4) || '?utm_source=x'
+             |  END AS url FROM documents),
+             |c AS (SELECT regexp_replace(
+             |        regexp_replace(
+             |          regexp_replace(
+             |            regexp_replace(
+             |              regexp_replace(
+             |                regexp_replace(
+             |                  regexp_replace(
+             |                    regexp_replace(lower(trim(url)), '#.*$', ''),
+             |                    '\?utm_[^#]*$', ''),
+             |                  '^(https://[^/:]+):443/', '\1/'),
+             |                '^(https://[^/:]+):443$', '\1'),
+             |              '^(http://[^/:]+):80/', '\1/'),
+             |            '^(http://[^/:]+):80$', '\1'),
+             |          '^(https?://)www\.', '\1'),
+             |        '/$', '') AS canon FROM u)
+             |SELECT canon, COUNT(*) AS n FROM c GROUP BY 1 ORDER BY canon""".stripMargin)),
+
     // Token-budget corpus selection — the data-mixing primitive: per
     // language, admit documents in quality order (vocabulary-uniqueness
     // ratio, doc_id tiebreak) until a token budget fills. The sort key
