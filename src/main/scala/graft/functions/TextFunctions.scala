@@ -125,16 +125,28 @@ object TextFunctions {
       (acc, ch) => pmod(acc * base + coalesce(ascii(ch).cast("long"), lit(0L)), lit(mod)))
 
   /** URL canonicalization for crawl dedup: lowercase, strip fragment,
-    * strip trailing `utm_*` tracking query, strip default ports (:443
+    * strip `utm_*` tracking params INDIVIDUALLY (non-utm params that
+    * precede or follow a tracking param survive — dropping the whole
+    * query string whenever it merely starts with utm_ would collapse
+    * genuinely distinct pages like `?utm_source=x&id=5` vs `&id=6` to
+    * one dedup key: silent over-merging), strip default ports (:443
     * https / :80 http), strip a leading `www.`, strip one trailing
     * slash. A pure regexp_replace chain — codegen'd, and every pattern
-    * is RE2-safe (no lookaround) so an oracle can replay it verbatim.
-    * Deliberately conservative: query-param SORTING and scheme folding
-    * (http≡https) are policy choices left to the caller. */
+    * is RE2-safe (no lookaround) so an oracle can replay it verbatim
+    * (DuckDB needs the 'g' flag for the run pattern — Spark always
+    * replaces all occurrences). Deliberately conservative: query-param
+    * SORTING and scheme folding (http≡https) are policy choices left to
+    * the caller. */
   def canonicalUrl(url: Column): Column = {
     val lowered = lower(trim(url))
     val noFrag = regexp_replace(lowered, "#.*$", "")
-    val noUtm = regexp_replace(noFrag, "\\?utm_[^#]*$", "")
+    // runs of utm params followed by another param keep the separator;
+    // a trailing run (incl. the whole query) drops with its separator;
+    // a now-dangling '?'/'&' left by an all-utm-then-'&' tail drops last
+    val noUtmMid = regexp_replace(noFrag, "([?&])(utm_[^&#]*&)+", "$1")
+    val noUtm = regexp_replace(
+      regexp_replace(noUtmMid, "([?&]utm_[^&#]*)+$", ""),
+      "[?&]$", "")
     val noPort = regexp_replace(
       regexp_replace(
         regexp_replace(

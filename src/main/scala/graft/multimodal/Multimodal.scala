@@ -39,6 +39,14 @@ object Multimodal {
       duration_ms: Option[Long])
 
   case class ImageFeatures(media_id: Long, width: Int, height: Int, features: Array[Float])
+
+  /** One row per sampled video frame. `media_id` and `frame_idx` are
+    * separate columns on purpose: a synthesized composite id (e.g.
+    * media_id * 1e6 + frame_idx) silently collides into the next media's
+    * id space once a video carries more sampled frames than the
+    * multiplier — wrong attribution with no error anywhere. */
+  case class VideoFrameFeatures(
+      media_id: Long, frame_idx: Int, width: Int, height: Int, features: Array[Float])
   case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long, frame_bytes: Array[Byte])
   case class AudioFeatures(
       media_id: Long, sample_rate: Int, channels: Int, duration_ms: Long,
@@ -140,25 +148,43 @@ object Multimodal {
         var microPerFrame = 0L
         var (w, h) = (0, 0)
         val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-        def walk(start: Int, end: Int): Unit = {
+        // Iterative chunk walk with an explicit range stack. A recursive
+        // walk descends once per nested LIST, and a corrupt/adversarial
+        // AVI can nest LISTs ~bytes/12 deep — a StackOverflowError there
+        // is NOT caught by NonFatal, so it would escape the fallback and
+        // kill the task: exactly the poison-pill failure this codec path
+        // exists to prevent. On a LIST we push (rest-of-current-range)
+        // then (list body) so frames are visited in the same depth-first
+        // order recursion would have produced.
+        var ranges: List[(Int, Int)] = List((12, riffEnd))
+        while (ranges.nonEmpty) {
+          val (start, end) = ranges.head
+          ranges = ranges.tail
           var pos = start
-          while (pos + 8 <= end) {
+          var cont = true
+          while (cont && pos + 8 <= end) {
             val id = fourcc(pos)
             val sz = bb.getInt(pos + 4)
             val data = pos + 8
-            if (sz < 0 || data + sz > end) return // truncated: keep what we have
-            if (id == "LIST" && sz >= 4) walk(data + 4, data + sz)
-            else if (id == "avih" && sz >= 40) {
-              // MainAVIHeader: dwMicroSecPerFrame @0, dwWidth @32, dwHeight @36
-              microPerFrame = bb.getInt(data).toLong & 0xffffffffL
-              w = bb.getInt(data + 32)
-              h = bb.getInt(data + 36)
-            } else if ((id == "00dc" || id == "00db") && sz > 0)
-              frames += java.util.Arrays.copyOfRange(bytes, data, data + sz)
-            pos = data + sz + (sz & 1) // chunks pad to even
+            if (sz < 0 || data + sz > end) cont = false // truncated: keep what we have
+            else {
+              val next = data + sz + (sz & 1) // chunks pad to even
+              if (id == "LIST" && sz >= 4) {
+                ranges = (data + 4, data + sz) :: (next, end) :: ranges
+                cont = false // descend first, resume siblings after
+              } else {
+                if (id == "avih" && sz >= 40) {
+                  // MainAVIHeader: dwMicroSecPerFrame @0, dwWidth @32, dwHeight @36
+                  microPerFrame = bb.getInt(data).toLong & 0xffffffffL
+                  w = bb.getInt(data + 32)
+                  h = bb.getInt(data + 36)
+                } else if ((id == "00dc" || id == "00db") && sz > 0)
+                  frames += java.util.Arrays.copyOfRange(bytes, data, data + sz)
+                pos = next
+              }
+            }
           }
         }
-        walk(12, riffEnd)
         if (frames.isEmpty) None
         else Some(AviVideo(w, h,
           if (microPerFrame > 0) microPerFrame else 40000L, // default 25 fps
@@ -332,15 +358,15 @@ object Multimodal {
   def extractVideoFrameFeatures(
       ds: Dataset[MediaRow],
       everyMs: Long = 1000L,
-      dim: Int = 64): Dataset[ImageFeatures] = {
+      dim: Int = 64): Dataset[VideoFrameFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.filter(_.kind == "video").mapPartitions { rows =>
       rows.flatMap { r =>
         JdkCodec.decodeMjpegAvi(r.bytes).toSeq.flatMap { avi =>
-          avi.sampleIndices(everyMs).flatMap { case (i, _) =>
+          avi.sampleIndices(everyMs).zipWithIndex.flatMap { case ((i, _), outIdx) =>
             JdkCodec.decodeImage(avi.frames(i)).map { img =>
-              ImageFeatures(r.media_id * 1000000 + i, img.getWidth,
+              VideoFrameFeatures(r.media_id, outIdx, img.getWidth,
                 img.getHeight, JdkCodec.imageFeatures(img, dim))
             }
           }

@@ -120,9 +120,19 @@ object Swap {
     val holder = readLock(fs, lockPath)
     holder match {
       case Some((_, expiry)) if expiry < System.currentTimeMillis() =>
-        fs.delete(lockPath, false) // stale: holder died mid-cycle
-        if (tryCreate()) Lease(lockPath, token)
-        else contended(readLock(fs, lockPath)) // lost the takeover race
+        // Stale: holder died mid-cycle. Takeover must be ATOMIC —
+        // delete-then-create lets two contenders that both read the
+        // expired lock both delete, the second delete removing the
+        // first's freshly created lock, leaving TWO writers holding
+        // "valid" leases. Rename the stale lock to a contender-unique
+        // sibling instead: exactly one rename succeeds; losers fall
+        // through to normal contention against whoever re-creates.
+        val claimed = new Path(lockPath.toString + ".stale-" + token)
+        if (fs.rename(lockPath, claimed)) {
+          fs.delete(claimed, false)
+          if (tryCreate()) Lease(lockPath, token)
+          else contended(readLock(fs, lockPath)) // lost the re-create race
+        } else contended(readLock(fs, lockPath)) // lost the takeover race
       case other if other.isEmpty && tryCreate() =>
         Lease(lockPath, token) // holder released between our create and read
       case other => contended(other)
@@ -144,10 +154,25 @@ object Swap {
   }
 
   /** Release only if still held — deleting a successor's lock would let a
-    * third writer in behind its back. */
-  def releaseLease(fs: FileSystem, lease: Lease): Unit =
-    if (readLock(fs, lease.lockPath).exists(_._1 == lease.token))
-      fs.delete(lease.lockPath, false)
+    * third writer in behind its back. Read-token-then-delete has the same
+    * non-atomicity as the old takeover path (a successor can move in
+    * between the read and the delete, and the delete then removes the
+    * successor's LIVE lock); instead rename the lock file out to a
+    * holder-unique name first — atomic claim — then verify the claimed
+    * file really carries our token. If it does not, we renamed a
+    * successor's lock (our lease expired mid-cycle and was taken over):
+    * rename it straight back. Should even that rename-back lose to a
+    * third writer creating afresh in the gap, the successor's commit-time
+    * [[checkHeld]] fails loudly — never a silent interleave. */
+  def releaseLease(fs: FileSystem, lease: Lease): Unit = {
+    val claimed = new Path(lease.lockPath.toString + ".release-" + lease.token)
+    if (!fs.rename(lease.lockPath, claimed)) return // gone or taken over
+    readLock(fs, claimed) match {
+      case Some((t, _)) if t == lease.token => fs.delete(claimed, false)
+      case _ =>
+        if (!fs.rename(claimed, lease.lockPath)) fs.delete(claimed, false)
+    }
+  }
 
   /** Run one write cycle (recover → stage → commit) under the store's
     * lease. */

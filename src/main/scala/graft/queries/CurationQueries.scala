@@ -155,10 +155,12 @@ object CurationQueries {
     // URL canonicalization dedup — crawl stage 0: the same page arrives
     // under casing/port/fragment/tracking-param/www/trailing-slash
     // variants, and the canonical form is the dedup key. Four synthetic
-    // variants per group of 4 docs; after canonicalization the three
-    // https variants collapse (count 3) while the http one stays its own
-    // key (scheme folding is a policy choice, deliberately not taken).
-    // The oracle replays the identical RE2-safe regexp chain.
+    // variants per group of 4 docs; after canonicalization the first two
+    // https variants collapse (count 2), the http one stays its own key
+    // (scheme folding is a policy choice, deliberately not taken), and
+    // the utm-run variant keeps its REAL `id` param (count 1) — tracking
+    // params strip individually, they never take innocent params with
+    // them. The oracle replays the identical RE2-safe regexp chain.
     GraftQuery(
       "q_url_canon",
       (s, d) => {
@@ -171,7 +173,8 @@ object CurationQueries {
           .when(col("doc_id") % 4 === 2,
             concat(lit("http://www.h"), gh, lit(".example.com:80/P"), g))
           .otherwise(
-            concat(lit("https://h"), gh, lit(".example.com/P"), g, lit("?utm_source=x")))
+            concat(lit("https://h"), gh, lit(".example.com/P"), g,
+              lit("?utm_source=x&utm_campaign=y&id=7")))
         Tables.documents(s, d)
           .select(graft.functions.TextFunctions.canonicalUrl(url).as("canon"))
           .groupBy("canon").agg(count(lit(1)).as("n"))
@@ -181,7 +184,7 @@ object CurationQueries {
              |    WHEN 0 THEN 'HTTPS://WWW.h' || (doc_id // 4) % 5 || '.Example.COM:443/P' || (doc_id // 4) || '/#frag'
              |    WHEN 1 THEN 'https://h' || (doc_id // 4) % 5 || '.example.com/P' || (doc_id // 4) || '/'
              |    WHEN 2 THEN 'http://www.h' || (doc_id // 4) % 5 || '.example.com:80/P' || (doc_id // 4)
-             |    ELSE 'https://h' || (doc_id // 4) % 5 || '.example.com/P' || (doc_id // 4) || '?utm_source=x'
+             |    ELSE 'https://h' || (doc_id // 4) % 5 || '.example.com/P' || (doc_id // 4) || '?utm_source=x&utm_campaign=y&id=7'
              |  END AS url FROM documents),
              |c AS (SELECT regexp_replace(
              |        regexp_replace(
@@ -190,8 +193,12 @@ object CurationQueries {
              |              regexp_replace(
              |                regexp_replace(
              |                  regexp_replace(
-             |                    regexp_replace(lower(trim(url)), '#.*$', ''),
-             |                    '\?utm_[^#]*$', ''),
+             |                    regexp_replace(
+             |                      regexp_replace(
+             |                        regexp_replace(lower(trim(url)), '#.*$', ''),
+             |                        '([?&])(utm_[^&#]*&)+', '\1', 'g'),
+             |                      '([?&]utm_[^&#]*)+$', ''),
+             |                    '[?&]$', ''),
              |                  '^(https://[^/:]+):443/', '\1/'),
              |                '^(https://[^/:]+):443$', '\1'),
              |              '^(http://[^/:]+):80/', '\1/'),

@@ -78,4 +78,33 @@ class TextFunctionsSpec extends AnyFunSuite {
       .as[Double].collect()
     assert(j(0) == 1.0 && j(1) == 0.0)
   }
+
+  test("canonicalUrl strips utm params individually, keeping real params") {
+    def canon(urls: String*): Seq[String] =
+      urls.toDF("u").select(TextFunctions.canonicalUrl($"u").as("c"))
+        .as[String].collect().toSeq
+    // non-utm params that FOLLOW a utm param must survive — collapsing
+    // ?utm_source=x&id=5 and ?utm_source=x&id=6 to one key is data loss
+    assert(canon(
+      "https://example.com/p?utm_source=x&id=5",
+      "https://example.com/p?utm_source=x&id=6") ==
+      Seq("https://example.com/p?id=5", "https://example.com/p?id=6"))
+    // runs of consecutive utm params strip in one pass, mid and trailing
+    assert(canon("https://example.com/p?utm_a=1&utm_b=2&id=5&utm_c=3") ==
+      Seq("https://example.com/p?id=5"))
+    // an all-utm query drops entirely, including a dangling '&' tail
+    assert(canon(
+      "https://example.com/p?utm_a=1&utm_b=2",
+      "https://example.com/p?utm_a=1&") ==
+      Seq("https://example.com/p", "https://example.com/p"))
+    // the classic variants still collapse: case, www, :443, fragment, slash
+    assert(canon(
+      "HTTPS://WWW.Example.COM:443/P/#frag",
+      "https://example.com/P/",
+      "https://example.com/P?utm_source=x") ==
+      Seq("https://example.com/p", "https://example.com/p", "https://example.com/p"))
+    // params containing 'utm_' NOT at a separator boundary are untouched
+    assert(canon("https://example.com/p?myutm_x=1") ==
+      Seq("https://example.com/p?myutm_x=1"))
+  }
 }

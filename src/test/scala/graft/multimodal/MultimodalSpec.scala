@@ -196,9 +196,12 @@ class MultimodalSpec extends AnyFunSuite {
     // the non-video blob fell back to the stub path: 2000ms / 300ms → 7
     assert(frames.count(_.media_id == 11L) == 7)
 
-    // frame features: one unit-norm vector per sampled frame
+    // frame features: one unit-norm vector per sampled frame, keyed by
+    // (media_id, frame_idx) — separate columns, never a composite id
     val feats = Multimodal.extractVideoFrameFeatures(rows, everyMs = 300L).collect()
     assert(feats.length == 4, s"got ${feats.length}")
+    assert(feats.forall(_.media_id == 10L))
+    assert(feats.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2, 3))
     feats.foreach { f =>
       val n = math.sqrt(f.features.map(x => x.toDouble * x).sum)
       assert(math.abs(n - 1.0) < 1e-3, s"norm $n")
