@@ -1,0 +1,493 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Optimistic-concurrency commit log for parquet stores — the
+  * concurrent-writer upgrade path the staged-swap protocol (Swap.scala)
+  * names: a minimal Delta/Iceberg-style transaction log instead of
+  * in-place directory swaps.
+  *
+  * Layout: data files live in the store exactly as before (hive
+  * partition dirs or flat), but the TRUTH about which files make up the
+  * table is `_log/` — numbered commit manifests:
+  *
+  * {{{
+  * store/
+  *   _log/00000000000000000001.txt      # commit v1 (adds/removes/touched)
+  *   _log/00000000000000000010.txt
+  *   _log/00000000000000000010.checkpoint  # full file list at v10
+  *   pcol=a/part-<uuid>.parquet            # immutable once written
+  * }}}
+  *
+  * A commit records the files it ADDS, the files it logically REMOVES,
+  * and the partition dirs it TOUCHES. The snapshot at version V = replay
+  * of manifests 1..V (from the nearest checkpoint). Data files are
+  * immutable and never deleted at commit time — removal is logical, so a
+  * reader pinned to an older version keeps reading consistent data while
+  * writers move the tip; [[vacuum]] reclaims files no retained version
+  * references.
+  *
+  * Concurrency: writers stage files, then race to publish manifest V+1
+  * via an ATOMIC create-if-absent (CAS). The loser re-reads the commits
+  * that beat it; if their touched partition sets are DISJOINT from its
+  * own, it rebases and retries at the new tip — two writers on different
+  * partitions both succeed with no lock and no waiting. Overlapping
+  * writers get exactly one winner; the loser throws [[ConflictException]]
+  * (its computation read table state another commit just changed — the
+  * caller must re-run it, not blindly re-publish). A whole-store rewrite
+  * touches the reserved partition token `*` and conflicts with
+  * everything.
+  *
+  * CAS primitive: on `file:` schemes a Hadoop rename can OVERWRITE an
+  * existing destination (POSIX rename(2) semantics leak through), which
+  * would silently replace a committed manifest under race — so local
+  * publication uses `Files.createLink` (hard link: atomic, EEXIST if the
+  * version slot is taken). On HDFS-like schemes rename-without-overwrite
+  * is the documented atomic primitive and is used as-is. Either way the
+  * manifest content is FULLY written and closed before publication, so a
+  * reader never observes a torn manifest.
+  *
+  * Crash posture (simpler than the swap matrix — that is the point):
+  * nothing is visible until the CAS, so a crash at ANY earlier point
+  * (files half-staged, files moved in, tmp manifest written) leaves the
+  * table bit-for-bit at its previous version; the leftovers are orphans
+  * that [[vacuum]] sweeps. There is no roll-forward state at all.
+  *
+  * Scale notes (100 TB): manifests record DELTAS (O(files touched per
+  * commit)), not full listings; replay cost is bounded by a full-list
+  * checkpoint every [[CheckpointEvery]] commits. Reads plan from the
+  * manifest's explicit file list — no recursive directory listing of a
+  * million-file store, which on object stores is itself a scan-killer.
+  * The remaining simplifications vs a production table format: no
+  * column-level stats pruning in the manifest (parquet footers still
+  * serve row-group pruning) and single-level manifests (Iceberg's
+  * manifest tree compresses the metadata of billions of files).
+  */
+object CommitLog {
+
+  val LogDirName = "_log"
+  /** Reserved touched-set token: conflicts with every other commit. */
+  val WholeStore = "*"
+  /** Full file-list checkpoint cadence (replay never walks more than
+    * this many manifests). */
+  val CheckpointEvery = 10
+
+  final class ConflictException(msg: String) extends RuntimeException(msg)
+
+  /** One committed version: what changed and (for conflict detection)
+    * which partition dirs it touched. Paths are store-relative. */
+  final case class Manifest(
+      version: Long,
+      touched: Set[String],
+      added: Seq[String],
+      removed: Seq[String],
+      meta: Map[String, String])
+
+  def logDir(store: Path): Path = new Path(store, LogDirName)
+
+  /** A store is log-backed iff `_log/` exists — the mode switch every
+    * store operator sniffs (existing swap-based stores keep their lease
+    * protocol untouched). */
+  def isLog(fs: FileSystem, store: Path): Boolean = fs.exists(logDir(store))
+
+  /** Session default for NEW stores ("spark.graft.store.commitLog").
+    * Existing stores keep whichever mode they were created with. */
+  def confEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.store.commitLog").exists(_.toBoolean)
+
+  /** Log mode applies when the store already has a log, or does not
+    * exist yet and the session default asks for one. */
+  def active(spark: SparkSession, fs: FileSystem, store: Path): Boolean =
+    isLog(fs, store) || (!fs.exists(store) && confEnabled(spark))
+
+  // ------------------------------------------------------------- manifest IO
+
+  private def manifestName(v: Long) = f"$v%020d.txt"
+  private def checkpointName(v: Long) = f"$v%020d.checkpoint"
+
+  // Fields are URL-encoded per line: partition values may contain any
+  // character Spark's path escaping lets through, and the format must
+  // never be ambiguous about whitespace.
+  private def enc(s: String) =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def writeFully(fs: FileSystem, p: Path, text: String): Unit = {
+    val out = fs.create(p, true)
+    try { out.write(text.getBytes("UTF-8")); out.hsync() } finally out.close()
+  }
+
+  private def readFully(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def renderManifest(m: Manifest): String = {
+    val sb = new StringBuilder
+    sb ++= s"version\t${m.version}\n"
+    m.touched.toSeq.sorted.foreach(t => sb ++= s"touched\t${enc(t)}\n")
+    m.added.foreach(f => sb ++= s"added\t${enc(f)}\n")
+    m.removed.foreach(f => sb ++= s"removed\t${enc(f)}\n")
+    m.meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      sb ++= s"meta\t${enc(k)}\t${enc(v)}\n"
+    }
+    sb ++= "end\n" // terminator: a manifest without it is torn → corrupt
+    sb.result()
+  }
+
+  private def parseManifest(text: String, path: Path): Manifest = {
+    val lines = text.split("\n", -1).toSeq
+    require(lines.contains("end"),
+      s"commit manifest $path is torn (no terminator) — the log is corrupt; " +
+        "manifests are fully written before publication, so this file was " +
+        "damaged after commit")
+    var version = -1L
+    val touched = Set.newBuilder[String]
+    val added = Seq.newBuilder[String]
+    val removed = Seq.newBuilder[String]
+    val meta = Map.newBuilder[String, String]
+    lines.takeWhile(_ != "end").foreach { line =>
+      line.split("\t", -1) match {
+        case Array("version", v) => version = v.toLong
+        case Array("touched", t) => touched += dec(t)
+        case Array("added", f) => added += dec(f)
+        case Array("removed", f) => removed += dec(f)
+        case Array("meta", k, v) => meta += dec(k) -> dec(v)
+        case Array("") => // trailing blank
+        case other => throw new IllegalStateException(
+          s"unrecognized manifest line in $path: '$line'")
+      }
+    }
+    require(version > 0, s"manifest $path lacks a version record")
+    Manifest(version, touched.result(), added.result(), removed.result(),
+      meta.result())
+  }
+
+  /** Atomic publish of the fully-written `tmp` as `dst`; false = the
+    * version slot was already taken (lost the race). See the class doc
+    * for why local FS cannot use plain rename. */
+  private def casPublish(fs: FileSystem, tmp0: Path, dst0: Path): Boolean = {
+    val tmp = fs.makeQualified(tmp0)
+    val dst = fs.makeQualified(dst0)
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val tmpFile = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val dstFile = java.nio.file.Paths.get(dst.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(dstFile, tmpFile)
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false); false
+      }
+    } else {
+      // HDFS-contract rename: atomic, returns false when dst exists
+      if (fs.rename(tmp, dst)) true
+      else { fs.delete(tmp, false); false }
+    }
+  }
+
+  // --------------------------------------------------------------- snapshots
+
+  private def listLog(fs: FileSystem, store: Path): Array[FileStatus] = {
+    val dir = logDir(store)
+    if (!fs.exists(dir)) Array.empty else fs.listStatus(dir)
+  }
+
+  /** Latest committed version; 0 = no commits (empty/new store). */
+  def currentVersion(fs: FileSystem, store: Path): Long = {
+    val vs = listLog(fs, store).map(_.getPath.getName)
+      .filter(_.endsWith(".txt")).map(_.stripSuffix(".txt").toLong)
+    if (vs.isEmpty) 0L else vs.max
+  }
+
+  def readManifest(fs: FileSystem, store: Path, v: Long): Manifest =
+    parseManifest(
+      readFully(fs, new Path(logDir(store), manifestName(v))),
+      new Path(logDir(store), manifestName(v)))
+
+  /** Store-relative data files making up version `v` (0 → empty). Replays
+    * from the nearest checkpoint at or below `v`. */
+  def snapshotFiles(fs: FileSystem, store: Path, v: Long): Seq[String] = {
+    if (v <= 0) return Seq.empty
+    val ckpts = listLog(fs, store).map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong)
+      .filter(_ <= v)
+    val base = if (ckpts.isEmpty) 0L else ckpts.max
+    val files = scala.collection.mutable.LinkedHashSet[String]()
+    if (base > 0) {
+      val text = readFully(fs, new Path(logDir(store), checkpointName(base)))
+      require(text.endsWith("end\n"),
+        s"checkpoint $base of $store is torn — delete it; replay falls " +
+          "back to the manifest chain")
+      text.split("\n", -1).takeWhile(_ != "end").foreach {
+        case "" =>
+        case line => files += dec(line.stripPrefix("file\t"))
+      }
+    }
+    ((base + 1) to v).foreach { i =>
+      val m = readManifest(fs, store, i)
+      m.removed.foreach(files -= _)
+      m.added.foreach(files += _)
+    }
+    files.toSeq
+  }
+
+  /** The table at `version` (default: current tip) as a DataFrame, or
+    * None when the snapshot holds no files. Planning starts from the
+    * manifest's explicit file list — no store-wide directory listing —
+    * with `basePath` set so hive partition columns still materialize and
+    * prune. A returned DataFrame stays consistent even while writers
+    * commit and remove files logically, because physical deletion is
+    * deferred to [[vacuum]]. */
+  def read(
+      spark: SparkSession,
+      store: Path,
+      version: Option[Long] = None,
+      mergeSchema: Boolean = false): Option[DataFrame] = {
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.getOrElse(currentVersion(fs, store))
+    val files = snapshotFiles(fs, store, v)
+    if (files.isEmpty) None
+    else {
+      val reader = spark.read
+        .option("basePath", store.toString)
+        .option("mergeSchema", mergeSchema.toString)
+      Some(reader.parquet(files.map(f => new Path(store, f).toString): _*))
+    }
+  }
+
+  /** True when the store has a log with at least one non-empty version. */
+  def nonEmpty(fs: FileSystem, store: Path): Boolean =
+    isLog(fs, store) && snapshotFiles(fs, store, currentVersion(fs, store)).nonEmpty
+
+  // ----------------------------------------------------------------- commits
+
+  private def isDataFile(name: String) =
+    !name.startsWith("_") && !name.startsWith(".")
+
+  /** Recursively collect data files under `dir`, as paths relative to
+    * `base`. */
+  private def dataFilesUnder(fs: FileSystem, base: Path, dir: Path): Seq[String] = {
+    if (!fs.exists(dir)) return Seq.empty
+    val baseUri = base.toUri.getPath
+    def rel(p: Path): String = {
+      val s = p.toUri.getPath
+      s.stripPrefix(baseUri).stripPrefix("/")
+    }
+    val out = Seq.newBuilder[String]
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
+      if (!isDataFile(st.getPath.getName)) ()
+      else if (st.isDirectory) walk(st.getPath)
+      else out += rel(st.getPath)
+    }
+    walk(dir)
+    out.result()
+  }
+
+  /** Commit a fully-staged rewrite: move `staging`'s data files into the
+    * store (unique Spark file names — never a collision, even between
+    * concurrent writers landing in the same new partition dir) and
+    * publish a manifest that adds them and logically removes the files
+    * under `retireNames` (partition dir names; ignored when
+    * `wholeStore`, which removes the entire previous snapshot).
+    *
+    * `baseVersion` is the version the CALLER'S COMPUTATION READ — the
+    * OCC anchor. Conflicts are judged against every commit that landed
+    * after it, not merely commits racing the publication itself: a
+    * writer that read v3, computed for a minute, and publishes while the
+    * tip is at v7 must check v4..v7 for overlap (a slow writer is just a
+    * long race).
+    *
+    * Returns the committed version. Throws [[ConflictException]] when
+    * any commit after `baseVersion` touched an overlapping partition
+    * set — the caller computed its staged rows from table state that no
+    * longer holds and must RE-RUN the whole operation, not re-publish.
+    */
+  def commitStaged(
+      spark: SparkSession,
+      store: Path,
+      staging: Path,
+      baseVersion: Long,
+      retireNames: Seq[String],
+      wholeStore: Boolean,
+      meta: Map[String, String] = Map.empty,
+      maxRetries: Int = 20): Long = {
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(logDir(store))
+    // move staged files in under their original (globally unique) names;
+    // invisible to every reader until the manifest publishes
+    val added = dataFilesUnder(fs, staging, staging)
+    added.foreach { f =>
+      val dst = new Path(store, f)
+      fs.mkdirs(dst.getParent)
+      if (!fs.rename(new Path(staging, f), dst))
+        throw new java.io.IOException(
+          s"could not move staged file $f into $store (nothing published; " +
+            "moved files are orphans until a manifest commits)")
+    }
+    fs.delete(staging, true)
+    val touched: Set[String] =
+      if (wholeStore) Set(WholeStore)
+      else retireNames.toSet ++ added.flatMap(topDir)
+    def conflicts(a: Set[String], b: Set[String]): Boolean =
+      a.contains(WholeStore) || b.contains(WholeStore) || (a & b).nonEmpty
+    def abort(reason: String): Nothing = {
+      // drop our never-visible files so a failed commit leaves no orphans
+      added.foreach(f => fs.delete(new Path(store, f), false))
+      throw new ConflictException(reason)
+    }
+
+    var checked = baseVersion // conflict-checked through this version
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val tip = currentVersion(fs, store)
+      ((checked + 1) to tip).foreach { i =>
+        val other = readManifest(fs, store, i)
+        if (conflicts(touched, other.touched))
+          abort(
+            s"commit on $store conflicts with commit v$i touching " +
+              s"[${other.touched.mkString(",")}] which overlaps " +
+              s"[${touched.mkString(",")}] (this writer read v$baseVersion)" +
+              " — re-run the operation against the new table state")
+      }
+      checked = tip
+      // all intervening commits are disjoint: their partitions are not
+      // ours, so the files we retire are the same ones the base snapshot
+      // held; recompute from the tip anyway (cheap, and exact by
+      // construction under no-overlap)
+      val snapshot = snapshotFiles(fs, store, tip)
+      val removed =
+        if (wholeStore) snapshot
+        else snapshot.filter(f => topDir(f).exists(retireNames.contains))
+      val v = tip + 1
+      val m = Manifest(v, touched, added, removed, meta)
+      val tmp = new Path(logDir(store),
+        ".tmp-" + java.util.UUID.randomUUID().toString)
+      writeFully(fs, tmp, renderManifest(m))
+      if (casPublish(fs, tmp, new Path(logDir(store), manifestName(v)))) {
+        maybeCheckpoint(fs, store, v)
+        return v
+      }
+      attempt += 1 // lost the CAS: loop re-checks whoever beat us
+    }
+    added.foreach(f => fs.delete(new Path(store, f), false))
+    throw new java.io.IOException(
+      s"could not commit to $store after $maxRetries rebases (extreme " +
+        "disjoint-writer churn); staged files dropped, nothing published")
+  }
+
+  /** Top-level dir of a store-relative file path — the partition-dir
+    * grain conflicts are detected at. None for root-level files (flat
+    * stores), which only ever commit wholeStore. */
+  private def topDir(relPath: String): Option[String] = {
+    val i = relPath.indexOf('/')
+    if (i <= 0) None else Some(relPath.substring(0, i))
+  }
+
+  private def maybeCheckpoint(fs: FileSystem, store: Path, v: Long): Unit =
+    if (v % CheckpointEvery == 0) {
+      // best-effort (a crash here only lengthens the next replay); built
+      // from the manifest chain, published with the same no-overwrite CAS
+      val files = snapshotFiles(fs, store, v)
+      val text = files.map(f => s"file\t${enc(f)}\n").mkString + "end\n"
+      val tmp = new Path(logDir(store),
+        ".tmp-" + java.util.UUID.randomUUID().toString)
+      writeFully(fs, tmp, text)
+      casPublish(fs, tmp, new Path(logDir(store), checkpointName(v)))
+      ()
+    }
+
+  /** Latest manifest's meta map (empty when no commits) — e.g. the
+    * incremental-agg batch high-water mark, committed atomically WITH
+    * the data it describes because it rides the same manifest. */
+  def tipMeta(fs: FileSystem, store: Path): Map[String, String] = {
+    val v = currentVersion(fs, store)
+    if (v == 0) Map.empty else readManifest(fs, store, v).meta
+  }
+
+  // ------------------------------------------------------------------ vacuum
+
+  /** Physically delete what no retained version references: data files
+    * removed at or before `tip - retainVersions`, manifests/checkpoints
+    * older than needed to replay retained versions, stale `.tmp-*`
+    * manifests, and orphan data files (staged by a crashed or conflicted
+    * writer, never committed). Readers pinned within the retained window
+    * are unaffected; older pins lose their files — that is the
+    * retention contract, same as any table format's.
+    *
+    * Orphans (on disk but referenced by NO manifest) are only deleted
+    * once older than `orphanGraceMs`: a LIVE writer between its staging
+    * move-in and its manifest CAS looks exactly like a crashed one, and
+    * vacuuming its files out from under it would corrupt the commit it
+    * is about to publish. Files that WERE committed and then logically
+    * removed carry no such ambiguity and are deleted on age of version,
+    * not wall clock. Returns (dataFilesDeleted, logFilesDeleted). */
+  def vacuum(
+      spark: SparkSession,
+      store: Path,
+      retainVersions: Int = 2,
+      orphanGraceMs: Long = 10L * 60 * 1000): (Int, Int) = {
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tip = currentVersion(fs, store)
+    if (tip == 0) return (0, 0)
+    val floor = math.max(1, tip - math.max(0, retainVersions - 1))
+    // every file referenced by any retained version stays
+    val live: Set[String] =
+      (floor to tip).flatMap(v => snapshotFiles(fs, store, v)).toSet
+    // everything any AVAILABLE log record ever referenced: committed
+    // files (even since-removed ones) — distinguishes them from orphans
+    val logNames = listLog(fs, store).map(_.getPath.getName)
+    val oldestCkpt = {
+      val cs = logNames.filter(_.endsWith(".checkpoint"))
+        .map(_.stripSuffix(".checkpoint").toLong)
+      if (cs.isEmpty) None else Some(cs.min)
+    }
+    val referenced: Set[String] = {
+      val fromCkpt = oldestCkpt.toSeq.flatMap(c => snapshotFiles(fs, store, c))
+      val fromManifests = logNames.filter(_.endsWith(".txt"))
+        .map(_.stripSuffix(".txt").toLong)
+        .flatMap(v => readManifest(fs, store, v).added)
+      (fromCkpt ++ fromManifests).toSet
+    }
+    val now = System.currentTimeMillis()
+    var dataDeleted = 0
+    def sweep(d: Path, relPrefix: String): Unit =
+      fs.listStatus(d).foreach { st =>
+        val name = st.getPath.getName
+        val rel = relPrefix + name
+        if (name == LogDirName) ()
+        else if (st.isDirectory) sweep(st.getPath, rel + "/")
+        else if (isDataFile(name) && !live.contains(rel) &&
+            (referenced.contains(rel) ||
+              now - st.getModificationTime > orphanGraceMs)) {
+          fs.delete(st.getPath, false); dataDeleted += 1
+        }
+      }
+    sweep(store, "")
+    // manifests strictly below the replay floor are unreachable once a
+    // checkpoint at or below the floor covers them; keep it simple and
+    // safe: drop manifests below the newest checkpoint ≤ floor, tmps always
+    val names = listLog(fs, store).map(_.getPath.getName)
+    val ckpts = names.filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong).filter(_ <= floor)
+    val replayBase = if (ckpts.isEmpty) 0L else ckpts.max
+    var logDeleted = 0
+    names.foreach { n =>
+      val drop =
+        n.startsWith(".tmp-") ||
+          (n.endsWith(".txt") && n.stripSuffix(".txt").toLong <= replayBase) ||
+          (n.endsWith(".checkpoint") && n.stripSuffix(".checkpoint").toLong < replayBase)
+      if (drop) { fs.delete(new Path(logDir(store), n), false); logDeleted += 1 }
+    }
+    (dataDeleted, logDeleted)
+  }
+}

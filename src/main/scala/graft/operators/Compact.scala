@@ -134,4 +134,61 @@ object Compact {
       case None => Swap.withStoreLease(spark, root)(run)
     }
   }
+
+  /** Compact a COMMIT-LOG-backed hive-partitioned store ([[CommitLog]]):
+    * each fragmented partition rewrites into ~target-sized files and
+    * commits its own manifest (removed = the partition's live files,
+    * added = the compacted ones), so compaction is just another
+    * optimistic writer — it runs lock-free beside ingest into OTHER
+    * partitions, and a race on the SAME partition resolves to one winner
+    * (the loser's ConflictException here is swallowed per partition:
+    * maintenance losing to ingest is the correct outcome, the partition
+    * just stays fragmented until the next tick). File liveness comes
+    * from the manifest, never listStatus — a log store's dirs may hold
+    * since-removed files awaiting vacuum and orphans from crashed
+    * writers, and compacting THOSE back in would resurrect deleted
+    * rows. */
+  def compactLogStore(
+      spark: SparkSession,
+      storePath: String,
+      pcol: String,
+      targetFileBytes: Long = 128L << 20,
+      maxFilesPerDir: Int = 8): Map[String, CompactStats] = {
+    val root = new Path(storePath)
+    val fs = fsOf(spark, root)
+    val readVersion = CommitLog.currentVersion(fs, root)
+    val live = CommitLog.snapshotFiles(fs, root, readVersion)
+    val byDir = live.groupBy(f => f.takeWhile(_ != '/'))
+      .filter { case (d, fls) => d.startsWith(pcol + "=") && fls.length > maxFilesPerDir }
+    byDir.flatMap { case (dirName, rels) =>
+      val files = rels.map(r => fs.getFileStatus(new Path(root, r))).toArray
+      val bytes = files.map(_.getLen).sum
+      val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      val before = footerRows(spark, files)
+      if (files.length <= nOut) None
+      else {
+        val staging = Swap.Hidden.staging(root, Swap.newTag())
+        spark.read
+          .option("basePath", root.toString)
+          .parquet(files.map(_.getPath.toString): _*)
+          .drop(pcol) // partition col re-materializes from the dir name
+          .repartition(nOut)
+          .write.parquet(new Path(staging, dirName).toString)
+        val after = footerRows(spark, dataFiles(spark, new Path(staging, dirName)))
+        if (after != before) {
+          fs.delete(staging, true)
+          throw new IllegalStateException(
+            s"compaction row mismatch for $storePath/$dirName: " +
+              s"$before -> $after (store untouched)")
+        }
+        try {
+          CommitLog.commitStaged(spark, root, staging, readVersion,
+            Seq(dirName), wholeStore = false)
+          Some(dirName -> CompactStats(files.length, nOut, bytes, before))
+        } catch {
+          case _: CommitLog.ConflictException => None // ingest won; next tick
+        }
+      }
+    }
+  }
 }

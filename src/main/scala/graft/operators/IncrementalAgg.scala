@@ -41,7 +41,8 @@ object IncrementalAgg {
       keyCols: Seq[String],
       valueCol: String,
       batchId: Option[Long] = None,
-      lease: Option[Swap.Lease] = None): DataFrame = {
+      lease: Option[Swap.Lease] = None,
+      log: Option[Boolean] = None): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
 
     val partial = batch.groupBy(keyCols.map(col): _*).agg(
@@ -52,6 +53,30 @@ object IncrementalAgg {
 
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // Commit-log mode: the store is key-sized and flat, so every fold is
+    // a whole-store rewrite — two concurrent folds conflict by design
+    // (one wins, the loser re-runs against the new state; with the lease
+    // they deadlocked-or-died, with OCC they serialize themselves). The
+    // batch high-water mark rides the manifest's meta map, committed
+    // atomically WITH the fold it describes — same contract the legacy
+    // mode gets from writing the marker file inside the staged dir.
+    if (CommitLog.isLog(fs, target) ||
+        (!fs.exists(target) && (lease.isEmpty &&
+          log.getOrElse(CommitLog.confEnabled(spark))))) {
+      val readVersion = CommitLog.currentVersion(fs, target)
+      val meta = batchId.map(id => Map("batchId" -> id.toString)).getOrElse(Map.empty)
+      val existing = CommitLog.read(spark, target, Some(readVersion))
+      val out = existing match {
+        case None => partial
+        case Some(store) => foldInto(store, partial, keyCols)
+      }
+      val staging = Swap.Suffix.staging(target, Swap.newTag())
+      out.write.parquet(staging.toString)
+      CommitLog.commitStaged(spark, target, staging, readVersion,
+        Nil, wholeStore = true, meta = meta)
+      return CommitLog.read(spark, target).get
+    }
 
     // single-writer lease across the whole fold (first-write rename
     // included): two streams folding into one store must fail loudly.
@@ -80,19 +105,7 @@ object IncrementalAgg {
     }
 
     val store = spark.read.parquet(path)
-    // mergeable-statistic combine over a full outer join: a key present
-    // on one side only passes through; present on both → n+n, sum+sum,
-    // min(min), max(max)
-    val s = store.as("s")
-    val p = partial.as("p")
-    val joinCond = keyCols.map(k => col(s"s.$k") <=> col(s"p.$k")).reduce(_ && _)
-    val keyOut = keyCols.map(k => coalesce(col(s"s.$k"), col(s"p.$k")).as(k))
-    val merged = s.join(p, joinCond, "full_outer")
-      .select(keyOut ++ Seq(
-        (coalesce(col("s.n"), lit(0L)) + coalesce(col("p.n"), lit(0L))).as("n"),
-        (coalesce(col("s.sum"), lit(0.0)) + coalesce(col("p.sum"), lit(0.0))).as("sum"),
-        least(col("s.min"), col("p.min")).as("min"), // least/greatest skip NULLs
-        greatest(col("s.max"), col("p.max")).as("max")): _*)
+    val merged = foldInto(store, partial, keyCols)
 
     val tag = Swap.newTag()
     val staging = Swap.Suffix.staging(target, tag)
@@ -107,6 +120,34 @@ object IncrementalAgg {
       case Some(l) => run(l)
       case None => Swap.withStoreLease(spark, target)(run)
     }
+  }
+
+  /** Mergeable-statistic combine over a full outer join: a key present
+    * on one side only passes through; present on both → n+n, sum+sum,
+    * min(min), max(max). */
+  private def foldInto(
+      store: DataFrame, partial: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val s = store.as("s")
+    val p = partial.as("p")
+    val joinCond = keyCols.map(k => col(s"s.$k") <=> col(s"p.$k")).reduce(_ && _)
+    val keyOut = keyCols.map(k => coalesce(col(s"s.$k"), col(s"p.$k")).as(k))
+    s.join(p, joinCond, "full_outer")
+      .select(keyOut ++ Seq(
+        (coalesce(col("s.n"), lit(0L)) + coalesce(col("p.n"), lit(0L))).as("n"),
+        (coalesce(col("s.sum"), lit(0.0)) + coalesce(col("p.sum"), lit(0.0))).as("sum"),
+        least(col("s.min"), col("p.min")).as("min"), // least/greatest skip NULLs
+        greatest(col("s.max"), col("p.max")).as("max")): _*)
+  }
+
+  /** Read the store — commit-log snapshot when log-backed, plain parquet
+    * read otherwise. */
+  def readStore(spark: SparkSession, path: String): DataFrame = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (CommitLog.isLog(fs, target))
+      CommitLog.read(spark, target).getOrElse(
+        throw new IllegalStateException(s"incremental-agg log store $path is empty"))
+    else spark.read.parquet(path)
   }
 
   /** Read the store with the derived average attached. */

@@ -32,6 +32,14 @@ object Merge {
     * most one row per key (checked — SQL MERGE raises on multiple matches
     * rather than picking one nondeterministically).
     *
+    * Store modes: a store with a `_log/` dir is COMMIT-LOG backed
+    * (see [[CommitLog]]) — reads pin a snapshot version, writes publish
+    * manifests with optimistic concurrency, and partition-scoped merges
+    * on DISJOINT partitions may run concurrently with no lock. A store
+    * without one uses the legacy staged-swap + single-writer-lease
+    * protocol. New stores pick the log when `log = Some(true)` or the
+    * session default `spark.graft.store.commitLog` is set.
+    *
     * @param prunePartitions partition column to scope the rewrite: only
     *   target partitions the merge can change — those the source writes
     *   into plus, when the partition value is not part of the key, those
@@ -52,33 +60,70 @@ object Merge {
       source: DataFrame,
       keyCols: Seq[String],
       prunePartitions: Option[String] = None,
-      evolveSchema: Boolean = false): DataFrame = {
+      evolveSchema: Boolean = false,
+      log: Option[Boolean] = None): DataFrame = {
     require(keyCols.nonEmpty, "MERGE needs at least one key column")
 
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(targetPath)
     val fs = target.getFileSystem(hconf)
 
-    // the whole merge cycle (recover → read → stage → swap) runs under
-    // the store's single-writer lease — a second concurrent merge fails
-    // loudly at acquire instead of interleaving staged swaps
-    Swap.withStoreLease(spark, target) { lease =>
+    val logMode = CommitLog.isLog(fs, target) ||
+      (!fs.exists(target) && log.getOrElse(CommitLog.confEnabled(spark)))
 
-    // recover any interrupted previous merge before reading the store:
-    // whole-dir swap crash window (store path missing, staged copy
-    // complete) and partition-scoped swap crash window (touched dirs
-    // retired, staged replacements pending behind the intent marker)
-    // allowLoneStaging=false: Merge's FIRST write is direct (the
-    // insert-all below, no staging), so a lone staging sibling with the
-    // store missing is unknown provenance — treating it as "fresh" would
-    // silently rebuild from this one batch and discard whatever the
-    // staging holds. Fail loudly instead (Swap's documented contract).
-    Swap.recoverWholeDir(spark, target, Swap.Suffix, allowLoneStaging = false)
-    if (fs.exists(target)) Swap.recoverDirs(spark, target, Swap.Suffix)
+    // Legacy mode: the whole merge cycle (recover → read → stage → swap)
+    // runs under the store's single-writer lease — a second concurrent
+    // merge fails loudly at acquire instead of interleaving staged swaps.
+    // Log mode needs neither lease nor recovery: nothing is visible until
+    // the manifest CAS, and concurrent DISJOINT merges are the feature.
+    def withProtocol[T](f: Option[Swap.Lease] => T): T =
+      if (logMode) f(None)
+      else Swap.withStoreLease(spark, target)(l => f(Some(l)))
 
-    if (!fs.exists(target)) {
+    withProtocol { lease =>
+
+    if (!logMode) {
+      // recover any interrupted previous merge before reading the store:
+      // whole-dir swap crash window (store path missing, staged copy
+      // complete) and partition-scoped swap crash window (touched dirs
+      // retired, staged replacements pending behind the intent marker)
+      // allowLoneStaging=false: Merge's FIRST write is direct (the
+      // insert-all below, no staging), so a lone staging sibling with the
+      // store missing is unknown provenance — treating it as "fresh" would
+      // silently rebuild from this one batch and discard whatever the
+      // staging holds. Fail loudly instead (Swap's documented contract).
+      Swap.recoverWholeDir(spark, target, Swap.Suffix, allowLoneStaging = false)
+      if (fs.exists(target)) Swap.recoverDirs(spark, target, Swap.Suffix)
+    }
+
+    // OCC anchor: the snapshot version this merge's computation reads;
+    // commitStaged checks every later commit for partition overlap
+    val readVersion = if (logMode) CommitLog.currentVersion(fs, target) else 0L
+    val hasData =
+      if (logMode) readVersion > 0 &&
+        CommitLog.snapshotFiles(fs, target, readVersion).nonEmpty
+      else fs.exists(target)
+
+    if (!hasData) {
       // nothing to match: MERGE degenerates to insert-all
-      source.write.parquet(targetPath)
+      if (logMode) {
+        // lay out by the prune column from the FIRST write: a mixed
+        // flat+partitioned store reads ambiguously (root files have the
+        // column as data, partition dirs as a path), so the layout is
+        // fixed at creation and partition-scoped merges find real dirs
+        val staging = Swap.Suffix.staging(target, Swap.newTag())
+        val w = source.write
+        prunePartitions.fold(w)(w.partitionBy(_)).parquet(staging.toString)
+        CommitLog.commitStaged(spark, target, staging, readVersion,
+          Nil, wholeStore = true)
+        return CommitLog.read(spark, target).get
+      }
+      // same layout rule as log mode: partition the store from its first
+      // write when a prune column is declared — a later partition-scoped
+      // merge against a flat store would otherwise leave a mixed layout
+      // whose directory read silently drops the root-level files
+      val w = source.write
+      prunePartitions.fold(w)(w.partitionBy(_)).parquet(targetPath)
       return spark.read.parquet(targetPath)
     }
 
@@ -87,9 +132,14 @@ object Merge {
     // read must union footers rather than sample one — otherwise the
     // evolved columns silently vanish depending on which file Spark picks
     // for inference. mergeSchema costs one footer read per file; only
-    // paid when evolution is on.
+    // paid when evolution is on. Log mode pins the read to the OCC base
+    // version — the plan scans exactly the snapshot the conflict check
+    // covers, even if the tip moves mid-merge.
     def readStore(): DataFrame =
-      if (evolveSchema) spark.read.option("mergeSchema", "true").parquet(targetPath)
+      if (logMode)
+        CommitLog.read(spark, target, Some(readVersion), evolveSchema).get
+      else if (evolveSchema)
+        spark.read.option("mergeSchema", "true").parquet(targetPath)
       else spark.read.parquet(targetPath)
 
     val current = readStore()
@@ -109,7 +159,32 @@ object Merge {
       .agg(count(lit(1)).as("graft_n")).filter(col("graft_n") > 1).limit(1).count()
     require(dupKeys == 0, s"source has multiple rows for the same key ${keyCols.mkString(",")}")
 
+    // A store created WITHOUT a prune column holds root-level files
+    // (pcol is a data column, not a path) — a partition-scoped rewrite
+    // cannot retire rows from those, and a mixed flat+partitioned layout
+    // is ambiguous to read (the directory scan silently drops whichever
+    // shape loses partition inference). Convert with ONE whole-store
+    // partitioned rewrite; subsequent merges prune normally.
+    val storeIsFlat =
+      if (logMode)
+        CommitLog.snapshotFiles(fs, target, readVersion).exists(!_.contains('/'))
+      else fs.listStatus(target).exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+
     prunePartitions match {
+      case Some(pcol) if storeIsFlat =>
+        val tag = Swap.newTag()
+        val staging = Swap.Suffix.staging(target, tag)
+        val merged = current
+          .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(source, allowMissingColumns = evolveSchema)
+        merged.write.partitionBy(pcol).parquet(staging.toString)
+        if (logMode)
+          CommitLog.commitStaged(spark, target, staging, readVersion,
+            Nil, wholeStore = true)
+        else
+          Swap.commitWholeDir(fs, target, staging,
+            Swap.Suffix.retired(target, tag), lease)
       case Some(pcol) =>
         // Partition-scoped merge: rewrite only partitions the merge can
         // change. Those are (a) partitions the source writes into, and —
@@ -175,8 +250,12 @@ object Merge {
           .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
           .unionByName(source, allowMissingColumns = evolveSchema)
         merged.write.partitionBy(pcol).parquet(staging.toString)
-        Swap.commitDirs(fs, target, staging, retired,
-          oldDirs.map(_.getName).toSeq, Some(lease))
+        if (logMode)
+          CommitLog.commitStaged(spark, target, staging, readVersion,
+            oldDirs.map(_.getName).toSeq, wholeStore = false)
+        else
+          Swap.commitDirs(fs, target, staging, retired,
+            oldDirs.map(_.getName).toSeq, lease)
       case None =>
         val tag = Swap.newTag()
         val staging = Swap.Suffix.staging(target, tag)
@@ -185,9 +264,14 @@ object Merge {
           .join(source.select(keyCols.map(col): _*), keyCols, "left_anti")
           .unionByName(source, allowMissingColumns = evolveSchema)
         merged.write.parquet(staging.toString)
-        Swap.commitWholeDir(fs, target, staging, retired, Some(lease))
+        if (logMode)
+          CommitLog.commitStaged(spark, target, staging, readVersion,
+            Nil, wholeStore = true)
+        else
+          Swap.commitWholeDir(fs, target, staging, retired, lease)
     }
-    readStore()
+    if (logMode) CommitLog.read(spark, target, mergeSchema = evolveSchema).get
+    else readStore()
     }
   }
 }

@@ -54,6 +54,9 @@ object Scd2 {
   def recover(spark: SparkSession, path: String): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = Swap.fsOf(spark, target)
+    // log-backed stores have no swap crash states to recover: nothing is
+    // visible until a manifest CAS, so every on-disk snapshot is complete
+    if (CommitLog.isLog(fs, target)) return
     // allowLoneStaging=false: SCD2's FIRST write is direct (apply writes
     // the initial sliced store without staging), so a lone staging with
     // the store missing is unknown provenance, not a fresh store.
@@ -88,11 +91,24 @@ object Scd2 {
           "current versions are missing; restore the store manually")
   }
 
-  /** The store with the slice column dropped — the logical SCD2 table. */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    recover(spark, path)
-    spark.read.parquet(path).drop(SliceCol)
+  /** The raw sliced store — commit-log snapshot when the store is
+    * log-backed (crash-safe by construction, no recovery pass), legacy
+    * recovered-directory read otherwise. */
+  private def readSliced(spark: SparkSession, path: String): DataFrame = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = Swap.fsOf(spark, target)
+    if (CommitLog.isLog(fs, target))
+      CommitLog.read(spark, target).getOrElse(
+        throw new IllegalStateException(s"SCD2 log store $path is empty"))
+    else {
+      recover(spark, path)
+      spark.read.parquet(path)
+    }
   }
+
+  /** The store with the slice column dropped — the logical SCD2 table. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readSliced(spark, path).drop(SliceCol)
 
   /** Apply one delta batch to the SCD2 store at `path`. `batchTs` is the
     * effectivity timestamp ("yyyy-MM-dd HH:mm:ss"); passing it explicitly
@@ -103,7 +119,8 @@ object Scd2 {
       path: String,
       batch: DataFrame,
       keyCol: String,
-      batchTs: String): DataFrame = {
+      batchTs: String,
+      log: Option[Boolean] = None): DataFrame = {
     val attrCols = batch.columns.filterNot(_ == keyCol).toSeq
     require(attrCols.nonEmpty, "SCD2 needs at least one attribute column")
     require(!batch.columns.contains(SliceCol),
@@ -121,20 +138,42 @@ object Scd2 {
 
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // the whole cycle (recover → read → stage → swap) runs under the
-    // store's single-writer lease: a second concurrent apply fails at
-    // acquire instead of staging against a store the first is rewriting
-    Swap.withStoreLease(spark, target) { lease =>
-    recover(spark, path)
-    if (!fs.exists(target)) {
-      asVersion.withColumn(SliceCol, lit(OpenSlice))
-        .write.partitionBy(SliceCol).parquet(path)
+    val logMode = CommitLog.isLog(fs, target) ||
+      (!fs.exists(target) && log.getOrElse(CommitLog.confEnabled(spark)))
+    // Legacy mode: the whole cycle (recover → read → stage → swap) runs
+    // under the store's single-writer lease: a second concurrent apply
+    // fails at acquire instead of staging against a store the first is
+    // rewriting. Log mode: optimistic concurrency on the two touched
+    // slice dirs — two applies race on `open` by construction, so one
+    // wins and the other gets a ConflictException to re-run; what the
+    // log buys SCD2 is lock-free coexistence with readers (snapshot
+    // pinning) and with maintenance on disjoint slices.
+    def withProtocol[T](f: Option[Swap.Lease] => T): T =
+      if (logMode) f(None)
+      else Swap.withStoreLease(spark, target)(l => f(Some(l)))
+    withProtocol { lease =>
+    if (!logMode) recover(spark, path)
+    val readVersion = if (logMode) CommitLog.currentVersion(fs, target) else 0L
+    val hasData =
+      if (logMode) readVersion > 0 &&
+        CommitLog.snapshotFiles(fs, target, readVersion).nonEmpty
+      else fs.exists(target)
+    if (!hasData) {
+      val first = asVersion.withColumn(SliceCol, lit(OpenSlice))
+      if (logMode) {
+        val staging = Swap.Suffix.staging(target, Swap.newTag())
+        first.write.partitionBy(SliceCol).parquet(staging.toString)
+        CommitLog.commitStaged(spark, target, staging, readVersion,
+          Nil, wholeStore = true)
+      } else first.write.partitionBy(SliceCol).parquet(path)
       return read(spark, path)
     }
-    migrateLegacyLayout(spark, fs, path, lease)
+    if (!logMode) lease.foreach(migrateLegacyLayout(spark, fs, path, _))
 
     val slice = closedSlice(batchTs)
-    val store = spark.read.parquet(path)
+    val store =
+      if (logMode) CommitLog.read(spark, target, Some(readVersion)).get
+      else spark.read.parquet(path)
     // partition-pruned reads: only the open slice (current versions) and
     // this month's closed slice are ever scanned; other history slices
     // stay cold
@@ -175,21 +214,27 @@ object Scd2 {
       .unionByName(
         keptOpen.unionByName(newVersions).withColumn(SliceCol, lit(OpenSlice)))
 
-    // staged write + marker-gated slice-dir swap (Swap.commitDirs): the
-    // plan above still scans the store, so stage FULLY before renaming,
-    // then swap only the two touched slice dirs. Once the intent marker
-    // lands, any crash rolls FORWARD via recover(); before it, the store
-    // is untouched and a half-written staging is discarded.
+    // staged write, then commit: log mode publishes a manifest retiring
+    // the two touched slice dirs' files (OCC-checked against commits
+    // since readVersion); legacy mode swaps the dirs behind the intent
+    // marker (once it lands, any crash rolls FORWARD via recover();
+    // before it, the store is untouched and a half staging is discarded).
     val tag = Swap.newTag()
     val staging = Swap.Suffix.staging(target, tag)
     val retired = Swap.Suffix.retired(target, tag)
+    val touchedSlices = Seq(OpenSlice, slice).distinct.map(SliceCol + "=" + _)
     updated.write.partitionBy(SliceCol).parquet(staging.toString)
-    Swap.commitDirs(fs, target, staging, retired,
-      Seq(OpenSlice, slice).distinct.map(SliceCol + "=" + _), Some(lease))
-    // not read(): recovery already ran at entry and the swap just
-    // committed — re-running it would pay two more store listings plus a
-    // parent-dir sibling scan on EVERY trickle batch for nothing
-    spark.read.parquet(path).drop(SliceCol)
+    if (logMode) {
+      CommitLog.commitStaged(spark, target, staging, readVersion,
+        touchedSlices, wholeStore = false)
+      CommitLog.read(spark, target).get.drop(SliceCol)
+    } else {
+      Swap.commitDirs(fs, target, staging, retired, touchedSlices, lease)
+      // not read(): recovery already ran at entry and the swap just
+      // committed — re-running it would pay two more store listings plus a
+      // parent-dir sibling scan on EVERY trickle batch for nothing
+      spark.read.parquet(path).drop(SliceCol)
+    }
     }
   }
 
@@ -238,12 +283,18 @@ object Scd2 {
       spark: SparkSession,
       path: String,
       targetFileBytes: Long = 128L << 20,
-      maxFilesPerDir: Int = 8): Map[String, Compact.CompactStats] =
-    Swap.withStoreLease(spark, new org.apache.hadoop.fs.Path(path)) { lease =>
+      maxFilesPerDir: Int = 8): Map[String, Compact.CompactStats] = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    if (CommitLog.isLog(Swap.fsOf(spark, target), target))
+      // per-slice manifest commits; OCC lets maintenance run beside
+      // writers on other slices and lose politely on the hot ones
+      Compact.compactLogStore(spark, path, SliceCol, targetFileBytes, maxFilesPerDir)
+    else Swap.withStoreLease(spark, target) { lease =>
       recover(spark, path)
       Compact.compactStore(
         spark, path, SliceCol, targetFileBytes, maxFilesPerDir, Some(lease))
     }
+  }
 
   /** Point-in-time lookup: the version of each key valid at `asOf`. */
   def asOf(store: DataFrame, asOfTs: String): DataFrame = {
@@ -259,8 +310,7 @@ object Scd2 {
     * column prunes at planning time). History closed before T's month —
     * the bulk of a years-old dimension — is never scanned. */
   def asOfStore(spark: SparkSession, path: String, asOfTs: String): DataFrame = {
-    recover(spark, path)
-    val pruned = spark.read.parquet(path)
+    val pruned = readSliced(spark, path)
       .filter(col(SliceCol) === OpenSlice ||
         col(SliceCol) >= lit(closedSlice(asOfTs)))
       .drop(SliceCol)

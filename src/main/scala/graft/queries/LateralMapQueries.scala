@@ -112,12 +112,16 @@ object LateralMapQueries {
     // rows, inserts append, untouched rows survive. The query runs a real
     // parquet-store merge into a throwaway dir and returns the store
     // contents; the oracle states the expected post-merge table directly.
+    // The store is COMMIT-LOG backed (CommitLog.scala): the first call
+    // creates log version v1, the merge publishes v2 via the optimistic
+    // CAS protocol — so the gated row exercises the transaction-log read
+    // AND write paths, not just the legacy dir swap.
     GraftQuery(
       "q_merge",
       (s, d) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
         val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
-        cust.write.parquet(tmp)
+        graft.operators.Merge.into(s, tmp, cust, Seq("c_custkey"), log = Some(true))
         val updates = cust.filter(col("c_custkey") <= 100)
           .withColumn("c_name", upper(col("c_name")))
         val inserts = cust.filter(col("c_custkey") <= 100)

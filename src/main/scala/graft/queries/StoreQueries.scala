@@ -17,13 +17,16 @@ object StoreQueries {
     // SCD2: batch 1 loads every supplier at t1; batch 2 (keys ≤ 30)
     // renames the even keys (→ close + re-open), repeats the odd keys
     // verbatim (→ no churn) and adds brand-new keys. The oracle spells
-    // out the resulting version table.
+    // out the resulting version table. The store is COMMIT-LOG backed
+    // (CommitLog.scala): both applies publish manifests via the
+    // optimistic CAS protocol, so the gated row runs on the
+    // transaction-log path end to end.
     GraftQuery(
       "q_scd2",
       (s, d) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft_scd2q").toString + "/dim"
         val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
-        Scd2.apply(s, tmp, sup, "s_suppkey", "2024-01-01 00:00:00")
+        Scd2.apply(s, tmp, sup, "s_suppkey", "2024-01-01 00:00:00", log = Some(true))
         val b2 = sup.filter(col("s_suppkey") <= 30)
           .withColumn("s_name",
             when(col("s_suppkey") % 2 === 0, upper(col("s_name")))
@@ -119,7 +122,9 @@ object StoreQueries {
 
     // Incremental aggregation: three disjoint batches of lineitem folded
     // into the store must equal one direct aggregation of the whole
-    // table — the materialized-view maintenance identity.
+    // table — the materialized-view maintenance identity. The store is
+    // COMMIT-LOG backed (CommitLog.scala): each fold publishes a
+    // manifest, so the gated row runs the transaction-log path.
     GraftQuery(
       "q_incr_agg",
       (s, d) => {
@@ -127,9 +132,10 @@ object StoreQueries {
         val li = Tables.lineitem(s, d)
         (0 until 3).foreach { i =>
           IncrementalAgg.update(s, tmp,
-            li.filter(col("l_orderkey") % 3 === i), Seq("l_returnflag"), "l_quantity")
+            li.filter(col("l_orderkey") % 3 === i), Seq("l_returnflag"), "l_quantity",
+            log = Some(true))
         }
-        IncrementalAgg.withAvg(s.read.parquet(tmp))
+        IncrementalAgg.withAvg(IncrementalAgg.readStore(s, tmp))
           .select(
             col("l_returnflag"), col("n"),
             round(col("sum"), 2).as("sum"),

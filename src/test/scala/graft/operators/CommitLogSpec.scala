@@ -1,0 +1,210 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import graft.flow.SparkTestSession
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The optimistic-concurrency commit log's own matrix: CAS publication,
+  * snapshot-isolated readers, disjoint-writer concurrency, overlapping-
+  * writer conflicts anchored at the READ version, crash leftovers, and
+  * vacuum. Operator-level coverage (Merge/Scd2/IncrementalAgg/Compact on
+  * log stores, including real concurrent threads) lives in
+  * LogStoreSpec. */
+class CommitLogSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  /** Stage rows for partition p=`p` and return the staging path. */
+  private def stage(store: Path, p: String, rows: Seq[(Long, String)]): Path = {
+    val staging = Swap.Suffix.staging(store, Swap.newTag())
+    rows.toDF("k", "v").withColumn("p", org.apache.spark.sql.functions.lit(p))
+      .write.partitionBy("p").parquet(staging.toString)
+    staging
+  }
+
+  private def readAll(store: Path): Set[(Long, String, String)] =
+    CommitLog.read(spark, store).map(
+      _.select("k", "v", "p").as[(Long, String, String)].collect().toSet)
+      .getOrElse(Set.empty)
+
+  test("sequential commits: versions number densely, snapshots replay " +
+    "adds and removes, reads prune partitions from the manifest file list") {
+    val store = new Path(tmp("graft_cl_seq") + "/s")
+    val v1 = CommitLog.commitStaged(spark, store,
+      stage(store, "a", Seq((1L, "a1"))), 0L, Nil, wholeStore = true)
+    assert(v1 == 1)
+    val v2 = CommitLog.commitStaged(spark, store,
+      stage(store, "b", Seq((2L, "b1"))), 1L, Seq("p=b"), wholeStore = false)
+    assert(v2 == 2)
+    assert(readAll(store) == Set((1L, "a1", "a"), (2L, "b1", "b")))
+    // replace partition b
+    CommitLog.commitStaged(spark, store,
+      stage(store, "b", Seq((3L, "b2"))), 2L, Seq("p=b"), wholeStore = false)
+    assert(readAll(store) == Set((1L, "a1", "a"), (3L, "b2", "b")))
+    // partition filter prunes to the one dir's files
+    val plan = CommitLog.read(spark, store).get
+      .filter(org.apache.spark.sql.functions.col("p") === "a")
+      .queryExecution.executedPlan
+    val scanned = plan.collectLeaves().map(_.toString).mkString
+    assert(scanned.contains("p=a") || !scanned.contains("p=b"), scanned)
+  }
+
+  test("snapshot isolation: a reader pinned to v1 sees v1's content " +
+    "unchanged while later commits logically remove its files") {
+    val store = new Path(tmp("graft_cl_pin") + "/s")
+    CommitLog.commitStaged(spark, store,
+      stage(store, "a", Seq((1L, "old"))), 0L, Nil, wholeStore = true)
+    val pinned = CommitLog.read(spark, store, Some(1L)).get
+    CommitLog.commitStaged(spark, store,
+      stage(store, "a", Seq((1L, "new"))), 1L, Seq("p=a"), wholeStore = false)
+    // tip moved and v1's file is logically removed — the pinned frame
+    // still reads the old bytes (vacuum hasn't run)
+    assert(pinned.select("v").as[String].collect().toSeq == Seq("old"))
+    assert(readAll(store) == Set((1L, "new", "a")))
+  }
+
+  test("OCC is anchored at the READ version: a writer that read v1 and " +
+    "publishes after an overlapping v2 conflicts even with no CAS race") {
+    val store = new Path(tmp("graft_cl_slow") + "/s")
+    CommitLog.commitStaged(spark, store,
+      stage(store, "a", Seq((1L, "base"))), 0L, Nil, wholeStore = true)
+    // slow writer stages against v1...
+    val slowStaging = stage(store, "a", Seq((1L, "slow")))
+    // ...but a fast writer lands v2 on the same partition first
+    CommitLog.commitStaged(spark, store,
+      stage(store, "a", Seq((1L, "fast"))), 1L, Seq("p=a"), wholeStore = false)
+    val e = intercept[CommitLog.ConflictException] {
+      CommitLog.commitStaged(spark, store, slowStaging, 1L,
+        Seq("p=a"), wholeStore = false)
+    }
+    assert(e.getMessage.contains("re-run"))
+    // the loser's files were dropped — not left as orphans-that-look-live
+    assert(readAll(store) == Set((1L, "fast", "a")))
+    // disjoint slow writer against the SAME stale base succeeds
+    CommitLog.commitStaged(spark, store,
+      stage(store, "b", Seq((9L, "disjoint"))), 1L, Seq("p=b"), wholeStore = false)
+    assert(readAll(store) == Set((1L, "fast", "a"), (9L, "disjoint", "b")))
+  }
+
+  test("whole-store commits conflict with everything, including other " +
+    "whole-store commits") {
+    val store = new Path(tmp("graft_cl_whole") + "/s")
+    CommitLog.commitStaged(spark, store,
+      stage(store, "a", Seq((1L, "x"))), 0L, Nil, wholeStore = true)
+    val staged = stage(store, "b", Seq((2L, "y")))
+    CommitLog.commitStaged(spark, store,
+      stage(store, "c", Seq((3L, "z"))), 1L, Seq("p=c"), wholeStore = false)
+    intercept[CommitLog.ConflictException] {
+      CommitLog.commitStaged(spark, store, staged, 1L, Nil, wholeStore = true)
+    }
+  }
+
+  test("concurrent disjoint writers both commit (threads racing the " +
+    "same base version)") {
+    val store = new Path(tmp("graft_cl_race") + "/s")
+    CommitLog.commitStaged(spark, store,
+      stage(store, "seed", Seq((0L, "s"))), 0L, Nil, wholeStore = true)
+    val parts = Seq("a", "b", "c", "d")
+    val stagings = parts.map(p => p -> stage(store, p, Seq((p.head.toLong, p + "!"))))
+    val pool = Executors.newFixedThreadPool(parts.size)
+    val start = new CountDownLatch(1)
+    val results = stagings.map { case (p, staging) =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          start.await()
+          CommitLog.commitStaged(spark, store, staging, 1L,
+            Seq(s"p=$p"), wholeStore = false)
+        }
+      })
+    }
+    start.countDown()
+    val versions = results.map(_.get(60, TimeUnit.SECONDS))
+    pool.shutdown()
+    // all four committed, at distinct versions 2..5, in some order
+    assert(versions.toSet == Set(2L, 3L, 4L, 5L))
+    assert(readAll(store).map(_._3) == Set("seed", "a", "b", "c", "d"))
+  }
+
+  test("crash leftovers are invisible and vacuum sweeps them: a tmp " +
+    "manifest and moved-in-but-uncommitted data files change nothing") {
+    val store = new Path(tmp("graft_cl_crash") + "/s")
+    CommitLog.commitStaged(spark, store,
+      stage(store, "a", Seq((1L, "a1"))), 0L, Nil, wholeStore = true)
+    // simulate a writer that crashed between staging move-in and CAS:
+    // a data file in the store with no manifest, plus a torn tmp manifest
+    val orphan = new Path(store, "p=a/part-orphan-deadbeef.parquet")
+    val out = fs.create(orphan, true)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    val tmpManifest = new Path(CommitLog.logDir(store), ".tmp-crashed")
+    val out2 = fs.create(tmpManifest, true)
+    out2.write("version\t2\n".getBytes("UTF-8")); out2.close()
+    // reads are unaffected (the orphan is not in any manifest)
+    assert(readAll(store) == Set((1L, "a1", "a")))
+    // the next writer commits normally at v2
+    CommitLog.commitStaged(spark, store,
+      stage(store, "b", Seq((2L, "b1"))), 1L, Seq("p=b"), wholeStore = false)
+    assert(readAll(store) == Set((1L, "a1", "a"), (2L, "b1", "b")))
+    // vacuum (grace 0 → orphans old enough) removes orphan + tmp manifest
+    CommitLog.vacuum(spark, store, retainVersions = 10, orphanGraceMs = 0L)
+    assert(!fs.exists(orphan))
+    assert(!fs.exists(tmpManifest))
+    assert(readAll(store) == Set((1L, "a1", "a"), (2L, "b1", "b")))
+  }
+
+  test("vacuum honors retention: files of versions inside the window " +
+    "survive, older removed files are reclaimed, current reads intact") {
+    val store = new Path(tmp("graft_cl_vac") + "/s")
+    CommitLog.commitStaged(spark, store,
+      stage(store, "a", Seq((1L, "v1"))), 0L, Nil, wholeStore = true)
+    val v1Files = CommitLog.snapshotFiles(fs, store, 1L)
+    CommitLog.commitStaged(spark, store,
+      stage(store, "a", Seq((1L, "v2"))), 1L, Seq("p=a"), wholeStore = false)
+    CommitLog.commitStaged(spark, store,
+      stage(store, "a", Seq((1L, "v3"))), 2L, Seq("p=a"), wholeStore = false)
+    // retain 2 → v2, v3 readable; v1's file reclaimed
+    CommitLog.vacuum(spark, store, retainVersions = 2, orphanGraceMs = 0L)
+    assert(!fs.exists(new Path(store, v1Files.head)))
+    assert(CommitLog.read(spark, store, Some(2L)).get
+      .select("v").as[String].collect().toSeq == Seq("v2"))
+    assert(readAll(store) == Set((1L, "v3", "a")))
+  }
+
+  test("checkpoints bound replay: >CheckpointEvery commits still " +
+    "snapshot correctly, and vacuum drops pre-checkpoint manifests") {
+    val store = new Path(tmp("graft_cl_ckpt") + "/s")
+    CommitLog.commitStaged(spark, store,
+      stage(store, "p0", Seq((0L, "x0"))), 0L, Nil, wholeStore = true)
+    (1 to 12).foreach { i =>
+      CommitLog.commitStaged(spark, store,
+        stage(store, s"p$i", Seq((i.toLong, s"x$i"))), i.toLong,
+        Seq(s"p=p$i"), wholeStore = false)
+    }
+    assert(CommitLog.currentVersion(fs, store) == 13)
+    assert(fs.exists(new Path(CommitLog.logDir(store), f"${10L}%020d.checkpoint")))
+    assert(readAll(store).size == 13)
+    CommitLog.vacuum(spark, store, retainVersions = 2, orphanGraceMs = 0L)
+    // manifests ≤ the checkpoint below the floor are gone; reads intact
+    assert(!fs.exists(new Path(CommitLog.logDir(store), f"${1L}%020d.txt")))
+    assert(readAll(store).size == 13)
+  }
+
+  test("batch meta rides the manifest: tipMeta returns the last commit's " +
+    "map and earlier metas are superseded") {
+    val store = new Path(tmp("graft_cl_meta") + "/s")
+    CommitLog.commitStaged(spark, store,
+      stage(store, "a", Seq((1L, "x"))), 0L, Nil, wholeStore = true,
+      meta = Map("batchId" -> "7"))
+    assert(CommitLog.tipMeta(fs, store) == Map("batchId" -> "7"))
+    CommitLog.commitStaged(spark, store,
+      stage(store, "a", Seq((1L, "y"))), 1L, Seq("p=a"), wholeStore = false,
+      meta = Map("batchId" -> "8"))
+    assert(CommitLog.tipMeta(fs, store) == Map("batchId" -> "8"))
+  }
+}
