@@ -159,13 +159,13 @@ object IvfIndex {
   }
 
   /** L2-normalized double array from a float-array vector column. */
-  private def nvecExpr(vecCol: String): org.apache.spark.sql.Column = {
+  private[operators] def nvecExpr(vecCol: String): org.apache.spark.sql.Column = {
     val dbl = transform(col(vecCol), _.cast("double"))
     val nrm = sqrt(aggregate(transform(dbl, x => x * x), lit(0.0), _ + _))
     transform(dbl, x => x / greatest(nrm, lit(1e-12)))
   }
 
-  private def dist2Expr(
+  private[operators] def dist2Expr(
       a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)

@@ -1,0 +1,358 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: product-quantized approximate nearest neighbor — the memory
+  * story int8 quantization (4×, Similarity.quantizedTopK) cannot reach.
+  * Each NORMALIZED vector is split into `m` subspaces of dim/m
+  * components; each subvector is replaced by the id of its nearest
+  * per-subspace codebook centroid. A 64-dim float32 vector (256 bytes)
+  * becomes m=8 one-byte codes — 32× smaller, the difference between an
+  * embedding index that fits in cluster memory at 100 TB and one that
+  * doesn't.
+  *
+  * Query = classic ADC (asymmetric distance computation): the query stays
+  * full precision; per subspace a lookup table LUT[s][c] =
+  * dot(query_sub_s, codebook[s][c]) is computed ONCE driver-side (m×ksub
+  * doubles), and a database vector's approximate cosine is just
+  * Σ_s LUT[s][code_s] — m array lookups per row, no float math over the
+  * vector at all. The top `poolK` coarse candidates then fetch their
+  * full-precision rows (broadcast semi-join) for exact cosine re-rank,
+  * so PQ error only costs recall when a true neighbor's coarse score
+  * falls outside the pool — `poolK` is the dial.
+  *
+  * Layout mirrors [[IvfIndex]] (same coarse IVF lists, same sidecar
+  * shapes, same append/drift machinery): `data/` holds (id, pq_code)
+  * hive-partitioned by `list_id` so probes prune to nprobe/nlist of the
+  * files; `centroids/` holds the coarse centroids + per-list drift
+  * baseline; `codebooks/` holds the m×ksub×dsub PQ centroids.
+  *
+  * Simplifications vs a production IVF-PQ, both deliberate:
+  *  - codes quantize the vector itself, not the residual (x − coarse
+  *    centroid). Residual coding buys accuracy but needs a per-list LUT
+  *    (m×ksub×nprobe work per query); vector coding shares ONE LUT
+  *    across all probed lists. The exact re-rank pool absorbs most of
+  *    the accuracy gap.
+  *  - encoding assigns codes via a broadcast codebook join (n×m×ksub
+  *    map-side expansion, two id-grain shuffles); at full 100 TB build
+  *    scale a fused codegen Expression would remove the shuffles. The
+  *    join path is used for BOTH build and append so the two encode
+  *    identically by construction.
+  *
+  * Determinism: the codebook fit input is the driver-bounded sample,
+  * sorted by id and coalesced to one partition, so the same data +
+  * seed produce bit-identical codebooks regardless of how the input
+  * happened to be partitioned — index rebuilds are reproducible.
+  */
+final class IvfPqIndex private (
+    val codes: DataFrame, // idCol, list_id, pq_code: array<int>
+    val coarse: Array[(Int, Array[Double])],
+    val codebooks: Array[Array[Array[Double]]], // [subspace][code][dsub]
+    val idCol: String,
+    val vecCol: String) extends Serializable {
+
+  def m: Int = codebooks.length
+  def ksub: Int = codebooks.headOption.map(_.length).getOrElse(0)
+
+  /** Approximate top-k: ADC-score the `nprobe` nearest coarse lists'
+    * codes, pool `poolK` candidates, exact-cosine re-rank their
+    * full-precision rows fetched from `source` (the original embedding
+    * table — the PQ store holds no floats, that is the point). */
+  def topK(
+      source: DataFrame,
+      probe: Array[Float],
+      k: Int,
+      nprobe: Int = 4,
+      poolK: Int = 100): DataFrame = {
+    require(poolK >= k, s"poolK=$poolK must be >= k=$k")
+    val dim = coarse.headOption.map(_._2.length).getOrElse(probe.length)
+    require(probe.length == dim,
+      s"probe dimensionality ${probe.length} != index dimensionality $dim")
+    val pn = {
+      val n = math.sqrt(probe.map(x => x.toDouble * x).sum).max(1e-12)
+      probe.map(_.toDouble / n)
+    }
+    def dist2(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = c(i) - pn(i); s += d * d; i += 1 }
+      s
+    }
+    val lists = coarse.sortBy { case (_, c) => dist2(c) }.take(nprobe).map(_._1)
+    // one LUT per query: LUT[s][c] = dot(normalized probe's subspace s,
+    // codebook centroid c) — approximate cosine is a sum of m lookups
+    val dsub = dim / m
+    val luts: Array[Seq[Double]] = Array.tabulate(m) { s =>
+      codebooks(s).map { cent =>
+        var acc = 0.0; var j = 0
+        while (j < dsub) { acc += pn(s * dsub + j) * cent(j); j += 1 }
+        acc
+      }.toSeq
+    }
+    val adc = (0 until m).map { s =>
+      element_at(typedLit(luts(s)), element_at(col("pq_code"), s + 1) + 1)
+    }.reduce(_ + _)
+    val pool = codes
+      .filter(col("list_id").isin(lists.toSeq: _*)) // partition-prunable
+      .select(col(idCol), adc.as("graft_adc"))
+      .orderBy(col("graft_adc").desc, col(idCol).asc)
+      .limit(poolK)
+      .select(idCol)
+    source
+      .join(broadcast(pool), Seq(idCol), "left_semi")
+      .select(
+        col(idCol),
+        round(Similarity.cosine(col(vecCol), array(probe.map(lit(_)): _*)), 6)
+          .as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Persist: codes partitioned by list_id (probe pruning), coarse
+    * centroids + drift baseline and the PQ codebooks as sidecars. The
+    * baseline comes from `assigned` (the build-time vectors) — the codes
+    * table itself holds no floats to measure. */
+  private[operators] def save(path: String, assigned: DataFrame): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes.write.partitionBy("list_id").parquet(s"$path/data")
+    val meanD = IvfIndex.meanAssignDist2(assigned, vecCol, coarse)
+    coarse.toSeq.map { case (i, c) =>
+      (i, c, idCol, vecCol, meanD.getOrElse(i, Double.NaN))
+    }
+      .toDF("list_id", "centroid", "id_col", "vec_col", "mean_dist2")
+      .coalesce(1).write.parquet(s"$path/centroids")
+    codebooks.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+    }.toSeq.toDF("subspace", "code", "centroid")
+      .coalesce(1).write.parquet(s"$path/codebooks")
+  }
+}
+
+object IvfPqIndex {
+
+  /** Build and PERSIST an IVF-PQ index at `path` in one step (unlike
+    * IvfIndex there is no useful unpersisted form: the whole point of
+    * the codes table is its on-disk footprint).
+    *
+    * @param nlist coarse IVF lists (probe pruning grain)
+    * @param m subspaces — dim must divide evenly; bytes per vector
+    * @param ksub centroids per subspace (≤ 256 keeps a code in one
+    *   byte); capped at half the sample size with a warning via require
+    * @param sampleFraction bounds BOTH kmeans fits (coarse + subspaces)
+    */
+  def buildAndSave(
+      df: DataFrame,
+      path: String,
+      idCol: String,
+      vecCol: String,
+      nlist: Int = 16,
+      m: Int = 8,
+      ksub: Int = 256,
+      sampleFraction: Double = 1.0,
+      seed: Long = 42L): IvfPqIndex = {
+    val spark = df.sparkSession
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"vector dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+
+    val withNvec = df.withColumn("graft_nvec", IvfIndex.nvecExpr(vecCol))
+    // deterministic fit input: driver-bounded sample, sorted, single
+    // partition — same data + seed → identical codebooks, whatever the
+    // upstream partitioning was
+    val fitInput = (if (sampleFraction >= 1.0) withNvec
+      else withNvec.sample(sampleFraction, seed))
+      .select(col(idCol), col("graft_nvec"))
+      .sort(col(idCol)).coalesce(1)
+      .persist()
+    val nSample = fitInput.count()
+    val ksubEff = math.min(ksub.toLong, nSample / 2).toInt.max(2)
+
+    // coarse IVF fit on the normalized sample (same space/metric as
+    // IvfIndex.build), then assignment of ALL rows via the shared
+    // broadcast-argmin encoder
+    val coarseModel = new KMeans()
+      .setK(math.min(nlist.toLong, nSample).toInt.max(2))
+      .setSeed(seed)
+      .setFeaturesCol("graft_mlvec")
+      .setPredictionCol("list_id")
+      .fit(fitInput.withColumn("graft_mlvec", array_to_vector(col("graft_nvec"))))
+    val coarse = coarseModel.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }
+
+    // per-subspace codebooks, each fit on the sample's subvector slice
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val sub = fitInput.withColumn("graft_mlvec",
+        array_to_vector(slice(col("graft_nvec"), s * dsub + 1, dsub)))
+      new KMeans()
+        .setK(ksubEff)
+        .setSeed(seed + 1 + s) // distinct stream per subspace
+        .setFeaturesCol("graft_mlvec")
+        .setPredictionCol("graft_code")
+        .fit(sub)
+        .clusterCenters.map(_.toArray)
+    }
+    fitInput.unpersist()
+
+    val assigned = withNvec
+      .withColumn("list_id", assignExpr(coarse.map(_._2)))
+      .persist()
+    val codes = encode(assigned, idCol, codebooks, dsub)
+    val index = new IvfPqIndex(codes, coarse, codebooks, idCol, vecCol)
+    index.save(path, assigned.drop("graft_nvec"))
+    assigned.unpersist()
+    load(spark, path)
+  }
+
+  /** argmin over the literal coarse centroids as a pure column
+    * expression: materialize the nlist distances into ONE array, then
+    * array_position(arr, array_min(arr)) — linear tree size (a when-
+    * chain fold would reference its accumulator twice per level and grow
+    * the tree 2^nlist). First-match semantics break distance ties toward
+    * the lower list id, deterministically. Used for the COARSE
+    * assignment (nlist is small); subspace codes use the broadcast join
+    * in [[encode]] (m×ksub literals would bloat even the array form). */
+  private def assignExpr(cents: Array[Array[Double]]): Column = {
+    val d2s = cents.map { c =>
+      aggregate(
+        zip_with(col("graft_nvec"), typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _)
+    }
+    val arr = array(d2s.toIndexedSeq: _*)
+    (array_position(arr, array_min(arr)) - 1).cast("int")
+  }
+
+  /** PQ-encode: explode each row into its m subvectors, broadcast-join
+    * the codebook, argmin per (id, subspace) via min_by, fold back to an
+    * ordered code array. Both build and append run THIS path, so a
+    * vector encodes identically whichever way it arrived. */
+  private def encode(
+      assigned: DataFrame,
+      idCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      dsub: Int): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val bookDf = broadcast(
+      codebooks.zipWithIndex.flatMap { case (book, s) =>
+        book.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+      }.toSeq.toDF("graft_sub", "graft_code", "graft_cent"))
+    assigned
+      .select(col(idCol), col("list_id"),
+        explode(array((0 until m).map { s =>
+          struct(lit(s).as("graft_sub"),
+            slice(col("graft_nvec"), s * dsub + 1, dsub).as("graft_subvec"))
+        }: _*)).as("graft_e"))
+      .select(col(idCol), col("list_id"),
+        col("graft_e.graft_sub"), col("graft_e.graft_subvec"))
+      .join(bookDf, Seq("graft_sub"))
+      .groupBy(col(idCol), col("list_id"), col("graft_sub"))
+      .agg(min_by(col("graft_code"),
+        IvfIndex.dist2Expr(col("graft_subvec"), col("graft_cent"))).as("graft_code"))
+      .groupBy(col(idCol), col("list_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("graft_sub"), col("graft_code")))),
+        _.getField("graft_code")).as("pq_code"))
+  }
+
+  def load(spark: SparkSession, path: String): IvfPqIndex = {
+    Swap.recoverDirs(spark, new org.apache.hadoop.fs.Path(s"$path/data"),
+      Swap.Suffix)
+    val centMeta = spark.read.parquet(s"$path/centroids").collect()
+    require(centMeta.nonEmpty, s"no centroids at $path/centroids — not an IVF-PQ index?")
+    val coarse = centMeta.map(r =>
+      (r.getInt(r.fieldIndex("list_id")),
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray)).sortBy(_._1)
+    val bookRows = spark.read.parquet(s"$path/codebooks").collect()
+    val m = bookRows.map(_.getInt(0)).max + 1
+    val codebooks = Array.tabulate(m) { s =>
+      bookRows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray)
+    }
+    new IvfPqIndex(
+      spark.read.parquet(s"$path/data"),
+      coarse, codebooks,
+      centMeta.head.getString(centMeta.head.fieldIndex("id_col")),
+      centMeta.head.getString(centMeta.head.fieldIndex("vec_col")))
+  }
+
+  /** Incremental append — same contract and machinery as
+    * [[IvfIndex.append]]: nearest EXISTING coarse centroid, per-list
+    * drift gate against the build-time baseline (fail loudly pre-write),
+    * only touched list partitions rewritten via the staged swap under
+    * the store lease. New vectors are PQ-encoded with the FROZEN
+    * codebooks — like the coarse centroids, they only move on rebuild,
+    * which is exactly what the drift gate decides. */
+  def append(
+      spark: SparkSession,
+      path: String,
+      newRows: DataFrame,
+      maxDriftRatio: Double = 4.0,
+      minRowsForDrift: Long = 50L): Map[Int, IvfIndex.ListAppendStats] = {
+    import spark.implicits._
+    val dataRoot = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = Swap.fsOf(spark, dataRoot)
+    Swap.withStoreLease(spark, dataRoot) { lease =>
+      Swap.recoverDirs(spark, dataRoot, Swap.Suffix)
+      val index = load(spark, path)
+      require(newRows.columns.contains(index.idCol) &&
+        newRows.columns.contains(index.vecCol),
+        s"append needs columns ${index.idCol}, ${index.vecCol}")
+      val baseline = spark.read.parquet(s"$path/centroids").collect()
+        .map(r => r.getInt(r.fieldIndex("list_id")) ->
+          r.getDouble(r.fieldIndex("mean_dist2")))
+        .filterNot(_._2.isNaN).toMap
+
+      val dim = index.coarse.head._2.length
+      val dsub = dim / index.m
+      val assignedNew = newRows
+        .select(col(index.idCol), col(index.vecCol))
+        .withColumn("graft_nvec", IvfIndex.nvecExpr(index.vecCol))
+        .withColumn("list_id", assignExpr(index.coarse.map(_._2)))
+        .withColumn("graft_d2",
+          IvfIndex.dist2Expr(col("graft_nvec"),
+            element_at(
+              typedLit(index.coarse.sortBy(_._1).map(_._2.toSeq).toSeq),
+              col("list_id") + 1)))
+        .persist()
+
+      val stats = assignedNew.groupBy(col("list_id"))
+        .agg(count(lit(1)).as("n"), avg(col("graft_d2")).as("d2"))
+        .collect()
+        .map { r =>
+          val (lid, n, d2) = (r.getInt(0), r.getLong(1), r.getDouble(2))
+          val ratio = baseline.get(lid)
+            .filter(_ > 0).filter(_ => n >= minRowsForDrift).map(d2 / _)
+          lid -> IvfIndex.ListAppendStats(n, d2, ratio)
+        }.toMap
+      if (stats.isEmpty) { assignedNew.unpersist(); return Map.empty }
+      val drifted = stats.filter(_._2.driftRatio.exists(_ > maxDriftRatio))
+      if (drifted.nonEmpty) {
+        assignedNew.unpersist()
+        throw new IllegalStateException(
+          s"IVF-PQ append drift check failed for lists " +
+            drifted.map { case (l, s) =>
+              f"$l (ratio ${s.driftRatio.get}%.2f over ${s.rows} rows)"
+            }.mkString("[", ", ", "]") +
+            s" — rebuild the index instead of appending into degraded lists")
+      }
+
+      val newCodes = encode(assignedNew, index.idCol, index.codebooks, dsub)
+      val touched = stats.keySet.toSeq.sorted
+      val merged = index.codes
+        .filter(col("list_id").isin(touched: _*))
+        .unionByName(newCodes)
+      val tag = Swap.newTag()
+      val staging = Swap.Suffix.staging(dataRoot, tag)
+      val retired = Swap.Suffix.retired(dataRoot, tag)
+      merged.write.partitionBy("list_id").parquet(staging.toString)
+      Swap.commitDirs(fs, dataRoot, staging, retired,
+        touched.map("list_id=" + _), Some(lease))
+      assignedNew.unpersist()
+      stats
+    }
+  }
+}

@@ -126,6 +126,24 @@ object NonOracleQueries {
           "vec_id", "embedding", p, 10)
       }),
 
+    // IVF-PQ ANN: product-quantized codes (32× smaller than float32 — the
+    // 100 TB in-memory-index path), ADC scoring over the probed coarse
+    // lists, exact re-rank of the pool (see operators/IvfPqIndex.scala).
+    // Approximate → rows-only; IvfPqSpec pins recall@10 ≥ 0.9 vs the
+    // exact scan, codebook determinism, and the ≤1/16 compression bound.
+    GraftQuery(
+      "q_ann_topk_pq",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val p = e.filter(col("vec_id") === 0)
+          .select("embedding").collect().head.getSeq[Float](0).toArray
+        val dir = java.nio.file.Files.createTempDirectory("graft_pqq").toString + "/idx"
+        val corpus = e.filter(col("vec_id") =!= 0)
+        val idx = graft.operators.IvfPqIndex.buildAndSave(
+          corpus, dir, "vec_id", "embedding", nlist = 8, m = 8, ksub = 32)
+        idx.topK(corpus, p, 10, nprobe = 8, poolK = 150)
+      }),
+
     // Approximate percentile sketch (KLL/GK-style) — the form users reach
     // for at 100 TB where exact percentile's full sort is off the table.
     // Approximation differs from DuckDB's sketch → rows-only here;
