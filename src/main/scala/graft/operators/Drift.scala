@@ -63,4 +63,62 @@ object Drift {
         round(col("psi"), 4).as("psi"),
         col("t_base").as("rows_base"), col("t_cur").as("rows_cur"))
   }
+
+  /** Categorical drift: PSI plus Pearson's chi-square over STRING
+    * buckets — the companion to the numeric [[psi]] for the columns a
+    * corpus monitor actually watches (language, source domain, license
+    * tag). Buckets are the category values themselves, capped at the
+    * `maxCategories` most frequent BASE-side values (ties broken by
+    * value, so the bucket set is deterministic and engine-reproducible);
+    * everything else — including categories that appear only in `cur`,
+    * the classic new-language-shows-up drift — folds into `__other__`,
+    * and NULL reads as `__null__`.
+    *
+    * `chi2 = Σ_b (n_cur(b) − E_b)² / E_b` with `E_b = t_cur · p_base(b)`
+    * (base proportions floored at `eps` like PSI, so a category present
+    * only in `cur` contributes a large finite term, not ∞).
+    *
+    * Same scale shape as [[psi]]: the top-category list is one
+    * aggregate over base capped at `maxCategories` driver-side values;
+    * then two ≤(maxCategories+2)-row bucket aggregates, a bucket join,
+    * a scalar fold. Never a sort of data rows, never a row-level join. */
+  def psiCat(
+      base: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      maxCategories: Int = 20,
+      eps: Double = 1e-6): DataFrame = {
+    require(maxCategories > 0)
+    def cat = coalesce(col(valueCol).cast("string"), lit("__null__"))
+    // deterministic top-N base categories: count desc, value asc
+    val top = base.select(cat.as("c")).groupBy("c")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("c").asc)
+      .limit(maxCategories)
+      .collect().map(_.getString(0)).toSeq
+    def bucketed(df: DataFrame, alias: String) =
+      df.select(when(cat.isin(top: _*), cat).otherwise("__other__").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(alias))
+    val joined = bucketed(base, "n_base")
+      .join(bucketed(cur, "n_cur"), Seq("bucket"), "full_outer")
+      .select(
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(
+      sum("n_base").as("t_base"), sum("n_cur").as("t_cur"))
+    joined.crossJoin(broadcast(totals))
+      .select(
+        greatest(col("n_base") / col("t_base"), lit(eps)).as("pb"),
+        greatest(col("n_cur") / col("t_cur"), lit(eps)).as("pc"),
+        col("n_cur"), col("t_base"), col("t_cur"))
+      .groupBy("t_base", "t_cur")
+      .agg(
+        sum((col("pc") - col("pb")) * log(col("pc") / col("pb"))).as("psi"),
+        sum(pow(col("n_cur") - col("t_cur") * col("pb"), 2) /
+          (col("t_cur") * col("pb"))).as("chi2"))
+      .select(
+        round(col("psi"), 4).as("psi"),
+        round(col("chi2"), 2).as("chi2"),
+        col("t_base").as("rows_base"), col("t_cur").as("rows_cur"))
+  }
 }

@@ -286,5 +286,71 @@ object AnalyticsQueries {
              |             CROSS JOIN (SELECT SUM(n) AS t FROM bb) tb
              |             CROSS JOIN (SELECT SUM(n) AS t FROM b2) tc)),
              |u AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
-             |SELECT metric, psi, rows_base, rows_cur FROM u ORDER BY metric""".stripMargin)))
+             |SELECT metric, psi, rows_base, rows_cur FROM u ORDER BY metric""".stripMargin)),
+
+    // Categorical drift (PSI + chi-square) over a string column — the
+    // corpus-monitoring companion to q_drift_psi for language/domain/
+    // license mixes. Buckets = top-3 BASE categories (count desc, value
+    // asc — deterministic) + __other__; one drifted pair (90% of
+    // '3-MEDIUM' orders removed) and one stable control. The oracle
+    // replays the identical top-N selection and proportion/log/chi2
+    // arithmetic. Scale shape per metric: one capped top-N aggregate,
+    // two ≤4-row bucket aggregates, a bucket join, one scalar fold.
+    GraftQuery(
+      "q_drift_cat",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val drifted = o.filter(
+          !(col("o_orderpriority") === "3-MEDIUM" && col("o_orderkey") % 10 =!= 0))
+        val control = o.filter(col("o_orderkey") % 2 === 0)
+        def m(name: String, cur: org.apache.spark.sql.DataFrame) =
+          graft.operators.Drift.psiCat(o, cur, "o_orderpriority", maxCategories = 3)
+            .select(lit(name).as("metric"), col("psi"), col("chi2"),
+              col("rows_base"), col("rows_cur"))
+        m("medium_removed", drifted)
+          .unionByName(m("random_subset", control))
+          .orderBy("metric")
+      },
+      Some("""WITH top AS (SELECT o_orderpriority AS c FROM orders
+             |            GROUP BY 1 ORDER BY COUNT(*) DESC, c ASC LIMIT 3),
+             |bb AS (SELECT CASE WHEN o_orderpriority IN (SELECT c FROM top)
+             |                   THEN o_orderpriority ELSE '__other__' END AS bucket,
+             |              COUNT(*) AS n
+             |       FROM orders GROUP BY 1),
+             |b1 AS (SELECT CASE WHEN o_orderpriority IN (SELECT c FROM top)
+             |                   THEN o_orderpriority ELSE '__other__' END AS bucket,
+             |              COUNT(*) AS n
+             |       FROM orders
+             |       WHERE NOT (o_orderpriority = '3-MEDIUM' AND o_orderkey % 10 <> 0)
+             |       GROUP BY 1),
+             |b2 AS (SELECT CASE WHEN o_orderpriority IN (SELECT c FROM top)
+             |                   THEN o_orderpriority ELSE '__other__' END AS bucket,
+             |              COUNT(*) AS n
+             |       FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+             |m1 AS (SELECT 'medium_removed' AS metric,
+             |         ROUND(SUM((pc-pb)*LN(pc/pb)), 4) AS psi,
+             |         ROUND(SUM(POW(nc - tc*pb, 2)/(tc*pb)), 2) AS chi2,
+             |         CAST(MAX(tb) AS BIGINT) AS rows_base,
+             |         CAST(MAX(tc) AS BIGINT) AS rows_cur
+             |       FROM (SELECT GREATEST(COALESCE(bb.n,0)/CAST(tb.t AS DOUBLE), 1e-6) AS pb,
+             |                    GREATEST(COALESCE(b1.n,0)/CAST(tc.t AS DOUBLE), 1e-6) AS pc,
+             |                    CAST(COALESCE(b1.n,0) AS DOUBLE) AS nc,
+             |                    tb.t AS tb, tc.t AS tc
+             |             FROM bb FULL JOIN b1 USING (bucket)
+             |             CROSS JOIN (SELECT SUM(n) AS t FROM bb) tb
+             |             CROSS JOIN (SELECT SUM(n) AS t FROM b1) tc)),
+             |m2 AS (SELECT 'random_subset' AS metric,
+             |         ROUND(SUM((pc-pb)*LN(pc/pb)), 4) AS psi,
+             |         ROUND(SUM(POW(nc - tc*pb, 2)/(tc*pb)), 2) AS chi2,
+             |         CAST(MAX(tb) AS BIGINT) AS rows_base,
+             |         CAST(MAX(tc) AS BIGINT) AS rows_cur
+             |       FROM (SELECT GREATEST(COALESCE(bb.n,0)/CAST(tb.t AS DOUBLE), 1e-6) AS pb,
+             |                    GREATEST(COALESCE(b2.n,0)/CAST(tc.t AS DOUBLE), 1e-6) AS pc,
+             |                    CAST(COALESCE(b2.n,0) AS DOUBLE) AS nc,
+             |                    tb.t AS tb, tc.t AS tc
+             |             FROM bb FULL JOIN b2 USING (bucket)
+             |             CROSS JOIN (SELECT SUM(n) AS t FROM bb) tb
+             |             CROSS JOIN (SELECT SUM(n) AS t FROM b2) tc)),
+             |u AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+             |SELECT metric, psi, chi2, rows_base, rows_cur FROM u ORDER BY metric""".stripMargin)))
 }

@@ -25,4 +25,31 @@ class DriftSpec extends AnyFunSuite {
     assert(subset < 0.1, s"subset psi $subset should be stable")
     assert(trunc > subset)
   }
+
+  test("categorical PSI/chi2: identity is zero, a removed category " +
+    "drifts, a brand-new category folds into __other__ and still flags") {
+    val base = (1 to 1000).map(i =>
+      (i.toLong, Seq("en", "de", "fr", "ja")(i % 4))).toDF("id", "lang")
+    // identical snapshots → exactly zero (all buckets populated both sides)
+    val same = Drift.psiCat(base, base, "lang", maxCategories = 3).head()
+    assert(same.getDouble(0) == 0.0 && same.getDouble(1) == 0.0, same)
+    assert(same.getLong(2) == 1000 && same.getLong(3) == 1000)
+    // dropping a category entirely → significant drift on both statistics
+    val dropped = Drift.psiCat(base, base.filter($"lang" =!= "de"), "lang",
+      maxCategories = 3).head()
+    assert(dropped.getDouble(0) > 0.25, s"psi ${dropped.getDouble(0)}")
+    assert(dropped.getDouble(1) > 100.0, s"chi2 ${dropped.getDouble(1)}")
+    // a category UNSEEN in base (the new-language case) folds into
+    // __other__ — wait, ja is base's 4th: with maxCategories=3 it is
+    // already __other__; now add a truly new one and grow its share
+    val invaded = base.limit(600).unionByName(
+      (1 to 400).map(i => (10000L + i, "zh")).toDF("id", "lang"))
+    val inv = Drift.psiCat(base, invaded, "lang", maxCategories = 3).head()
+    assert(inv.getDouble(0) > 0.25, s"psi ${inv.getDouble(0)}")
+    // a mix-preserving half stays stable (id % 2 would CORRELATE with
+    // lang = id % 4 and register real drift; % 8 < 4 keeps the mix)
+    val half = Drift.psiCat(base, base.filter($"id" % 8 < 4), "lang",
+      maxCategories = 3).head()
+    assert(half.getDouble(0) < 0.1 && half.getDouble(1) < 10.0, half)
+  }
 }
