@@ -194,16 +194,24 @@ object Dedup {
       pairs: DataFrame,
       maxRounds: Int = 50,
       maxLocalPairs: Long = 4000000L): DataFrame = {
-    // FAST PATH: the pair list is dup-rate-sized, orders of magnitude
-    // smaller than the corpus (a 100 TB corpus with 1% near-dups in
-    // clusters of ~2 yields ~10⁸ docs but pairs only for the dup subset).
-    // Below `maxLocalPairs` (~tens of MB of ids) a driver-side union-find
-    // replaces the O(log diameter) rounds of full-label-table shuffles
-    // with ONE collect — the same driver-memory envelope as collecting a
-    // broadcast side. Above the bound, the distributed loop below stands.
-    val nPairs = pairs.count()
-    if (nPairs <= maxLocalPairs) return localUnionFind(pairs)
-    distributedClusters(pairs, maxRounds)
+    // Persist the pair plan unless the caller already did (dedupNear
+    // does; a direct caller's LSH-blocked candidate plan would otherwise
+    // compute TWICE — once for the bound count, once for the
+    // collect/edge-build below).
+    val cached = pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val p = if (cached) pairs else pairs.persist()
+    try {
+      // FAST PATH: the pair list is dup-rate-sized, orders of magnitude
+      // smaller than the corpus (a 100 TB corpus with 1% near-dups in
+      // clusters of ~2 yields ~10⁸ docs but pairs only for the dup subset).
+      // Below `maxLocalPairs` (~tens of MB of ids) a driver-side union-find
+      // replaces the O(log diameter) rounds of full-label-table shuffles
+      // with ONE collect — the same driver-memory envelope as collecting a
+      // broadcast side. Above the bound, the distributed loop below stands.
+      val nPairs = p.count()
+      if (nPairs <= maxLocalPairs) localUnionFind(p)
+      else distributedClusters(p, maxRounds)
+    } finally if (!cached) { p.unpersist(); () }
   }
 
   /** Driver-side weighted-by-min union-find over a collected pair list.

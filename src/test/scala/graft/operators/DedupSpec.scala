@@ -127,4 +127,20 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("nearDupClusters self-persists an uncached pair plan and leaves " +
+    "a caller-persisted one alone") {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    // uncached input: computed once (persisted internally), released after
+    val out = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(pairs.storageLevel == StorageLevel.NONE)
+    // caller-persisted input: NOT unpersisted behind the caller's back
+    val cached = pairs.persist()
+    cached.count()
+    Dedup.nearDupClusters(cached).collect()
+    assert(cached.storageLevel != StorageLevel.NONE)
+    cached.unpersist()
+  }
 }
