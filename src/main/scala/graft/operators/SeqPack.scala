@@ -49,4 +49,96 @@ object SeqPack {
           expr(s"cum_before div $ctxTokens")).as("seq_id"),
         pmod(col("cum_before"), lit(ctxTokens.toLong)).as("seq_off"))
   }
+
+  /** One doc's placement under [[packBestFit]]. `seq_off` is the token
+    * offset where the doc starts inside its sequence; `truncated` marks
+    * an oversized doc (n_tokens > ctx) that got a singleton sequence and
+    * will be cut at the context edge downstream. */
+  final case class Packed(
+      id: Long, shard: Int, n_tokens: Long, seq_id: Long, seq_off: Long,
+      truncated: Boolean)
+
+  /** Whole-document packing: best-fit-decreasing bin packing within each
+    * shard — the layout real training pipelines prefer over
+    * concat-then-chunk when documents must NOT straddle sequence
+    * boundaries (attention never crosses a doc cut, no mid-document
+    * truncation of reasoning chains). The price is padding: bins are not
+    * always full; best-fit-decreasing keeps that waste within the
+    * classic ≤ 11/9·OPT + 1 bin-packing bound and always at or under a
+    * naive in-arrival-order first-fit.
+    *
+    * Same sharding story as [[pack]]: docs shard by `id % shards`, each
+    * shard packs independently and in parallel, sequences never span
+    * shards (`seq_id = shard·1e12 + bin`). Within a shard the packing is
+    * genuinely sequential state (open bins with remaining capacity), so
+    * it runs as per-group imperative logic over a sorted doc array —
+    * `shards` is the parallelism AND memory grain: size it so one
+    * shard's (id, tokens) pairs fit an executor (16 bytes/doc — a
+    * billion-doc corpus at shards=1024 is ~16 MB per group).
+    *
+    * Deterministic and partitioning-independent: docs sort by
+    * (tokens desc, id asc) inside the group; the best-fit tie-break is
+    * (tightest remaining, lowest bin id); oversized docs get singleton
+    * bins flagged `truncated`. */
+  def packBestFit(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      ctxTokens: Int = 2048,
+      shards: Int = 8): DataFrame = {
+    require(ctxTokens > 0 && shards > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ctx = ctxTokens.toLong
+    docs
+      .select(
+        col(idCol).cast("long").as("id"),
+        pmod(col(idCol), lit(shards)).cast("int").as("shard"),
+        graft.functions.TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (shard: Int, it: Iterator[(Long, Int, Long)]) =>
+        val ds = it.toArray.sortBy(t => (-t._3, t._1)) // tokens desc, id asc
+        // open bins keyed (remaining, binId): ceilingKey((need, -1)) is
+        // the TIGHTEST bin that still fits, lowest id among equals
+        val open = new java.util.TreeMap[(Long, Long), Unit](
+          Ordering.Tuple2[Long, Long])
+        val fill = new java.util.HashMap[Long, Long]()
+        var nextBin = 0L
+        val out = new scala.collection.mutable.ArrayBuffer[Packed](ds.length)
+        ds.foreach { case (id, _, n) =>
+          val need = math.min(n, ctx)
+          val slot = open.ceilingKey((need, -1L))
+          val (binId, off) =
+            if (slot == null || n > ctx) { // no fit, or oversized singleton
+              val b = nextBin; nextBin += 1
+              if (n < ctx) open.put((ctx - n, b), ())
+              fill.put(b, need)
+              (b, 0L)
+            } else {
+              val (rem, b) = slot
+              open.remove(slot)
+              if (rem - need > 0) open.put((rem - need, b), ())
+              val o = fill.get(b)
+              fill.put(b, o + need)
+              (b, o)
+            }
+          out += Packed(id, shard, n, shard * 1000000000000L + binId, off, n > ctx)
+        }
+        out.iterator
+      }
+      .toDF()
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Padding accounting for a [[packBestFit]] layout: tokens placed vs
+    * sequence capacity. One aggregate over the packed table. */
+  def utilization(packed: DataFrame, ctxTokens: Int): Double = {
+    val row = packed.agg(
+      sum(least(col("n_tokens"), lit(ctxTokens.toLong))).as("placed"),
+      countDistinct(col("seq_id")).as("bins")).head()
+    val placed = row.getLong(0)
+    val bins = row.getLong(1)
+    if (bins == 0) 1.0 else placed.toDouble / (bins * ctxTokens.toLong)
+  }
 }

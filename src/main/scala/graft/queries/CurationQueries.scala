@@ -355,6 +355,20 @@ object CurationQueries {
              |       CAST(cb % 2048 AS BIGINT) AS seq_off
              |FROM c ORDER BY doc_id""".stripMargin)),
 
+    // Whole-document best-fit packing — the no-doc-splitting layout
+    // (SeqPack.packBestFit): best-fit-decreasing bins per shard, docs
+    // never straddle a sequence boundary, padding measured. Bin packing
+    // is not SQL-expressible → rows-only; SeqPackSpec pins the property
+    // matrix (capacity, no-split, shard containment, utilization ≥ naive
+    // first-fit, determinism across partitionings).
+    GraftQuery(
+      "q_seq_pack_bfd",
+      (s, d) =>
+        graft.operators.SeqPack.packBestFit(
+          Tables.documents(s, d), "doc_id", "text",
+          ctxTokens = 2048, shards = 8)
+          .orderBy("doc_id")),
+
     // Unigram language-model quality score — the cheap perplexity proxy a
     // curation pipeline runs where a real LM is too expensive: score each
     // doc by the average negative log-probability of its tokens under the
