@@ -212,25 +212,42 @@ object NonOracleQueries {
           .withColumn("files_total", lit(16))
       }),
 
-    // Hilbert-curve layout: same contract as q_zorder with the seam-free
-    // curve — per-file index ranges cover tighter rectangles, so range
-    // filters touch at most as many files (LayoutSpec proves the bound
-    // against Morton on an independent-dims grid).
+    // Hilbert-curve index — ORACLE-GATED (promoted from rows-only): the
+    // codegen'd xy2d walk (HilbertExpr.scala) is deterministic integer
+    // arithmetic, so DuckDB replays it exactly with a recursive CTE
+    // carrying the (x, y, d) rotation state across the 8 bit levels.
+    // The layout's FILE-PRUNING payoff (tighter rectangles than Morton,
+    // fewer files per range filter) stays proven in LayoutSpec — file
+    // counts are not SQL-expressible, curve indices are.
     GraftQuery(
       "q_hilbert",
-      (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_hq").toString + "/h"
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
-        graft.operators.Layout.writeHilbertOrdered(
-          li, Seq("l_orderkey", "l_partkey"), tmp, 16)
-        val h = s.read.parquet(tmp)
-        def hit(c: String, v: Int) = h.filter(col(c) === v)
-          .select(input_file_name().as("f")).distinct()
-          .agg(count(lit(1)).as(s"files_$c"))
-        hit("l_orderkey", 1000).crossJoin(hit("l_partkey", 500))
-          .withColumn("files_total", lit(16))
-      }),
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select((col("l_orderkey") % 256).as("x"), (col("l_partkey") % 256).as("y"))
+          .distinct()
+          .withColumn("h",
+            org.apache.spark.sql.graft.HilbertIndex.column(col("x"), col("y"), 8))
+          .orderBy("x", "y"),
+      Some("""WITH RECURSIVE cells AS (
+             |  SELECT DISTINCT l_orderkey % 256 AS x, l_partkey % 256 AS y FROM lineitem),
+             |hw AS (
+             |  SELECT x AS cx, y AS cy, x, y,
+             |         CAST(0 AS BIGINT) AS d, CAST(128 AS BIGINT) AS s
+             |  FROM cells
+             |  UNION ALL
+             |  SELECT cx, cy,
+             |    CASE WHEN (y & s) = 0
+             |         THEN (CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END)
+             |         ELSE x END,
+             |    CASE WHEN (y & s) = 0
+             |         THEN (CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END)
+             |         ELSE y END,
+             |    d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+             |                    (CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END)),
+             |    s // 2
+             |  FROM hw WHERE s > 0)
+             |SELECT cx AS x, cy AS y, d AS h FROM hw WHERE s = 0
+             |ORDER BY x, y""".stripMargin)),
 
     // Small-file compaction (table maintenance): a store trickle-written
     // as 32 tiny files folds to ~1 per 128 MB, rows preserved exactly —
