@@ -780,6 +780,145 @@ object StreamOps {
         sortCols = Seq("band", "bucket"))
     }
 
+  /** Incremental corpus EXACT dedup: each micro-batch is checked against
+    * a persistent fingerprint store of everything ever admitted — the
+    * restart-survivable form of `dropDuplicates`, whose state dies with
+    * its checkpoint. Same store protocol as [[nearDupStream]] minus the
+    * LSH machinery: admitted (id, md5-of-text) rows land in a
+    * `batch=<id>` partition overwritten per attempt (exactly-once
+    * admissions without a marker), maintenance folds trigger-grain
+    * partitions into `batch=-1` SORTED by fingerprint (per-batch cost
+    * stays O(compacted + deltas), and the history lookup's pushed
+    * fingerprint range hits tight row groups), and a replay older than
+    * the newest admitted batch fails loudly before anything is deleted.
+    *
+    * The store holds fingerprints only — fixed-width per doc, never
+    * text; at 100 TB it is the only thing that persists. Pass
+    * pre-normalized text (TextFunctions.normalize) when byte-identical
+    * is too strict a key. */
+  def exactDedupStream(
+      docs: DataFrame,
+      storePath: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maintainEvery: Int = 32)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val admitted = applyExactDedupBatch(batch, storePath, batchId, idCol, textCol)
+        try sink(admitted, batchId)
+        finally admitted.unpersist()
+        if (maintainEvery > 0 && batchId > 0 && batchId % maintainEvery == 0)
+          maintainExactDedupStore(batch.sparkSession, storePath)
+      }
+      .start()
+
+  /** The per-batch step behind [[exactDedupStream]] (driveable directly
+    * in tests and backfills). Returns the admitted rows of `batch`.
+    *
+    * History lookup: the batch's own distinct fingerprints are the
+    * candidate set, bounded by batch size — below `maxFetch` they push
+    * into the parquet read as an In filter plus a min/max range cover
+    * (maintenance folds sort the store by fingerprint, so row-group
+    * stats skip the bulk of a years-old store); above it, a full-scan
+    * semi-join. Within the batch the minimum id per fingerprint
+    * survives, matching Dedup.dedupExact's deterministic convention. */
+  def applyExactDedupBatch(
+      batch: DataFrame,
+      storePath: String,
+      batchId: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxFetch: Int = 100000): DataFrame = {
+    val spark = batch.sparkSession
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    graft.operators.Swap.withStoreLease(spark, store) { _ =>
+    graft.operators.Swap.recoverDirs(spark, store, graft.operators.Swap.Suffix)
+
+    // replay-protocol guard — identical contract to the near-dup store:
+    // only the newest admitted batch may replay; anything older may
+    // already be folded into batch=-1, where its own prior admissions
+    // would flag the replay as duplicates of itself
+    if (fs.exists(store)) {
+      val live = fs.listStatus(store).map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+      val maxLive = if (live.nonEmpty) live.max else -1L
+      require(batchId >= maxLive,
+        s"out-of-protocol replay: batch $batchId is older than the newest " +
+          s"admitted batch $maxLive in $storePath — only the latest batch " +
+          "may replay (reset the checkpoint and store consistently, or " +
+          "rebuild the store)")
+    }
+    val own = new org.apache.hadoop.fs.Path(store, s"batch=$batchId")
+    if (fs.exists(own)) fs.delete(own, true) // crashed attempt's partials
+    val hasHistory = fs.exists(store) &&
+      fs.listStatus(store).exists(_.getPath.getName.startsWith("batch="))
+
+    val fpB = batch.select(
+      col(idCol).as("graft_id"),
+      md5(col(textCol).cast("string")).as("graft_fp"))
+      .persist()
+
+    // cap+1 probe mirrors the near-dup verify fetch
+    val capProbe = math.min(maxFetch.toLong + 1L, Int.MaxValue.toLong).toInt
+    val batchFps: Array[Any] =
+      if (hasHistory) fpB.select("graft_fp").distinct().limit(capProbe)
+        .collect().map(_.get(0))
+      else Array.empty[Any]
+    val history =
+      if (!hasHistory || batchFps.isEmpty) fpB.select("graft_fp").limit(0)
+      else if (batchFps.length <= maxFetch) {
+        val cover = idCoverFilter(col("graft_fp"), batchFps)
+        spark.read.parquet(storePath).filter(col("batch") =!= batchId)
+          .where(cover.getOrElse(lit(true)))
+          .filter(col("graft_fp").isInCollection(batchFps.toSeq))
+          .select("graft_fp")
+      } else
+        spark.read.parquet(storePath).filter(col("batch") =!= batchId)
+          .select("graft_fp")
+
+    val dupOfHistory = fpB
+      .join(history, Seq("graft_fp"), "left_semi")
+      .select(col("graft_id").as(idCol))
+    // within-batch: min id per fingerprint survives
+    val dupInBatch = fpB
+      .join(fpB.groupBy("graft_fp").agg(min("graft_id").as("graft_keep")),
+        Seq("graft_fp"))
+      .filter(col("graft_id") =!= col("graft_keep"))
+      .select(col("graft_id").as(idCol))
+
+    val admitted = batch
+      .join(dupOfHistory.unionByName(dupInBatch).distinct(), Seq(idCol), "left_anti")
+      .persist()
+    // admitted fingerprints → this batch's own partition; the write also
+    // materializes the admitted cache so fpB can be released here
+    fpB.join(admitted.select(col(idCol).as("graft_id")), Seq("graft_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    fpB.unpersist()
+    admitted
+    }
+  }
+
+  /** Maintenance for an [[exactDedupStream]] store: fold every batch
+    * partition except the latest into `batch=-1`, sorted by fingerprint
+    * (row-group-prunable history lookups, better compression). Same
+    * crash posture as the near-dup folds: staged partition-dir swap,
+    * marker-gated roll-forward, footer row-count parity. */
+  def maintainExactDedupStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      targetFileBytes: Long = 128L << 20): Unit =
+    graft.operators.Swap.withStoreLease(
+      spark, new org.apache.hadoop.fs.Path(storePath)) { _ =>
+      foldBatchPartitions(spark, storePath, targetFileBytes, reagg = None,
+        sortCols = Seq("graft_fp"))
+    }
+
   /** Fold all `batch=<id>` dirs of `rootPath` except the highest id into
     * `batch=-1`. No-op when there is nothing to fold. (Test-visible so
     * the crash window BETWEEN per-root folds — store folded, sidecars
