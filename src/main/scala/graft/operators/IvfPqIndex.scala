@@ -28,31 +28,41 @@ import org.apache.spark.sql.functions._
   * shapes, same append/drift machinery): `data/` holds (id, pq_code)
   * hive-partitioned by `list_id` so probes prune to nprobe/nlist of the
   * files; `centroids/` holds the coarse centroids + per-list drift
-  * baseline; `codebooks/` holds the m×ksub×dsub PQ centroids.
+  * baseline (+ the residual-coding flag); `codebooks/` holds the
+  * m×ksub×dsub PQ centroids.
   *
-  * Simplifications vs a production IVF-PQ, both deliberate:
-  *  - codes quantize the vector itself, not the residual (x − coarse
-  *    centroid). Residual coding buys accuracy but needs a per-list LUT
-  *    (m×ksub×nprobe work per query); vector coding shares ONE LUT
-  *    across all probed lists. The exact re-rank pool absorbs most of
-  *    the accuracy gap.
-  *  - encoding assigns codes via a broadcast codebook join (n×m×ksub
-  *    map-side expansion, two id-grain shuffles); at full 100 TB build
-  *    scale a fused codegen Expression would remove the shuffles. The
-  *    join path is used for BOTH build and append so the two encode
-  *    identically by construction.
+  * Codes quantize the RESIDUAL (x − coarse centroid of x's list), the
+  * standard IVF-PQ accuracy move: residuals concentrate near the origin,
+  * so the same ksub centroids spend their resolution on a much smaller
+  * ball than raw vectors would need. The textbook objection — residual
+  * ADC needs a fresh m×ksub LUT per probed list — applies to L2 but NOT
+  * to the inner-product metric used here: dot(q, c + r̃) = dot(q, c) +
+  * dot(q, r̃), so ONE shared residual LUT serves every probed list and
+  * the per-list part collapses to a single precomputed scalar
+  * (dot(q, c_list), an nlist-array literal indexed by the partition
+  * column). Pre-residual stores (no `residual` flag in the sidecar) load
+  * and score on the vector-coded path unchanged.
+  *
+  * Encoding — build and append both — is [[org.apache.spark.sql.graft
+  * .PqEncode]]: one fused, whole-stage-codegen'd narrow loop per row. No
+  * codebook join, no id-grain shuffles (the previous broadcast-join
+  * encoder paid two), nothing to skew; the 100 TB build cost is exactly
+  * one pass over the vectors plus the partitioned write.
   *
   * Determinism: the codebook fit input is the driver-bounded sample,
   * sorted by id and coalesced to one partition, so the same data +
   * seed produce bit-identical codebooks regardless of how the input
-  * happened to be partitioned — index rebuilds are reproducible.
+  * happened to be partitioned — index rebuilds are reproducible (and
+  * [[PqEncode]]'s strict-`<` argmin makes code assignment a pure
+  * function of vector + codebooks).
   */
 final class IvfPqIndex private (
     val codes: DataFrame, // idCol, list_id, pq_code: array<int>
     val coarse: Array[(Int, Array[Double])],
     val codebooks: Array[Array[Array[Double]]], // [subspace][code][dsub]
     val idCol: String,
-    val vecCol: String) extends Serializable {
+    val vecCol: String,
+    val residual: Boolean) extends Serializable {
 
   def m: Int = codebooks.length
   def ksub: Int = codebooks.headOption.map(_.length).getOrElse(0)
@@ -82,7 +92,10 @@ final class IvfPqIndex private (
     }
     val lists = coarse.sortBy { case (_, c) => dist2(c) }.take(nprobe).map(_._1)
     // one LUT per query: LUT[s][c] = dot(normalized probe's subspace s,
-    // codebook centroid c) — approximate cosine is a sum of m lookups
+    // codebook centroid c) — approximate cosine is a sum of m lookups.
+    // Residual coding adds dot(q, c_list), a per-LIST scalar looked up by
+    // the partition column (inner product distributes over c + r̃; no
+    // per-list LUT needed — see the class doc).
     val dsub = dim / m
     val luts: Array[Seq[Double]] = Array.tabulate(m) { s =>
       codebooks(s).map { cent =>
@@ -91,9 +104,17 @@ final class IvfPqIndex private (
         acc
       }.toSeq
     }
-    val adc = (0 until m).map { s =>
+    val lutSum = (0 until m).map { s =>
       element_at(typedLit(luts(s)), element_at(col("pq_code"), s + 1) + 1)
     }.reduce(_ + _)
+    val adc = if (residual) {
+      val listConst: Seq[Double] = coarse.sortBy(_._1).map { case (_, c) =>
+        var acc = 0.0; var i = 0
+        while (i < dim) { acc += pn(i) * c(i); i += 1 }
+        acc
+      }.toSeq
+      lutSum + element_at(typedLit(listConst), col("list_id") + 1)
+    } else lutSum
     val pool = codes
       .filter(col("list_id").isin(lists.toSeq: _*)) // partition-prunable
       .select(col(idCol), adc.as("graft_adc"))
@@ -120,9 +141,9 @@ final class IvfPqIndex private (
     codes.write.partitionBy("list_id").parquet(s"$path/data")
     val meanD = IvfIndex.meanAssignDist2(assigned, vecCol, coarse)
     coarse.toSeq.map { case (i, c) =>
-      (i, c, idCol, vecCol, meanD.getOrElse(i, Double.NaN))
+      (i, c, idCol, vecCol, meanD.getOrElse(i, Double.NaN), residual)
     }
-      .toDF("list_id", "centroid", "id_col", "vec_col", "mean_dist2")
+      .toDF("list_id", "centroid", "id_col", "vec_col", "mean_dist2", "residual")
       .coalesce(1).write.parquet(s"$path/centroids")
     codebooks.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
@@ -142,6 +163,9 @@ object IvfPqIndex {
     * @param ksub centroids per subspace (≤ 256 keeps a code in one
     *   byte); capped at half the sample size with a warning via require
     * @param sampleFraction bounds BOTH kmeans fits (coarse + subspaces)
+    * @param residual quantize x − coarse centroid (default; see class
+    *   doc) instead of x itself — `false` reproduces the pre-residual
+    *   store format and scoring path
     */
   def buildAndSave(
       df: DataFrame,
@@ -152,7 +176,8 @@ object IvfPqIndex {
       m: Int = 8,
       ksub: Int = 256,
       sampleFraction: Double = 1.0,
-      seed: Long = 42L): IvfPqIndex = {
+      seed: Long = 42L,
+      residual: Boolean = true): IvfPqIndex = {
     val spark = df.sparkSession
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     require(dim % m == 0, s"vector dim $dim must divide into m=$m subspaces")
@@ -182,10 +207,17 @@ object IvfPqIndex {
     val coarse = coarseModel.clusterCenters.zipWithIndex
       .map { case (v, i) => (i, v.toArray) }
 
-    // per-subspace codebooks, each fit on the sample's subvector slice
+    // per-subspace codebooks, each fit on the sample's subvector slice —
+    // of the RESIDUALS when residual-coding (assign the sample to its
+    // coarse list first; the sample stays sorted + single-partition, so
+    // determinism is untouched)
+    val fitSrc = (if (residual)
+      fitInput.withColumn("list_id", assignExpr(coarse.map(_._2)))
+        .withColumn("graft_src", residualCol(coarse))
+    else fitInput.withColumn("graft_src", col("graft_nvec"))).persist()
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
-      val sub = fitInput.withColumn("graft_mlvec",
-        array_to_vector(slice(col("graft_nvec"), s * dsub + 1, dsub)))
+      val sub = fitSrc.withColumn("graft_mlvec",
+        array_to_vector(slice(col("graft_src"), s * dsub + 1, dsub)))
       new KMeans()
         .setK(ksubEff)
         .setSeed(seed + 1 + s) // distinct stream per subspace
@@ -194,17 +226,30 @@ object IvfPqIndex {
         .fit(sub)
         .clusterCenters.map(_.toArray)
     }
+    fitSrc.unpersist()
     fitInput.unpersist()
 
     val assigned = withNvec
       .withColumn("list_id", assignExpr(coarse.map(_._2)))
+      .withColumn("graft_src",
+        if (residual) residualCol(coarse) else col("graft_nvec"))
       .persist()
-    val codes = encode(assigned, idCol, codebooks, dsub)
-    val index = new IvfPqIndex(codes, coarse, codebooks, idCol, vecCol)
-    index.save(path, assigned.drop("graft_nvec"))
+    val codes = encode(assigned, idCol, codebooks)
+    val index = new IvfPqIndex(codes, coarse, codebooks, idCol, vecCol, residual)
+    index.save(path, assigned.drop("graft_nvec", "graft_src"))
     assigned.unpersist()
     load(spark, path)
   }
+
+  /** graft_nvec − this row's coarse centroid, as a pure column over the
+    * literal centroid table (list ids are contiguous 0..nlist-1). */
+  private def residualCol(cents: Array[(Int, Array[Double])]): Column =
+    zip_with(
+      col("graft_nvec"),
+      element_at(
+        typedLit(cents.sortBy(_._1).map(_._2.toSeq).toSeq),
+        col("list_id") + 1),
+      (x, c) => x - c)
 
   /** argmin over the literal coarse centroids as a pure column
     * expression: materialize the nlist distances into ONE array, then
@@ -224,39 +269,19 @@ object IvfPqIndex {
     (array_position(arr, array_min(arr)) - 1).cast("int")
   }
 
-  /** PQ-encode: explode each row into its m subvectors, broadcast-join
-    * the codebook, argmin per (id, subspace) via min_by, fold back to an
-    * ordered code array. Both build and append run THIS path, so a
-    * vector encodes identically whichever way it arrived. */
-  private def encode(
+  /** PQ-encode: ONE narrow, whole-stage-codegen'd projection — the
+    * [[org.apache.spark.sql.graft.PqEncode]] expression argmins every
+    * subspace in a fused loop over the precomputed `graft_src` column
+    * (residual or normalized vector). No codebook join, no shuffle.
+    * Both build and append run THIS path, so a vector encodes
+    * identically whichever way it arrived. */
+  private[operators] def encode(
       assigned: DataFrame,
       idCol: String,
-      codebooks: Array[Array[Array[Double]]],
-      dsub: Int): DataFrame = {
-    val spark = assigned.sparkSession
-    import spark.implicits._
-    val m = codebooks.length
-    val bookDf = broadcast(
-      codebooks.zipWithIndex.flatMap { case (book, s) =>
-        book.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
-      }.toSeq.toDF("graft_sub", "graft_code", "graft_cent"))
-    assigned
-      .select(col(idCol), col("list_id"),
-        explode(array((0 until m).map { s =>
-          struct(lit(s).as("graft_sub"),
-            slice(col("graft_nvec"), s * dsub + 1, dsub).as("graft_subvec"))
-        }: _*)).as("graft_e"))
-      .select(col(idCol), col("list_id"),
-        col("graft_e.graft_sub"), col("graft_e.graft_subvec"))
-      .join(bookDf, Seq("graft_sub"))
-      .groupBy(col(idCol), col("list_id"), col("graft_sub"))
-      .agg(min_by(col("graft_code"),
-        IvfIndex.dist2Expr(col("graft_subvec"), col("graft_cent"))).as("graft_code"))
-      .groupBy(col(idCol), col("list_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("graft_sub"), col("graft_code")))),
-        _.getField("graft_code")).as("pq_code"))
-  }
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
+    assigned.select(col(idCol), col("list_id"),
+      org.apache.spark.sql.graft.PqEncodeExpr
+        .pqEncode(col("graft_src"), codebooks).as("pq_code"))
 
   def load(spark: SparkSession, path: String): IvfPqIndex = {
     Swap.recoverDirs(spark, new org.apache.hadoop.fs.Path(s"$path/data"),
@@ -272,11 +297,16 @@ object IvfPqIndex {
       bookRows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
         .map(_.getSeq[Double](2).toArray)
     }
+    val head = centMeta.head
+    // pre-residual stores carry no flag — they are vector-coded
+    val residual = head.schema.fieldNames.contains("residual") &&
+      head.getBoolean(head.fieldIndex("residual"))
     new IvfPqIndex(
       spark.read.parquet(s"$path/data"),
       coarse, codebooks,
-      centMeta.head.getString(centMeta.head.fieldIndex("id_col")),
-      centMeta.head.getString(centMeta.head.fieldIndex("vec_col")))
+      head.getString(head.fieldIndex("id_col")),
+      head.getString(head.fieldIndex("vec_col")),
+      residual)
   }
 
   /** Incremental append — same contract and machinery as
@@ -306,8 +336,6 @@ object IvfPqIndex {
           r.getDouble(r.fieldIndex("mean_dist2")))
         .filterNot(_._2.isNaN).toMap
 
-      val dim = index.coarse.head._2.length
-      val dsub = dim / index.m
       val assignedNew = newRows
         .select(col(index.idCol), col(index.vecCol))
         .withColumn("graft_nvec", IvfIndex.nvecExpr(index.vecCol))
@@ -317,6 +345,8 @@ object IvfPqIndex {
             element_at(
               typedLit(index.coarse.sortBy(_._1).map(_._2.toSeq).toSeq),
               col("list_id") + 1)))
+        .withColumn("graft_src",
+          if (index.residual) residualCol(index.coarse) else col("graft_nvec"))
         .persist()
 
       val stats = assignedNew.groupBy(col("list_id"))
@@ -340,7 +370,7 @@ object IvfPqIndex {
             s" — rebuild the index instead of appending into degraded lists")
       }
 
-      val newCodes = encode(assignedNew, index.idCol, index.codebooks, dsub)
+      val newCodes = encode(assignedNew, index.idCol, index.codebooks)
       val touched = stats.keySet.toSeq.sorted
       val merged = index.codes
         .filter(col("list_id").isin(touched: _*))

@@ -113,6 +113,130 @@ class IvfPqSpec extends AnyFunSuite {
       plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
   }
 
+  test("pq encode expression matches a reference argmin, breaks ties " +
+    "toward the lower code, and surfaces ragged/null inputs as NULL") {
+    // m=2 subspaces, ksub=3, dsub=2; subspace 0 has two centroids
+    // equidistant from (0,0) — the tie must resolve to the LOWER code
+    val books: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0), Array(-1.0, 0.0), Array(5.0, 5.0)),
+      Array(Array(0.0, 0.0), Array(2.0, 2.0), Array(-3.0, 1.0)))
+    val rows = Seq(
+      (1L, Seq(0.0, 0.0, 2.1, 1.9)), // sub0 tie (codes 0,1) → 0; sub1 → 1
+      (2L, Seq(4.0, 4.9, -2.0, 1.0)), // sub0 → 2; sub1 → 2
+      (3L, Seq(1.0, 0.0))) // ragged → NULL
+    val df = rows.toDF("id", "v")
+      .withColumn("v", $"v".cast("array<double>"))
+    val got = df.select($"id",
+      org.apache.spark.sql.graft.PqEncodeExpr.pqEncode($"v", books).as("c"))
+      .as[(Long, Option[Seq[Int]])].collect().toMap
+    assert(got(1L).contains(Seq(0, 1)))
+    assert(got(2L).contains(Seq(2, 2)))
+    assert(got(3L).isEmpty)
+    val withNull = Seq((4L, Seq[java.lang.Double](1.0, null, 0.0, 0.0)))
+      .toDF("id", "v")
+    val gotNull = withNull.select(
+      org.apache.spark.sql.graft.PqEncodeExpr.pqEncode($"v", books).as("c"))
+      .as[Option[Seq[Int]]].head()
+    assert(gotNull.isEmpty)
+  }
+
+  test("encode is a single narrow projection — no exchange, no join") {
+    val books: Array[Array[Array[Double]]] =
+      Array.tabulate(8)(s => Array.tabulate(4)(c =>
+        Array.tabulate(8)(j => (s + c + j).toDouble / 10)))
+    // parquet-backed input with the source column PRE-computed: a purely
+    // local relation would be folded by ConvertToLocalRelation, and the
+    // nvec normalization's higher-order functions are codegen-fallback —
+    // this isolates the encode projection itself, which must stay both
+    // narrow and inside whole-stage codegen
+    val src = tmpDir("graft_pq_narrow") + "/src"
+    corpus(200)
+      .withColumn("graft_src", IvfIndex.nvecExpr("embedding"))
+      .withColumn("list_id", lit(0))
+      .write.parquet(src)
+    val assigned = spark.read.parquet(src)
+    val codes = IvfPqIndex.encode(assigned, "vec_id", books)
+    codes.collect()
+    val plan = codes.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+    // the `*(n)` prefix marks a whole-stage-codegen'd operator in the
+    // compact plan string — the encode projection must carry it
+    assert(plan.linesIterator.exists(l =>
+      l.contains("Project") && l.trim.startsWith("*(")), plan)
+  }
+
+  test("residual flag round-trips; residual=false reproduces the " +
+    "vector-coded path; a legacy store without the flag loads vector-coded") {
+    val data = corpus(400)
+    val dirR = tmpDir("graft_pq_res") + "/idx"
+    val dirV = tmpDir("graft_pq_vec") + "/idx"
+    val r = IvfPqIndex.buildAndSave(data, dirR, "vec_id", "embedding",
+      nlist = 4, m = 8, ksub = 16, seed = 5L)
+    val v = IvfPqIndex.buildAndSave(data, dirV, "vec_id", "embedding",
+      nlist = 4, m = 8, ksub = 16, seed = 5L, residual = false)
+    assert(r.residual && !v.residual)
+    assert(IvfPqIndex.load(spark, dirR).residual)
+    assert(!IvfPqIndex.load(spark, dirV).residual)
+    // both paths score and return the probe's own id first (the corpus
+    // clusters are near-duplicates, so the ADC pool needs headroom for
+    // the exact re-rank to see the probe itself)
+    val probe = data.filter($"vec_id" === 7L).select("embedding")
+      .as[Array[Float]].head()
+    Seq(r, v).foreach { idx =>
+      val top = idx.topK(data, probe, 3, nprobe = 4, poolK = 150)
+        .as[(Long, Double)].collect()
+      assert(top.head._1 == 7L, top.toSeq.toString)
+    }
+    // legacy store: strip the flag column from the centroids sidecar —
+    // the load must fall back to vector-coded scoring
+    val centDir = java.nio.file.Paths.get(dirV, "centroids")
+    val legacy = spark.read.parquet(centDir.toString).drop("residual")
+    val tmp = dirV + "/centroids_legacy"
+    legacy.coalesce(1).write.parquet(tmp)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(centDir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), centDir)
+    val loaded = IvfPqIndex.load(spark, dirV)
+    assert(!loaded.residual)
+    val top = loaded.topK(data, probe, 3, nprobe = 4, poolK = 150)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 7L, top.toSeq.toString)
+  }
+
+  test("residual codes reconstruct the corpus with lower error than " +
+    "vector codes at identical parameters") {
+    val data = corpus(600)
+    val dirR = tmpDir("graft_pq_re") + "/idx"
+    val dirV = tmpDir("graft_pq_ve") + "/idx"
+    val r = IvfPqIndex.buildAndSave(data, dirR, "vec_id", "embedding",
+      nlist = 4, m = 8, ksub = 16, seed = 5L)
+    val v = IvfPqIndex.buildAndSave(data, dirV, "vec_id", "embedding",
+      nlist = 4, m = 8, ksub = 16, seed = 5L, residual = false)
+    val nvecs = data.as[(Long, Array[Float])].collect().map { case (id, f) =>
+      val d = f.map(_.toDouble)
+      val n = math.sqrt(d.map(x => x * x).sum).max(1e-12)
+      id -> d.map(_ / n)
+    }.toMap
+    def meanErr(idx: IvfPqIndex): Double = {
+      val dsub = 64 / idx.m
+      val cents = idx.coarse.sortBy(_._1).map(_._2)
+      val rows = idx.codes.select($"vec_id", $"list_id", $"pq_code")
+        .as[(Long, Int, Seq[Int])].collect()
+      val errs = rows.map { case (id, lid, code) =>
+        val decoded = Array.tabulate(64) { i =>
+          val s = i / dsub
+          val base = if (idx.residual) cents(lid)(i) else 0.0
+          base + idx.codebooks(s)(code(s))(i % dsub)
+        }
+        nvecs(id).zip(decoded).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      errs.sum / errs.length
+    }
+    val (er, ev) = (meanErr(r), meanErr(v))
+    assert(er < ev, s"residual err=$er vector err=$ev")
+  }
+
   test("append: new vectors encode with the frozen codebooks, only " +
     "touched partitions rewrite, they become findable, and the drift " +
     "gate fails loudly leaving the store untouched") {
