@@ -69,6 +69,17 @@ object CommitLog {
   val LogDirName = "_log"
   /** Reserved touched-set token: conflicts with every other commit. */
   val WholeStore = "*"
+  /** Reserved touched-set token for writers whose decisions depend on the
+    * WHOLE table state (dedup admission: every admit is judged against
+    * all history) rather than on the partitions they write: two commits
+    * that both carry it conflict — writers serialize fail-loud under
+    * plain OCC — while readers and disjoint-partition writers of OTHER
+    * operators are unaffected. This is the commit-log replacement for
+    * the store lease: same single-writer guarantee, but enforced by the
+    * atomic manifest CAS instead of lock-file heuristics (no TTL, no
+    * stale-takeover window), and the loser knows its computation is
+    * stale, not merely that someone holds a lock. */
+  val SerialToken = "__serial__"
   /** Full file-list checkpoint cadence (replay never walks more than
     * this many manifests). */
   val CheckpointEvery = 10
@@ -269,6 +280,26 @@ object CommitLog {
   def nonEmpty(fs: FileSystem, store: Path): Boolean =
     isLog(fs, store) && snapshotFiles(fs, store, currentVersion(fs, store)).nonEmpty
 
+  /** The sub-table under `store/<sub>/` at `version` (default tip), or
+    * None when that slice of the snapshot holds no files. For stores
+    * that keep SEVERAL tables under one log (a dedup store's
+    * `sigs/ bands/ buckets/`) so a single manifest moves all of them
+    * atomically; `basePath` anchors at the sub-table so its hive
+    * partition columns (`batch=...`) still materialize and prune. */
+  def readSub(
+      spark: SparkSession,
+      store: Path,
+      sub: String,
+      version: Option[Long] = None): Option[DataFrame] = {
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = version.getOrElse(currentVersion(fs, store))
+    val files = snapshotFiles(fs, store, v).filter(_.startsWith(sub + "/"))
+    if (files.isEmpty) None
+    else Some(spark.read
+      .option("basePath", new Path(store, sub).toString)
+      .parquet(files.map(f => new Path(store, f).toString): _*))
+  }
+
   // ----------------------------------------------------------------- commits
 
   private def isDataFile(name: String) =
@@ -320,7 +351,8 @@ object CommitLog {
       retireNames: Seq[String],
       wholeStore: Boolean,
       meta: Map[String, String] = Map.empty,
-      maxRetries: Int = 20): Long = {
+      maxRetries: Int = 20,
+      extraTouched: Seq[String] = Nil): Long = {
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(logDir(store))
     // move staged files in under their original (globally unique) names;
@@ -337,9 +369,7 @@ object CommitLog {
     fs.delete(staging, true)
     val touched: Set[String] =
       if (wholeStore) Set(WholeStore)
-      else retireNames.toSet ++ added.flatMap(topDir)
-    def conflicts(a: Set[String], b: Set[String]): Boolean =
-      a.contains(WholeStore) || b.contains(WholeStore) || (a & b).nonEmpty
+      else retireNames.toSet ++ added.flatMap(dirKey) ++ extraTouched
     def abort(reason: String): Nothing = {
       // drop our never-visible files so a failed commit leaves no orphans
       added.foreach(f => fs.delete(new Path(store, f), false))
@@ -367,7 +397,8 @@ object CommitLog {
       val snapshot = snapshotFiles(fs, store, tip)
       val removed =
         if (wholeStore) snapshot
-        else snapshot.filter(f => topDir(f).exists(retireNames.contains))
+        else snapshot.filter(f =>
+          retireNames.exists(r => f == r || f.startsWith(r + "/")))
       val v = tip + 1
       val m = Manifest(v, touched, added, removed, meta)
       val tmp = new Path(logDir(store),
@@ -385,13 +416,25 @@ object CommitLog {
         "disjoint-writer churn); staged files dropped, nothing published")
   }
 
-  /** Top-level dir of a store-relative file path — the partition-dir
-    * grain conflicts are detected at. None for root-level files (flat
-    * stores), which only ever commit wholeStore. */
-  private def topDir(relPath: String): Option[String] = {
-    val i = relPath.indexOf('/')
+  /** Directory of a store-relative file path — the grain conflicts are
+    * detected at. The FULL parent path, so nested layouts (a dedup
+    * store's `sigs/batch=3/part.parquet`) conflict at their leaf
+    * partition dir, not at the top-level table dir; for the common
+    * single-level hive layout this is identical to the top dir. None for
+    * root-level files (flat stores), which only ever commit wholeStore. */
+  private def dirKey(relPath: String): Option[String] = {
+    val i = relPath.lastIndexOf('/')
     if (i <= 0) None else Some(relPath.substring(0, i))
   }
+
+  /** Touched-set overlap is HIERARCHICAL: `sigs` overlaps `sigs/batch=3`
+    * (a commit claiming a dir claims everything under it), equal entries
+    * overlap (including [[SerialToken]]), [[WholeStore]] overlaps all.
+    * For single-level layouts this reduces to plain set intersection. */
+  private def conflicts(a: Set[String], b: Set[String]): Boolean =
+    a.contains(WholeStore) || b.contains(WholeStore) ||
+      a.exists(x => b.exists(y =>
+        x == y || x.startsWith(y + "/") || y.startsWith(x + "/")))
 
   private def maybeCheckpoint(fs: FileSystem, store: Path, v: Long): Unit =
     if (v % CheckpointEvery == 0) {

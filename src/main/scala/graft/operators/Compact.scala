@@ -54,6 +54,12 @@ object Compact {
   private[graft] def footerRowsIn(spark: SparkSession, dirs: Seq[Path]): Long =
     dirs.map(d => footerRows(spark, dataFiles(spark, d))).sum
 
+  /** Same footer-only count over an explicit FILE list (a commit-log
+    * snapshot's files, which need no directory listing at all). */
+  private[graft] def footerRowsOf(spark: SparkSession, files: Seq[Path]): Long =
+    files.map(p =>
+      footerRows(spark, Array(fsOf(spark, p).getFileStatus(p)))).sum
+
   /** Compact one flat parquet dir to ~`targetFileBytes` files. Returns the
     * stats; no-ops (and skips the rewrite entirely) when the dir already
     * has ≤ the target file count. Recovers an interrupted previous swap

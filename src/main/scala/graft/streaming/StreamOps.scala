@@ -430,6 +430,13 @@ object StreamOps {
     val bucketsRoot = new org.apache.hadoop.fs.Path(storePath + BucketsSuffix)
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // mode sniff, same rule as every store operator: an existing `_log/`
+    // (or a NEW store under the session's commit-log default) takes the
+    // manifest protocol; existing swap-based stores keep the lease
+    if (graft.operators.CommitLog.active(spark, fs, store))
+      return applyNearDupBatchLog(batch, storePath, batchId, idCol, textCol,
+        numHashes, bands, shingleN, threshold, maxBucket, maxVerifyFetch)
+
     // the signature store and its sidecars mutate below (own-partition
     // deletes + three partition writes): hold the store's single-writer
     // lease so a concurrent backfill or second stream fails loudly
@@ -527,62 +534,10 @@ object StreamOps {
       bandH.groupBy("band", "bucket").agg(count(lit(1)).as("n")))
       .filter(col("n") <= maxBucket)
       .select("band", "bucket")
-    val candidates = bandB
-      .join(bandH.join(smallBuckets, Seq("band", "bucket"), "left_semi"),
-        Seq("band", "bucket"))
-      .select("graft_id", "hist_id").distinct()
-      .persist() // read twice: id-set probe + verify join
-
-    // History signatures for the verify join. The candidate id set is
-    // bounded by batch size × maxBucket, so in the common case it is
-    // tiny relative to the store: push it into the parquet read — the
-    // maintenance folds sort the store by graft_id, so row-group min/max
-    // stats skip the bulk of years-old history and the read approximates
-    // an indexed fetch instead of a full scan. Above
-    // spark.sql.parquet.pushdown.inFilterThreshold (default 10) an In
-    // predicate pushes only as ONE [min,max] range, which prunes nothing
-    // when candidates span the id space — so a gap-split OR-of-BETWEEN
-    // cover over the sorted ids is pushed alongside the exact In filter:
-    // range predicates push at any count, and each tight range hits only
-    // the row groups whose stats overlap a candidate cluster. The exact
-    // In still evaluates residually, so the cover only needs to be a
-    // superset. Above the cap (or with a hot batch), fall back to the
-    // full-scan join.
-    // cap+1 probe, overflow-safe for maxVerifyFetch = Int.MaxValue
-    val capProbe = math.min(maxVerifyFetch.toLong + 1L, Int.MaxValue.toLong).toInt
-    val candIds =
-      if (hasHistory) candidates.select("hist_id").distinct().limit(capProbe)
-        .collect().map(_.get(0))
-      else Array.empty[Any]
-    val histVerify =
-      if (!hasHistory || candIds.isEmpty) history.limit(0)
-      else if (candIds.length <= maxVerifyFetch) {
-        val cover = idCoverFilter(col("graft_id"), candIds)
-        spark.read.parquet(storePath).filter(col("batch") =!= batchId)
-          .where(cover.getOrElse(lit(true)))
-          .filter(col("graft_id").isInCollection(candIds.toSeq))
-          .select(col("graft_id").as("hist_id"), col("graft_sig").as("hist_sig"))
-      } else history
-
-    // MinHash estimator: fraction of agreeing signature positions
-    val agree = size(filter(
-      zip_with(col("graft_sig"), col("hist_sig"), (a, b) => a === b),
-      x => x)).cast("double") / numHashes
-    val dupOfHistory = candidates
-      .join(sigB, "graft_id")
-      .join(histVerify, "hist_id")
-      .filter(agree >= threshold)
-      .select(col("graft_id").as(idCol)).distinct()
-
-    // within-batch: the text is in hand — exact-verified LSH pairs, min
-    // id survives (deterministic, matching Dedup.dedupNear's convention)
-    val batchPairs = graft.operators.Dedup.minhashNearDup(
-      batch, idCol, textCol, numHashes, bands, shingleN, threshold)
-    val dupInBatch = batchPairs.select(col("id_b").as(idCol)).distinct()
-
-    val admitted = batch
-      .join(dupOfHistory.unionByName(dupInBatch).distinct(), Seq(idCol), "left_anti")
-      .persist()
+    val (admitted, candidates) = nearDupAdmitCore(
+      batch, idCol, textCol, sigB, bandB, history, bandH, smallBuckets,
+      () => spark.read.parquet(storePath).filter(col("batch") =!= batchId),
+      hasHistory, numHashes, bands, shingleN, threshold, maxVerifyFetch)
     // admitted signatures (+ their band keys and bucket-count partial) →
     // this batch's own partitions; overwrite makes the replayed attempt
     // idempotent, and a crash between the three writes replays the whole
@@ -607,6 +562,321 @@ object StreamOps {
     candidates.unpersist()
     admitted
     }
+  }
+
+  /** The candidate → verify → admit middle shared by the legacy and
+    * commit-log store modes — everything between "history frames are in
+    * hand" and "write the admitted rows", which is mode-independent.
+    *
+    * History signatures for the verify join: the candidate id set is
+    * bounded by batch size × maxBucket, so in the common case it is tiny
+    * relative to the store — push it into the parquet read (maintenance
+    * folds sort the store by graft_id, so row-group min/max stats skip
+    * the bulk of years-old history and the read approximates an indexed
+    * fetch). Above spark.sql.parquet.pushdown.inFilterThreshold an In
+    * predicate pushes only as ONE [min,max] range, which prunes nothing
+    * when candidates span the id space — so a gap-split OR-of-BETWEEN
+    * cover over the sorted ids is pushed alongside the exact In filter;
+    * the cover is a superset, the exact In evaluates residually. Above
+    * `maxVerifyFetch` ids, fall back to the full-scan join against
+    * `history`.
+    *
+    * Returns (admitted [persisted], candidates [persisted]) — the caller
+    * unpersists both after its writes materialize them. */
+  private def nearDupAdmitCore(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      sigB: DataFrame,
+      bandB: DataFrame,
+      history: DataFrame,
+      bandH: DataFrame,
+      smallBuckets: DataFrame,
+      histSigs: () => DataFrame,
+      hasHistory: Boolean,
+      numHashes: Int,
+      bands: Int,
+      shingleN: Int,
+      threshold: Double,
+      maxVerifyFetch: Int): (DataFrame, DataFrame) = {
+    val candidates = bandB
+      .join(bandH.join(smallBuckets, Seq("band", "bucket"), "left_semi"),
+        Seq("band", "bucket"))
+      .select("graft_id", "hist_id").distinct()
+      .persist() // read twice: id-set probe + verify join
+
+    // cap+1 probe, overflow-safe for maxVerifyFetch = Int.MaxValue
+    val capProbe = math.min(maxVerifyFetch.toLong + 1L, Int.MaxValue.toLong).toInt
+    val candIds =
+      if (hasHistory) candidates.select("hist_id").distinct().limit(capProbe)
+        .collect().map(_.get(0))
+      else Array.empty[Any]
+    val histVerify =
+      if (!hasHistory || candIds.isEmpty) history.limit(0)
+      else if (candIds.length <= maxVerifyFetch) {
+        val cover = idCoverFilter(col("graft_id"), candIds)
+        histSigs()
+          .where(cover.getOrElse(lit(true)))
+          .filter(col("graft_id").isInCollection(candIds.toSeq))
+          .select(col("graft_id").as("hist_id"), col("graft_sig").as("hist_sig"))
+      } else history
+
+    // MinHash estimator: fraction of agreeing signature positions
+    val agree = size(filter(
+      zip_with(col("graft_sig"), col("hist_sig"), (a, b) => a === b),
+      x => x)).cast("double") / numHashes
+    val dupOfHistory = candidates
+      .join(sigB, "graft_id")
+      .join(histVerify, "hist_id")
+      .filter(agree >= threshold)
+      .select(col("graft_id").as(idCol)).distinct()
+
+    // within-batch: the text is in hand — exact-verified LSH pairs, min
+    // id survives (deterministic, matching Dedup.dedupNear's convention)
+    val batchPairs = graft.operators.Dedup.minhashNearDup(
+      batch, idCol, textCol, numHashes, bands, shingleN, threshold)
+    val dupInBatch = batchPairs.select(col("id_b").as(idCol)).distinct()
+
+    val admitted = batch
+      .join(dupOfHistory.unionByName(dupInBatch).distinct(), Seq(idCol), "left_anti")
+      .persist()
+    (admitted, candidates)
+  }
+
+  /** Manifest-meta keys of a commit-log dedup store: the LSH config
+    * (validated per batch in O(1), replacing the `.meta` sidecar) and
+    * the admission high-water mark (replacing the live-dir listing the
+    * replay guard reads in legacy mode — and surviving folds, which a
+    * listing does not: after a fold only `batch=-1` is live, but the
+    * manifest still knows the newest admitted batch). Carried forward on
+    * EVERY commit, so tipMeta always answers. */
+  private def nearDupLogMeta(
+      numHashes: Int, bands: Int, shingleN: Int, maxBatch: Long) =
+    Map(
+      "numHashes" -> numHashes.toString,
+      "bands" -> bands.toString,
+      "shingleN" -> shingleN.toString,
+      "maxBatch" -> maxBatch.toString)
+
+  private def requireLogConfig(
+      meta: Map[String, String],
+      storePath: String,
+      numHashes: Int,
+      bands: Int,
+      shingleN: Int): Unit =
+    require(
+      meta.get("numHashes").contains(numHashes.toString) &&
+        meta.get("bands").contains(bands.toString) &&
+        meta.get("shingleN").contains(shingleN.toString),
+      s"signature store at $storePath was built with " +
+        s"(numHashes=${meta.getOrElse("numHashes", "?")}, " +
+        s"bands=${meta.getOrElse("bands", "?")}, " +
+        s"shingleN=${meta.getOrElse("shingleN", "?")}), this stream uses " +
+        s"($numHashes, $bands, $shingleN) — rebuild the store or match " +
+        "the configuration")
+
+  private def requireReplayable(
+      batchId: Long, maxBatch: Long, storePath: String): Unit =
+    require(batchId >= maxBatch,
+      s"out-of-protocol replay: batch $batchId is older than the newest " +
+        s"admitted batch $maxBatch in $storePath — its prior admissions may " +
+        "already be folded into batch=-1, which would silently flag the " +
+        "replay as duplicates of itself; only the latest batch may replay " +
+        "(reset the checkpoint and store consistently, or rebuild the store)")
+
+  /** Commit-log mode of [[applyNearDupBatch]]. One store root holds the
+    * three tables as sub-dirs under a single `_log/`:
+    *
+    * {{{
+    * store/_log/...            numbered manifests (truth)
+    * store/sigs/batch=<id>/    admitted MinHash signatures
+    * store/bands/batch=<id>/   their exploded LSH band keys
+    * store/buckets/batch=<id>/ partial bucket counts per batch
+    * }}}
+    *
+    * so ONE manifest admits a batch's signatures, band keys, and bucket
+    * partials ATOMICALLY — the legacy mode's crash window between its
+    * three partition writes (replayed via whole-batch rewrite) simply
+    * does not exist, and neither do lease files: commits carry
+    * [[graft.operators.CommitLog.SerialToken]], so any concurrent writer
+    * (second stream, backfill, maintenance) loses the CAS race loudly
+    * with a ConflictException instead of corrupting admissions — the
+    * foreachBatch retry then replays the batch against the new tip.
+    * Reads pin the version the admission decisions were computed
+    * against, so a fold landing mid-batch cannot shift history under
+    * the verify join. Replays retire-and-replace the batch's own dirs
+    * in the same commit (the manifest IS the overwrite). Deletion
+    * defers to [[graft.operators.CommitLog.vacuum]]. */
+  private def applyNearDupBatchLog(
+      batch: DataFrame,
+      storePath: String,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      shingleN: Int,
+      threshold: Double,
+      maxBucket: Int,
+      maxVerifyFetch: Int): DataFrame = {
+    import graft.functions.TextFunctions._
+    import graft.operators.CommitLog
+    val spark = batch.sparkSession
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val baseV = CommitLog.currentVersion(fs, store)
+    val tipMeta = CommitLog.tipMeta(fs, store)
+    if (baseV > 0) requireLogConfig(tipMeta, storePath, numHashes, bands, shingleN)
+    requireReplayable(batchId,
+      tipMeta.get("maxBatch").map(_.toLong).getOrElse(-1L), storePath)
+
+    // one fused text→signature pass over the batch
+    val sigB = batch.select(
+      col(idCol).as("graft_id"),
+      minhashTextSignature(col(textCol), shingleN, numHashes).as("graft_sig"))
+      .persist()
+    val bandB = sigB.select(col("graft_id"),
+      explode(bandKeys(col("graft_sig"), bands, numHashes)).as("graft_band"))
+      .select(col("graft_id"), col("graft_band.band"), col("graft_band.bucket"))
+
+    // history = the pinned snapshot at baseV, minus the current batch
+    // (same-batch exclusion keeps replays idempotent — a prior attempt's
+    // own rows must not flag the recomputed batch as dups of itself)
+    val sigsHist = CommitLog.readSub(spark, store, "sigs", Some(baseV))
+      .map(_.filter(col("batch") =!= batchId))
+    val hasHistory = sigsHist.isDefined
+    val history = sigsHist
+      .map(_.select(col("graft_id").as("hist_id"), col("graft_sig").as("hist_sig")))
+      .getOrElse(sigB
+        .select(col("graft_id").as("hist_id"), col("graft_sig").as("hist_sig"))
+        .limit(0))
+      .persist()
+    val bandH = CommitLog.readSub(spark, store, "bands", Some(baseV))
+      .map(_.filter(col("batch") =!= batchId).select("hist_id", "band", "bucket"))
+      .getOrElse(history
+        .select(col("hist_id"), lit(0).as("band"), lit(0L).as("bucket"))
+        .limit(0))
+    val smallBuckets = CommitLog.readSub(spark, store, "buckets", Some(baseV))
+      .map(_.filter(col("batch") =!= batchId)
+        .groupBy("band", "bucket").agg(sum("n").as("n")))
+      .getOrElse(bandH.groupBy("band", "bucket").agg(count(lit(1)).as("n")))
+      .filter(col("n") <= maxBucket)
+      .select("band", "bucket")
+
+    val (admitted, candidates) = nearDupAdmitCore(
+      batch, idCol, textCol, sigB, bandB, history, bandH, smallBuckets,
+      () => CommitLog.readSub(spark, store, "sigs", Some(baseV)).get
+        .filter(col("batch") =!= batchId),
+      hasHistory, numHashes, bands, shingleN, threshold, maxVerifyFetch)
+
+    // stage all three tables, publish ONE manifest. The writes also
+    // materialize the admitted cache, so the inner caches release here.
+    val staging = graft.operators.Swap.Suffix.staging(
+      store, graft.operators.Swap.newTag())
+    val sigA = sigB
+      .join(admitted.select(col(idCol).as("graft_id")), Seq("graft_id"), "left_semi")
+      .persist()
+    sigA.write.parquet(
+      new org.apache.hadoop.fs.Path(staging, s"sigs/batch=$batchId").toString)
+    val bandA = sigA.select(col("graft_id").as("hist_id"),
+      explode(bandKeys(col("graft_sig"), bands, numHashes)).as("graft_band"))
+      .select(col("hist_id"), col("graft_band.band"), col("graft_band.bucket"))
+    bandA.write.parquet(
+      new org.apache.hadoop.fs.Path(staging, s"bands/batch=$batchId").toString)
+    bandA.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .write.parquet(
+        new org.apache.hadoop.fs.Path(staging, s"buckets/batch=$batchId").toString)
+    CommitLog.commitStaged(spark, store, staging, baseV,
+      retireNames = Seq(
+        s"sigs/batch=$batchId", s"bands/batch=$batchId", s"buckets/batch=$batchId"),
+      wholeStore = false,
+      meta = nearDupLogMeta(numHashes, bands, shingleN, batchId),
+      extraTouched = Seq(CommitLog.SerialToken))
+    sigA.unpersist()
+    sigB.unpersist()
+    history.unpersist()
+    candidates.unpersist()
+    admitted
+  }
+
+  /** Commit-log mode of [[maintainNearDupStore]]: fold every batch
+    * except the newest (and the previous `batch=-1`) into a fresh
+    * sorted `batch=-1` PER SUB-TABLE, retired and replaced by ONE
+    * manifest — the legacy mode's crash window BETWEEN per-root folds
+    * (store folded, sidecars not) does not exist. Row-count parity is
+    * checked from parquet footers before the commit for the two
+    * content-preserving folds (the bucket fold legitimately
+    * re-aggregates). */
+  private def maintainNearDupStoreLog(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      targetFileBytes: Long): Unit = {
+    import graft.operators.CommitLog
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseV = CommitLog.currentVersion(fs, store)
+    if (baseV == 0) return
+    val files = CommitLog.snapshotFiles(fs, store, baseV)
+    def batchIds(sub: String): Seq[Long] = files
+      .filter(_.startsWith(sub + "/"))
+      .flatMap(_.split('/').lift(1))
+      .distinct
+      .flatMap(n =>
+        scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+    val ids = batchIds("sigs")
+    val live = ids.filter(_ >= 0)
+    if (live.isEmpty) return
+    val maxId = live.max
+    val foldIds = ids.filter(_ < maxId).sorted // includes a previous -1
+    if (!foldIds.exists(_ >= 0)) return        // only the fold itself left
+
+    val staging = graft.operators.Swap.Suffix.staging(
+      store, graft.operators.Swap.newTag())
+    def foldSub(
+        sub: String,
+        reagg: Option[DataFrame => DataFrame],
+        sortCols: Seq[String]): Unit = {
+      val inFiles = files.filter(f =>
+        foldIds.exists(i => f.startsWith(s"$sub/batch=$i/")))
+      if (inFiles.isEmpty) return
+      val bytes = inFiles
+        .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(store, f)).getLen)
+        .sum
+      val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      val folded = CommitLog.readSub(spark, store, sub, Some(baseV)).get
+        .filter(col("batch").isin(foldIds: _*)).drop("batch")
+      val combined = reagg.fold(folded)(f => f(folded))
+      // range-partition + sort (not a global sort): each output file
+      // holds a contiguous key range for row-group pruning + compression
+      val out = combined
+        .repartitionByRange(nOut, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+      val dest = new org.apache.hadoop.fs.Path(staging, s"$sub/batch=-1")
+      out.write.parquet(dest.toString)
+      if (reagg.isEmpty) {
+        val before = graft.operators.Compact.footerRowsOf(spark,
+          inFiles.map(new org.apache.hadoop.fs.Path(store, _)))
+        val after = graft.operators.Compact.footerRowsIn(spark, Seq(dest))
+        if (before != after) {
+          fs.delete(staging, true)
+          throw new IllegalStateException(
+            s"fold row mismatch for $storePath/$sub: $before -> $after " +
+              "(store untouched)")
+        }
+      }
+    }
+    foldSub("sigs", None, Seq("graft_id"))
+    foldSub("bands", None, Seq("band", "bucket", "hist_id"))
+    foldSub("buckets",
+      Some(df => df.groupBy("band", "bucket").agg(sum("n").as("n"))),
+      Seq("band", "bucket"))
+    CommitLog.commitStaged(spark, store, staging, baseV,
+      retireNames = foldIds.flatMap(i =>
+        Seq(s"sigs/batch=$i", s"bands/batch=$i", s"buckets/batch=$i")),
+      wholeStore = false,
+      meta = CommitLog.tipMeta(fs, store), // config + maxBatch carry forward
+      extraTouched = Seq(CommitLog.SerialToken))
   }
 
   private[graft] val BandsSuffix = ".bands"
@@ -762,7 +1032,11 @@ object StreamOps {
   def maintainNearDupStore(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
-      targetFileBytes: Long = 128L << 20): Unit =
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (graft.operators.CommitLog.isLog(fs, store))
+      return maintainNearDupStoreLog(spark, storePath, targetFileBytes)
     // ONE lease on the signature-store root covers all three roots (the
     // sidecars are derived siblings nobody writes independently)
     graft.operators.Swap.withStoreLease(
@@ -779,6 +1053,7 @@ object StreamOps {
         reagg = Some(df => df.groupBy("band", "bucket").agg(sum("n").as("n"))),
         sortCols = Seq("band", "bucket"))
     }
+  }
 
   /** Incremental corpus EXACT dedup: each micro-batch is checked against
     * a persistent fingerprint store of everything ever admitted — the
@@ -835,6 +1110,10 @@ object StreamOps {
     val spark = batch.sparkSession
     val store = new org.apache.hadoop.fs.Path(storePath)
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    if (graft.operators.CommitLog.active(spark, fs, store))
+      return applyExactDedupBatchLog(batch, storePath, batchId, idCol,
+        textCol, maxFetch)
 
     graft.operators.Swap.withStoreLease(spark, store) { _ =>
     graft.operators.Swap.recoverDirs(spark, store, graft.operators.Swap.Suffix)
@@ -912,12 +1191,143 @@ object StreamOps {
   def maintainExactDedupStore(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
-      targetFileBytes: Long = 128L << 20): Unit =
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (graft.operators.CommitLog.isLog(fs, store))
+      return maintainExactDedupStoreLog(spark, storePath, targetFileBytes)
     graft.operators.Swap.withStoreLease(
       spark, new org.apache.hadoop.fs.Path(storePath)) { _ =>
       foldBatchPartitions(spark, storePath, targetFileBytes, reagg = None,
         sortCols = Seq("graft_fp"))
     }
+  }
+
+  /** Commit-log mode of [[applyExactDedupBatch]]: the fingerprint store
+    * is a plain single-level log store (`store/_log/` +
+    * `store/batch=<id>/`) — one manifest per batch, replays
+    * retire-and-replace their own partition, the replay high-water mark
+    * rides the manifest meta (surviving folds, which the legacy live-dir
+    * listing does not), and concurrent writers serialize loudly through
+    * [[graft.operators.CommitLog.SerialToken]] instead of a lease. */
+  private def applyExactDedupBatchLog(
+      batch: DataFrame,
+      storePath: String,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      maxFetch: Int): DataFrame = {
+    import graft.operators.CommitLog
+    val spark = batch.sparkSession
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val baseV = CommitLog.currentVersion(fs, store)
+    requireReplayable(batchId,
+      CommitLog.tipMeta(fs, store).get("maxBatch").map(_.toLong).getOrElse(-1L),
+      storePath)
+    // pinned snapshot minus the current batch (replay idempotence)
+    val histAll = CommitLog.read(spark, store, Some(baseV))
+      .map(_.filter(col("batch") =!= batchId))
+    val hasHistory = histAll.isDefined
+
+    val fpB = batch.select(
+      col(idCol).as("graft_id"),
+      md5(col(textCol).cast("string")).as("graft_fp"))
+      .persist()
+
+    // cap+1 probe mirrors the near-dup verify fetch
+    val capProbe = math.min(maxFetch.toLong + 1L, Int.MaxValue.toLong).toInt
+    val batchFps: Array[Any] =
+      if (hasHistory) fpB.select("graft_fp").distinct().limit(capProbe)
+        .collect().map(_.get(0))
+      else Array.empty[Any]
+    val history =
+      if (!hasHistory || batchFps.isEmpty) fpB.select("graft_fp").limit(0)
+      else if (batchFps.length <= maxFetch) {
+        val cover = idCoverFilter(col("graft_fp"), batchFps)
+        histAll.get
+          .where(cover.getOrElse(lit(true)))
+          .filter(col("graft_fp").isInCollection(batchFps.toSeq))
+          .select("graft_fp")
+      } else histAll.get.select("graft_fp")
+
+    val dupOfHistory = fpB
+      .join(history, Seq("graft_fp"), "left_semi")
+      .select(col("graft_id").as(idCol))
+    // within-batch: min id per fingerprint survives
+    val dupInBatch = fpB
+      .join(fpB.groupBy("graft_fp").agg(min("graft_id").as("graft_keep")),
+        Seq("graft_fp"))
+      .filter(col("graft_id") =!= col("graft_keep"))
+      .select(col("graft_id").as(idCol))
+
+    val admitted = batch
+      .join(dupOfHistory.unionByName(dupInBatch).distinct(), Seq(idCol), "left_anti")
+      .persist()
+    val staging = graft.operators.Swap.Suffix.staging(
+      store, graft.operators.Swap.newTag())
+    fpB.join(admitted.select(col(idCol).as("graft_id")), Seq("graft_id"), "left_semi")
+      .write.parquet(
+        new org.apache.hadoop.fs.Path(staging, s"batch=$batchId").toString)
+    CommitLog.commitStaged(spark, store, staging, baseV,
+      retireNames = Seq(s"batch=$batchId"),
+      wholeStore = false,
+      meta = Map("maxBatch" -> batchId.toString),
+      extraTouched = Seq(CommitLog.SerialToken))
+    fpB.unpersist()
+    admitted
+  }
+
+  /** Commit-log mode of [[maintainExactDedupStore]]: one manifest folds
+    * every batch but the newest into a sorted `batch=-1`, parity-checked
+    * from footers pre-commit. */
+  private def maintainExactDedupStoreLog(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      targetFileBytes: Long): Unit = {
+    import graft.operators.CommitLog
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseV = CommitLog.currentVersion(fs, store)
+    if (baseV == 0) return
+    val files = CommitLog.snapshotFiles(fs, store, baseV)
+    val ids = files.flatMap(_.split('/').headOption).distinct
+      .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+    val live = ids.filter(_ >= 0)
+    if (live.isEmpty) return
+    val maxId = live.max
+    val foldIds = ids.filter(_ < maxId).sorted
+    if (!foldIds.exists(_ >= 0)) return
+
+    val inFiles = files.filter(f =>
+      foldIds.exists(i => f.startsWith(s"batch=$i/")))
+    val bytes = inFiles
+      .map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(store, f)).getLen)
+      .sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val folded = CommitLog.read(spark, store, Some(baseV)).get
+      .filter(col("batch").isin(foldIds: _*)).drop("batch")
+      .repartitionByRange(nOut, col("graft_fp"))
+      .sortWithinPartitions(col("graft_fp"))
+    val staging = graft.operators.Swap.Suffix.staging(
+      store, graft.operators.Swap.newTag())
+    val dest = new org.apache.hadoop.fs.Path(staging, "batch=-1")
+    folded.write.parquet(dest.toString)
+    val before = graft.operators.Compact.footerRowsOf(spark,
+      inFiles.map(new org.apache.hadoop.fs.Path(store, _)))
+    val after = graft.operators.Compact.footerRowsIn(spark, Seq(dest))
+    if (before != after) {
+      fs.delete(staging, true)
+      throw new IllegalStateException(
+        s"fold row mismatch for $storePath: $before -> $after (store untouched)")
+    }
+    CommitLog.commitStaged(spark, store, staging, baseV,
+      retireNames = foldIds.map("batch=" + _),
+      wholeStore = false,
+      meta = CommitLog.tipMeta(fs, store),
+      extraTouched = Seq(CommitLog.SerialToken))
+  }
 
   /** Fold all `batch=<id>` dirs of `rootPath` except the highest id into
     * `batch=-1`. No-op when there is nothing to fold. (Test-visible so
