@@ -131,6 +131,36 @@ object CurationQueries {
              |  FROM tf JOIN dfreq USING (term) CROSS JOIN n) x
              |WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin)),
 
+    // Repeated-segment boilerplate removal (operators/Boilerplate.scala):
+    // drop any fixed-width word segment whose exact text occurs in >= 3
+    // distinct docs, keep the rest of each page (C4/RefinedWeb-style).
+    // The fixture's word soup repeats 3-grams naturally (~9% of segments
+    // cross the threshold at both SFs), so removal and survival are both
+    // exercised. Oracle replays segmentation, distinct-doc counts, and
+    // in-order reassembly.
+    GraftQuery(
+      "q_boilerplate",
+      (s, d) =>
+        graft.operators.Boilerplate.removeRepeated(
+          Tables.documents(s, d), "doc_id", "text",
+          segmentWords = 3, minDocs = 3)
+          .orderBy("doc_id"),
+      Some("""WITH words AS (
+             |  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS idx
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+             |segs AS (
+             |  SELECT doc_id, CAST((idx-1)//3 AS BIGINT) AS seg,
+             |         string_agg(w, ' ' ORDER BY idx) AS seg_text
+             |  FROM words GROUP BY 1, 2),
+             |freq AS (
+             |  SELECT seg_text, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1)
+             |SELECT doc_id,
+             |  coalesce(string_agg(seg_text, ' ' ORDER BY seg)
+             |             FILTER (WHERE df < 3), '') AS clean_text,
+             |  count(*) FILTER (WHERE df >= 3) AS n_removed
+             |FROM segs JOIN freq USING (seg_text)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // BM25 retrieval (operators/Bm25.scala): Lucene-IDF BM25 top-k per
     // query over the documents table — broadcast query-term filter before
     // any shuffle, bounded-heap top-k (no window sort). The oracle

@@ -877,6 +877,12 @@ object StreamOps {
       wholeStore = false,
       meta = CommitLog.tipMeta(fs, store), // config + maxBatch carry forward
       extraTouched = Seq(CommitLog.SerialToken))
+    // trickle ingest adds a version per trigger and a fold retires whole
+    // batch dirs; without a vacuum the store never physically shrinks —
+    // maintenance is the natural cadence (retention still protects
+    // recently pinned readers)
+    CommitLog.vacuum(spark, store)
+    ()
   }
 
   private[graft] val BandsSuffix = ".bands"
@@ -1327,6 +1333,10 @@ object StreamOps {
       wholeStore = false,
       meta = CommitLog.tipMeta(fs, store),
       extraTouched = Seq(CommitLog.SerialToken))
+    // same rationale as the near-dup fold: maintenance is when the store
+    // physically shrinks
+    CommitLog.vacuum(spark, store)
+    ()
   }
 
   /** Fold all `batch=<id>` dirs of `rootPath` except the highest id into

@@ -139,6 +139,22 @@ class LogDedupStreamSpec extends AnyFunSuite {
         admit(store, 1L, Seq(Doc(11, base)))
       }
       assert(e.getMessage.contains("out-of-protocol replay"))
+
+      // maintenance also vacuums: once retention moves past the pre-fold
+      // version, the folded batch dirs physically disappear
+      admit(store, 4L, Seq(Doc(12, "one more distinct document to push " +
+        "the retained window past the first fold's base version")))
+      StreamOps.maintainNearDupStore(spark, store)
+      val gone = Seq("sigs/batch=0", "sigs/batch=1", "bands/batch=0",
+        "buckets/batch=0")
+      gone.foreach { d =>
+        val dir = new Path(p, d)
+        assert(!fs.exists(dir) || fs.listStatus(dir).isEmpty,
+          s"$d still holds files after vacuum")
+      }
+      // and the store still answers: dup of folded-twice history drops
+      val a2 = admit(store, 5L, Seq(Doc(13, edit("someday"))))
+      assert(a2 == Seq(), s"admitted $a2")
     }
   }
 
