@@ -117,6 +117,70 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Cross-corpus near-dup filter: the rows of `corpus` with NO
+    * near-duplicate in `reference` (exact n-gram Jaccard ≥ `threshold`,
+    * LSH-blocked candidates — same kernel and coverage math as
+    * [[ngramJaccardNearDup]]). The reference is NOT deduped internally
+    * and is never modified: this is "dedup the new crawl against the
+    * training set", "drop docs already covered by last month's corpus" —
+    * the batch complement of the streaming admission store, where the
+    * reference is everything already admitted.
+    *
+    * Shape at 100 TB: both sides run the fused one-pass text→signature
+    * kernel; the bucket join carries band keys only, never text; hot
+    * buckets are capped on BOTH sides (a boilerplate bucket in either
+    * corpus must not cross-join the other side wholesale — ≤ maxBucket²
+    * candidate pairs per bucket, the same bound as the self-join path);
+    * exact shingle verification touches only docs that reached
+    * candidacy; the final filter is a left_anti on ids.
+    */
+  def dedupAgainst(
+      corpus: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      numHashes: Int = 128,
+      bands: Int = 64,
+      seed: Long = 42L,
+      maxBucket: Int = 1000): DataFrame = {
+    def banded(df: DataFrame) = df
+      .select(
+        col(idCol).as("graft_id"),
+        minhashTextSignature(col(textCol), shingleN, numHashes, seed).as("graft_sig"))
+      .select(col("graft_id"),
+        explode(bandKeys(col("graft_sig"), bands, numHashes)).as("graft_band"))
+      .select(col("graft_id"), col("graft_band.band"), col("graft_band.bucket"))
+    def capped(b: DataFrame) = b.join(
+      b.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= maxBucket).select("band", "bucket"),
+      Seq("band", "bucket"), "left_semi")
+    val bc = capped(banded(corpus))
+    val br = capped(banded(reference))
+      .select(col("graft_id").as("ref_id"), col("band"), col("bucket"))
+    val candidates = bc.join(br, Seq("band", "bucket"))
+      .select(col("graft_id").as("cand_id"), col("ref_id")).distinct()
+      .persist()
+
+    // exact verify over candidate docs only, never either corpus
+    val candC = corpus
+      .join(candidates.select(col("cand_id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("cand_id"), shingles(col(textCol), shingleN).as("sh_c"))
+    val candR = reference
+      .join(candidates.select(col("ref_id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("ref_id"), shingles(col(textCol), shingleN).as("sh_r"))
+    val dupIds = candidates
+      .join(candC, "cand_id")
+      .join(candR, "ref_id")
+      .withColumn("graft_j", jaccard(col("sh_c"), col("sh_r")))
+      .filter(col("graft_j") >= threshold)
+      .select(col("cand_id").as(idCol)).distinct()
+    corpus.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Near-dup pairs via 64-bit SimHash. Pigeonhole banding: fingerprints
     * within Hamming distance `maxHamming` MUST agree on at least one of
     * `chunks` equal-width bit chunks — which is only guaranteed when

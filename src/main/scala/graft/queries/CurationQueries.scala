@@ -583,5 +583,39 @@ object CurationQueries {
              |      FROM toks, UNNEST(range(1, greatest(len(w) - 7, 1) + 1)) AS t(i)),
              |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
              |SELECT DISTINCT doc_id FROM g JOIN bench USING (gram)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Cross-corpus near-dup filter (operators/Dedup.dedupAgainst): drop
+    // corpus docs with a near-duplicate in a REFERENCE corpus that is
+    // itself left untouched — "dedup the new crawl against last month's
+    // corpus". Even/odd doc ids stand in for the two corpora. The oracle
+    // is the exact O(n×m) 3-gram Jaccard anti-join; the engine's
+    // LSH-blocked path must reproduce it exactly (same coverage math the
+    // q_ngram_jaccard gate already proves for the self-join form).
+    GraftQuery(
+      "q_dedup_against",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Dedup.dedupAgainst(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", shingleN = 3, threshold = 0.5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+             |           FROM documents),
+             |g AS (SELECT doc_id,
+             |        CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |             ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+             |                                 FOR i IN range(1, len(w)-1)])
+             |        END AS sh
+             |      FROM t),
+             |c AS (SELECT * FROM g WHERE doc_id % 2 = 0),
+             |r AS (SELECT * FROM g WHERE doc_id % 2 = 1),
+             |dup AS (SELECT DISTINCT c.doc_id FROM c JOIN r ON
+             |  CAST(len(list_intersect(c.sh, r.sh)) AS DOUBLE) /
+             |    len(list_distinct(list_concat(c.sh, r.sh))) >= 0.5)
+             |SELECT * FROM documents
+             |WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM dup)
              |ORDER BY doc_id""".stripMargin)))
 }

@@ -143,4 +143,32 @@ class DedupSpec extends AnyFunSuite {
     assert(cached.storageLevel != StorageLevel.NONE)
     cached.unpersist()
   }
+
+  test("dedupAgainst drops corpus docs near-duplicated in the reference, " +
+    "keeps the rest, and never touches the reference") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    val ref = Seq(
+      (100L, base),
+      (101L, "reference-only material on columnar storage and encodings"))
+      .toDF("doc_id", "text")
+    val corp = Seq(
+      (0L, base.replace("tonight", "today")), // near-dup of ref 100
+      (1L, base),                             // exact dup of ref 100
+      (2L, "novel corpus document about watermarking streaming state"),
+      (3L, "reference-only material on columnar storage and encodings"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(corp, ref, "doc_id", "text",
+      shingleN = 2, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L), s"kept $kept")
+    // corpus-internal near-dups are NOT removed: docs 0 and 1 dropped
+    // for matching the reference, not each other — rerun with a
+    // reference that matches neither and both survive despite being
+    // mutual near-dups
+    val keptAll = Dedup.dedupAgainst(corp.filter($"doc_id" < 2),
+      ref.filter($"doc_id" === 101L), "doc_id", "text",
+      shingleN = 2, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptAll == Seq(0L, 1L), s"kept $keptAll")
+  }
 }
