@@ -149,5 +149,35 @@ object StoreQueries {
              |  ROUND(CAST(min(l_quantity) AS DOUBLE), 2) AS min,
              |  ROUND(CAST(max(l_quantity) AS DOUBLE), 2) AS max,
              |  ROUND(CAST(sum(l_quantity) AS DOUBLE)/count(l_quantity), 4) AS avg
-             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)))
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // TIME TRAVEL on a commit-log store: merge v1 (full load), merge v2
+    // (lowercase the %10 keys), then read BOTH versions from the same
+    // store — the pinned-version read returns the v1 state bit for bit
+    // even though v2 logically replaced its files (deletion defers to
+    // vacuum; LogStoreSpec pins the mid-rewrite reader isolation this
+    // query surfaces as an API). The oracle states both states
+    // relationally.
+    GraftQuery(
+      "q_time_travel",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_ttq").toString + "/t"
+        val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+        graft.operators.Merge.into(s, tmp, cust, Seq("c_custkey"), log = Some(true))
+        val updates = cust.filter(col("c_custkey") % 10 === 0)
+          .withColumn("c_name", lower(col("c_name")))
+        graft.operators.Merge.into(s, tmp, updates, Seq("c_custkey"))
+        val store = new org.apache.hadoop.fs.Path(tmp)
+        val v1 = graft.operators.CommitLog.read(s, store, Some(1L)).get
+          .select(lit(1L).as("version"), col("c_custkey"), col("c_name"))
+        val tip = graft.operators.CommitLog.read(s, store).get
+          .select(lit(2L).as("version"), col("c_custkey"), col("c_name"))
+        v1.unionByName(tip).orderBy("version", "c_custkey")
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS version, c_custkey, c_name FROM customer
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT) AS version, c_custkey,
+             |  CASE WHEN c_custkey % 10 = 0 THEN LOWER(c_name) ELSE c_name END AS c_name
+             |FROM customer
+             |ORDER BY version, c_custkey""".stripMargin)))
 }
