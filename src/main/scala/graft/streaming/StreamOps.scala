@@ -564,6 +564,45 @@ object StreamOps {
     }
   }
 
+  /** Per-micro-batch distribution drift against PINNED baselines — the
+    * streaming form of [[graft.operators.Drift]]: score every trigger's
+    * rows against the distribution the curation thresholds (or the
+    * model, or the IVF centroids) were built on, and alert the moment
+    * ingest moves. Baselines are captured ONCE before the stream starts
+    * (`Drift.psiBaseline` / `Drift.catBaseline` — driver-resident
+    * histograms), so the per-trigger cost is one tiny aggregate over the
+    * BATCH per monitored column; the baseline table is never re-scanned,
+    * the same never-O(history)-per-trigger economics as the dedup
+    * stores' sidecars.
+    *
+    * Emits one row per monitored column per trigger:
+    * (column, kind, psi, chi2 [NaN for numeric], rows_cur) — route it to
+    * a metrics sink or a threshold alarm in `sink`. */
+  def driftStream(
+      rows: DataFrame,
+      checkpoint: String,
+      numeric: Seq[graft.operators.Drift.PsiBaseline],
+      categorical: Seq[graft.operators.Drift.CatBaseline] = Nil)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(numeric.nonEmpty || categorical.nonEmpty,
+      "driftStream needs at least one baseline to monitor")
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val parts =
+          numeric.map(b => graft.operators.Drift.psiAgainst(b, batch)
+            .select(
+              lit(b.valueCol).as("column"), lit("numeric").as("kind"),
+              col("psi"), lit(Double.NaN).as("chi2"), col("rows_cur"))) ++
+          categorical.map(b => graft.operators.Drift.psiCatAgainst(b, batch)
+            .select(
+              lit(b.valueCol).as("column"), lit("categorical").as("kind"),
+              col("psi"), col("chi2"), col("rows_cur")))
+        sink(parts.reduce(_ unionByName _), batchId)
+      }
+      .start()
+  }
+
   /** The candidate → verify → admit middle shared by the legacy and
     * commit-log store modes — everything between "history frames are in
     * hand" and "write the admitted rows", which is mode-independent.
