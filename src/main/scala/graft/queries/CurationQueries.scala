@@ -202,6 +202,52 @@ object CurationQueries {
              |  FROM scored) x
              |WHERE rk <= 10 ORDER BY query_id, doc_id""".stripMargin)),
 
+    // BM25 through the PERSISTED inverted index (operators/Bm25Index
+    // .scala): build-once/query-many — postings hive-partitioned by
+    // term-hash bucket, so the term lookup is parquet partition pruning.
+    // Scoring reproduces Bm25.topK exactly, so this row shares q_bm25's
+    // oracle SQL VERBATIM: the driver gate proves index path ≡ online
+    // path ≡ DuckDB replay.
+    GraftQuery(
+      "q_bm25_index",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_bm25q")
+          .toString + "/idx"
+        graft.operators.Bm25Index
+          .buildAndSave(Tables.documents(s, d), dir, "doc_id", "text")
+          .topK(
+            Seq(
+              "q1" -> "spark join window",
+              "q2" -> "merge batch stream",
+              "q3" -> "vector hash scan"),
+            k = 10)
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |              FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+             |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |qterms AS (SELECT * FROM (VALUES
+             |    ('q1','spark'),('q1','join'),('q1','window'),
+             |    ('q2','merge'),('q2','batch'),('q2','stream'),
+             |    ('q3','vector'),('q3','hash'),('q3','scan'))
+             |  AS q(query_id, term)),
+             |tf AS (SELECT query_id, t.doc_id, t.term, count(*) AS tf
+             |       FROM toks t JOIN qterms USING (term) GROUP BY 1,2,3),
+             |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+             |          WHERE term IN (SELECT DISTINCT term FROM qterms)
+             |          GROUP BY 1),
+             |scored AS (SELECT query_id, doc_id, sum(
+             |    ln(1 + (n - df + 0.5)/(df + 0.5)) * (tf * (1.2 + 1)) /
+             |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+             |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+             |  CROSS JOIN stats GROUP BY 1,2)
+             |SELECT query_id, doc_id, ROUND(score, 4) AS bm25 FROM (
+             |  SELECT query_id, doc_id, score,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY ROUND(score, 6) DESC, doc_id) AS rk
+             |  FROM scored) x
+             |WHERE rk <= 10 ORDER BY query_id, doc_id""".stripMargin)),
+
     // Host extraction + per-host doc counts — the provenance histogram a
     // crawl-curation pipeline runs first (which domains dominate the
     // corpus?). URL synthesized from the doc's source tag; the operator is
