@@ -213,8 +213,11 @@ object CurationQueries {
       (s, d) => {
         val dir = java.nio.file.Files.createTempDirectory("graft_bm25q")
           .toString + "/idx"
+        // 16 buckets: the fixture vocabulary is ~40 terms; the operator
+        // default (64) is sized for real corpora
         graft.operators.Bm25Index
-          .buildAndSave(Tables.documents(s, d), dir, "doc_id", "text")
+          .buildAndSave(Tables.documents(s, d), dir, "doc_id", "text",
+            buckets = 16)
           .topK(
             Seq(
               "q1" -> "spark join window",
