@@ -219,6 +219,36 @@ class LogDedupStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("end-to-end MemoryStream run on a LOG store survives a stream " +
+    "restart: admissions persist in the manifests, not the state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    withLogConf {
+      val dir = tmp()
+      val store = dir + "/fps"
+      val checkpoint = dir + "/ckpt"
+      val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+      val in = MemoryStream[Doc]
+      in.addData(Doc(1, "one"), Doc(2, "two"))
+      val q1 = StreamOps.exactDedupStream(in.toDF(), store, checkpoint) {
+        (df, _) => admitted ++= df.select("doc_id").as[Long].collect()
+      }
+      q1.processAllAvailable()
+      q1.stop()
+      assert(admitted.sorted.toSeq == Seq(1L, 2L))
+      assert(CommitLog.isLog(fsOf(new Path(store)), new Path(store)))
+
+      in.addData(Doc(3, "one"), Doc(4, "three"))
+      val q2 = StreamOps.exactDedupStream(in.toDF(), store, checkpoint) {
+        (df, _) => admitted ++= df.select("doc_id").as[Long].collect()
+      }
+      q2.processAllAvailable()
+      q2.stop()
+      assert(admitted.sorted.toSeq == Seq(1L, 2L, 4L))
+    }
+  }
+
   test("config guard: a log store built with one LSH config refuses a " +
     "mismatched stream before touching anything") {
     import spark.implicits._
