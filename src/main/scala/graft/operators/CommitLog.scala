@@ -59,10 +59,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * checkpoint every [[CheckpointEvery]] commits. Reads plan from the
   * manifest's explicit file list — no recursive directory listing of a
   * million-file store, which on object stores is itself a scan-killer.
-  * The remaining simplifications vs a production table format: no
-  * column-level stats pruning in the manifest (parquet footers still
-  * serve row-group pruning) and single-level manifests (Iceberg's
-  * manifest tree compresses the metadata of billions of files).
+  * Writers may declare a stats column ([[commitStaged]] `statsCol`):
+  * per-file min/max land in the manifest (surviving checkpoints), and
+  * range reads prune files driver-side BEFORE opening any footer —
+  * manifest-level skipping on top of parquet's row-group pruning. The
+  * remaining simplification vs a production table format: single-level
+  * manifests (Iceberg's manifest tree compresses the metadata of
+  * billions of files).
   */
 object CommitLog {
 
@@ -86,14 +89,40 @@ object CommitLog {
 
   final class ConflictException(msg: String) extends RuntimeException(msg)
 
+  /** Per-file min/max of the store's declared stats column — the
+    * manifest-level pruning statistic of production table formats:
+    * a point/range read consults the (driver-resident) stats and skips
+    * files whose range cannot match BEFORE opening any footer, which at
+    * object-store scale is the difference between one metadata read and
+    * one per file. `tpe` is "long" or "string" (the two key types the
+    * engine's stores sort/fold by). */
+  final case class FileStat(tpe: String, min: String, max: String) {
+    def overlaps(lo: Any, hi: Any): Boolean = tpe match {
+      case "long" =>
+        val (l, h) = (asLong(lo), asLong(hi))
+        !(max.toLong < l || min.toLong > h)
+      case "string" =>
+        val (l, h) = (lo.toString, hi.toString)
+        !(max < l || min > h)
+      case _ => true // unknown type: never prune on it
+    }
+    private def asLong(v: Any): Long = v match {
+      case n: Number => n.longValue
+      case s: String => s.toLong
+    }
+  }
+
   /** One committed version: what changed and (for conflict detection)
-    * which partition dirs it touched. Paths are store-relative. */
+    * which partition dirs it touched. Paths are store-relative.
+    * `fileStats` carries the optional per-added-file min/max of the
+    * writer's declared stats column. */
   final case class Manifest(
       version: Long,
       touched: Set[String],
       added: Seq[String],
       removed: Seq[String],
-      meta: Map[String, String])
+      meta: Map[String, String],
+      fileStats: Map[String, FileStat] = Map.empty)
 
   def logDir(store: Path): Path = new Path(store, LogDirName)
 
@@ -148,6 +177,9 @@ object CommitLog {
     m.meta.toSeq.sortBy(_._1).foreach { case (k, v) =>
       sb ++= s"meta\t${enc(k)}\t${enc(v)}\n"
     }
+    m.fileStats.toSeq.sortBy(_._1).foreach { case (f, s) =>
+      sb ++= s"fstat\t${enc(f)}\t${enc(s.tpe)}\t${enc(s.min)}\t${enc(s.max)}\n"
+    }
     sb ++= "end\n" // terminator: a manifest without it is torn → corrupt
     sb.result()
   }
@@ -163,6 +195,7 @@ object CommitLog {
     val added = Seq.newBuilder[String]
     val removed = Seq.newBuilder[String]
     val meta = Map.newBuilder[String, String]
+    val fstats = Map.newBuilder[String, FileStat]
     lines.takeWhile(_ != "end").foreach { line =>
       line.split("\t", -1) match {
         case Array("version", v) => version = v.toLong
@@ -170,6 +203,8 @@ object CommitLog {
         case Array("added", f) => added += dec(f)
         case Array("removed", f) => removed += dec(f)
         case Array("meta", k, v) => meta += dec(k) -> dec(v)
+        case Array("fstat", f, t, mn, mx) =>
+          fstats += dec(f) -> FileStat(dec(t), dec(mn), dec(mx))
         case Array("") => // trailing blank
         case other => throw new IllegalStateException(
           s"unrecognized manifest line in $path: '$line'")
@@ -177,7 +212,7 @@ object CommitLog {
     }
     require(version > 0, s"manifest $path lacks a version record")
     Manifest(version, touched.result(), added.result(), removed.result(),
-      meta.result())
+      meta.result(), fstats.result())
   }
 
   /** Atomic publish of the fully-written `tmp` as `dst`; false = the
@@ -226,7 +261,14 @@ object CommitLog {
 
   /** Store-relative data files making up version `v` (0 → empty). Replays
     * from the nearest checkpoint at or below `v`. */
-  def snapshotFiles(fs: FileSystem, store: Path, v: Long): Seq[String] = {
+  def snapshotFiles(fs: FileSystem, store: Path, v: Long): Seq[String] =
+    snapshotFilesWithStats(fs, store, v).map(_._1)
+
+  /** [[snapshotFiles]] plus each file's stats-column min/max when its
+    * committing writer recorded one (stats survive checkpoint replay —
+    * the checkpoint carries them alongside the file list). */
+  def snapshotFilesWithStats(
+      fs: FileSystem, store: Path, v: Long): Seq[(String, Option[FileStat])] = {
     if (v <= 0) return Seq.empty
     val ckpts = listLog(fs, store).map(_.getPath.getName)
       .filter(_.endsWith(".checkpoint"))
@@ -234,6 +276,7 @@ object CommitLog {
       .filter(_ <= v)
     val base = if (ckpts.isEmpty) 0L else ckpts.max
     val files = scala.collection.mutable.LinkedHashSet[String]()
+    val stats = scala.collection.mutable.Map[String, FileStat]()
     if (base > 0) {
       val text = readFully(fs, new Path(logDir(store), checkpointName(base)))
       require(text.endsWith("end\n"),
@@ -241,15 +284,23 @@ object CommitLog {
           "back to the manifest chain")
       text.split("\n", -1).takeWhile(_ != "end").foreach {
         case "" =>
-        case line => files += dec(line.stripPrefix("file\t"))
+        case line => line.split("\t", -1) match {
+          case Array("file", f) => files += dec(f)
+          case Array("file", f, t, mn, mx) =>
+            val name = dec(f)
+            files += name
+            stats(name) = FileStat(dec(t), dec(mn), dec(mx))
+          case _ => files += dec(line.stripPrefix("file\t")) // legacy line
+        }
       }
     }
     ((base + 1) to v).foreach { i =>
       val m = readManifest(fs, store, i)
-      m.removed.foreach(files -= _)
+      m.removed.foreach { f => files -= f; stats -= f }
       m.added.foreach(files += _)
+      m.fileStats.foreach { case (f, s) => stats(f) = s }
     }
-    files.toSeq
+    files.toSeq.map(f => (f, stats.get(f)))
   }
 
   /** The table at `version` (default: current tip) as a DataFrame, or
@@ -352,7 +403,8 @@ object CommitLog {
       wholeStore: Boolean,
       meta: Map[String, String] = Map.empty,
       maxRetries: Int = 20,
-      extraTouched: Seq[String] = Nil): Long = {
+      extraTouched: Seq[String] = Nil,
+      statsCol: Option[String] = None): Long = {
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(logDir(store))
     // move staged files in under their original (globally unique) names;
@@ -370,6 +422,19 @@ object CommitLog {
     val touched: Set[String] =
       if (wholeStore) Set(WholeStore)
       else retireNames.toSet ++ added.flatMap(dirKey) ++ extraTouched
+    // per-file stats of the declared column, read from the just-moved
+    // files' footers — driver-side metadata reads, once per file at
+    // commit time, so every future range read can prune without opening
+    // anything. Files that lack the column (other sub-tables of a
+    // multi-table store) simply carry no stats.
+    val fstats: Map[String, FileStat] = statsCol match {
+      case None => Map.empty
+      case Some(c) =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        added.flatMap { f =>
+          fileStatOf(conf, new Path(store, f), c).map(f -> _)
+        }.toMap
+    }
     def abort(reason: String): Nothing = {
       // drop our never-visible files so a failed commit leaves no orphans
       added.foreach(f => fs.delete(new Path(store, f), false))
@@ -400,7 +465,7 @@ object CommitLog {
         else snapshot.filter(f =>
           retireNames.exists(r => f == r || f.startsWith(r + "/")))
       val v = tip + 1
-      val m = Manifest(v, touched, added, removed, meta)
+      val m = Manifest(v, touched, added, removed, meta, fstats)
       val tmp = new Path(logDir(store),
         ".tmp-" + java.util.UUID.randomUUID().toString)
       writeFully(fs, tmp, renderManifest(m))
@@ -414,6 +479,53 @@ object CommitLog {
     throw new java.io.IOException(
       s"could not commit to $store after $maxRetries rebases (extreme " +
         "disjoint-writer churn); staged files dropped, nothing published")
+  }
+
+  /** Min/max of `column` across a parquet file's row groups, from the
+    * footer only. None when the column is absent, its type is not a
+    * supported key type (int32/int64/binary-utf8), or ANY row group
+    * lacks statistics or holds nulls — a partial range must not claim to
+    * cover the file. */
+  private def fileStatOf(
+      conf: org.apache.hadoop.conf.Configuration,
+      file: Path,
+      column: String): Option[FileStat] = {
+    import scala.jdk.CollectionConverters._
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val chunks = reader.getFooter.getBlocks.asScala.flatMap(b =>
+        b.getColumns.asScala.filter(_.getPath.toDotString == column))
+      if (chunks.isEmpty) return None
+      var minL = Long.MaxValue; var maxL = Long.MinValue
+      var minS: String = null; var maxS: String = null
+      var tpe: String = null
+      var ok = true
+      chunks.foreach { c =>
+        val st = c.getStatistics
+        if (st == null || !st.hasNonNullValue || st.getNumNulls != 0) ok = false
+        else st match {
+          case ls: org.apache.parquet.column.statistics.LongStatistics =>
+            tpe = "long"
+            minL = math.min(minL, ls.getMin); maxL = math.max(maxL, ls.getMax)
+          case is: org.apache.parquet.column.statistics.IntStatistics =>
+            tpe = "long"
+            minL = math.min(minL, is.getMin.toLong)
+            maxL = math.max(maxL, is.getMax.toLong)
+          case bs: org.apache.parquet.column.statistics.BinaryStatistics =>
+            tpe = "string"
+            val mn = bs.genericGetMin.toStringUsingUTF8
+            val mx = bs.genericGetMax.toStringUsingUTF8
+            if (minS == null || mn < minS) minS = mn
+            if (maxS == null || mx > maxS) maxS = mx
+          case _ => ok = false
+        }
+      }
+      if (!ok) None
+      else if (tpe == "long") Some(FileStat("long", minL.toString, maxL.toString))
+      else if (tpe == "string" && minS != null) Some(FileStat("string", minS, maxS))
+      else None
+    } finally reader.close()
   }
 
   /** Directory of a store-relative file path — the grain conflicts are
@@ -440,8 +552,12 @@ object CommitLog {
     if (v % CheckpointEvery == 0) {
       // best-effort (a crash here only lengthens the next replay); built
       // from the manifest chain, published with the same no-overwrite CAS
-      val files = snapshotFiles(fs, store, v)
-      val text = files.map(f => s"file\t${enc(f)}\n").mkString + "end\n"
+      val files = snapshotFilesWithStats(fs, store, v)
+      val text = files.map {
+        case (f, None) => s"file\t${enc(f)}\n"
+        case (f, Some(s)) =>
+          s"file\t${enc(f)}\t${enc(s.tpe)}\t${enc(s.min)}\t${enc(s.max)}\n"
+      }.mkString + "end\n"
       val tmp = new Path(logDir(store),
         ".tmp-" + java.util.UUID.randomUUID().toString)
       writeFully(fs, tmp, text)

@@ -536,7 +536,7 @@ object StreamOps {
       .select("band", "bucket")
     val (admitted, candidates) = nearDupAdmitCore(
       batch, idCol, textCol, sigB, bandB, history, bandH, smallBuckets,
-      () => spark.read.parquet(storePath).filter(col("batch") =!= batchId),
+      _ => spark.read.parquet(storePath).filter(col("batch") =!= batchId),
       hasHistory, numHashes, bands, shingleN, threshold, maxVerifyFetch)
     // admitted signatures (+ their band keys and bucket-count partial) →
     // this batch's own partitions; overwrite makes the replayed attempt
@@ -631,7 +631,7 @@ object StreamOps {
       history: DataFrame,
       bandH: DataFrame,
       smallBuckets: DataFrame,
-      histSigs: () => DataFrame,
+      histSigs: Array[Any] => DataFrame,
       hasHistory: Boolean,
       numHashes: Int,
       bands: Int,
@@ -654,7 +654,7 @@ object StreamOps {
       if (!hasHistory || candIds.isEmpty) history.limit(0)
       else if (candIds.length <= maxVerifyFetch) {
         val cover = idCoverFilter(col("graft_id"), candIds)
-        histSigs()
+        histSigs(candIds)
           .where(cover.getOrElse(lit(true)))
           .filter(col("graft_id").isInCollection(candIds.toSeq))
           .select(col("graft_id").as("hist_id"), col("graft_sig").as("hist_sig"))
@@ -680,6 +680,39 @@ object StreamOps {
       .join(dupOfHistory.unionByName(dupInBatch).distinct(), Seq(idCol), "left_anti")
       .persist()
     (admitted, candidates)
+  }
+
+  /** Read a log store (or one sub-table) at a pinned version from an
+    * explicitly PRUNED file list: files whose manifest-recorded
+    * stats-column range overlaps none of the candidate `ranges` are
+    * skipped before any footer is opened — manifest-level pruning on
+    * top of the row-group pruning the pushed filters already do. Files
+    * without stats are always kept (conservative). None when no file
+    * survives — no file can contain the candidates. */
+  private[graft] def prunedRead(
+      spark: org.apache.spark.sql.SparkSession,
+      store: org.apache.hadoop.fs.Path,
+      sub: Option[String],
+      version: Long,
+      ranges: Option[Seq[(Any, Any)]]): Option[DataFrame] = {
+    import graft.operators.CommitLog
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = CommitLog.snapshotFilesWithStats(fs, store, version)
+    val slice = sub.fold(all)(s0 => all.filter(_._1.startsWith(s0 + "/")))
+    if (slice.isEmpty) return None
+    val kept = ranges match {
+      case None => slice
+      case Some(rs) => slice.filter { case (_, st) =>
+        st.forall(s => rs.exists { case (lo, hi) => s.overlaps(lo, hi) })
+      }
+    }
+    if (kept.isEmpty) None
+    else {
+      val basePath = sub.fold(store)(s0 => new org.apache.hadoop.fs.Path(store, s0))
+      Some(spark.read.option("basePath", basePath.toString)
+        .parquet(kept.map { case (f, _) =>
+          new org.apache.hadoop.fs.Path(store, f).toString }: _*))
+    }
   }
 
   /** Manifest-meta keys of a commit-log dedup store: the LSH config
@@ -805,8 +838,14 @@ object StreamOps {
 
     val (admitted, candidates) = nearDupAdmitCore(
       batch, idCol, textCol, sigB, bandB, history, bandH, smallBuckets,
-      () => CommitLog.readSub(spark, store, "sigs", Some(baseV)).get
-        .filter(col("batch") =!= batchId),
+      // manifest-stats file pruning on top of the pushed range cover:
+      // the candidate ids' gap-split ranges drop whole files whose
+      // recorded graft_id range cannot match
+      candIds => prunedRead(spark, store, Some("sigs"), baseV, idRanges(candIds))
+        .map(_.filter(col("batch") =!= batchId))
+        .getOrElse(history.select(
+          col("hist_id").as("graft_id"), col("hist_sig").as("graft_sig"))
+          .limit(0)),
       hasHistory, numHashes, bands, shingleN, threshold, maxVerifyFetch)
 
     // stage all three tables, publish ONE manifest. The writes also
@@ -831,7 +870,8 @@ object StreamOps {
         s"sigs/batch=$batchId", s"bands/batch=$batchId", s"buckets/batch=$batchId"),
       wholeStore = false,
       meta = nearDupLogMeta(numHashes, bands, shingleN, batchId),
-      extraTouched = Seq(CommitLog.SerialToken))
+      extraTouched = Seq(CommitLog.SerialToken),
+      statsCol = Some("graft_id")) // band/bucket files lack it → no stats
     sigA.unpersist()
     sigB.unpersist()
     history.unpersist()
@@ -915,7 +955,8 @@ object StreamOps {
         Seq(s"sigs/batch=$i", s"bands/batch=$i", s"buckets/batch=$i")),
       wholeStore = false,
       meta = CommitLog.tipMeta(fs, store), // config + maxBatch carry forward
-      extraTouched = Seq(CommitLog.SerialToken))
+      extraTouched = Seq(CommitLog.SerialToken),
+      statsCol = Some("graft_id")) // sorted fold → tight per-file ranges
     // trickle ingest adds a version per trigger and a fold retires whole
     // batch dirs; without a vacuum the store never physically shrinks —
     // maintenance is the natural cadence (retention still protects
@@ -939,7 +980,17 @@ object StreamOps {
   private[graft] def idCoverFilter(
       idCol: org.apache.spark.sql.Column,
       ids: Array[Any],
-      maxRanges: Int = 32): Option[org.apache.spark.sql.Column] = {
+      maxRanges: Int = 32): Option[org.apache.spark.sql.Column] =
+    idRanges(ids, maxRanges).map(rs =>
+      rs.map { case (lo, hi) => idCol >= lit(lo) && idCol <= lit(hi) }
+        .reduce(_ || _))
+
+  /** The driver-side range cover behind [[idCoverFilter]], reusable for
+    * FILE-level pruning against commit-log manifest stats: a superset of
+    * `ids` as ≤ `maxRanges` [lo, hi] pairs (typed endpoints). */
+  private[graft] def idRanges(
+      ids: Array[Any],
+      maxRanges: Int = 32): Option[Seq[(Any, Any)]] = {
     if (ids.isEmpty) None
     else if (ids.forall(v => v.isInstanceOf[java.lang.Long] ||
       v.isInstanceOf[java.lang.Integer] ||
@@ -955,13 +1006,11 @@ object StreamOps {
         .take(maxRanges - 1)
         .map(_._2).sorted
       val bounds = (0 +: gaps) :+ sorted.length
-      val rs = bounds.sliding(2)
-        .map { case Seq(a, b) => (sorted(a)._2, sorted(b - 1)._2) }.toSeq
-      Some(rs.map { case (lo, hi) => idCol >= lit(lo) && idCol <= lit(hi) }
-        .reduce(_ || _))
+      Some(bounds.sliding(2)
+        .map { case Seq(a, b) => (sorted(a)._2, sorted(b - 1)._2) }.toSeq)
     } else if (ids.forall(_.isInstanceOf[String])) {
       val xs = ids.map(_.asInstanceOf[String])
-      Some(idCol >= lit(xs.min) && idCol <= lit(xs.max))
+      Some(Seq((xs.min, xs.max)))
     } else None
   }
 
@@ -1291,10 +1340,17 @@ object StreamOps {
       if (!hasHistory || batchFps.isEmpty) fpB.select("graft_fp").limit(0)
       else if (batchFps.length <= maxFetch) {
         val cover = idCoverFilter(col("graft_fp"), batchFps)
-        histAll.get
-          .where(cover.getOrElse(lit(true)))
-          .filter(col("graft_fp").isInCollection(batchFps.toSeq))
-          .select("graft_fp")
+        // manifest-stats file pruning first (folds sort by fingerprint,
+        // so per-file ranges are tight), pushed filters inside the kept
+        // files second
+        prunedRead(spark, store, None, baseV, idRanges(batchFps)) match {
+          case None => fpB.select("graft_fp").limit(0)
+          case Some(df) => df
+            .filter(col("batch") =!= batchId)
+            .where(cover.getOrElse(lit(true)))
+            .filter(col("graft_fp").isInCollection(batchFps.toSeq))
+            .select("graft_fp")
+        }
       } else histAll.get.select("graft_fp")
 
     val dupOfHistory = fpB
@@ -1319,7 +1375,8 @@ object StreamOps {
       retireNames = Seq(s"batch=$batchId"),
       wholeStore = false,
       meta = Map("maxBatch" -> batchId.toString),
-      extraTouched = Seq(CommitLog.SerialToken))
+      extraTouched = Seq(CommitLog.SerialToken),
+      statsCol = Some("graft_fp"))
     fpB.unpersist()
     admitted
   }
@@ -1371,7 +1428,8 @@ object StreamOps {
       retireNames = foldIds.map("batch=" + _),
       wholeStore = false,
       meta = CommitLog.tipMeta(fs, store),
-      extraTouched = Seq(CommitLog.SerialToken))
+      extraTouched = Seq(CommitLog.SerialToken),
+      statsCol = Some("graft_fp")) // sorted fold → tight per-file ranges
     // same rationale as the near-dup fold: maintenance is when the store
     // physically shrinks
     CommitLog.vacuum(spark, store)

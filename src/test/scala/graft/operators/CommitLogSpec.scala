@@ -207,4 +207,51 @@ class CommitLogSpec extends AnyFunSuite {
       meta = Map("batchId" -> "8"))
     assert(CommitLog.tipMeta(fs, store) == Map("batchId" -> "8"))
   }
+
+  test("file stats: recorded from footers at commit, replayed through a " +
+    "CHECKPOINT, dropped with their files, and absent-column files " +
+    "carry none") {
+    val store = new Path(tmp("graft_cl_stats") + "/s")
+    // 11 commits so a v10 checkpoint forms; each partition holds a known
+    // disjoint key range
+    (0 until 11).foreach { i =>
+      CommitLog.commitStaged(spark, store,
+        stage(store, s"p$i", Seq((i * 100L, s"lo$i"), (i * 100L + 9, s"hi$i"))),
+        i.toLong, Nil, wholeStore = false, statsCol = Some("k"))
+    }
+    assert(fs.exists(new Path(CommitLog.logDir(store), f"${10L}%020d.checkpoint")))
+    val tip = CommitLog.currentVersion(fs, store)
+    val stats = CommitLog.snapshotFilesWithStats(fs, store, tip)
+    assert(stats.nonEmpty && stats.forall(_._2.isDefined), stats.toString)
+    // replay crossed the checkpoint: files committed BEFORE v10 kept
+    // stats (per FILE — the partition's two rows may span several files,
+    // so the union of ranges covers the written keys)
+    val early = stats.filter(_._1.startsWith("p=p0/"))
+    assert(early.nonEmpty && early.forall(_._2.exists(_.tpe == "long")),
+      early.toString)
+    assert(early.map(_._2.get.min.toLong).min == 0L &&
+      early.map(_._2.get.max.toLong).max == 9L, early.toString)
+    // a rewrite retires the old file's stats with the file
+    CommitLog.commitStaged(spark, store,
+      stage(store, "p0", Seq((5000L, "new"))), tip, Seq("p=p0"),
+      wholeStore = false, statsCol = Some("k"))
+    val after = CommitLog.snapshotFilesWithStats(
+      fs, store, CommitLog.currentVersion(fs, store))
+      .filter(_._1.startsWith("p=p0/"))
+    assert(after.forall(_._2.exists(s => s.min == "5000" && s.max == "5000")),
+      after.toString)
+    // overlap arithmetic: long ranges compare numerically, not textually
+    val s0 = CommitLog.FileStat("long", "0", "9")
+    assert(s0.overlaps(5L, 100L) && !s0.overlaps(10L, 100L))
+    assert(CommitLog.FileStat("string", "aa", "cc").overlaps("b", "b"))
+    // a commit WITHOUT the stats column records no stats and never prunes
+    CommitLog.commitStaged(spark, store,
+      stage(store, "px", Seq((1L, "x"))),
+      CommitLog.currentVersion(fs, store), Nil, wholeStore = false,
+      statsCol = Some("no_such_column"))
+    val px = CommitLog.snapshotFilesWithStats(
+      fs, store, CommitLog.currentVersion(fs, store))
+      .filter(_._1.startsWith("p=px/"))
+    assert(px.nonEmpty && px.forall(_._2.isEmpty), px.toString)
+  }
 }

@@ -266,6 +266,52 @@ class LogDedupStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest file stats: recorded at commit, survive fold and " +
+    "checkpoint replay, and prune history files whose range cannot match") {
+    import spark.implicits._
+    val store = tmp() + "/fps"
+    withLogConf {
+      // three batches of disjoint fingerprint-able content
+      (0 until 3).foreach { i =>
+        admitExact(store, i.toLong,
+          (0 until 40).map(j => Doc(100L * i + j, s"doc-$i-$j")))
+      }
+      val p = new Path(store)
+      val fs = fsOf(p)
+      // every committed data file carries a graft_fp range
+      val withStats = CommitLog.snapshotFilesWithStats(
+        fs, p, CommitLog.currentVersion(fs, p))
+      assert(withStats.nonEmpty && withStats.forall(_._2.isDefined),
+        withStats.toString)
+      // fold sorts by fingerprint → per-file ranges stay recorded; tiny
+      // target bytes force SEVERAL fold files with disjoint ranges
+      StreamOps.maintainExactDedupStore(spark, store, targetFileBytes = 2000)
+      val folded = CommitLog.snapshotFilesWithStats(
+        fs, p, CommitLog.currentVersion(fs, p))
+      assert(folded.forall(_._2.isDefined), folded.toString)
+      assert(folded.map(_._2.get.tpe).toSet == Set("string"))
+      val foldFiles = folded.filter(_._1.startsWith("batch=-1/"))
+      assert(foldFiles.length >= 2, folded.map(_._1).toString)
+
+      // a candidate range inside ONE fold file's range prunes the others
+      val one = foldFiles.head
+      val pruned = StreamOps.prunedRead(spark, p, None,
+        CommitLog.currentVersion(fs, p),
+        Some(Seq((one._2.get.min, one._2.get.min))))
+      assert(pruned.isDefined)
+      val inputs = pruned.get.inputFiles.length
+      assert(inputs < folded.length,
+        s"no pruning: read $inputs of ${folded.length}")
+      // a range outside every file reads nothing at all
+      assert(StreamOps.prunedRead(spark, p, None,
+        CommitLog.currentVersion(fs, p),
+        Some(Seq(("zzzz", "zzzz")))).isEmpty)
+      // and correctness is unchanged: dup of folded history still drops
+      assert(admitExact(store, 3L, Seq(Doc(9000, "doc-0-5"), Doc(9001, "new"))) ==
+        Seq(9001L))
+    }
+  }
+
   test("a concurrent commit landing after a writer's read version makes " +
     "its publication fail loudly (serialized writers, no lease files)") {
     import spark.implicits._
