@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained aggregate store (materialized-view
   * maintenance): per-key mergeable statistics (count / sum / min / max —
-  * avg derives as sum/n) kept in a parquet store and UPDATED per batch
-  * without ever rescanning history.
+  * avg derives as sum/n, plus an optional HLL sketch for approximate
+  * COUNT DISTINCT — the one common statistic sum-algebra cannot carry)
+  * kept in a parquet store and UPDATED per batch without ever rescanning
+  * history.
   *
   * Why it matters at 100 TB: re-aggregating an append-only fact table
   * costs a full history scan per refresh; merging batch partials into a
@@ -27,12 +29,22 @@ object IncrementalAgg {
   val BatchMarker = "_graft_last_batch"
 
   /** Fold one batch into the store at `path`.
-    * Store schema: `keyCols* , n, sum, min, max`.
+    * Store schema: `keyCols* , n, sum, min, max` (+ `hll` binary when
+    * `distinctCol` is set).
     * @param batchId when set, recorded in the store's [[BatchMarker]] file
     *   as part of the same directory swap that commits the data — there is
     *   no state where the fold is applied but the marker says otherwise
     *   (the exactly-once contract [[graft.streaming.StreamOps.applyAggBatchOnce]]
     *   relies on).
+    * @param distinctCol when set, the store also maintains a MERGEABLE
+    *   HLL sketch of this column per key (Datasketches, via Spark's
+    *   hll_sketch_agg/hll_union): incremental approximate COUNT DISTINCT
+    *   — the statistic that, unlike count/sum/min/max, has no exact
+    *   mergeable form smaller than the value set itself. Folding batch
+    *   sketches is exactly as accurate as sketching the full history in
+    *   one pass (union is the sketch's native operation), and the store
+    *   stays key-sized. A store must be consistently built with or
+    *   without it — checked loudly, never silently widened.
     * @return the updated store, read back. */
   def update(
       spark: SparkSession,
@@ -42,14 +54,27 @@ object IncrementalAgg {
       valueCol: String,
       batchId: Option[Long] = None,
       lease: Option[Swap.Lease] = None,
-      log: Option[Boolean] = None): DataFrame = {
+      log: Option[Boolean] = None,
+      distinctCol: Option[String] = None): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
 
-    val partial = batch.groupBy(keyCols.map(col): _*).agg(
+    val baseAggs = Seq(
       count(col(valueCol)).as("n"),
       sum(col(valueCol)).cast("double").as("sum"),
       min(col(valueCol)).cast("double").as("min"),
       max(col(valueCol)).cast("double").as("max"))
+    val aggs = baseAggs ++ distinctCol.map(c =>
+      hll_sketch_agg(col(c)).as("hll")).toSeq
+    val partial = batch.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+    def checkShape(store: DataFrame): Unit = {
+      val has = store.columns.contains("hll")
+      require(has == distinctCol.isDefined,
+        s"incremental-agg store $path was built ${if (has) "WITH" else "WITHOUT"} " +
+          s"a distinct sketch but this update ${if (distinctCol.isDefined) "carries" else "lacks"} " +
+          "one — rebuild the store or match the configuration")
+    }
 
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -69,7 +94,7 @@ object IncrementalAgg {
       val existing = CommitLog.read(spark, target, Some(readVersion))
       val out = existing match {
         case None => partial
-        case Some(store) => foldInto(store, partial, keyCols)
+        case Some(store) => checkShape(store); foldInto(store, partial, keyCols)
       }
       val staging = Swap.Suffix.staging(target, Swap.newTag())
       out.write.parquet(staging.toString)
@@ -105,6 +130,7 @@ object IncrementalAgg {
     }
 
     val store = spark.read.parquet(path)
+    checkShape(store)
     val merged = foldInto(store, partial, keyCols)
 
     val tag = Swap.newTag()
@@ -124,19 +150,25 @@ object IncrementalAgg {
 
   /** Mergeable-statistic combine over a full outer join: a key present
     * on one side only passes through; present on both → n+n, sum+sum,
-    * min(min), max(max). */
+    * min(min), max(max), hll_union(hll, hll). */
   private def foldInto(
       store: DataFrame, partial: DataFrame, keyCols: Seq[String]): DataFrame = {
     val s = store.as("s")
     val p = partial.as("p")
     val joinCond = keyCols.map(k => col(s"s.$k") <=> col(s"p.$k")).reduce(_ && _)
     val keyOut = keyCols.map(k => coalesce(col(s"s.$k"), col(s"p.$k")).as(k))
+    val hllOut =
+      if (partial.columns.contains("hll"))
+        Seq(when(col("s.hll").isNotNull && col("p.hll").isNotNull,
+          hll_union(col("s.hll"), col("p.hll")))
+          .otherwise(coalesce(col("s.hll"), col("p.hll"))).as("hll"))
+      else Nil
     s.join(p, joinCond, "full_outer")
       .select(keyOut ++ Seq(
         (coalesce(col("s.n"), lit(0L)) + coalesce(col("p.n"), lit(0L))).as("n"),
         (coalesce(col("s.sum"), lit(0.0)) + coalesce(col("p.sum"), lit(0.0))).as("sum"),
         least(col("s.min"), col("p.min")).as("min"), // least/greatest skip NULLs
-        greatest(col("s.max"), col("p.max")).as("max")): _*)
+        greatest(col("s.max"), col("p.max")).as("max")) ++ hllOut: _*)
   }
 
   /** Read the store — commit-log snapshot when log-backed, plain parquet
@@ -154,4 +186,12 @@ object IncrementalAgg {
   def withAvg(store: DataFrame): DataFrame =
     store.withColumn("avg",
       when(col("n") > 0, col("sum") / col("n")))
+
+  /** Attach the HLL estimate (`approx_distinct`) — only meaningful on a
+    * store maintained with `distinctCol`. */
+  def withDistinct(store: DataFrame): DataFrame = {
+    require(store.columns.contains("hll"),
+      "store was not built with a distinct sketch (pass distinctCol to update)")
+    store.withColumn("approx_distinct", hll_sketch_estimate(col("hll")))
+  }
 }

@@ -23,6 +23,31 @@ object NonOracleQueries {
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"))),
 
+    // Incrementally-maintained approximate COUNT DISTINCT: three batch
+    // folds into a key-sized store carrying a mergeable HLL sketch per
+    // key — distinct suppliers per return flag WITHOUT ever rescanning
+    // history. Approximation → rows-only; IncrementalAggSpec pins the
+    // ≤2% error bound and that incremental folds estimate IDENTICALLY
+    // to a one-shot sketch over all batches (union is the sketch's
+    // native operation).
+    GraftQuery(
+      "q_incr_distinct",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_incrd").toString + "/agg"
+        val li = Tables.lineitem(s, d)
+        (0 until 3).foreach { i =>
+          graft.operators.IncrementalAgg.update(s, tmp,
+            li.filter(col("l_orderkey") % 3 === i),
+            Seq("l_returnflag"), "l_quantity",
+            distinctCol = Some("l_suppkey"), log = Some(true))
+        }
+        graft.operators.IncrementalAgg.withDistinct(
+          graft.operators.IncrementalAgg.readStore(s, tmp))
+          .select(col("l_returnflag"), col("n"), col("approx_distinct"))
+          .orderBy("l_returnflag")
+      }),
+
     // Sliding-window aggregation. ORACLE-gated: DuckDB has no sliding
     // tumble, but Spark's window assignment is pure arithmetic — an
     // event at t lands in the 4 windows starting at floor₁₅ₘ(t) − j·15m,

@@ -59,4 +59,49 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(out.count() == 1)
     assert(out.select("n").as[Long].head() == 2L)
   }
+
+  test("distinct sketch: incremental folds estimate like a one-shot " +
+    "sketch, track exact cardinality closely, and shape mismatches " +
+    "fail loudly") {
+    val path = freshStore()
+    // 3 batches, overlapping user ids per key: exact distinct is
+    // |union|, NOT the sum of per-batch counts
+    val batches = Seq(
+      (0 until 400).map(i => ("a", i.toDouble, s"u${i % 200}")),
+      (0 until 400).map(i => ("a", i.toDouble, s"u${100 + i % 200}")),
+      (0 until 300).map(i => ("b", i.toDouble, s"v$i")))
+    batches.foreach { b =>
+      IncrementalAgg.update(spark, path, b.toDF("k", "v", "user"),
+        Seq("k"), "v", distinctCol = Some("user"))
+    }
+    val got = IncrementalAgg.withDistinct(IncrementalAgg.readStore(spark, path))
+      .select("k", "approx_distinct").as[(String, Long)].collect().toMap
+    val exact = batches.flatten.toDF("k", "v", "user")
+      .groupBy("k").agg(countDistinct("user").as("d"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, d) =>
+      val e = got(k)
+      assert(math.abs(e - d).toDouble / d <= 0.02, s"$k: est $e vs exact $d")
+    }
+    // fold associativity: incremental union == one-shot sketch estimate
+    val oneShot = batches.flatten.toDF("k", "v", "user")
+      .groupBy("k").agg(hll_sketch_estimate(hll_sketch_agg(col("user"))).as("d"))
+      .as[(String, Long)].collect().toMap
+    assert(got == oneShot, s"incremental $got vs one-shot $oneShot")
+    // a store built WITH the sketch refuses an update without it (and
+    // vice versa) instead of silently changing shape
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalAgg.update(spark, path,
+        Seq(("a", 1.0)).toDF("k", "v"), Seq("k"), "v")
+    }
+    assert(e1.getMessage.contains("rebuild the store"))
+    val plain = freshStore()
+    IncrementalAgg.update(spark, plain, Seq(("a", 1.0)).toDF("k", "v"), Seq("k"), "v")
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalAgg.update(spark, plain,
+        Seq(("a", 1.0, "u")).toDF("k", "v", "user"), Seq("k"), "v",
+        distinctCol = Some("user"))
+    }
+    assert(e2.getMessage.contains("rebuild the store"))
+  }
 }
