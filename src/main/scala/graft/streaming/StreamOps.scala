@@ -205,11 +205,13 @@ object StreamOps {
       storePath: String,
       keyCols: Seq[String],
       valueCol: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      distinctCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
     facts.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyAggBatchOnce(batch, storePath, keyCols, valueCol, batchId)
+        applyAggBatchOnce(batch, storePath, keyCols, valueCol, batchId,
+          distinctCol)
         ()
       }
       .start()
@@ -230,7 +232,8 @@ object StreamOps {
       storePath: String,
       keyCols: Seq[String],
       valueCol: String,
-      batchId: Long): Boolean = {
+      batchId: Long,
+      distinctCol: Option[String] = None): Boolean = {
     val spark = batch.sparkSession
     val store = new org.apache.hadoop.fs.Path(storePath)
     val marker = new org.apache.hadoop.fs.Path(
@@ -291,7 +294,7 @@ object StreamOps {
     if (batchId <= last) return false
     graft.operators.IncrementalAgg.update(
       spark, storePath, batch, keyCols, valueCol, batchId = Some(batchId),
-      lease = Some(lease))
+      lease = Some(lease), distinctCol = distinctCol)
     // the in-store marker is now committed; the legacy sibling is migrated
     if (fs.exists(legacyMarker)) fs.delete(legacyMarker, false)
     true
