@@ -55,8 +55,10 @@ object IncrementalAgg {
       batchId: Option[Long] = None,
       lease: Option[Swap.Lease] = None,
       log: Option[Boolean] = None,
-      distinctCol: Option[String] = None): DataFrame = {
+      distinctCol: Option[String] = None,
+      buckets: Option[Int] = None): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
+    require(buckets.forall(_ > 0), "buckets must be positive when set")
 
     val baseAggs = Seq(
       count(col(valueCol)).as("n"),
@@ -79,10 +81,17 @@ object IncrementalAgg {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    // Commit-log mode: the store is key-sized and flat, so every fold is
-    // a whole-store rewrite — two concurrent folds conflict by design
-    // (one wins, the loser re-runs against the new state; with the lease
-    // they deadlocked-or-died, with OCC they serialize themselves). The
+    // Commit-log mode. Flat store: key-sized, every fold is a
+    // whole-store rewrite — two concurrent folds conflict by design (one
+    // wins, the loser re-runs against the new state; with the lease they
+    // deadlocked-or-died, with OCC they serialize themselves). BUCKETED
+    // store (`buckets = Some(n)`): keys hash into `kb = 0..n-1` hive
+    // partitions and a fold rewrites ONLY the buckets the batch touched —
+    // at a billion-key store a trickle batch touching 1% of buckets pays
+    // 1% of the rewrite, the difference between a materialized view that
+    // keeps up and one that falls behind. The bucket count rides every
+    // commit's meta and is checked per fold (a different n would hash
+    // keys into the wrong partitions and silently split groups). The
     // batch high-water mark rides the manifest's meta map, committed
     // atomically WITH the fold it describes — same contract the legacy
     // mode gets from writing the marker file inside the staged dir.
@@ -90,18 +99,70 @@ object IncrementalAgg {
         (!fs.exists(target) && (lease.isEmpty &&
           log.getOrElse(CommitLog.confEnabled(spark))))) {
       val readVersion = CommitLog.currentVersion(fs, target)
-      val meta = batchId.map(id => Map("batchId" -> id.toString)).getOrElse(Map.empty)
-      val existing = CommitLog.read(spark, target, Some(readVersion))
-      val out = existing match {
-        case None => partial
-        case Some(store) => checkShape(store); foldInto(store, partial, keyCols)
+      val tipMeta = CommitLog.tipMeta(fs, target)
+      if (readVersion > 0) {
+        val storeBuckets = tipMeta.get("buckets").map(_.toInt)
+        require(storeBuckets == buckets,
+          s"incremental-agg store $path was built with buckets=$storeBuckets " +
+            s"but this update passes buckets=$buckets — rebuild the store " +
+            "or match the configuration")
       }
-      val staging = Swap.Suffix.staging(target, Swap.newTag())
-      out.write.parquet(staging.toString)
-      CommitLog.commitStaged(spark, target, staging, readVersion,
-        Nil, wholeStore = true, meta = meta)
+      // store-level replay guard, anchored at the SAME version the fold
+      // reads: a batch at or below the manifest's high-water mark is a
+      // replay and must not double-count. A racing fold that lands
+      // between this read and the commit below CONFLICTS at the CAS
+      // (wholeStore overlaps everything; bucketed folds carry the
+      // SerialToken), so check-and-fold behave as one atomic step — the
+      // log-mode replacement for the lease that spans marker-check and
+      // fold in legacy mode.
+      val lastApplied = tipMeta.get("batchId").map(_.toLong).getOrElse(-1L)
+      if (batchId.exists(_ <= lastApplied))
+        return CommitLog.read(spark, target).getOrElse(partial.limit(0))
+      val meta = batchId.map(id => Map("batchId" -> id.toString)).getOrElse(Map.empty) ++
+        buckets.map(n => Map("buckets" -> n.toString)).getOrElse(Map.empty)
+      val kbExpr = buckets.map(n => pmod(hash(keyCols.map(col): _*), lit(n)))
+
+      buckets match {
+        case None =>
+          val existing = CommitLog.read(spark, target, Some(readVersion))
+          val out = existing match {
+            case None => partial
+            case Some(store) => checkShape(store); foldInto(store, partial, keyCols)
+          }
+          val staging = Swap.Suffix.staging(target, Swap.newTag())
+          out.write.parquet(staging.toString)
+          CommitLog.commitStaged(spark, target, staging, readVersion,
+            Nil, wholeStore = true, meta = meta)
+        case Some(n) =>
+          val partialKb = partial.withColumn("kb", kbExpr.get).persist()
+          val touched = partialKb.select("kb").distinct()
+            .collect().map(_.getInt(0)).sorted
+          val existing = CommitLog.read(spark, target, Some(readVersion))
+            .map { store =>
+              checkShape(store)
+              // partition-pruned: only the touched buckets' files scan
+              store.filter(col("kb").isin(touched.map(Integer.valueOf).toSeq: _*))
+                .drop("kb")
+            }
+          val out = existing match {
+            case None => partialKb.drop("kb")
+            case Some(store) => foldInto(store, partialKb.drop("kb"), keyCols)
+          }
+          val staging = Swap.Suffix.staging(target, Swap.newTag())
+          out.withColumn("kb", kbExpr.get)
+            .write.partitionBy("kb").parquet(staging.toString)
+          CommitLog.commitStaged(spark, target, staging, readVersion,
+            retireNames = touched.map("kb=" + _).toSeq, wholeStore = false,
+            meta = meta,
+            extraTouched = Seq(CommitLog.SerialToken)) // folds never commute with replays
+          partialKb.unpersist()
+      }
       return CommitLog.read(spark, target).get
     }
+    require(buckets.isEmpty,
+      s"bucketed incremental-agg stores need the commit log (store $path " +
+        "is legacy swap-mode) — create the store with " +
+        "spark.graft.store.commitLog=true or log = Some(true)")
 
     // single-writer lease across the whole fold (first-write rename
     // included): two streams folding into one store must fail loudly.

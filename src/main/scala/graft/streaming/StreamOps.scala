@@ -206,12 +206,13 @@ object StreamOps {
       keyCols: Seq[String],
       valueCol: String,
       checkpoint: String,
-      distinctCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      distinctCol: Option[String] = None,
+      buckets: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery =
     facts.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyAggBatchOnce(batch, storePath, keyCols, valueCol, batchId,
-          distinctCol)
+          distinctCol, buckets)
         ()
       }
       .start()
@@ -233,12 +234,30 @@ object StreamOps {
       keyCols: Seq[String],
       valueCol: String,
       batchId: Long,
-      distinctCol: Option[String] = None): Boolean = {
+      distinctCol: Option[String] = None,
+      buckets: Option[Int] = None): Boolean = {
     val spark = batch.sparkSession
     val store = new org.apache.hadoop.fs.Path(storePath)
     val marker = new org.apache.hadoop.fs.Path(
       store, graft.operators.IncrementalAgg.BatchMarker)
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // Commit-log stores: no lease, no marker file — the high-water mark
+    // rides the manifest meta, and update() itself skips replays
+    // anchored at the fold's own read version (a racing fold conflicts
+    // at the CAS, so check-and-fold is atomic without a lock).
+    if (graft.operators.CommitLog.active(spark, fs, store)) {
+      val last = graft.operators.CommitLog.tipMeta(fs, store)
+        .get("batchId").map(_.toLong).getOrElse(-1L)
+      if (batchId <= last) return false
+      graft.operators.IncrementalAgg.update(
+        spark, storePath, batch, keyCols, valueCol, batchId = Some(batchId),
+        log = Some(true), distinctCol = distinctCol, buckets = buckets)
+      return true
+    }
+    require(buckets.isEmpty,
+      s"bucketed incremental-agg stores need the commit log (store " +
+        s"$storePath is legacy swap-mode)")
 
     // one lease spans marker-check AND fold: two streams pointed at the
     // same store would otherwise both pass `batchId <= last` and

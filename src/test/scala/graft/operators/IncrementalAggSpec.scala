@@ -104,4 +104,70 @@ class IncrementalAggSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("rebuild the store"))
   }
+
+  test("bucketed log store: maintenance equals direct aggregation, a " +
+    "fold rewrites ONLY touched buckets, and config mismatches fail " +
+    "loudly") {
+    val path = freshStore()
+    val store = new org.apache.hadoop.fs.Path(path)
+    def fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // 40 keys over 8 buckets, then a second batch touching ONE key
+    val b1 = (0 until 400).map(i => (s"k${i % 40}", i.toDouble))
+    IncrementalAgg.update(spark, path, b1.toDF("k", "v"), Seq("k"), "v",
+      log = Some(true), buckets = Some(8))
+    val before = CommitLog.snapshotFiles(fs, store,
+      CommitLog.currentVersion(fs, store)).toSet
+    IncrementalAgg.update(spark, path,
+      Seq(("k7", 1000.0)).toDF("k", "v"), Seq("k"), "v", buckets = Some(8))
+    val after = CommitLog.snapshotFiles(fs, store,
+      CommitLog.currentVersion(fs, store)).toSet
+    // exactly one kb partition's files changed
+    val changedDirs = ((before diff after) ++ (after diff before))
+      .map(_.split('/').head)
+    assert(changedDirs.size == 1 && changedDirs.head.startsWith("kb="),
+      changedDirs.toString)
+    // and the content equals direct aggregation over everything
+    val got = IncrementalAgg.readStore(spark, path)
+      .select("k", "n", "sum").as[(String, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    val want = (b1 :+ (("k7", 1000.0))).toDF("k", "v").groupBy("k")
+      .agg(count("v").as("n"), sum("v").as("sum"))
+      .select("k", "n", "sum").as[(String, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == want)
+    // bucket-count mismatch refuses before touching anything
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.update(spark, path,
+        Seq(("a", 1.0)).toDF("k", "v"), Seq("k"), "v", buckets = Some(16))
+    }
+    assert(e.getMessage.contains("buckets"))
+    // bucketing needs the log: a legacy store refuses
+    val legacy = freshStore()
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalAgg.update(spark, legacy,
+        Seq(("a", 1.0)).toDF("k", "v"), Seq("k"), "v", buckets = Some(8))
+    }
+    assert(e2.getMessage.contains("commit log"))
+  }
+
+  test("log-store replay guard: a batch at or below the manifest " +
+    "high-water mark is skipped store-level and stream-level") {
+    val logPath = freshStore()
+    spark.conf.set("spark.graft.store.commitLog", "true")
+    try {
+      assert(graft.streaming.StreamOps.applyAggBatchOnce(
+        Seq(("a", 1.0)).toDF("k", "v"), logPath, Seq("k"), "v", 0L))
+      assert(graft.streaming.StreamOps.applyAggBatchOnce(
+        Seq(("b", 2.0)).toDF("k", "v"), logPath, Seq("k"), "v", 1L))
+      // stream-level replay: returns false, store untouched
+      assert(!graft.streaming.StreamOps.applyAggBatchOnce(
+        Seq(("a", 99.0)).toDF("k", "v"), logPath, Seq("k"), "v", 1L))
+      // store-level replay (direct update call): also skipped
+      IncrementalAgg.update(spark, logPath,
+        Seq(("a", 99.0)).toDF("k", "v"), Seq("k"), "v", batchId = Some(0L))
+      val out = IncrementalAgg.readStore(spark, logPath)
+        .select("k", "n", "sum").as[(String, Long, Double)].collect().toSet
+      assert(out == Set(("a", 1L, 1.0), ("b", 1L, 2.0)), out.toString)
+    } finally spark.conf.unset("spark.graft.store.commitLog")
+  }
 }
