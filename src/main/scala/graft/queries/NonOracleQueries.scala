@@ -274,6 +274,37 @@ object NonOracleQueries {
              |SELECT cx AS x, cy AS y, d AS h FROM hw WHERE s = 0
              |ORDER BY x, y""".stripMargin)),
 
+    // Morton z-value — ORACLE-GATED companion to q_hilbert: Layout.zValue
+    // is flat bit-interleave arithmetic (x bit i → position 2i, y bit i →
+    // position 2i+1 for a 2-column curve), so DuckDB replays it with 16
+    // shift-and-mask terms — no recursion needed, unlike the Hilbert walk.
+    // Bounds (0, 256) at 8 bits make scaleToCell the identity on the
+    // modded coordinates (floor(v/256*256) = v exactly in doubles), so
+    // the oracle needs no scaling arithmetic. The layout's file-pruning
+    // payoff stays LayoutSpec-gated via q_zorder below.
+    GraftQuery(
+      "q_zvalue",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select((col("l_orderkey") % 256).as("x"), (col("l_partkey") % 256).as("y"))
+          .distinct()
+          .withColumn("z",
+            graft.operators.Layout.zValue(
+              Seq(col("x"), col("y")), Seq((0.0, 256.0), (0.0, 256.0)), 8))
+          .orderBy("x", "y"),
+      Some("""WITH cells AS (
+             |  SELECT DISTINCT l_orderkey % 256 AS x, l_partkey % 256 AS y FROM lineitem)
+             |SELECT x, y,
+             |    ((x >> 0) & 1) * 1     + ((y >> 0) & 1) * 2
+             |  + ((x >> 1) & 1) * 4     + ((y >> 1) & 1) * 8
+             |  + ((x >> 2) & 1) * 16    + ((y >> 2) & 1) * 32
+             |  + ((x >> 3) & 1) * 64    + ((y >> 3) & 1) * 128
+             |  + ((x >> 4) & 1) * 256   + ((y >> 4) & 1) * 512
+             |  + ((x >> 5) & 1) * 1024  + ((y >> 5) & 1) * 2048
+             |  + ((x >> 6) & 1) * 4096  + ((y >> 6) & 1) * 8192
+             |  + ((x >> 7) & 1) * 16384 + ((y >> 7) & 1) * 32768 AS z
+             |FROM cells ORDER BY x, y""".stripMargin)),
+
     // Small-file compaction (table maintenance): a store trickle-written
     // as 32 tiny files folds to ~1 per 128 MB, rows preserved exactly —
     // the pass that keeps a 100 TB store's task count scan-bound instead
