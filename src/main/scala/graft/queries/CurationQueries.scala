@@ -489,6 +489,54 @@ object CurationQueries {
           ctxTokens = 2048, shards = 8)
           .orderBy("doc_id")),
 
+    // Bigram language-model score with add-k smoothing — one step up the
+    // perplexity-filter ladder from q_unigram_logprob: score each doc by
+    // the average negative log-probability of its bigrams under the
+    // corpus's own bigram distribution, P(w2|w1) = (c(w1,w2) + k) /
+    // (c(w1·) + k·V). Catches word-salad documents whose unigram mix
+    // looks normal but whose transitions are improbable. Bigram
+    // extraction is a narrow zip_with over the token array (no
+    // positional self-join — that would shuffle at token grain); both
+    // count tables are vocabulary-shaped and go through the measured
+    // broadcast switch; the scalar V broadcasts as one row. Docs with
+    // <2 tokens have no bigrams and drop out in BOTH engines (group-by
+    // over an empty set), so the contract stays aligned.
+    GraftQuery(
+      "q_bigram_logprob",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val bg = docs
+          .select(col("doc_id"), explode(expr(
+            "zip_with(slice(toks, 1, size(toks)-1), slice(toks, 2, size(toks)-1), " +
+              "(a, b) -> named_struct('w1', a, 'w2', b))")).as("bg"))
+          .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+        val bigramCnt = graft.operators.Joins.broadcastIfSmall(
+          bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2")))
+        val contextCnt = graft.operators.Joins.broadcastIfSmall(
+          bg.groupBy("w1").agg(count(lit(1)).as("n1")))
+        val vocab = docs.select(explode(col("toks")).as("term"))
+          .agg(countDistinct("term").cast("double").as("v"))
+        bg.join(bigramCnt, Seq("w1", "w2")).join(contextCnt, Seq("w1"))
+          .crossJoin(broadcast(vocab))
+          .groupBy("doc_id")
+          .agg(round(avg(-log((col("n2") + 0.5d) / (col("n1") + col("v") * 0.5d))), 4)
+            .as("avg_neg_logp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |ix AS (SELECT doc_id, toks,
+             |         unnest(generate_series(1, len(toks) - 1)) AS i FROM t),
+             |bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM ix),
+             |bc AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY 1, 2),
+             |cc AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1),
+             |vv AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v
+             |       FROM (SELECT unnest(toks) AS term FROM t) u)
+             |SELECT doc_id,
+             |       ROUND(AVG(-ln((n2 + 0.5) / (n1 + 0.5 * v))), 4) AS avg_neg_logp
+             |FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN vv
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Unigram language-model quality score — the cheap perplexity proxy a
     // curation pipeline runs where a real LM is too expensive: score each
     // doc by the average negative log-probability of its tokens under the
