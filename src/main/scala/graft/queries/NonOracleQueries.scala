@@ -169,6 +169,34 @@ object NonOracleQueries {
         idx.topK(corpus, p, 10, nprobe = 8, poolK = 150)
       }),
 
+    // Distributed k-means summary: deterministic driver-local fit over a
+    // sorted bounded sample (LocalKMeans — the IVF-PQ codebook contract),
+    // narrow literal-centroid assignment, per-cluster sizes + inertia.
+    // The fit's local optimum is not SQL-expressible → rows-only;
+    // ClusteringSpec pins determinism across repartitionings and the
+    // nearest-assignment property.
+    GraftQuery(
+      "q_kmeans",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = graft.operators.Clustering.kmeansFit(e, "vec_id", "embedding", k = 8)
+        graft.operators.Clustering.assign(e, "embedding", cents)
+          .groupBy("cluster").agg(count(lit(1)).as("n"), round(sum("d2"), 2).as("inertia"))
+          .orderBy("cluster")
+      }),
+
+    // SemDeDup semantic dedup: cluster, then drop any vector with a
+    // lower-id within-cluster neighbor at cosine ≥ threshold. The
+    // clustering bound (pairs only within clusters) is the approximation
+    // → rows-only; ClusteringSpec pins k=1 ≡ exact brute force and the
+    // no-surviving-same-cluster-pair property.
+    GraftQuery(
+      "q_semantic_dedup",
+      (s, d) =>
+        graft.operators.Clustering.semanticDedup(
+          Tables.embeddings(s, d), "vec_id", "embedding", k = 8, threshold = 0.3)
+          .select("vec_id", "label").orderBy("vec_id")),
+
     // Approximate percentile sketch (KLL/GK-style) — the form users reach
     // for at 100 TB where exact percentile's full sort is off the table.
     // Approximation differs from DuckDB's sketch → rows-only here;

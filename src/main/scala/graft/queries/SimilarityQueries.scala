@@ -95,6 +95,41 @@ object SimilarityQueries {
              |       CAST(list_sum(qvec) AS BIGINT) AS q_sum
              |FROM q ORDER BY vec_id""".stripMargin)),
 
+    // Nearest-centroid assignment — the clustering primitive behind
+    // topic balancing and SemDeDup: centroids are the per-label
+    // elementwise means (one map-side-combinable posexplode aggregate,
+    // labels×dim rows collected as bounded metadata), the assignment is
+    // a narrow codegen'd when-fold over literal centroids — no join, no
+    // shuffle over the corpus. Output is the label×cluster confusion
+    // matrix. The oracle replays centroid means (rounded 6), the SAME
+    // left-to-right (v[j]-c[j])² fold (rounded 6), and the (d2, id)
+    // argmin tie-break.
+    GraftQuery(
+      "q_cluster_assign",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = graft.operators.Clustering.labelCentroids(e, "label", "embedding")
+        graft.operators.Clustering.assign(e, "embedding", cents)
+          .groupBy(col("label"), col("cluster").as("cluster_id"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("label", "cluster_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings),
+             |px AS (SELECT label, v, unnest(generate_series(1, len(v))) AS i FROM e),
+             |cent AS (SELECT label AS clabel, i, ROUND(AVG(v[i]), 6) AS m
+             |         FROM px GROUP BY 1, 2),
+             |cl AS (SELECT clabel, list(m ORDER BY i) AS cv FROM cent GROUP BY 1),
+             |d AS (SELECT e.vec_id, e.label, c.clabel,
+             |        ROUND(list_sum(list_transform(generate_series(1, len(e.v)),
+             |          j -> (e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j]))), 6) AS d2
+             |      FROM e CROSS JOIN cl c),
+             |a AS (SELECT vec_id, label, clabel,
+             |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+             |      FROM d)
+             |SELECT label, clabel AS cluster_id, COUNT(*) AS n
+             |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY label, cluster_id""".stripMargin)),
+
     // Per-label centroid norms: aggregate over vector columns (element-wise
     // mean via explode-free posexplode aggregation would shuffle per
     // element; for 64-dim this stays a single zip_with fold per row).

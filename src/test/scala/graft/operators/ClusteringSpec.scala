@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.flow.SparkTestSession
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClusteringSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def emb = Tables.embeddings(spark, sf)
+
+  private def collectVecs(): Array[(Long, Array[Double])] =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  test("assign picks the truly nearest rounded centroid with lower-id ties") {
+    val cents = Clustering.labelCentroids(emb, "label", "embedding")
+    val got = Clustering.assign(emb, "embedding", cents)
+      .select(col("vec_id"), col("cluster"))
+      .as[(Long, Int)].collect().toMap
+    val vecs = collectVecs()
+    def d2(v: Array[Double], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    vecs.foreach { case (id, v) =>
+      val want = cents.map { case (cid, c) => (d2(v, c), cid) }.minBy(identity)._2
+      assert(got(id) == want, s"vec $id assigned ${got(id)}, nearest is $want")
+    }
+  }
+
+  test("kmeansFit is deterministic across upstream partitionings") {
+    val a = Clustering.kmeansFit(emb, "vec_id", "embedding", k = 8)
+    val b = Clustering.kmeansFit(emb.repartition(7), "vec_id", "embedding", k = 8)
+    assert(a.map(_._1) == b.map(_._1))
+    a.zip(b).foreach { case ((_, ca), (_, cb)) =>
+      assert(ca.toSeq == cb.toSeq, "centroids differ across partitionings")
+    }
+  }
+
+  test("kmeans inertia beats the first-k-vectors strawman centroids") {
+    def inertia(cents: Seq[(Int, Array[Double])]): Double =
+      Clustering.assign(emb, "embedding", cents)
+        .agg(sum("d2")).as[Double].head()
+    val fitted = Clustering.kmeansFit(emb, "vec_id", "embedding", k = 8)
+    val strawman = collectVecs().sortBy(_._1).take(8).zipWithIndex
+      .map { case ((_, v), j) => (j, v) }.toSeq
+    assert(inertia(fitted) < inertia(strawman),
+      "k-means should beat arbitrary seed vectors as centroids")
+  }
+
+  test("semanticDedup with k=1 equals exact brute-force dedup") {
+    val sem = Clustering.semanticDedup(emb, "vec_id", "embedding",
+      k = 1, threshold = 0.3)
+      .select("vec_id").as[Long].collect().toSet
+    // brute force: drop any id with a lower-id neighbor at cosine >= t
+    val vecs = collectVecs()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val dropped = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cos(va, vb) >= 0.3
+    } yield ib).toSet
+    val want = vecs.map(_._1).toSet -- dropped
+    assert(sem == want)
+  }
+
+  test("semanticDedup leaves no same-cluster survivor pair within threshold") {
+    val k = 8; val t = 0.3
+    val cents = Clustering.kmeansFit(emb, "vec_id", "embedding", k)
+    val survivors = Clustering.semanticDedup(emb, "vec_id", "embedding", k, t)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors.nonEmpty && survivors.size < emb.count())
+    val byCluster = Clustering.assign(emb, "embedding", cents)
+      .select(col("vec_id"), col("cluster"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .filter(x => survivors(x._1))
+      .groupBy(_._2)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    byCluster.values.foreach { rows =>
+      for { a <- rows; b <- rows if a._1 < b._1 }
+        assert(cos(a._3, b._3) < t,
+          s"survivors ${a._1},${b._1} share cluster ${a._2} above threshold")
+    }
+  }
+}
