@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval: fuse a sparse (BM25) and a dense (embedding-cosine)
+  * ranking with reciprocal-rank fusion (Cormack, Clarke & Buettcher,
+  * SIGIR 2009): rrf(d) = Σ_lists 1 / (c + rank_list(d)), c = 60. RRF is
+  * the standard first fusion a retrieval-based curation pipeline reaches
+  * for because it needs NO score calibration — only ranks — so a BM25
+  * log-scale score and a [-1, 1] cosine combine without tuning.
+  *
+  * Scale shape: each ranker already reduces the corpus to a poolK-row
+  * list per query (BM25 through the broadcast-pruned postings plan,
+  * cosine through TakeOrderedAndProject), so everything here runs on
+  * query-count × poolK rows — the corpus is never touched again. Rank
+  * windows partition by query_id over those bounded pools; the final
+  * per-query cut rides the bounded-heap TopK aggregate.
+  *
+  * Determinism contract (what lets q_rrf hash-match a DuckDB replay):
+  * ranks derive from the ROUNDED scores each ranker outputs (bm25 at 4,
+  * cosine at 4) with doc_id as tie-break, and 1/(c+r) sums over ≤2 terms
+  * — order-independent in IEEE double — before rounding to 6.
+  */
+object Retrieval {
+
+  /** Fuse ranked lists, each with columns (query_id, doc_id, rank).
+    * Returns top `k` per query as (query_id, doc_id, rrf), ordered
+    * (query_id, doc_id). */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    val contribs = lists.map(_.select(col("query_id"), col("doc_id"),
+      (lit(1.0) / (col("rank").cast("double") + lit(c.toDouble))).as("graft_contrib")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy("query_id", "doc_id")
+      .agg(sum("graft_contrib").as("graft_rrf"))
+    val ranked = TopK.perKey(
+      fused
+        .withColumn("graft_r", round(col("graft_rrf"), 6))
+        .withColumn("graft_nid", -col("doc_id")),
+      keys = Seq("query_id"),
+      ordering = Seq("graft_r", "graft_nid"),
+      k = k)
+    ranked.select(
+      col("query_id"),
+      (-col("graft_nid")).as("doc_id"),
+      col("graft_r").as("rrf"))
+      .orderBy("query_id", "doc_id")
+  }
+
+  /** Hybrid BM25 + cosine top-k. `queries` supplies per-query text (for
+    * the sparse ranker) and probe vector (for the dense ranker); doc ids
+    * and vector ids share an id space. Each ranker contributes a
+    * poolK-deep list; fusion is [[rrfFuse]]. */
+  def hybridTopK(
+      docs: DataFrame,
+      docIdCol: String,
+      textCol: String,
+      embeddings: DataFrame,
+      vecIdCol: String,
+      vecCol: String,
+      queries: Seq[(String, String, Array[Float])],
+      k: Int,
+      poolK: Int = 50,
+      c: Int = 60): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    require(poolK >= k, s"poolK=$poolK must be >= k=$k")
+
+    val sparseRank = Bm25.topK(docs, docIdCol, textCol,
+      queries.map(q => (q._1, q._2)), poolK)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("bm25").desc, col("doc_id"))))
+      .select("query_id", "doc_id", "rank")
+
+    // pools first, ONE rank window after the union: a per-branch window
+    // partitioned on the literal query_id would constant-fold to an
+    // empty partition spec (the single-partition-window anti-pattern);
+    // after the union query_id is a real column and the window
+    // parallelizes across queries over poolK-bounded frames.
+    val densePools = queries.map { case (qid, _, probe) =>
+      val probeCol = array(probe.map(lit(_)): _*)
+      embeddings
+        .select(
+          col(vecIdCol).as("doc_id"),
+          round(Similarity.cosine(col(vecCol), probeCol), 4).as("graft_sim"))
+        .orderBy(col("graft_sim").desc, col("doc_id"))
+        .limit(poolK) // TakeOrderedAndProject — never a full sort
+        .withColumn("query_id", lit(qid))
+    }.reduce(_ unionByName _)
+    val denseRank = densePools
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("graft_sim").desc, col("doc_id"))))
+      .select("query_id", "doc_id", "rank")
+
+    rrfFuse(Seq(sparseRank, denseRank), k, c)
+  }
+}

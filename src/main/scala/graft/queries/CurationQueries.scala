@@ -202,6 +202,82 @@ object CurationQueries {
              |  FROM scored) x
              |WHERE rk <= 10 ORDER BY query_id, doc_id""".stripMargin)),
 
+    // Hybrid retrieval: BM25 + embedding-cosine fused by reciprocal-rank
+    // fusion (operators/Retrieval.scala). Both rankers reduce to poolK
+    // rows per query BEFORE fusion (broadcast-pruned postings / Take-
+    // OrderedAndProject), so fusion runs on bounded pools. The oracle
+    // replays the full q_bm25 pipeline, the cosine ranking, the two pool
+    // cuts, the rank windows, and the 1/(60+r) sum.
+    GraftQuery(
+      "q_rrf",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        def probe(id: Long): Array[Float] = e.filter(col("vec_id") === id)
+          .select("embedding").collect().head.getSeq[Float](0).toArray
+        graft.operators.Retrieval.hybridTopK(
+          Tables.documents(s, d), "doc_id", "text",
+          e, "vec_id", "embedding",
+          Seq(
+            ("q1", "spark join window", probe(1L)),
+            ("q2", "merge batch stream", probe(2L))),
+          k = 10, poolK = 50)
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |              FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+             |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |qterms AS (SELECT * FROM (VALUES
+             |    ('q1','spark'),('q1','join'),('q1','window'),
+             |    ('q2','merge'),('q2','batch'),('q2','stream'))
+             |  AS q(query_id, term)),
+             |tf AS (SELECT query_id, t.doc_id, t.term, count(*) AS tf
+             |       FROM toks t JOIN qterms USING (term) GROUP BY 1,2,3),
+             |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+             |          WHERE term IN (SELECT DISTINCT term FROM qterms)
+             |          GROUP BY 1),
+             |scored AS (SELECT query_id, doc_id, sum(
+             |    ln(1 + (n - df + 0.5)/(df + 0.5)) * (tf * (1.2 + 1)) /
+             |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+             |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+             |  CROSS JOIN stats GROUP BY 1,2),
+             |spool AS (SELECT query_id, doc_id, ROUND(score, 4) AS bm25 FROM (
+             |    SELECT query_id, doc_id, score,
+             |           row_number() OVER (PARTITION BY query_id
+             |             ORDER BY ROUND(score, 6) DESC, doc_id) AS rk
+             |    FROM scored) x WHERE rk <= 50),
+             |srank AS (SELECT query_id, doc_id,
+             |            row_number() OVER (PARTITION BY query_id
+             |              ORDER BY bm25 DESC, doc_id) AS r
+             |          FROM spool),
+             |qv AS (SELECT 'q1' AS query_id, CAST(embedding AS DOUBLE[]) AS pv
+             |       FROM embeddings WHERE vec_id = 1
+             |       UNION ALL
+             |       SELECT 'q2' AS query_id, CAST(embedding AS DOUBLE[]) AS pv
+             |       FROM embeddings WHERE vec_id = 2),
+             |dsc AS (SELECT q.query_id, e.vec_id AS doc_id,
+             |          ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
+             |            q.pv), 4) AS sim
+             |        FROM embeddings e CROSS JOIN qv q),
+             |dpool AS (SELECT query_id, doc_id, sim FROM (
+             |    SELECT query_id, doc_id, sim,
+             |           row_number() OVER (PARTITION BY query_id
+             |             ORDER BY sim DESC, doc_id) AS rk
+             |    FROM dsc) x WHERE rk <= 50),
+             |drank AS (SELECT query_id, doc_id,
+             |            row_number() OVER (PARTITION BY query_id
+             |              ORDER BY sim DESC, doc_id) AS r
+             |          FROM dpool),
+             |fused AS (SELECT query_id, doc_id,
+             |            COALESCE(1.0/(60 + s.r), 0) + COALESCE(1.0/(60 + d.r), 0)
+             |              AS rrf
+             |          FROM srank s FULL JOIN drank d USING (query_id, doc_id))
+             |SELECT query_id, doc_id, ROUND(rrf, 6) AS rrf FROM (
+             |  SELECT query_id, doc_id, rrf,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY ROUND(rrf, 6) DESC, doc_id) AS rk
+             |  FROM fused) x
+             |WHERE rk <= 10 ORDER BY query_id, doc_id""".stripMargin)),
+
     // BM25 through the PERSISTED inverted index (operators/Bm25Index
     // .scala): build-once/query-many — postings hive-partitioned by
     // term-hash bucket, so the term lookup is parquet partition pruning.
