@@ -132,6 +132,50 @@ object StreamOps {
       }
       .start()
 
+  /** Stream-static enrichment against a commit-log dimension store that
+    * ANOTHER writer maintains concurrently: each micro-batch pins the
+    * store's tip version ONCE, reads that snapshot, and broadcast-joins
+    * the batch against it — so a dim commit landing mid-batch can never
+    * tear a batch (every row of the batch joins the same version; the
+    * snapshot's files survive concurrent logical deletes until vacuum's
+    * retention window). The next batch naturally picks up the new tip —
+    * a freshness lag of at most one trigger, which is the streaming
+    * analogue of snapshot isolation.
+    *
+    * Plan per batch: manifest read (one metadata file) → broadcast when
+    * the dim is under the measured size gate, else hash join — at 100 TB
+    * of FACTS the dim is the small side by construction; a dim too big
+    * to broadcast still joins with the corpus-side shuffle bounded to
+    * the batch, never history. Output adds `graft_dim_version` so sinks
+    * can audit exactly which dim state enriched each row.
+    *
+    * `joinType` left: facts with no dim match pass through null-extended
+    * (the lookup-join default) rather than silently dropping. */
+  def enrichStream(
+      facts: DataFrame,
+      dimPath: String,
+      keyCols: Seq[String],
+      checkpoint: String,
+      joinType: String = "left")(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val store = new org.apache.hadoop.fs.Path(dimPath)
+        val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val v = graft.operators.CommitLog.currentVersion(fs, store)
+        val enriched = graft.operators.CommitLog.read(spark, store, Some(v)) match {
+          case Some(dim) =>
+            batch.join(
+              graft.operators.Joins.broadcastIfSmall(dim), keyCols, joinType)
+          case None => // dim not yet populated: null-extend nothing to join
+            batch
+        }
+        sink(enriched.withColumn("graft_dim_version", lit(v)), batchId)
+      }
+      .start()
+
   /** Streaming MERGE: foreachBatch-driven upsert of each micro-batch
     * into the parquet store at `targetPath` (matched keys update,
     * unmatched insert — see graft.operators.Merge). Batches must carry
