@@ -86,6 +86,15 @@ object CommitLog {
   /** Full file-list checkpoint cadence (replay never walks more than
     * this many manifests). */
   val CheckpointEvery = 10
+  /** Manifest meta key carrying the table schema (JSON) as of that
+    * commit — written by schema-recording writers (Merge), making the
+    * table SELF-DESCRIBING: reads apply the recorded schema so evolved
+    * columns appear (null-filled in pre-evolution files) without every
+    * reader having to know evolution happened and opt into mergeSchema,
+    * and commit-time type checking stops two disjoint-partition writers
+    * from committing the SAME new column at DIFFERENT types — a conflict
+    * partition-overlap OCC cannot see. */
+  val SchemaMetaKey = "schema"
 
   final class ConflictException(msg: String) extends RuntimeException(msg)
 
@@ -290,6 +299,7 @@ object CommitLog {
             val name = dec(f)
             files += name
             stats(name) = FileStat(dec(t), dec(mn), dec(mx))
+          case Array("schema", _) => // table schema line — schemaAt reads it
           case _ => files += dec(line.stripPrefix("file\t")) // legacy line
         }
       }
@@ -303,13 +313,55 @@ object CommitLog {
     files.toSeq.map(f => (f, stats.get(f)))
   }
 
+  /** The recorded table schema at or below version `v`, or None when no
+    * retained commit recorded one (stores written by non-schema-recording
+    * writers). The walk is BOUNDED: manifests from `v` down to the
+    * nearest checkpoint, then the checkpoint's own schema line —
+    * checkpoints persist the schema in force when they were written, so
+    * vacuuming old manifests never loses it and no read ever walks more
+    * than [[CheckpointEvery]] manifests. */
+  def schemaAt(
+      fs: FileSystem,
+      store: Path,
+      v: Long): Option[org.apache.spark.sql.types.StructType] = {
+    if (v <= 0) return None
+    val ckpts = listLog(fs, store).map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong)
+      .filter(_ <= v)
+    val base = if (ckpts.isEmpty) 0L else ckpts.max
+    var i = v
+    while (i > base) {
+      readManifest(fs, store, i).meta.get(SchemaMetaKey) match {
+        case Some(json) => return Some(parseSchema(json))
+        case None => i -= 1
+      }
+    }
+    if (base == 0) None
+    else {
+      val text = readFully(fs, new Path(logDir(store), checkpointName(base)))
+      text.split("\n", -1).takeWhile(_ != "end").collectFirst {
+        case line if line.startsWith("schema\t") =>
+          parseSchema(dec(line.split("\t", -1)(1)))
+      }
+    }
+  }
+
+  private def parseSchema(json: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
   /** The table at `version` (default: current tip) as a DataFrame, or
     * None when the snapshot holds no files. Planning starts from the
     * manifest's explicit file list — no store-wide directory listing —
     * with `basePath` set so hive partition columns still materialize and
     * prune. A returned DataFrame stays consistent even while writers
     * commit and remove files logically, because physical deletion is
-    * deferred to [[vacuum]]. */
+    * deferred to [[vacuum]]. When the pinned version carries a recorded
+    * schema ([[SchemaMetaKey]]) it is applied explicitly: files written
+    * before an evolution read back with the evolved columns null-filled,
+    * whatever file Spark would have sampled for inference, and a
+    * time-travel read below the evolution sees the OLD schema. */
   def read(
       spark: SparkSession,
       store: Path,
@@ -323,7 +375,8 @@ object CommitLog {
       val reader = spark.read
         .option("basePath", store.toString)
         .option("mergeSchema", mergeSchema.toString)
-      Some(reader.parquet(files.map(f => new Path(store, f).toString): _*))
+      val withSchema = schemaAt(fs, store, v).fold(reader)(reader.schema)
+      Some(withSchema.parquet(files.map(f => new Path(store, f).toString): _*))
     }
   }
 
@@ -404,7 +457,8 @@ object CommitLog {
       meta: Map[String, String] = Map.empty,
       maxRetries: Int = 20,
       extraTouched: Seq[String] = Nil,
-      statsCol: Option[String] = None): Long = {
+      statsCol: Option[String] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(logDir(store))
     // move staged files in under their original (globally unique) names;
@@ -455,6 +509,37 @@ object CommitLog {
               " — re-run the operation against the new table state")
       }
       checked = tip
+      // Schema evolution bookkeeping, re-derived per attempt because the
+      // tip (and thus the schema in force) can move between rebases:
+      // a column this commit carries at a DIFFERENT type than the
+      // recorded schema is a conflict partition-overlap OCC cannot see
+      // (two disjoint-partition writers adding the same column at
+      // different types would otherwise both commit and poison every
+      // future read) — refuse loudly, store untouched. Compatible new
+      // columns append; recorded schema is add-only, so evolved = prior
+      // fields + genuinely new ones.
+      val schemaMeta: Map[String, String] = schema match {
+        case None => Map.empty
+        case Some(s) =>
+          val prior = schemaAt(fs, store, tip)
+          prior.foreach { p =>
+            val clash = s.fields.flatMap(f =>
+              p.fields.find(_.name == f.name)
+                .filter(_.dataType != f.dataType)
+                .map(pf => s"${f.name}: store has ${pf.dataType.simpleString}, " +
+                  s"commit brings ${f.dataType.simpleString}"))
+            if (clash.nonEmpty)
+              abort(s"schema type conflict on $store — ${clash.mkString("; ")}. " +
+                "Evolution only ADDS columns; a type change needs an explicit " +
+                "whole-store rewrite")
+          }
+          val evolved = prior match {
+            case None => s
+            case Some(p) => org.apache.spark.sql.types.StructType(
+              p.fields ++ s.fields.filterNot(f => p.fieldNames.contains(f.name)))
+          }
+          Map(SchemaMetaKey -> evolved.json)
+      }
       // all intervening commits are disjoint: their partitions are not
       // ours, so the files we retire are the same ones the base snapshot
       // held; recompute from the tip anyway (cheap, and exact by
@@ -465,7 +550,7 @@ object CommitLog {
         else snapshot.filter(f =>
           retireNames.exists(r => f == r || f.startsWith(r + "/")))
       val v = tip + 1
-      val m = Manifest(v, touched, added, removed, meta, fstats)
+      val m = Manifest(v, touched, added, removed, meta ++ schemaMeta, fstats)
       val tmp = new Path(logDir(store),
         ".tmp-" + java.util.UUID.randomUUID().toString)
       writeFully(fs, tmp, renderManifest(m))
@@ -551,9 +636,13 @@ object CommitLog {
   private def maybeCheckpoint(fs: FileSystem, store: Path, v: Long): Unit =
     if (v % CheckpointEvery == 0) {
       // best-effort (a crash here only lengthens the next replay); built
-      // from the manifest chain, published with the same no-overwrite CAS
+      // from the manifest chain, published with the same no-overwrite CAS.
+      // The schema in force rides along so vacuuming the manifests that
+      // recorded it can never lose it ([[schemaAt]] falls back here).
       val files = snapshotFilesWithStats(fs, store, v)
-      val text = files.map {
+      val schemaLine = schemaAt(fs, store, v)
+        .map(s => s"schema\t${enc(s.json)}\n").getOrElse("")
+      val text = schemaLine + files.map {
         case (f, None) => s"file\t${enc(f)}\n"
         case (f, Some(s)) =>
           s"file\t${enc(f)}\t${enc(s.tpe)}\t${enc(s.min)}\t${enc(s.max)}\n"

@@ -115,7 +115,7 @@ object Merge {
         val w = source.write
         prunePartitions.fold(w)(w.partitionBy(_)).parquet(staging.toString)
         CommitLog.commitStaged(spark, target, staging, readVersion,
-          Nil, wholeStore = true)
+          Nil, wholeStore = true, schema = Some(source.schema))
         return CommitLog.read(spark, target).get
       }
       // same layout rule as log mode: partition the store from its first
@@ -181,7 +181,7 @@ object Merge {
         merged.write.partitionBy(pcol).parquet(staging.toString)
         if (logMode)
           CommitLog.commitStaged(spark, target, staging, readVersion,
-            Nil, wholeStore = true)
+            Nil, wholeStore = true, schema = Some(merged.schema))
         else
           Swap.commitWholeDir(fs, target, staging,
             Swap.Suffix.retired(target, tag), lease)
@@ -252,7 +252,8 @@ object Merge {
         merged.write.partitionBy(pcol).parquet(staging.toString)
         if (logMode)
           CommitLog.commitStaged(spark, target, staging, readVersion,
-            oldDirs.map(_.getName).toSeq, wholeStore = false)
+            oldDirs.map(_.getName).toSeq, wholeStore = false,
+            schema = Some(merged.schema))
         else
           Swap.commitDirs(fs, target, staging, retired,
             oldDirs.map(_.getName).toSeq, lease)
@@ -266,7 +267,7 @@ object Merge {
         merged.write.parquet(staging.toString)
         if (logMode)
           CommitLog.commitStaged(spark, target, staging, readVersion,
-            Nil, wholeStore = true)
+            Nil, wholeStore = true, schema = Some(merged.schema))
         else
           Swap.commitWholeDir(fs, target, staging, retired, lease)
     }
