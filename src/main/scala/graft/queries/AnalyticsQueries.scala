@@ -99,6 +99,63 @@ object AnalyticsQueries {
              |  FROM events) t
              |WHERE prev IS NOT NULL GROUP BY 1,2 ORDER BY prev, curr""".stripMargin)),
 
+    // PageRank over the event-type transition graph (operators/Graph
+    // .scala): 3 fixed iterations of the standard two-shuffle-per-
+    // iteration plan, ranks rounded at every iteration boundary so the
+    // oracle's unrolled replay crosses each rounding boundary
+    // identically. The oracle unrolls the iterations as chained CTEs
+    // (recursive CTEs cannot aggregate in the recursive term).
+    // (1 − d) is spelled CAST(1 AS DOUBLE) − 0.85 in SQL so both engines
+    // compute the identical IEEE value (DuckDB's bare 0.15 is DECIMAL).
+    GraftQuery(
+      "q_pagerank",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val edges = Tables.events(s, d)
+          .select(col("event_type"), lag("event_type", 1).over(w).as("prev"))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev").as("src"), col("event_type").as("dst"))
+          .agg(count(lit(1)).cast("double").as("w"))
+        graft.operators.Graph.pageRank(edges, "src", "dst", "w", iterations = 3)
+          .select(col("node"), round(col("rank"), 6).as("rank"))
+          .orderBy("node")
+      },
+      Some("""WITH t AS (SELECT event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS prev FROM events),
+             |edges AS (SELECT prev AS src, event_type AS dst,
+             |            CAST(count(*) AS DOUBLE) AS w
+             |          FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+             |nodes AS (SELECT src AS node FROM edges
+             |          UNION SELECT dst FROM edges),
+             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+             |norm AS (SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p
+             |         FROM edges),
+             |r0 AS (SELECT node, ROUND(1.0 / n, 9) AS rank
+             |       FROM nodes CROSS JOIN nn),
+             |r1 AS (SELECT nodes.node,
+             |         ROUND((CAST(1 AS DOUBLE) - 0.85) / nn.n
+             |           + 0.85 * COALESCE(c.cin, 0), 9) AS rank
+             |       FROM nodes CROSS JOIN nn
+             |       LEFT JOIN (SELECT norm.dst AS node, sum(r.rank * norm.p) AS cin
+             |                  FROM norm JOIN r0 r ON norm.src = r.node
+             |                  GROUP BY 1) c ON c.node = nodes.node),
+             |r2 AS (SELECT nodes.node,
+             |         ROUND((CAST(1 AS DOUBLE) - 0.85) / nn.n
+             |           + 0.85 * COALESCE(c.cin, 0), 9) AS rank
+             |       FROM nodes CROSS JOIN nn
+             |       LEFT JOIN (SELECT norm.dst AS node, sum(r.rank * norm.p) AS cin
+             |                  FROM norm JOIN r1 r ON norm.src = r.node
+             |                  GROUP BY 1) c ON c.node = nodes.node),
+             |r3 AS (SELECT nodes.node,
+             |         ROUND((CAST(1 AS DOUBLE) - 0.85) / nn.n
+             |           + 0.85 * COALESCE(c.cin, 0), 9) AS rank
+             |       FROM nodes CROSS JOIN nn
+             |       LEFT JOIN (SELECT norm.dst AS node, sum(r.rank * norm.p) AS cin
+             |                  FROM norm JOIN r2 r ON norm.src = r.node
+             |                  GROUP BY 1) c ON c.node = nodes.node)
+             |SELECT node, ROUND(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin)),
+
     // Stratified deterministic sampling: a different hash-sample rate per
     // stratum (event_type), reproducible across engines — how a 100 TB
     // corpus gets a class-balanced eval carve-out without TABLESAMPLE's
