@@ -501,6 +501,43 @@ object CurationQueries {
              |        / 4294967296.0 < rate
              |ORDER BY doc_id""".stripMargin)),
 
+    // Temperature-scaled mixture sampling — the multilingual-training
+    // rebalance (mBERT/XLM-R style): sample group i at share
+    // n_i^α / Σ n_j^α with α < 1, upweighting low-resource groups
+    // without the hard cap of q_mixture_sample. Expected total K docs;
+    // rate_i = min(1, K·q_i/n_i), admission by the same md5-uniform
+    // (layout-independent, re-ingestion-stable). Rates round to 6 so a
+    // last-ulp pow/sum divergence between engines cannot flip an
+    // admission. Same 100 TB shape: a #groups-sized aggregate broadcast
+    // into a narrow scan filter; the corpus never shuffles.
+    GraftQuery(
+      "q_temp_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", pow(col("n_docs").cast("double"), lit(0.3)))
+        val tot = counts.agg(sum("w").as("w_tot"))
+        val rates = counts.crossJoin(broadcast(tot))
+          .withColumn("rate",
+            round(least(lit(1.0),
+              lit(200.0) * col("w") / col("w_tot") / col("n_docs")), 6))
+        docs.join(broadcast(rates.select("source", "rate")), "source")
+          .filter(graft.operators.Splits.uniform(col("doc_id")) < col("rate"))
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_docs
+             |           FROM documents GROUP BY 1),
+             |w AS (SELECT source, n_docs, POWER(n_docs, 0.3) AS w FROM c),
+             |t AS (SELECT SUM(w) AS w_tot FROM w),
+             |r AS (SELECT source,
+             |        ROUND(LEAST(1.0, 200.0 * w / w_tot / n_docs), 6) AS rate
+             |      FROM w CROSS JOIN t)
+             |SELECT doc_id, source FROM documents JOIN r USING (source)
+             |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |        / 4294967296.0 < rate
+             |ORDER BY doc_id""".stripMargin)),
+
     // Deterministic train/val/test split — the reproducibility primitive
     // under every training run: assign each doc to a split by where its
     // md5-uniform lands in [0, .9), [.9, .95), [.95, 1). Hash-ranged

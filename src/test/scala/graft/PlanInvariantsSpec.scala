@@ -141,6 +141,38 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q_cluster_assign: assignment is a narrow fold — the only " +
+    "exchanges are the centroid aggregate and the confusion-count " +
+    "aggregate, never a corpus join") {
+    val plan = executedPlan("q_cluster_assign")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      plan.take(3000))
+  }
+
+  test("q_temp_sample: per-group rates broadcast into a scan filter; " +
+    "the corpus side never sort-merge shuffles") {
+    val plan = executedPlan("q_temp_sample")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("q_rrf: every rank window is partitioned (no single-partition " +
+    "window over a pool)") {
+    val plan = executedPlan("q_rrf")
+    val lines = plan.linesIterator.toIndexedSeq
+    val bad = lines.zipWithIndex.exists { case (l, i) =>
+      l.contains("Window") &&
+        lines.slice(i + 1, i + 5).exists(_.contains("Exchange SinglePartition"))
+    }
+    assert(!bad, "single-partition window in q_rrf:\n" + plan.take(3000))
+  }
+
+  test("q_pagerank: every iteration's contribution aggregate is partial " +
+    "before its shuffle") {
+    val plan = executedPlan("q_pagerank")
+    assert(plan.contains("partial_"), plan.take(3000))
+  }
+
   test("runtime bloom-filter pruning: a selective dim filter injects a " +
     "bloom filter into the fact scan of a shuffle join") {
     // At 100 TB the pre-shuffle row cull from a runtime bloom filter is
