@@ -44,6 +44,55 @@ object Decontaminate {
       .distinct()
   }
 
+  /** Per-document contamination fraction: |distinct n-grams ∩ benchmark|
+    * / |distinct n-grams| — the GRADED form of [[contaminatedIds]]
+    * (Llama-style decontamination drops documents above a fraction
+    * threshold instead of on any single hit, sparing a long document
+    * with one incidental overlap). Per-doc dedup of n-grams happens
+    * NARROWLY (array_distinct on the fused hash array) before the
+    * explode, so the only shuffle is the per-doc count aggregate —
+    * map-side-combined to one row per document; the benchmark side
+    * broadcasts exactly as in the boolean form.
+    *
+    * @return (`idCol`, n_grams, frac), frac rounded to 4. */
+  def contaminationFraction(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 13): DataFrame = {
+    val benchHashes = benchmark
+      .select(explode(ngramHashes(col(benchTextCol), n)).as("graft_h"))
+      .distinct()
+      .withColumn("graft_hit", lit(1))
+    corpus
+      .select(col(idCol),
+        explode(array_distinct(ngramHashes(col(textCol), n))).as("graft_h"))
+      .join(broadcast(benchHashes), Seq("graft_h"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("graft_hit"), lit(0))).as("graft_nhit"))
+      .select(col(idCol), col("n_grams"),
+        round(col("graft_nhit").cast("double") / col("n_grams"), 4).as("frac"))
+  }
+
+  /** The corpus minus documents above `maxFraction` benchmark overlap. */
+  def cleanByFraction(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      maxFraction: Double,
+      n: Int = 13): DataFrame =
+    corpus.join(
+      contaminationFraction(corpus, idCol, textCol, benchmark, benchTextCol, n)
+        .filter(col("frac") > maxFraction)
+        .select(idCol),
+      Seq(idCol), "left_anti")
+
   /** The corpus minus contaminated documents. */
   def clean(
       corpus: DataFrame,

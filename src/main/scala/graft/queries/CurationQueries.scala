@@ -795,6 +795,35 @@ object CurationQueries {
              |SELECT DISTINCT doc_id FROM g JOIN bench USING (gram)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Graded decontamination: per-doc benchmark-overlap FRACTION over
+    // distinct 8-grams (Decontaminate.contaminationFraction) — the
+    // threshold form real pretraining curation uses. Spark counts
+    // distinct fused xxhash shingle hashes (narrow array_distinct before
+    // the explode); the oracle counts the distinct n-gram STRINGS —
+    // equality of the counts IS the no-collision property the boolean
+    // q_decontaminate gate already relies on.
+    GraftQuery(
+      "q_contamination",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val benchmark = docs.filter(col("doc_id") % 97 === 0)
+        Decontaminate.contaminationFraction(
+          docs, "doc_id", "text", benchmark, "text", n = 8)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+             |              FROM documents),
+             |g0 AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+             |       FROM toks, UNNEST(range(1, greatest(len(w) - 7, 1) + 1)) AS t(i)),
+             |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+             |bench AS (SELECT DISTINCT gram FROM g0 WHERE doc_id % 97 = 0),
+             |j AS (SELECT g.doc_id,
+             |        CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END AS hit
+             |      FROM g LEFT JOIN bench b ON g.gram = b.gram)
+             |SELECT doc_id, COUNT(*) AS n_grams,
+             |       ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 4) AS frac
+             |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // Cross-corpus near-dup filter (operators/Dedup.dedupAgainst): drop
     // corpus docs with a near-duplicate in a REFERENCE corpus that is
     // itself left untouched — "dedup the new crawl against last month's

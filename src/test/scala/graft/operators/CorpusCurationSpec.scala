@@ -69,4 +69,28 @@ class CorpusCurationSpec extends AnyFunSuite {
       .as[String].head()
     assert(rows(0L) == expected)
   }
+
+  test("contamination fraction grades what the boolean form flags: " +
+    "frac > 0 exactly for contaminatedIds docs, and a threshold spares " +
+    "light-overlap documents the boolean form would drop") {
+    val benchmark = Seq("quite original piece of english").toDF("q")
+    val frac = Decontaminate.contaminationFraction(
+      corpus, "doc_id", "text", benchmark, "q", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val flagged = Decontaminate.contaminatedIds(
+      corpus, "doc_id", "text", benchmark, "q", n = 4)
+      .as[Long].collect().toSet
+    assert(frac.filter(_._2 > 0).keySet == flagged)
+    // doc 6 overlaps on a couple of 4-grams out of many: a 0.5 threshold
+    // keeps it, while the boolean form drops it
+    assert(frac(6L) > 0 && frac(6L) < 0.5)
+    val kept = Decontaminate.cleanByFraction(
+      corpus, "doc_id", "text", benchmark, "q", maxFraction = 0.5, n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(6L))
+    val keptStrict = Decontaminate.clean(
+      corpus, "doc_id", "text", benchmark, "q", n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!keptStrict.contains(6L))
+  }
 }
