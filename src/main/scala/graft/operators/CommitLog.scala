@@ -384,6 +384,34 @@ object CommitLog {
   def nonEmpty(fs: FileSystem, store: Path): Boolean =
     isLog(fs, store) && snapshotFiles(fs, store, currentVersion(fs, store)).nonEmpty
 
+  /** Hive partition column names along a store-relative file path, in
+    * order (`date=2024/k=1/part.parquet` → date, k; flat → empty) — the
+    * writer's own layout, recovered from the path rather than guessed
+    * from values. */
+  def partitionColsOf(rel: String): Seq[String] =
+    rel.split('/').dropRight(1).toSeq
+      .filter(_.contains('='))
+      .map(_.takeWhile(_ != '='))
+
+  /** A SUBSET of a snapshot's files as a DataFrame — the file-grain read
+    * behind row-level DELETE (rewrite only the files that hold matches)
+    * and the change feed (diff only the files a commit touched). Same
+    * contract as [[read]]: `basePath` anchors at the store so hive
+    * partition columns materialize, and the schema recorded at `v` (when
+    * any) applies, so pre-evolution files read back with evolved columns
+    * null-filled. `files` are store-relative; None when empty. */
+  def readFilesAt(
+      spark: SparkSession,
+      store: Path,
+      v: Long,
+      files: Seq[String]): Option[DataFrame] = {
+    if (files.isEmpty) return None
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reader = spark.read.option("basePath", store.toString)
+    val withSchema = schemaAt(fs, store, v).fold(reader)(reader.schema)
+    Some(withSchema.parquet(files.map(f => new Path(store, f).toString): _*))
+  }
+
   /** The sub-table under `store/<sub>/` at `version` (default tip), or
     * None when that slice of the snapshot holds no files. For stores
     * that keep SEVERAL tables under one log (a dedup store's

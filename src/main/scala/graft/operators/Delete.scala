@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-level DELETE on a commit-log store — copy-on-write at FILE grain,
+  * the GDPR/right-to-be-forgotten primitive (and Delta's default DELETE
+  * strategy): rewrite ONLY the files that actually hold matching rows,
+  * leave every other file physically untouched, publish one manifest that
+  * retires the matched files and adds their filtered replacements.
+  *
+  * Why file grain and not partition grain: a delete of one user's rows
+  * from a store partitioned by date touches a handful of rows in MANY
+  * partitions — partition-scoped rewrite would rewrite all of them in
+  * full. File-grain COW rewrites only the files whose row groups can
+  * contain matches.
+  *
+  * How matching files are found without reading the table twice over:
+  * one column-pruned scan of the pinned snapshot with the predicate
+  * PUSHED DOWN (`input_file_name()` of matching rows, distinct) — parquet
+  * footer stats skip non-overlapping row groups, so files that cannot
+  * match cost a footer read, not a data read. The file list collected to
+  * the driver is one string per matching FILE (bounded metadata, never
+  * rows). Manifest-level stats pruning composes upstream: a store whose
+  * commits declared a stats column has already thinned `snapshotFiles`
+  * for range predicates via its readers; the match scan here is the
+  * general-predicate path.
+  *
+  * DELETE semantics are SQL's: rows where the predicate is TRUE go; rows
+  * where it is NULL stay (a predicate that cannot decide must not
+  * delete).
+  *
+  * Concurrency: plain OCC. The commit's touched set is exactly the
+  * retired files (hierarchical overlap makes a file token conflict with
+  * any commit claiming its partition dir) — concurrent writers on other
+  * files/partitions proceed; a racing rewrite of the same files loses the
+  * CAS loudly and must re-run against the new state.
+  */
+object Delete {
+
+  /** Delete rows matching `predicate`; returns the resulting table (tip
+    * read). No-op (no commit, same version) when nothing matches. */
+  def where(spark: SparkSession, targetPath: String, predicate: Column): DataFrame = {
+    val store = new Path(targetPath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(CommitLog.isLog(fs, store),
+      s"row-level DELETE needs a commit-log store ($targetPath has no _log/); " +
+        "legacy swap stores rewrite via Merge/whole-store paths")
+
+    val readVersion = CommitLog.currentVersion(fs, store)
+    val snapshot = CommitLog.read(spark, store, Some(readVersion)).getOrElse {
+      return emptyLike(spark, store, readVersion)
+    }
+
+    // matching FILES, predicate pushed into the scan; store-relative paths
+    val storeUri = fs.makeQualified(store).toUri.getPath
+    val matched: Seq[String] = snapshot
+      .filter(predicate)
+      .select(input_file_name().as("graft_f")).distinct()
+      .collect().map(_.getString(0))
+      .map { f =>
+        val p = new Path(new java.net.URI(f)).toUri.getPath
+        p.stripPrefix(storeUri).stripPrefix("/")
+      }.toSeq
+    if (matched.isEmpty) return snapshot
+
+    // rewrite only the matched files; keep = predicate not TRUE
+    val scoped = CommitLog.readFilesAt(spark, store, readVersion, matched).get
+    val keep = scoped.filter(!coalesce(predicate, lit(false)))
+
+    // partition layout of the rewritten files, recovered from their own
+    // paths (the writer's encoding, not value.toString): every matched
+    // file must agree on the partition column chain
+    val pcolsPerFile = matched.map(CommitLog.partitionColsOf).distinct
+    require(pcolsPerFile.size == 1,
+      s"matched files disagree on partition layout: $pcolsPerFile")
+    val pcols = pcolsPerFile.head
+
+    val staging = Swap.Suffix.staging(store, Swap.newTag())
+    val w = keep.write
+    (if (pcols.isEmpty) w else w.partitionBy(pcols: _*)).parquet(staging.toString)
+    CommitLog.commitStaged(spark, store, staging, readVersion,
+      retireNames = matched, wholeStore = false,
+      meta = Map("operation" -> "delete"))
+    CommitLog.read(spark, store).getOrElse(emptyLike(spark, store, readVersion))
+  }
+
+  private def emptyLike(spark: SparkSession, store: Path, v: Long): DataFrame = {
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = CommitLog.schemaAt(fs, store, v).getOrElse(
+      org.apache.spark.sql.types.StructType(Nil))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+}

@@ -18,6 +18,24 @@ object Splits {
     conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
       .cast("double") / lit(4294967296.0)
 
+  /** Copy count for FRACTIONAL-EPOCH resampling: training runs commonly
+    * weight a corpus at a non-integer number of epochs (see 2.5 epochs of
+    * high-quality text in published data-mixture tables); every doc gets
+    * `floor(epochs)` copies and the remaining fraction admits one more by
+    * the same md5-uniform — layout-independent, so the SAME docs get the
+    * extra copy on every run and engine. The uniform is salted (`#ep`) so
+    * epoch admission does not correlate with [[split]]'s assignment (an
+    * unsalted draw would hand the extra copy preferentially to the train
+    * split's low-u docs). Explode `sequence(0, copies-1)` to materialize. */
+  def epochCopies(id: Column, epochs: Double): Column = {
+    require(epochs > 0, s"epochs must be positive, got $epochs")
+    val whole = math.floor(epochs).toLong
+    val frac = epochs - whole
+    lit(whole) +
+      when(uniform(concat(id.cast("string"), lit("#ep"))) < frac, lit(1L))
+        .otherwise(lit(0L))
+  }
+
   /** Three-way split label: `train` / `val` / `test` by where
     * [[uniform]] lands in [0, trainFrac), [trainFrac, trainFrac+valFrac),
     * [trainFrac+valFrac, 1). */

@@ -856,5 +856,31 @@ object CurationQueries {
              |    len(list_distinct(list_concat(c.sh, r.sh))) >= 0.5)
              |SELECT * FROM documents
              |WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM dup)
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Fractional-epoch resampling (Splits.epochCopies): weight the corpus
+    // at 2.5 epochs — every doc twice, HALF the docs (by salted
+    // md5-uniform) a third time, with an explicit copy index per
+    // materialized copy. Layout-independent and re-ingestion-stable like
+    // every admission in this engine; the explode is narrow (no shuffle
+    // at all — PlanInvariantsSpec pins it).
+    GraftQuery(
+      "q_epoch_sample",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            graft.operators.Splits.epochCopies(col("doc_id"), 2.5).as("n"))
+          .select(
+            col("doc_id"),
+            explode(expr("sequence(0L, n - 1)")).as("copy_idx"))
+          .orderBy("doc_id", "copy_idx"),
+      Some("""SELECT doc_id,
+             |  unnest(generate_series(0, n - 1)) AS copy_idx
+             |FROM (SELECT doc_id,
+             |        2 + CASE WHEN
+             |          ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#ep'), 1, 8))::BIGINT
+             |            / 4294967296.0 < 0.5 THEN 1 ELSE 0 END AS n
+             |      FROM documents)
+             |ORDER BY doc_id, copy_idx""".stripMargin)))
 }

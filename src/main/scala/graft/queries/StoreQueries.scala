@@ -151,6 +151,67 @@ object StoreQueries {
              |  ROUND(CAST(sum(l_quantity) AS DOUBLE)/count(l_quantity), 4) AS avg
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
+    // Row-level COPY-ON-WRITE DELETE on a commit-log store: load customer
+    // (v1), delete every %10 key (v2 — rewrites ONLY files holding
+    // matches, retires them by exact path in one manifest), read the tip.
+    // DeleteSpec pins the file-grain pruning (untouched files survive by
+    // name) and NULL-predicate semantics; this row gates the end result.
+    GraftQuery(
+      "q_delete_rows",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_delq").toString + "/t"
+        val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+        graft.operators.Merge.into(s, tmp, cust, Seq("c_custkey"), log = Some(true))
+        graft.operators.Delete.where(s, tmp, col("c_custkey") % 10 === 0)
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT (c_custkey % 10 = 0) ORDER BY c_custkey""".stripMargin)),
+
+    // CHANGE DATA FEED over a commit-log store: v1 full load, v2 merge
+    // (UPPER the %7 names, insert 50 new keys), v3 row-level delete of
+    // the %10 keys. The feed diffs ONLY each commit's added/removed
+    // files; carried-over rows cancel, so the oracle can state the exact
+    // insert/update/delete sets per version.
+    GraftQuery(
+      "q_change_feed",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_cfq").toString + "/t"
+        val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+        graft.operators.Merge.into(s, tmp, cust, Seq("c_custkey"), log = Some(true))
+        val upd = cust.filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_name", upper(col("c_name")))
+          .unionByName(cust.filter(col("c_custkey") < 50).select(
+            (col("c_custkey") + 1000000).as("c_custkey"),
+            concat(lit("NEW_"), col("c_custkey").cast("string")).as("c_name")))
+        graft.operators.Merge.into(s, tmp, upd, Seq("c_custkey"))
+        graft.operators.Delete.where(s, tmp, col("c_custkey") % 10 === 0)
+        graft.operators.ChangeFeed.between(
+          s, new org.apache.hadoop.fs.Path(tmp), 1L, 3L, Seq("c_custkey"))
+          .select(
+            col(graft.operators.ChangeFeed.VersionCol).as("version"),
+            col("c_custkey"), col("c_name"), col("change_type"))
+          .orderBy("version", "c_custkey")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT CAST(2 AS BIGINT) AS version, c_custkey,
+             |         UPPER(c_name) AS c_name, 'update' AS change_type
+             |  FROM customer WHERE c_custkey % 7 = 0
+             |  UNION ALL
+             |  SELECT 2, c_custkey + 1000000,
+             |         'NEW_' || CAST(c_custkey AS VARCHAR), 'insert'
+             |  FROM customer WHERE c_custkey < 50
+             |  UNION ALL
+             |  SELECT 3, c_custkey,
+             |         CASE WHEN c_custkey % 7 = 0 THEN UPPER(c_name) ELSE c_name END,
+             |         'delete'
+             |  FROM customer WHERE c_custkey % 10 = 0
+             |  UNION ALL
+             |  SELECT 3, c_custkey + 1000000,
+             |         'NEW_' || CAST(c_custkey AS VARCHAR), 'delete'
+             |  FROM customer WHERE c_custkey < 50 AND c_custkey % 10 = 0
+             |) t ORDER BY version, c_custkey""".stripMargin)),
+
     // TIME TRAVEL on a commit-log store: merge v1 (full load), merge v2
     // (lowercase the %10 keys), then read BOTH versions from the same
     // store — the pinned-version read returns the v1 state bit for bit
@@ -179,5 +240,31 @@ object StoreQueries {
              |SELECT CAST(2 AS BIGINT) AS version, c_custkey,
              |  CASE WHEN c_custkey % 10 = 0 THEN LOWER(c_name) ELSE c_name END AS c_name
              |FROM customer
-             |ORDER BY version, c_custkey""".stripMargin)))
+             |ORDER BY version, c_custkey""".stripMargin)),
+
+    // OPTIMIZE ZORDER end to end: load customer into a log store, rewrite
+    // it z-ordered on (c_custkey, c_nationkey), then answer a key-range
+    // query THROUGH the manifest-stats pruned read (Optimize.readRange
+    // opens only files whose recorded min/max overlap the range — the
+    // row-level filter still applies on top, file grain being coarser).
+    // The oracle is the plain range query; OptimizeSpec measures the
+    // prune ratio itself.
+    GraftQuery(
+      "q_optimize",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_optq").toString + "/t"
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
+        graft.operators.Merge.into(s, tmp, cust, Seq("c_custkey"), log = Some(true))
+        graft.operators.Optimize.zorder(
+          s, tmp, Seq("c_custkey", "c_nationkey"), numFiles = 8)
+        graft.operators.Optimize.readRange(
+          s, new org.apache.hadoop.fs.Path(tmp), 100L, 400L)
+          .get
+          .filter(col("c_custkey").between(100, 400))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_nationkey, c_name FROM customer
+             |WHERE c_custkey BETWEEN 100 AND 400
+             |ORDER BY c_custkey""".stripMargin)))
 }
