@@ -882,5 +882,36 @@ object CurationQueries {
              |          ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#ep'), 1, 8))::BIGINT
              |            / 4294967296.0 < 0.5 THEN 1 ELSE 0 END AS n
              |      FROM documents)
-             |ORDER BY doc_id, copy_idx""".stripMargin)))
+             |ORDER BY doc_id, copy_idx""".stripMargin)),
+
+    // Hashed-feature quality classifier SCORING (QualityClassifier): the
+    // fasttext-style linear filter applied as a narrow codegen projection
+    // — literal weight array, md5-bucket lookup, ordered fold, sigmoid.
+    // The oracle replays featurization + weights + sigmoid in SQL, which
+    // is the point of md5 bucketing (an engine-private hash seed could
+    // not be cross-checked). Weights here are a fixed synthetic ramp so
+    // both engines state them in closed form; TRAINING (driver-local
+    // deterministic GD) is gated by QualityClassifierSpec instead.
+    GraftQuery(
+      "q_quality_clf",
+      (s, d) => {
+        val model = graft.operators.QualityClassifier.Model(
+          dim = 64,
+          bias = -0.5,
+          weights = Array.tabulate(64)(b => ((b * 37) % 21 - 10) / 10.0))
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            round(graft.operators.QualityClassifier.score(col("text"), model), 6)
+              .as("score"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-s)), 6) AS score
+             |FROM (SELECT doc_id,
+             |        -0.5 + COALESCE(list_sum(list_transform(
+             |          string_split_regex(lower(trim(text)), '\s+'),
+             |          t -> CAST(((('0x' || substring(md5(t), 1, 4))::BIGINT % 64)
+             |                     * 37) % 21 - 10 AS DOUBLE) / 10.0)), 0.0) AS s
+             |      FROM documents) t
+             |ORDER BY doc_id""".stripMargin)))
 }
