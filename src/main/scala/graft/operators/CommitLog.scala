@@ -95,8 +95,20 @@ object CommitLog {
     * from committing the SAME new column at DIFFERENT types — a conflict
     * partition-overlap OCC cannot see. */
   val SchemaMetaKey = "schema"
+  /** Manifest meta key carrying the table's CHECK constraints (encoded
+    * name→predicate map) as of that commit — declared via
+    * [[setConstraint]], enforced by [[commitStaged]] on every commit's
+    * ADDED rows (existing data was validated when the constraint was
+    * declared). NULL predicates pass, like SQL CHECK. */
+  val ConstraintsMetaKey = "constraints"
+  /** Manifest meta marker for add-only commits — two blind appends never
+    * conflict with each other (see `commitStaged(blindAppend)`). */
+  val BlindAppendMetaKey = "blindAppend"
 
   final class ConflictException(msg: String) extends RuntimeException(msg)
+  /** A commit whose staged rows violate a declared CHECK constraint —
+    * refused loudly, store untouched (nothing was visible pre-CAS). */
+  final class ConstraintException(msg: String) extends RuntimeException(msg)
 
   /** Per-file min/max of the store's declared stats column — the
     * manifest-level pruning statistic of production table formats:
@@ -131,7 +143,8 @@ object CommitLog {
       added: Seq[String],
       removed: Seq[String],
       meta: Map[String, String],
-      fileStats: Map[String, FileStat] = Map.empty)
+      fileStats: Map[String, FileStat] = Map.empty,
+      fileRows: Map[String, Long] = Map.empty)
 
   def logDir(store: Path): Path = new Path(store, LogDirName)
 
@@ -189,6 +202,9 @@ object CommitLog {
     m.fileStats.toSeq.sortBy(_._1).foreach { case (f, s) =>
       sb ++= s"fstat\t${enc(f)}\t${enc(s.tpe)}\t${enc(s.min)}\t${enc(s.max)}\n"
     }
+    m.fileRows.toSeq.sortBy(_._1).foreach { case (f, n) =>
+      sb ++= s"frows\t${enc(f)}\t$n\n"
+    }
     sb ++= "end\n" // terminator: a manifest without it is torn → corrupt
     sb.result()
   }
@@ -205,6 +221,7 @@ object CommitLog {
     val removed = Seq.newBuilder[String]
     val meta = Map.newBuilder[String, String]
     val fstats = Map.newBuilder[String, FileStat]
+    val frows = Map.newBuilder[String, Long]
     lines.takeWhile(_ != "end").foreach { line =>
       line.split("\t", -1) match {
         case Array("version", v) => version = v.toLong
@@ -214,6 +231,7 @@ object CommitLog {
         case Array("meta", k, v) => meta += dec(k) -> dec(v)
         case Array("fstat", f, t, mn, mx) =>
           fstats += dec(f) -> FileStat(dec(t), dec(mn), dec(mx))
+        case Array("frows", f, n) => frows += dec(f) -> n.toLong
         case Array("") => // trailing blank
         case other => throw new IllegalStateException(
           s"unrecognized manifest line in $path: '$line'")
@@ -221,7 +239,7 @@ object CommitLog {
     }
     require(version > 0, s"manifest $path lacks a version record")
     Manifest(version, touched.result(), added.result(), removed.result(),
-      meta.result(), fstats.result())
+      meta.result(), fstats.result(), frows.result())
   }
 
   /** Atomic publish of the fully-written `tmp` as `dst`; false = the
@@ -277,8 +295,30 @@ object CommitLog {
     * committing writer recorded one (stats survive checkpoint replay —
     * the checkpoint carries them alongside the file list). */
   def snapshotFilesWithStats(
-      fs: FileSystem, store: Path, v: Long): Seq[(String, Option[FileStat])] = {
-    if (v <= 0) return Seq.empty
+      fs: FileSystem, store: Path, v: Long): Seq[(String, Option[FileStat])] =
+    replaySnapshot(fs, store, v)._1
+
+  /** Per-file row counts recorded at commit time (one footer read per
+    * added file, then O(metadata) forever). Files committed by writers
+    * predating the counts channel are absent from the map. */
+  def snapshotRowCounts(fs: FileSystem, store: Path, v: Long): Map[String, Long] =
+    replaySnapshot(fs, store, v)._2
+
+  /** `COUNT(*)` of version `v` from manifest metadata alone — the O(1)
+    * count a table format owes its users (no scan, no footer reads at
+    * query time). None when any snapshot file lacks a recorded count
+    * (store written by a pre-counts version of the engine): the caller
+    * falls back to counting the data. */
+  def fastCount(fs: FileSystem, store: Path, v: Long): Option[Long] = {
+    val (files, rows) = replaySnapshot(fs, store, v)
+    if (files.exists { case (f, _) => !rows.contains(f) }) None
+    else Some(files.iterator.map { case (f, _) => rows(f) }.sum)
+  }
+
+  private def replaySnapshot(
+      fs: FileSystem, store: Path, v: Long):
+      (Seq[(String, Option[FileStat])], Map[String, Long]) = {
+    if (v <= 0) return (Seq.empty, Map.empty)
     val ckpts = listLog(fs, store).map(_.getPath.getName)
       .filter(_.endsWith(".checkpoint"))
       .map(_.stripSuffix(".checkpoint").toLong)
@@ -286,6 +326,7 @@ object CommitLog {
     val base = if (ckpts.isEmpty) 0L else ckpts.max
     val files = scala.collection.mutable.LinkedHashSet[String]()
     val stats = scala.collection.mutable.Map[String, FileStat]()
+    val rows = scala.collection.mutable.Map[String, Long]()
     if (base > 0) {
       val text = readFully(fs, new Path(logDir(store), checkpointName(base)))
       require(text.endsWith("end\n"),
@@ -299,18 +340,21 @@ object CommitLog {
             val name = dec(f)
             files += name
             stats(name) = FileStat(dec(t), dec(mn), dec(mx))
+          case Array("frows", f, n) => rows(dec(f)) = n.toLong
           case Array("schema", _) => // table schema line — schemaAt reads it
+          case Array("constraints", _) => // constraint set — constraintsAt
           case _ => files += dec(line.stripPrefix("file\t")) // legacy line
         }
       }
     }
     ((base + 1) to v).foreach { i =>
       val m = readManifest(fs, store, i)
-      m.removed.foreach { f => files -= f; stats -= f }
+      m.removed.foreach { f => files -= f; stats -= f; rows -= f }
       m.added.foreach(files += _)
       m.fileStats.foreach { case (f, s) => stats(f) = s }
+      m.fileRows.foreach { case (f, n) => rows(f) = n }
     }
-    files.toSeq.map(f => (f, stats.get(f)))
+    (files.toSeq.map(f => (f, stats.get(f))), rows.toMap)
   }
 
   /** The recorded table schema at or below version `v`, or None when no
@@ -350,6 +394,94 @@ object CommitLog {
   private def parseSchema(json: String): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(json)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  private def encConstraints(cs: Map[String, String]): String =
+    cs.toSeq.sortBy(_._1).map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+
+  private def decConstraints(s: String): Map[String, String] =
+    if (s.isEmpty) Map.empty
+    else s.split("&", -1).iterator.map { kv =>
+      val i = kv.indexOf('=')
+      dec(kv.substring(0, i)) -> dec(kv.substring(i + 1))
+    }.toMap
+
+  /** The CHECK constraints in force at or below version `v` (empty when
+    * none declared). Bounded walk, same shape as [[schemaAt]]:
+    * manifests down to the nearest checkpoint, then the checkpoint's own
+    * constraints line — vacuuming the declaring manifest never loses the
+    * constraint set. */
+  def constraintsAt(fs: FileSystem, store: Path, v: Long): Map[String, String] = {
+    if (v <= 0) return Map.empty
+    val ckpts = listLog(fs, store).map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong)
+      .filter(_ <= v)
+    val base = if (ckpts.isEmpty) 0L else ckpts.max
+    var i = v
+    while (i > base) {
+      readManifest(fs, store, i).meta.get(ConstraintsMetaKey) match {
+        case Some(s) => return decConstraints(s)
+        case None => i -= 1
+      }
+    }
+    if (base == 0) Map.empty
+    else {
+      val text = readFully(fs, new Path(logDir(store), checkpointName(base)))
+      text.split("\n", -1).takeWhile(_ != "end").collectFirst {
+        case line if line.startsWith("constraints\t") =>
+          decConstraints(dec(line.split("\t", -1)(1)))
+      }.getOrElse(Map.empty)
+    }
+  }
+
+  /** Declare a CHECK constraint (`name`, SQL `predicate` over the
+    * table's columns). EXISTING data is validated first — a constraint
+    * the current snapshot already violates is refused, store untouched
+    * (the Delta semantics: constraints hold for all data, not just
+    * future commits). The declaration commits a metadata-only manifest
+    * that touches [[WholeStore]], so any concurrent data writer that
+    * validated against the old constraint set loses its CAS and re-runs
+    * under the new one — no window where unvalidated data slips in.
+    * Every later [[commitStaged]] validates its ADDED rows. NULL
+    * predicates pass, as in SQL CHECK. */
+  def setConstraint(
+      spark: SparkSession,
+      store: Path,
+      name: String,
+      predicate: String): Long = {
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tip = currentVersion(fs, store)
+    read(spark, store, Some(tip)).foreach { df =>
+      val bad = df.filter(
+        org.apache.spark.sql.functions.expr(predicate) <=>
+          org.apache.spark.sql.functions.lit(false)).limit(1).count()
+      if (bad > 0)
+        throw new ConstraintException(
+          s"cannot declare CHECK $name ($predicate) on $store: existing " +
+            "rows violate it — clean the data first (DELETE) or fix the predicate")
+    }
+    val cs = constraintsAt(fs, store, tip) + (name -> predicate)
+    val staging = new Path(store,
+      ".constraint-staging-" + java.util.UUID.randomUUID().toString)
+    commitStaged(spark, store, staging, tip, Nil, wholeStore = false,
+      meta = Map(ConstraintsMetaKey -> encConstraints(cs),
+        "operation" -> s"set-constraint:$name"),
+      extraTouched = Seq(WholeStore))
+  }
+
+  /** Remove a declared constraint (metadata-only commit, same conflict
+    * posture as [[setConstraint]]). */
+  def dropConstraint(spark: SparkSession, store: Path, name: String): Long = {
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tip = currentVersion(fs, store)
+    val cs = constraintsAt(fs, store, tip) - name
+    val staging = new Path(store,
+      ".constraint-staging-" + java.util.UUID.randomUUID().toString)
+    commitStaged(spark, store, staging, tip, Nil, wholeStore = false,
+      meta = Map(ConstraintsMetaKey -> encConstraints(cs),
+        "operation" -> s"drop-constraint:$name"),
+      extraTouched = Seq(WholeStore))
+  }
 
   /** The table at `version` (default: current tip) as a DataFrame, or
     * None when the snapshot holds no files. Planning starts from the
@@ -486,12 +618,47 @@ object CommitLog {
       maxRetries: Int = 20,
       extraTouched: Seq[String] = Nil,
       statsCol: Option[String] = None,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Long = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      blindAppend: Boolean = false): Long = {
+    // Delta-style blind-append rule: a commit that only ADDS files
+    // cannot invalidate another add-only commit's read state, so two
+    // blind appends racing into the SAME partition dir both succeed
+    // instead of one spuriously conflicting. Writers that REMOVE or
+    // read whole-table state are not blind and conflict normally (a
+    // SerialToken/WholeStore fold still sees every append).
+    require(!blindAppend || (retireNames.isEmpty && !wholeStore),
+      "a blind append must not retire files or rewrite the store")
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(logDir(store))
+    val added = dataFilesUnder(fs, staging, staging)
+    // CHECK constraints: validate the staged rows BEFORE anything moves —
+    // a refused commit leaves no trace at all. Only ADDED rows are
+    // scanned (existing data was validated when the constraint was
+    // declared); all constraints fold into ONE aggregate pass.
+    if (added.nonEmpty) {
+      val cs = constraintsAt(fs, store, currentVersion(fs, store))
+      if (cs.nonEmpty) {
+        import org.apache.spark.sql.functions.{expr, lit, sum, when}
+        val df = spark.read.option("basePath", staging.toString)
+          .parquet(added.map(f => new Path(staging, f).toString): _*)
+        val names = cs.toSeq.sortBy(_._1)
+        val aggCols = names.map { case (n, p) =>
+          sum(when(expr(p) <=> lit(false), 1L).otherwise(0L)).as(n) }
+        val row = df.agg(aggCols.head, aggCols.tail: _*).head()
+        val viols = names.zipWithIndex.collect {
+          case ((n, p), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+            s"$n [$p]: ${row.getLong(i)} staged rows"
+        }
+        if (viols.nonEmpty) {
+          fs.delete(staging, true)
+          throw new ConstraintException(
+            s"commit to $store violates CHECK constraint(s) " +
+              s"${viols.mkString("; ")} — nothing published")
+        }
+      }
+    }
     // move staged files in under their original (globally unique) names;
     // invisible to every reader until the manifest publishes
-    val added = dataFilesUnder(fs, staging, staging)
     added.foreach { f =>
       val dst = new Path(store, f)
       fs.mkdirs(dst.getParent)
@@ -504,19 +671,17 @@ object CommitLog {
     val touched: Set[String] =
       if (wholeStore) Set(WholeStore)
       else retireNames.toSet ++ added.flatMap(dirKey) ++ extraTouched
-    // per-file stats of the declared column, read from the just-moved
-    // files' footers — driver-side metadata reads, once per file at
-    // commit time, so every future range read can prune without opening
-    // anything. Files that lack the column (other sub-tables of a
-    // multi-table store) simply carry no stats.
-    val fstats: Map[String, FileStat] = statsCol match {
-      case None => Map.empty
-      case Some(c) =>
-        val conf = spark.sparkContext.hadoopConfiguration
-        added.flatMap { f =>
-          fileStatOf(conf, new Path(store, f), c).map(f -> _)
-        }.toMap
-    }
+    // one footer read per just-moved file: row count always (buys
+    // O(metadata) COUNT(*) forever), plus min/max of the declared stats
+    // column when the writer names one. Driver-side metadata reads at
+    // commit time — never a data scan.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val footer: Map[String, (Long, Option[FileStat])] = added.map { f =>
+      f -> fileFooterInfo(conf, new Path(store, f), statsCol)
+    }.toMap
+    val fstats: Map[String, FileStat] =
+      footer.collect { case (f, (_, Some(s))) => f -> s }
+    val frows: Map[String, Long] = footer.map { case (f, (n, _)) => f -> n }
     def abort(reason: String): Nothing = {
       // drop our never-visible files so a failed commit leaves no orphans
       added.foreach(f => fs.delete(new Path(store, f), false))
@@ -529,7 +694,9 @@ object CommitLog {
       val tip = currentVersion(fs, store)
       ((checked + 1) to tip).foreach { i =>
         val other = readManifest(fs, store, i)
-        if (conflicts(touched, other.touched))
+        val bothBlind =
+          blindAppend && other.meta.get(BlindAppendMetaKey).contains("true")
+        if (!bothBlind && conflicts(touched, other.touched))
           abort(
             s"commit on $store conflicts with commit v$i touching " +
               s"[${other.touched.mkString(",")}] which overlaps " +
@@ -578,7 +745,10 @@ object CommitLog {
         else snapshot.filter(f =>
           retireNames.exists(r => f == r || f.startsWith(r + "/")))
       val v = tip + 1
-      val m = Manifest(v, touched, added, removed, meta ++ schemaMeta, fstats)
+      val blindMeta: Map[String, String] =
+        if (blindAppend) Map(BlindAppendMetaKey -> "true") else Map.empty
+      val m = Manifest(v, touched, added, removed,
+        meta ++ schemaMeta ++ blindMeta, fstats, frows)
       val tmp = new Path(logDir(store),
         ".tmp-" + java.util.UUID.randomUUID().toString)
       writeFully(fs, tmp, renderManifest(m))
@@ -594,19 +764,28 @@ object CommitLog {
         "disjoint-writer churn); staged files dropped, nothing published")
   }
 
+  /** One footer open per file: the row count, plus min/max of `column`
+    * when requested (see [[statOf]] for when stats are withheld). */
+  private def fileFooterInfo(
+      conf: org.apache.hadoop.conf.Configuration,
+      file: Path,
+      column: Option[String]): (Long, Option[FileStat]) = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try (reader.getRecordCount, column.flatMap(statOf(reader, _)))
+    finally reader.close()
+  }
+
   /** Min/max of `column` across a parquet file's row groups, from the
     * footer only. None when the column is absent, its type is not a
     * supported key type (int32/int64/binary-utf8), or ANY row group
     * lacks statistics or holds nulls — a partial range must not claim to
     * cover the file. */
-  private def fileStatOf(
-      conf: org.apache.hadoop.conf.Configuration,
-      file: Path,
+  private def statOf(
+      reader: org.apache.parquet.hadoop.ParquetFileReader,
       column: String): Option[FileStat] = {
     import scala.jdk.CollectionConverters._
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
-    try {
+    {
       val chunks = reader.getFooter.getBlocks.asScala.flatMap(b =>
         b.getColumns.asScala.filter(_.getPath.toDotString == column))
       if (chunks.isEmpty) return None
@@ -638,7 +817,7 @@ object CommitLog {
       else if (tpe == "long") Some(FileStat("long", minL.toString, maxL.toString))
       else if (tpe == "string" && minS != null) Some(FileStat("string", minS, maxS))
       else None
-    } finally reader.close()
+    }
   }
 
   /** Directory of a store-relative file path — the grain conflicts are
@@ -667,13 +846,19 @@ object CommitLog {
       // from the manifest chain, published with the same no-overwrite CAS.
       // The schema in force rides along so vacuuming the manifests that
       // recorded it can never lose it ([[schemaAt]] falls back here).
-      val files = snapshotFilesWithStats(fs, store, v)
+      val (files, rows) = replaySnapshot(fs, store, v)
       val schemaLine = schemaAt(fs, store, v)
         .map(s => s"schema\t${enc(s.json)}\n").getOrElse("")
-      val text = schemaLine + files.map {
+      val consLine = {
+        val cs = constraintsAt(fs, store, v)
+        if (cs.isEmpty) "" else s"constraints\t${enc(encConstraints(cs))}\n"
+      }
+      val text = schemaLine + consLine + files.map {
         case (f, None) => s"file\t${enc(f)}\n"
         case (f, Some(s)) =>
           s"file\t${enc(f)}\t${enc(s.tpe)}\t${enc(s.min)}\t${enc(s.max)}\n"
+      }.mkString + rows.toSeq.sortBy(_._1).map {
+        case (f, n) => s"frows\t${enc(f)}\t$n\n"
       }.mkString + "end\n"
       val tmp = new Path(logDir(store),
         ".tmp-" + java.util.UUID.randomUUID().toString)
@@ -688,6 +873,25 @@ object CommitLog {
   def tipMeta(fs: FileSystem, store: Path): Map[String, String] = {
     val v = currentVersion(fs, store)
     if (v == 0) Map.empty else readManifest(fs, store, v).meta
+  }
+
+  /** Most recent value of meta `key` walking back from the tip — for
+    * high-water marks on stores OTHER writers also commit to (a
+    * maintenance commit at the tip must not hide the mark). The walk is
+    * bounded by the retained manifest chain: a vacuumed (unreadable)
+    * manifest ends it. */
+  def lastMeta(fs: FileSystem, store: Path, key: String): Option[String] = {
+    var v = currentVersion(fs, store)
+    while (v > 0) {
+      val m =
+        try readManifest(fs, store, v)
+        catch { case _: java.io.FileNotFoundException => return None }
+      m.meta.get(key) match {
+        case some @ Some(_) => return some
+        case None => v -= 1
+      }
+    }
+    None
   }
 
   // ------------------------------------------------------------------ vacuum

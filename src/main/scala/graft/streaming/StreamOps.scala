@@ -200,6 +200,74 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming APPEND into a commit-log table, exactly-once — the
+    * commonest ingest shape (event streams into a fact table), which
+    * [[mergeStream]] cannot give cheaply (MERGE pays a key join per
+    * batch; appends have no key). Appends are NOT idempotent, so
+    * exactly-once comes from the commit itself: the batch's files and
+    * the batchId high-water mark publish in ONE manifest CAS, and a
+    * replayed batch (crash after commit, before the checkpoint advanced)
+    * sees `batchId <= last` and skips. The mark is found by a bounded
+    * manifest walk ([[graft.operators.CommitLog.lastMeta]]), so
+    * maintenance commits (OPTIMIZE, DELETE) landing after the last
+    * append cannot hide it.
+    *
+    * Commits are BLIND APPENDS: add-only manifests that never conflict
+    * with one another (Delta's rule), so N independent streams can
+    * append to one table concurrently with no lock and no spurious
+    * retries — while a whole-table writer (fold, OPTIMIZE) still
+    * conflicts with them normally and re-runs.
+    */
+  def appendStream(
+      facts: DataFrame,
+      targetPath: String,
+      checkpoint: String,
+      partitionCols: Seq[String] = Nil)(
+      prepare: DataFrame => DataFrame = identity):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatchOnce(batch, targetPath, batchId, partitionCols, prepare)
+        ()
+      }
+      .start()
+
+  /** One exactly-once append step (see [[appendStream]]); returns false
+    * when the batch was already applied (replay) or empty. */
+  def appendBatchOnce(
+      batch: DataFrame,
+      targetPath: String,
+      batchId: Long,
+      partitionCols: Seq[String] = Nil,
+      prepare: DataFrame => DataFrame = identity): Boolean = {
+    val spark = batch.sparkSession
+    val store = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the append sink is log-native: a fresh path becomes a log store
+    // (exactly-once NEEDS the atomic manifest); an existing legacy swap
+    // store cannot take appends safely and is refused
+    require(graft.operators.CommitLog.isLog(fs, store) || !fs.exists(store),
+      s"append sink needs a commit-log store; $targetPath exists without _log/")
+    val last = graft.operators.CommitLog.lastMeta(fs, store, "appendBatchId")
+      .map(_.toLong).getOrElse(-1L)
+    if (batchId <= last) return false
+    val rows = prepare(batch)
+    if (rows.isEmpty) return false
+    val tip = graft.operators.CommitLog.currentVersion(fs, store)
+    val staging = graft.operators.Swap.Suffix.staging(
+      store, graft.operators.Swap.newTag())
+    val w = rows.write
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .parquet(staging.toString)
+    graft.operators.CommitLog.commitStaged(
+      spark, store, staging, tip, Nil, wholeStore = false,
+      meta = Map("appendBatchId" -> batchId.toString, "operation" -> "append"),
+      schema = Some(rows.schema),
+      blindAppend = true)
+    true
+  }
+
   /** Streaming SCD2: apply each micro-batch as a dimension delta to the
     * type-2 history store (changed keys close their current version and
     * open a new one — see graft.operators.Scd2). `batchTs` maps the

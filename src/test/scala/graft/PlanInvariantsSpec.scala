@@ -173,6 +173,24 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(plan.contains("partial_"), plan.take(3000))
   }
 
+  test("q_epoch_sample: copy materialization is a narrow explode — the " +
+    "only exchange is the oracle's final ORDER BY") {
+    val plan = executedPlan("q_epoch_sample")
+    assert(plan.contains("Generate explode"), plan.take(3000))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"$exchanges exchanges:\n${plan.take(3000)}")
+    assert(plan.contains("rangepartitioning"), plan.take(3000))
+  }
+
+  test("q_quality_clf: scoring is a narrow projection — no join, no " +
+    "aggregate, only the final ORDER BY exchanges") {
+    val plan = executedPlan("q_quality_clf")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("HashAggregate"), plan.take(3000))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"$exchanges exchanges:\n${plan.take(3000)}")
+  }
+
   test("runtime bloom-filter pruning: a selective dim filter injects a " +
     "bloom filter into the fact scan of a shuffle join") {
     // At 100 TB the pre-shuffle row cull from a runtime bloom filter is
