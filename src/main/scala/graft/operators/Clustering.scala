@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** d²(vec, literal centroid) as a left-to-right fold — the SAME op
     * order as the oracle's list_sum(list_transform(...)) replay, so a
     * rounded distance crosses rounding boundaries identically in both
@@ -26,12 +28,20 @@ object Clustering {
         (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** struct(d2, id) of the nearest centroid via a when-fold over the
-    * literal centroids, distances rounded to `roundTo` decimals first.
-    * Strict `<` with centroids processed in ascending-id order keeps the
-    * LOWER id on ties — the LocalKMeans.assign contract, and the reason
-    * the rounding exists: FP fold noise between engines lands on the
-    * same rounded value, and a genuine tie resolves by id in both. */
+  /** struct(d2, id) of the nearest centroid: `array_min` over an array of
+    * `struct(d, j)` literals, distances rounded to `roundTo` decimals
+    * first. Struct ordering is lexicographic — smallest rounded distance,
+    * then the LOWER centroid id on ties — exactly the LocalKMeans.assign
+    * contract; the rounding exists so FP fold noise between engines lands
+    * on the same rounded value and a genuine tie resolves by id in both.
+    *
+    * Why array_min and not a when()-fold (the round-9 fix): a fold
+    * `when(d < acc.d, …).otherwise(acc)` references `acc` TWICE per
+    * centroid, so the Catalyst tree doubles at every step — ~2^k copies of
+    * the (already large) zip_with/aggregate distance expression. At k=10
+    * that was ~24 s of analysis+codegen for 2,000 rows. Here every
+    * distance expression appears exactly once: tree size is linear in k
+    * and the whole thing stays inside whole-stage codegen. */
   def nearestStruct(
       vec: Column,
       centroids: Seq[(Int, Array[Double])],
@@ -40,16 +50,11 @@ object Clustering {
     require(centroids.map(_._1) == centroids.map(_._1).sorted,
       "centroids must be in ascending id order (tie-break contract)")
     require(centroids.size <= 256,
-      s"${centroids.size} centroids would inline a ${centroids.size}-deep " +
-        "when-fold; use IvfIndex for large-k routing")
-    val ds = centroids.map { case (id, c) =>
-      (round(dist2ToCentroid(vec, c), roundTo), id)
-    }
-    val init = struct(ds.head._1.as("d"), lit(ds.head._2).as("j"))
-    ds.tail.foldLeft(init) { case (acc, (d, id)) =>
-      when(d < acc.getField("d"), struct(d.as("d"), lit(id).as("j")))
-        .otherwise(acc)
-    }
+      s"${centroids.size} centroids would inline ${centroids.size} literal " +
+        "distance expressions; use IvfIndex for large-k routing")
+    array_min(array(centroids.map { case (id, c) =>
+      struct(round(dist2ToCentroid(vec, c), roundTo).as("d"), lit(id).as("j"))
+    }: _*))
   }
 
   /** Nearest-centroid id (see [[nearestStruct]]). */
@@ -84,11 +89,19 @@ object Clustering {
   }
 
   /** Fit k centroids with the deterministic driver-local k-means
-    * (LocalKMeans): collect a fraction-bounded sample, sort it by id so
-    * the fit is independent of upstream partitioning, run seeded
-    * k-means++/Lloyd's with restarts. At 100 TB `sampleFraction` bounds
-    * the driver copy by contract — same shape as the IVF-PQ codebook
-    * fits. Returned centroids are in ascending-index order, components
+    * (LocalKMeans) over a MANDATORY row-capped sample: the `maxFitRows`
+    * lowest-id rows, fetched with `orderBy(id).limit(n)` — Spark plans
+    * that as TakeOrderedAndProject (bounded per-partition heaps, driver
+    * merge of exactly `maxFitRows` rows), so the driver copy is capped by
+    * contract NO MATTER the input size. A fraction would not be: a
+    * fraction of 100 TB is still unbounded (the round-9 q_semantic_dedup
+    * failure mode — `sampleFraction=1.0` collected the whole table).
+    *
+    * The id-prefix sample is deterministic and independent of upstream
+    * partitioning (ids must be unique — the same contract every dedup
+    * operator here already assumes). Below the cap it is the whole
+    * dataset, so small-SF fits are bit-identical to the old full-collect
+    * path. Returned centroids are in ascending-index order, components
     * rounded to 6 (the [[nearestStruct]] quantization contract). */
   def kmeansFit(
       df: DataFrame,
@@ -96,16 +109,15 @@ object Clustering {
       vecCol: String,
       k: Int,
       seed: Long = 42L,
-      sampleFraction: Double = 1.0): Seq[(Int, Array[Double])] = {
-    val sampled =
-      if (sampleFraction >= 1.0) df else df.sample(sampleFraction, seed)
-    val pts = sampled
+      maxFitRows: Int = 65536): Seq[(Int, Array[Double])] = {
+    require(maxFitRows > 0, s"maxFitRows must be positive, got $maxFitRows")
+    val pts = df
       .select(col(idCol).cast("long").as("i"),
         col(vecCol).cast("array<double>").as("v"))
+      .orderBy(col("i"))
+      .limit(maxFitRows)
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-      .map(_._2)
+      .map(r => r.getSeq[Double](1).toArray)
     LocalKMeans.fit(pts, k, seed).zipWithIndex.map { case (c, j) =>
       (j, c.map(x =>
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
@@ -125,21 +137,76 @@ object Clustering {
       .drop("graft_ns")
   }
 
+  /** The bounded witness side of [[semanticDedup]]: per cluster, the
+    * `maxWitnesses` most-senior (lowest-id) rows. ≤ k × maxWitnesses rows
+    * TOTAL by construction — bounded metadata no matter the corpus size,
+    * which is what makes the dedup join broadcastable.
+    *
+    * Common path (no cluster over the cap, checked with one k-row
+    * aggregate): the witness side is `assigned` verbatim — no window, no
+    * extra pass. Overflow path: for each oversized cluster (logged
+    * loudly — overflow degrades dedup coverage for that cluster) compute
+    * the cap'th-smallest id with a TakeOrdered+max probe, and keep only
+    * ids ≤ that threshold. No window function anywhere, so nothing ever
+    * funnels a whole cluster through one task. */
+  private[operators] def witnessSide(
+      assigned: DataFrame,
+      idCol: String,
+      maxWitnesses: Int): DataFrame = {
+    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val oversized = sizes.filter(_._2 > maxWitnesses).map(_._1).sorted
+    if (oversized.isEmpty) assigned
+    else {
+      log.warn(
+        s"semanticDedup: cluster(s) ${oversized.mkString(",")} exceed " +
+          s"maxWitnesses=$maxWitnesses (sizes: ${sizes.toMap.view.filterKeys(oversized.contains).toMap}); " +
+          "witness set capped to the most-senior rows — near-duplicates " +
+          "junior to the cap in these clusters may survive. Raise k (smaller " +
+          "clusters) or maxWitnesses to restore full coverage.")
+      val thresholds = oversized.map { c =>
+        val t = assigned.filter(col("cluster") === c)
+          .select(col(idCol).cast("long").as("i"))
+          .orderBy("i").limit(maxWitnesses)
+          .agg(max("i")).collect().head.getLong(0)
+        (c, t)
+      }.toMap
+      val keep = thresholds.foldLeft(lit(true)) { case (acc, (c, t)) =>
+        acc && (col("cluster") =!= c || col(idCol) <= t)
+      }
+      assigned.filter(keep)
+    }
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * near-duplicate pruning — cluster the embeddings, compare pairs ONLY
     * within a cluster, and drop every vector that has a more-senior
     * (lower-id) neighbor at cosine ≥ `threshold`. Clustering bounds the
     * quadratic term to Σ(cluster size)² instead of n²; missing the rare
     * cross-cluster duplicate is the paper's accepted approximation
-    * (DedupSpec pins k=1 ≡ exact brute force). Chains resolve
+    * (ClusteringSpec pins k=1 ≡ exact brute force). Chains resolve
     * seniority-first: in {a~b, b~c, a≁c} both b and c drop — every
-    * dropped row names a lower-id within-cluster witness, and no two
-    * SAME-CLUSTER survivors are within threshold of each other.
+    * dropped row names a lower-id within-cluster witness.
     *
-    * Plan: fit (driver-bounded sample) → narrow assign → self-join on
-    * cluster id (hash shuffle at cluster grain — k-means keeps cluster
-    * sizes near n/k, and the threshold filter runs inside the join) →
-    * distinct dropped ids → left_anti back onto the input. */
+    * Plan (the round-9 redesign — the old cluster-keyed self-join capped
+    * parallelism at k tasks AND had no per-cluster pair bound, so one hot
+    * cluster degenerated to n²):
+    *  - fit on a row-capped sample ([[kmeansFit]], `maxFitRows`);
+    *  - narrow literal-centroid [[assign]] — no shuffle;
+    *  - WITNESS side = per-cluster seniority prefix ([[witnessSide]]),
+    *    ≤ k × maxWitnesses rows by construction → broadcast it. The dedup
+    *    "self-join" becomes a broadcast hash join on `cluster` probed by
+    *    the full corpus: zero shuffle of the big side, parallelism = the
+    *    corpus scan's partitioning, and per-row work ≤ maxWitnesses cosine
+    *    evaluations — total pair count ≤ n × maxWitnesses, linear in n.
+    *  - distinct dropped ids → left_anti back onto the input.
+    *
+    * When every cluster fits under `maxWitnesses` (small SF, or k chosen
+    * so clusters are small — the SemDeDup paper's own regime) the witness
+    * side is the whole corpus and the result is IDENTICAL to the
+    * unbounded pairwise semantics. Overflow trades junior-vs-junior
+    * comparisons in hot clusters for boundedness, loudly (see
+    * [[witnessSide]]). */
   def semanticDedup(
       df: DataFrame,
       idCol: String,
@@ -147,15 +214,17 @@ object Clustering {
       k: Int,
       threshold: Double,
       seed: Long = 42L,
-      sampleFraction: Double = 1.0): DataFrame = {
-    val cents = kmeansFit(df, idCol, vecCol, k, seed, sampleFraction)
+      maxFitRows: Int = 65536,
+      maxWitnesses: Int = 10000): DataFrame = {
+    val cents = kmeansFit(df, idCol, vecCol, k, seed, maxFitRows)
     val assigned = assign(df, vecCol, cents)
       .select(col("cluster"), col(idCol), col(vecCol))
-    val l = assigned.select(col("cluster"), col(idCol).as("graft_id_a"),
-      col(vecCol).as("graft_va"))
-    val r = assigned.select(col("cluster"), col(idCol).as("graft_id_b"),
+    val witnesses = witnessSide(assigned, idCol, maxWitnesses)
+      .select(col("cluster"), col(idCol).as("graft_id_a"),
+        col(vecCol).as("graft_va"))
+    val probes = assigned.select(col("cluster"), col(idCol).as("graft_id_b"),
       col(vecCol).as("graft_vb"))
-    val dropped = l.join(r, Seq("cluster"))
+    val dropped = probes.join(broadcast(witnesses), Seq("cluster"))
       .filter(col("graft_id_a") < col("graft_id_b"))
       .filter(Similarity.cosine(col("graft_va"), col("graft_vb")) >= threshold)
       .select(col("graft_id_b").as(idCol))

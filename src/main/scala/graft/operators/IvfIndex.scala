@@ -79,9 +79,13 @@ final class IvfIndex private (
 
 object IvfIndex {
 
-  /** Build the index. `sampleFraction` bounds the KMeans fit input (the
-    * fit itself is distributed, but at 100 TB you fit on a sample, not the
-    * corpus). Assignment of ALL rows is one narrow pass. */
+  /** Build the index. `sampleFraction` bounds the KMeans fit input — here
+    * a fraction IS the right bound (unlike the driver-local fits in
+    * [[Clustering.kmeansFit]]/[[IvfPqIndex.buildAndSave]], which need a
+    * hard row cap): this fit runs DISTRIBUTED through MLlib, so the
+    * fraction bounds cluster-time cost, never driver memory. At 100 TB
+    * pass a small fraction; correctness doesn't depend on it.
+    * Assignment of ALL rows is one narrow pass. */
   def build(
       df: DataFrame,
       idCol: String,

@@ -161,7 +161,12 @@ object IvfPqIndex {
     * @param m subspaces — dim must divide evenly; bytes per vector
     * @param ksub centroids per subspace (≤ 256 keeps a code in one
     *   byte); capped at half the sample size with a warning via require
-    * @param sampleFraction bounds BOTH kmeans fits (coarse + subspaces)
+    * @param maxFitRows MANDATORY driver-copy cap for BOTH kmeans fits
+    *   (coarse + subspaces): the fit collects the `maxFitRows` lowest-id
+    *   rows via TakeOrdered — bounded no matter the corpus size (a
+    *   fraction of 100 TB is still unbounded, the round-9 kmeansFit
+    *   lesson). Below the cap the sample is the whole corpus, so
+    *   small-SF builds are identical to the old full-collect path.
     * @param residual quantize x − coarse centroid (default; see class
     *   doc) instead of x itself — `false` reproduces the pre-residual
     *   store format and scoring path
@@ -174,26 +179,27 @@ object IvfPqIndex {
       nlist: Int = 16,
       m: Int = 8,
       ksub: Int = 256,
-      sampleFraction: Double = 1.0,
+      maxFitRows: Int = 65536,
       seed: Long = 42L,
       residual: Boolean = true): IvfPqIndex = {
     val spark = df.sparkSession
+    require(maxFitRows > 0, s"maxFitRows must be positive, got $maxFitRows")
 
     val withNvec = df.withColumn("graft_nvec", IvfIndex.nvecExpr(vecCol))
-    // deterministic fit input: driver-bounded sample (the documented
-    // contract — `sampleFraction` caps it at 100 TB), sorted by id
-    // DRIVER-SIDE so the fit is a pure function of the data, not the
-    // upstream partitioning — and no shuffle is paid for the sort. ALL
-    // fits (coarse + m subspaces) run driver-local over this one collect
-    // — 1 + m MLlib jobs over a single-partition frame paid seconds of
-    // fixed scheduling overhead EACH for a sample that fits in an array
-    // (measured: 18 s → sub-second per index build).
+    // deterministic fit input: the maxFitRows lowest-(string-)id rows,
+    // planned as TakeOrderedAndProject (bounded per-partition heaps) so
+    // the driver copy is capped by contract regardless of corpus size,
+    // and the fit is a pure function of the data, not the upstream
+    // partitioning. ALL fits (coarse + m subspaces) run driver-local over
+    // this one collect — 1 + m MLlib jobs over a single-partition frame
+    // paid seconds of fixed scheduling overhead EACH for a sample that
+    // fits in an array (measured: 18 s → sub-second per index build).
     val sample: Array[Array[Double]] =
-      (if (sampleFraction >= 1.0) withNvec
-       else withNvec.sample(sampleFraction, seed))
-        .select(col(idCol).cast("string"), col("graft_nvec"))
+      withNvec
+        .select(col(idCol).cast("string").as("graft_sid"), col("graft_nvec"))
+        .orderBy("graft_sid")
+        .limit(maxFitRows)
         .collect()
-        .sortBy(_.getString(0))
         .map(_.getSeq[Double](1).toArray)
     val nSample = sample.length
     require(nSample > 0, "empty fit sample — the input is empty")

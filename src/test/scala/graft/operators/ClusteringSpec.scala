@@ -74,6 +74,62 @@ class ClusteringSpec extends AnyFunSuite {
     assert(sem == want)
   }
 
+  test("kmeansFit row cap is deterministic across partitionings and bounds the driver copy") {
+    val a = Clustering.kmeansFit(emb, "vec_id", "embedding", k = 4, maxFitRows = 100)
+    val b = Clustering.kmeansFit(emb.repartition(5), "vec_id", "embedding", k = 4, maxFitRows = 100)
+    a.zip(b).foreach { case ((_, ca), (_, cb)) =>
+      assert(ca.toSeq == cb.toSeq, "capped fit differs across partitionings")
+    }
+    // capped fit really fits on the id-prefix: identical to fitting the
+    // prefix explicitly
+    val ids = emb.select("vec_id").as[Long].collect().sorted.take(100)
+    val c = Clustering.kmeansFit(
+      emb.filter(col("vec_id") <= ids.last), "vec_id", "embedding", k = 4)
+    a.zip(c).foreach { case ((_, ca), (_, cc)) =>
+      assert(ca.toSeq == cc.toSeq, "capped fit != explicit id-prefix fit")
+    }
+  }
+
+  test("hot cluster: witness side stays bounded, dedup completes, plan broadcasts") {
+    // one dominant direction -> one hot cluster under k=1; plus an
+    // orthogonal duplicate pair junior to the witness cap
+    val n = 400
+    val hot = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (if (d == 0) 1.0 else 0.001 * ((i + d) % 7)).toFloat))
+    }
+    val juniors = Seq(
+      (1000L, Array.tabulate(8)(d => if (d == 7) 1.0f else 0.0f)),
+      (1001L, Array.tabulate(8)(d => if (d == 7) 1.0f else 0.0f)))
+    val df = (hot ++ juniors).toDF("vec_id", "embedding")
+
+    val maxW = 50
+    val cents = Clustering.kmeansFit(df, "vec_id", "embedding", k = 1)
+    val assigned = Clustering.assign(df, "embedding", cents)
+      .select(col("cluster"), col("vec_id"), col("embedding"))
+    // the cap holds: <= k * maxWitnesses rows, never the hot cluster size
+    val w = Clustering.witnessSide(assigned, "vec_id", maxW)
+    assert(w.count() == maxW, s"witness side must cap at $maxW rows")
+
+    val survivors = Clustering.semanticDedup(
+      df, "vec_id", "embedding", k = 1, threshold = 0.5, maxWitnesses = maxW)
+      .select("vec_id").as[Long].collect().toSet
+    // every hot row except the most senior has witness 0 within threshold
+    assert(survivors.intersect(hot.map(_._1).toSet) == Set(0L),
+      "hot cluster must collapse to its most-senior row")
+    // the junior duplicate pair is beyond the witness cap: BOTH survive —
+    // the documented, loud degradation on overflow (coverage, not wrong drops)
+    assert(survivors.contains(1000L) && survivors.contains(1001L),
+      "junior-only duplicates survive when the witness cap truncates them")
+
+    // parallelism contract: the pair stage is a broadcast join of the
+    // bounded witness side, not a cluster-keyed shuffle self-join
+    val plan = Clustering.semanticDedup(
+      df, "vec_id", "embedding", k = 1, threshold = 0.5, maxWitnesses = maxW)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast witness join in plan:\n$plan")
+  }
+
   test("semanticDedup leaves no same-cluster survivor pair within threshold") {
     val k = 8; val t = 0.3
     val cents = Clustering.kmeansFit(emb, "vec_id", "embedding", k)
