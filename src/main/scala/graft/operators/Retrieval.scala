@@ -74,26 +74,42 @@ object Retrieval {
           .orderBy(col("bm25").desc, col("doc_id"))))
       .select("query_id", "doc_id", "rank")
 
-    // pools first, ONE rank window after the union: a per-branch window
-    // partitioned on the literal query_id would constant-fold to an
-    // empty partition spec (the single-partition-window anti-pattern);
-    // after the union query_id is a real column and the window
-    // parallelizes across queries over poolK-bounded frames.
-    val densePools = queries.map { case (qid, _, probe) =>
-      val probeCol = array(probe.map(lit(_)): _*)
-      embeddings
-        .select(
-          col(vecIdCol).as("doc_id"),
-          round(Similarity.cosine(col(vecCol), probeCol), 4).as("graft_sim"))
-        .orderBy(col("graft_sim").desc, col("doc_id"))
-        .limit(poolK) // TakeOrderedAndProject — never a full sort
-        .withColumn("query_id", lit(qid))
-    }.reduce(_ unionByName _)
+    // Dense side: ONE corpus scan for ALL probes (the round-9 redesign —
+    // the old per-query `orderBy.limit` branches each scanned the whole
+    // corpus, so a 100-query eval paid 100 full scans). The probe matrix
+    // is a literal array of (query_id, vector) structs — bounded driver
+    // metadata, inlined into the plan like the clustering centroids — and
+    // explode() replicates each corpus row once per probe INSIDE the same
+    // whole-stage-codegen pass: scan → explode → cosine, all narrow. The
+    // per-query poolK cut is the bounded-heap TopK aggregate, so the map
+    // side already reduces every partition to poolK rows per query and
+    // the shuffle carries ≤ |queries| × poolK × partitions rows, never
+    // the scored corpus. Ordering (sim desc, doc_id asc via negated id)
+    // is identical to the old TakeOrdered, so pools — and therefore the
+    // fused hashes — are unchanged.
+    val probesLit = array(queries.map { case (qid, _, probe) =>
+      struct(lit(qid).as("qid"), array(probe.map(lit(_)): _*).as("p"))
+    }: _*)
+    val scored = embeddings
+      .select(col(vecIdCol).as("doc_id"), col(vecCol).as("graft_v"))
+      .select(col("doc_id"), col("graft_v"), explode(probesLit).as("graft_q"))
+      .select(
+        col("graft_q.qid").as("query_id"),
+        col("doc_id"),
+        round(Similarity.cosine(col("graft_v"), col("graft_q.p")), 4).as("graft_sim"))
+    val densePools = TopK.perKey(
+      scored.withColumn("graft_nid", -col("doc_id")),
+      keys = Seq("query_id"),
+      ordering = Seq("graft_sim", "graft_nid"),
+      k = poolK)
+    // ONE rank window after the pools: partitioned by the (real) query_id
+    // column over poolK-bounded frames — parallel across queries, and
+    // never a single-partition window.
     val denseRank = densePools
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id")
-          .orderBy(col("graft_sim").desc, col("doc_id"))))
-      .select("query_id", "doc_id", "rank")
+          .orderBy(col("graft_sim").desc, (-col("graft_nid")).asc)))
+      .select(col("query_id"), (-col("graft_nid")).as("doc_id"), col("rank"))
 
     rrfFuse(Seq(sparseRank, denseRank), k, c)
   }

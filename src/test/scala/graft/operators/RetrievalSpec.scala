@@ -31,6 +31,21 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out == Set(1L, 2L))
   }
 
+  test("hybridTopK dense side scans the embeddings table exactly once for all probes") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def probe(id: Long) = emb.filter($"vec_id" === id).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    val out = Retrieval.hybridTopK(docs, "doc_id", "text", emb, "vec_id", "embedding",
+      Seq(("q1", "spark join window", probe(1)),
+        ("q2", "merge batch stream", probe(2)),
+        ("q3", "filter scan union", probe(3))), k = 5, poolK = 20)
+    val plan = out.queryExecution.executedPlan.toString
+    val scans = "embeddings\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1,
+      s"expected ONE embeddings scan for 3 probes, plan has $scans:\n$plan")
+  }
+
   test("hybridTopK surfaces sparse-only and dense-only candidates") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
