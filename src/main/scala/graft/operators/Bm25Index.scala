@@ -84,6 +84,12 @@ final class Bm25Index private (
 
 object Bm25Index {
 
+  /** Outcome of one [[Bm25Index.append]]: docs added, the new corpus
+    * totals, and the committed log version (pin it to query exactly this
+    * snapshot). */
+  final case class AppendStats(
+      docsAdded: Long, totalDocs: Long, avgdl: Double, version: Long)
+
   /** Murmur3 term buckets, computed THROUGH the engine (one local job
     * over the handful of query terms) so build and query agree with the
     * `hash()` the partition values were derived from. */
@@ -128,5 +134,167 @@ object Bm25Index {
       stats.getLong(stats.fieldIndex("n")),
       stats.getDouble(stats.fieldIndex("avgdl")),
       stats.getInt(stats.fieldIndex("buckets")))
+  }
+
+  // ------------------------------------------------- commit-log variant
+
+  /** The log-backed index: same three sub-tables, maintained as ONE
+    * commit-log store so an [[append]] publishes postings + doclen +
+    * stats in a single atomic manifest (the multi-table-store shape
+    * [[CommitLog.readSub]] exists for). What the log buys over the
+    * Swap-based [[IvfIndex.append]] machinery:
+    *
+    *  - atomicity ACROSS tables — a crash mid-append leaves the previous
+    *    version fully intact (no postings-updated/stats-stale window a
+    *    three-dir swap would have);
+    *  - snapshot isolation — a query pinned at version v scores against
+    *    consistent (postings, doclen, stats) even while appends land;
+    *  - time travel — rank against last week's corpus for free.
+    *
+    * Unlike IVF, a BM25 append needs NO drift gate: nothing is frozen at
+    * build time (IVF freezes centroids; BM25's df/n/avgdl are recomputed
+    * from the updated store on every query), so an appended index scores
+    * IDENTICALLY to a from-scratch build over the union — asserted by the
+    * q_bm25_log oracle, which builds on half the corpus, appends the
+    * rest, and must hash-match the one-shot DuckDB replay. To keep that
+    * exact, stats holds the LONG token total (`sum_dl`), not a running
+    * double average: doc lengths are integers, so `sum_dl/n` at load is
+    * bit-identical to a fresh build's `avg(dl)` (integer-valued doubles
+    * are exact below 2^53), no matter how many appends got us here.
+    *
+    * Layout under one log root:
+    * {{{
+    * idx/_graft_log/                       numbered manifests (CAS publish)
+    * idx/postings/tb=<bucket>/             (term, doc_id, tf) — additive
+    * idx/doclen/                           (doc_id, dl)       — additive
+    * idx/stats/                            1 row, REPLACED per append
+    * }}}
+    * Postings/doclen only ever gain files (a doc's terms never change —
+    * re-ingesting a doc id is refused), so appends retire nothing but the
+    * stats dir; two racing appends conflict there and serialize loudly
+    * through the log's OCC retry contract.
+    */
+  def buildAndSaveLog(
+      docs: DataFrame,
+      path: String,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 64): Bm25Index = {
+    require(buckets > 0)
+    val spark = docs.sparkSession
+    val store = new org.apache.hadoop.fs.Path(path)
+    val staging = Swap.Suffix.staging(store, Swap.newTag())
+    stageDelta(docs, idCol, textCol, buckets, staging.toString,
+      baseN = 0L, baseSumDl = 0L, idColName = idCol, textColName = textCol)
+    CommitLog.commitStaged(spark, store, staging,
+      CommitLog.currentVersion(Swap.fsOf(spark, store), store),
+      retireNames = Nil, wholeStore = true,
+      meta = Map("operation" -> "bm25-build"))
+    loadLog(spark, path)
+  }
+
+  /** Incrementally add documents to a log-backed index — one tokenize
+    * pass over the DELTA, never the stored corpus. New postings/doclen
+    * files land additively in their term buckets; stats is recomputed
+    * from (stored totals + delta totals) and replaced; everything
+    * publishes as one manifest. Doc ids already in the index are refused
+    * before anything is staged (appending a doc twice would double its
+    * postings and silently inflate every affected term's tf and df).
+    *
+    * @return totals of the committed snapshot */
+  def append(
+      spark: SparkSession,
+      path: String,
+      newDocs: DataFrame): AppendStats = {
+    val store = new org.apache.hadoop.fs.Path(path)
+    val fs = Swap.fsOf(spark, store)
+    require(CommitLog.isLog(fs, store),
+      s"$path is not a log-backed BM25 index — build with buildAndSaveLog " +
+        "(plain buildAndSave stores have no append path)")
+    val base = CommitLog.currentVersion(fs, store)
+    val st = CommitLog.readSub(spark, store, "stats", Some(base))
+      .getOrElse(throw new IllegalStateException(s"no stats at $path v$base"))
+      .head()
+    val (n0, sumDl0, buckets) = (
+      st.getLong(st.fieldIndex("n")),
+      st.getLong(st.fieldIndex("sum_dl")),
+      st.getInt(st.fieldIndex("buckets")))
+    val idCol = st.getString(st.fieldIndex("id_col"))
+    val textCol = st.getString(st.fieldIndex("text_col"))
+
+    val doclen = CommitLog.readSub(spark, store, "doclen", Some(base))
+    doclen.foreach { dl =>
+      val dup = newDocs.select(col(idCol).as("doc_id"))
+        .join(dl.select("doc_id"), Seq("doc_id"), "left_semi")
+        .limit(1).count()
+      require(dup == 0L,
+        s"append to $path contains doc ids already indexed — a re-ingested " +
+          "doc would double its postings; dedup the delta against the store first")
+    }
+
+    val staging = Swap.Suffix.staging(store, Swap.newTag())
+    stageDelta(newDocs, idCol, textCol, buckets, staging.toString,
+      baseN = n0, baseSumDl = sumDl0, idColName = idCol, textColName = textCol)
+    val v = CommitLog.commitStaged(spark, store, staging, base,
+      retireNames = Seq("stats"), wholeStore = false,
+      meta = Map("operation" -> "bm25-append"))
+    val st2 = CommitLog.readSub(spark, store, "stats", Some(v)).get.head()
+    val n2 = st2.getLong(st2.fieldIndex("n"))
+    val sum2 = st2.getLong(st2.fieldIndex("sum_dl"))
+    AppendStats(n2 - n0, n2, sum2.toDouble / n2, v)
+  }
+
+  /** Load a log-backed index, optionally pinned at `version` (snapshot-
+    * isolated: concurrent appends never shift this index's scores). */
+  def loadLog(
+      spark: SparkSession,
+      path: String,
+      version: Option[Long] = None): Bm25Index = {
+    val store = new org.apache.hadoop.fs.Path(path)
+    val fs = Swap.fsOf(spark, store)
+    val v = version.getOrElse(CommitLog.currentVersion(fs, store))
+    def sub(name: String) = CommitLog.readSub(spark, store, name, Some(v))
+      .getOrElse(throw new IllegalStateException(
+        s"log-backed BM25 index at $path v$v has no $name sub-table"))
+    val st = sub("stats").head()
+    val n = st.getLong(st.fieldIndex("n"))
+    new Bm25Index(
+      path,
+      sub("postings"),
+      sub("doclen"),
+      n,
+      st.getLong(st.fieldIndex("sum_dl")).toDouble / n,
+      st.getInt(st.fieldIndex("buckets")))
+  }
+
+  /** Stage one corpus delta (postings + doclen + replacement stats)
+    * under `staging` — shared by the initial log build (base totals 0)
+    * and every append. ONE tokenize pass feeds all three, exactly like
+    * [[buildAndSave]]. */
+  private def stageDelta(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int,
+      staging: String,
+      baseN: Long,
+      baseSumDl: Long,
+      idColName: String,
+      textColName: String): Unit = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+    toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(hash(col("term")), lit(buckets)))
+      .write.partitionBy("tb").parquet(s"$staging/postings")
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    dl.write.parquet(s"$staging/doclen")
+    dl.agg(
+      (count(lit(1)) + baseN).as("n"),
+      (sum(col("dl")) + baseSumDl).as("sum_dl"),
+      lit(buckets).as("buckets"),
+      lit(idColName).as("id_col"),
+      lit(textColName).as("text_col"))
+      .coalesce(1).write.parquet(s"$staging/stats")
   }
 }

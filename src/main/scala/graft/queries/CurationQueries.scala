@@ -278,6 +278,60 @@ object CurationQueries {
              |  FROM fused) x
              |WHERE rk <= 10 ORDER BY query_id, doc_id""".stripMargin)),
 
+    // BM25 through the COMMIT-LOG index with an incremental append
+    // (operators/Bm25Index.buildAndSaveLog/append): build on the even
+    // doc ids, append the odd ones — one atomic manifest moves
+    // postings + doclen + stats — then query the appended tip. BM25
+    // freezes nothing at build time (df/n/avgdl recompute from the
+    // store per query), so the appended index must score IDENTICALLY to
+    // a one-shot build: the oracle is the full-corpus DuckDB replay,
+    // shared verbatim with q_bm25_index. This row is the driver-gated
+    // proof that append ≡ rebuild.
+    GraftQuery(
+      "q_bm25_log",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_bm25lq")
+          .toString + "/idx"
+        val docs = Tables.documents(s, d)
+        graft.operators.Bm25Index.buildAndSaveLog(
+          docs.filter(col("doc_id") % 2 === 0), dir, "doc_id", "text",
+          buckets = 16)
+        graft.operators.Bm25Index.append(s, dir,
+          docs.filter(col("doc_id") % 2 === 1))
+        graft.operators.Bm25Index.loadLog(s, dir)
+          .topK(
+            Seq(
+              "q1" -> "spark join window",
+              "q2" -> "merge batch stream",
+              "q3" -> "vector hash scan"),
+            k = 10)
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |              FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+             |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+             |qterms AS (SELECT * FROM (VALUES
+             |    ('q1','spark'),('q1','join'),('q1','window'),
+             |    ('q2','merge'),('q2','batch'),('q2','stream'),
+             |    ('q3','vector'),('q3','hash'),('q3','scan'))
+             |  AS q(query_id, term)),
+             |tf AS (SELECT query_id, t.doc_id, t.term, count(*) AS tf
+             |       FROM toks t JOIN qterms USING (term) GROUP BY 1,2,3),
+             |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+             |          WHERE term IN (SELECT DISTINCT term FROM qterms)
+             |          GROUP BY 1),
+             |scored AS (SELECT query_id, doc_id, sum(
+             |    ln(1 + (n - df + 0.5)/(df + 0.5)) * (tf * (1.2 + 1)) /
+             |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+             |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+             |  CROSS JOIN stats GROUP BY 1,2)
+             |SELECT query_id, doc_id, ROUND(score, 4) AS bm25 FROM (
+             |  SELECT query_id, doc_id, score,
+             |         row_number() OVER (PARTITION BY query_id
+             |           ORDER BY ROUND(score, 6) DESC, doc_id) AS rk
+             |  FROM scored) x
+             |WHERE rk <= 10 ORDER BY query_id, doc_id""".stripMargin)),
+
     // BM25 through the PERSISTED inverted index (operators/Bm25Index
     // .scala): build-once/query-many — postings hive-partitioned by
     // term-hash bucket, so the term lookup is parquet partition pruning.
