@@ -179,7 +179,8 @@ object Bm25Index {
       path: String,
       idCol: String,
       textCol: String,
-      buckets: Int = 64): Bm25Index = {
+      buckets: Int = 64,
+      meta: Map[String, String] = Map.empty): Bm25Index = {
     require(buckets > 0)
     val spark = docs.sparkSession
     val store = new org.apache.hadoop.fs.Path(path)
@@ -189,7 +190,7 @@ object Bm25Index {
     CommitLog.commitStaged(spark, store, staging,
       CommitLog.currentVersion(Swap.fsOf(spark, store), store),
       retireNames = Nil, wholeStore = true,
-      meta = Map("operation" -> "bm25-build"))
+      meta = meta + ("operation" -> "bm25-build"))
     loadLog(spark, path)
   }
 
@@ -205,7 +206,8 @@ object Bm25Index {
   def append(
       spark: SparkSession,
       path: String,
-      newDocs: DataFrame): AppendStats = {
+      newDocs: DataFrame,
+      meta: Map[String, String] = Map.empty): AppendStats = {
     val store = new org.apache.hadoop.fs.Path(path)
     val fs = Swap.fsOf(spark, store)
     require(CommitLog.isLog(fs, store),
@@ -237,7 +239,7 @@ object Bm25Index {
       baseN = n0, baseSumDl = sumDl0, idColName = idCol, textColName = textCol)
     val v = CommitLog.commitStaged(spark, store, staging, base,
       retireNames = Seq("stats"), wholeStore = false,
-      meta = Map("operation" -> "bm25-append"))
+      meta = meta + ("operation" -> "bm25-append"))
     val st2 = CommitLog.readSub(spark, store, "stats", Some(v)).get.head()
     val n2 = st2.getLong(st2.fieldIndex("n"))
     val sum2 = st2.getLong(st2.fieldIndex("sum_dl"))

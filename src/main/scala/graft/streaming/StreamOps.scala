@@ -268,6 +268,69 @@ object StreamOps {
     true
   }
 
+  /** Continuously-maintained BM25 index: each micro-batch of documents
+    * appends into a log-backed [[graft.operators.Bm25Index]] — the
+    * retrieval-side twin of the dedup admission stores. The first batch
+    * BOOTSTRAPS the index (build ≡ append for BM25, so the split is
+    * immaterial); every later batch rides
+    * [[graft.operators.Bm25Index.append]]: delta-only tokenize, one
+    * atomic manifest for postings+doclen+stats, queryable at any pinned
+    * version while the stream runs.
+    *
+    * Exactly-once under foreachBatch's at-least-once delivery: the
+    * batchId high-water mark rides the manifest meta (the same
+    * `lastMeta` guard as [[appendBatchOnce]]), so a replayed batch is
+    * skipped BEFORE the duplicate-doc-id refusal in append would fire.
+    * Docs that genuinely recur across DIFFERENT batches are refused by
+    * that append guard — dedup upstream (e.g. [[dedupStream]]) when the
+    * source can repeat documents. */
+  def bm25IndexStream(
+      docs: DataFrame,
+      indexPath: String,
+      checkpoint: String,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBm25BatchOnce(batch, indexPath, batchId, idCol, textCol, buckets)
+        ()
+      }
+      .start()
+
+  /** One exactly-once BM25 index maintenance step (see
+    * [[bm25IndexStream]]); returns false when the batch was already
+    * applied (replay) or empty. */
+  def applyBm25BatchOnce(
+      batch: DataFrame,
+      indexPath: String,
+      batchId: Long,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 64): Boolean = {
+    val spark = batch.sparkSession
+    val store = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = Map("bm25BatchId" -> batchId.toString)
+    if (!graft.operators.CommitLog.isLog(fs, store)) {
+      require(!fs.exists(store),
+        s"$indexPath exists without a commit log — the streaming BM25 sink " +
+          "is log-native (exactly-once needs the atomic manifest); plain " +
+          "buildAndSave stores cannot take appends")
+      if (batch.isEmpty) return false
+      graft.operators.Bm25Index.buildAndSaveLog(
+        batch, indexPath, idCol, textCol, buckets, meta = tag)
+      return true
+    }
+    val last = graft.operators.CommitLog.lastMeta(fs, store, "bm25BatchId")
+      .map(_.toLong).getOrElse(-1L)
+    if (batchId <= last) return false
+    if (batch.isEmpty) return false
+    graft.operators.Bm25Index.append(spark, indexPath, batch, meta = tag)
+    true
+  }
+
   /** Streaming SCD2: apply each micro-batch as a dimension delta to the
     * type-2 history store (changed keys close their current version and
     * open a new one — see graft.operators.Scd2). `batchTs` maps the
