@@ -185,6 +185,27 @@ object NonOracleQueries {
           .orderBy("cluster")
       }),
 
+    // PCA embedding compression: distributed covariance (tree-aggregated
+    // Gramian via RowMatrix), driver-local eigendecomposition over the
+    // d×d result (bounded metadata), then a narrow literal-component
+    // projection — no shuffle. Eigendecomposition is not SQL-expressible
+    // → rows-only; PcaSpec pins orthonormality, determinism (pinned
+    // sign), expression ≡ driver math, whitening variance, narrow plan.
+    GraftQuery(
+      "q_pca_project",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val m = graft.operators.Pca.fit(e, "embedding", k = 4)
+        graft.operators.Pca.project(e, "embedding", m)
+          .select(
+            col("vec_id"), col("label"),
+            round(element_at(col("pca"), 1), 4).as("pc1"),
+            round(element_at(col("pca"), 2), 4).as("pc2"),
+            round(element_at(col("pca"), 3), 4).as("pc3"),
+            round(element_at(col("pca"), 4), 4).as("pc4"))
+          .orderBy("vec_id")
+      }),
+
     // SemDeDup semantic dedup: cluster, then drop any vector with a
     // lower-id within-cluster neighbor at cosine ≥ threshold. The
     // clustering bound (pairs only within clusters) is the approximation

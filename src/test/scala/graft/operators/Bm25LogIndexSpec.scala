@@ -101,6 +101,50 @@ class Bm25LogIndexSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not a log-backed"))
   }
 
+  test("vacuum after appends keeps the tip scoring exactly; old stats files go") {
+    val dir = tmp()
+    val store = new org.apache.hadoop.fs.Path(dir)
+    Bm25Index.buildAndSaveLog(firstHalf.toDF("doc_id", "text"), dir, "doc_id", "text")
+    Bm25Index.append(spark, dir, secondHalf.toDF("doc_id", "text"))
+    val before = Bm25Index.loadLog(spark, dir).topK(queries, 10)
+      .as[(String, Long, Double)].collect().toSeq
+
+    val (dataDeleted, _) = CommitLog.vacuum(spark, store,
+      retainVersions = 1, orphanGraceMs = 0L)
+    // the build-time stats file was logically replaced by the append and
+    // must be physically reclaimable
+    assert(dataDeleted >= 1, "vacuum should reclaim the replaced stats file")
+
+    val after = Bm25Index.loadLog(spark, dir).topK(queries, 10)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(after == before, "vacuum must not change tip scores")
+  }
+
+  test("a racing append computed from a stale base conflicts loudly (OCC on stats)") {
+    val dir = tmp()
+    val store = new org.apache.hadoop.fs.Path(dir)
+    val fs = Swap.fsOf(spark, store)
+    Bm25Index.buildAndSaveLog(firstHalf.toDF("doc_id", "text"), dir, "doc_id", "text")
+    val base = CommitLog.currentVersion(fs, store)
+
+    // writer A lands an append computed from `base`
+    Bm25Index.append(spark, dir, Seq((3L, "spark window")).toDF("doc_id", "text"))
+
+    // writer B also computed from `base` (its stats totals are now stale)
+    // and tries to publish a commit retiring stats — the append touched
+    // set. It must CONFLICT, not silently install stale totals.
+    val staging = Swap.Suffix.staging(store, Swap.newTag())
+    Seq((999L, 1L)).toDF("doc_id", "dl")
+      .write.parquet(staging.toString + "/stats")
+    intercept[CommitLog.ConflictException] {
+      CommitLog.commitStaged(spark, store, staging, base,
+        retireNames = Seq("stats"), wholeStore = false)
+    }
+    // the winner's snapshot is intact
+    val idx = Bm25Index.loadLog(spark, dir)
+    assert(idx.topK(Seq("q" -> "spark"), 10).count() > 0)
+  }
+
   test("log-loaded index still prunes to the query terms' hash buckets") {
     val dir = tmp()
     Bm25Index.buildAndSaveLog(firstHalf.toDF("doc_id", "text"), dir, "doc_id", "text",
