@@ -205,4 +205,55 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** PCA-compressed approximate top-k — the dimensionality-reduction
+    * memory path beside int8 ([[quantizedTopK]], 4×) and PQ codes
+    * (IvfPqIndex, 32×): coarse-score in the model's k′-dim PCA space (a
+    * stored reduced index reads k′/d of the float bytes — k′=16 of 64 is
+    * another 4×, composable with int8), pool the top `poolK` via
+    * TakeOrderedAndProject, fetch full precision for exactly those ids
+    * (broadcast semi-join) and rerank by exact cosine.
+    *
+    * Why the coarse score works: PCA projection preserves dot products of
+    * CENTERED vectors up to the truncated tail — the coarse ranking is
+    * cosine of centered vectors in the principal subspace, and recall
+    * loss is bounded by the discarded eigenvalue mass; `poolK` and the
+    * model's k′ are the dials. Both the corpus projection and the probe
+    * projection center on the model mean (one narrow expression; at 100
+    * TB the projection is materialized once at index-build time and the
+    * query scans the k′-dim table instead of the float store). */
+  def pcaTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probe: Array[Float],
+      k: Int,
+      model: Pca.PcaModel,
+      poolK: Int = 50): DataFrame = {
+    require(poolK >= k, s"poolK=$poolK must be >= k=$k")
+    // probe into PCA space, driver-side (k′ dot products over d doubles)
+    val centered = probe.map(_.toDouble).zip(model.mean).map { case (x, m) => x - m }
+    val pp = model.components.map(c =>
+      c.zip(centered).map { case (w, x) => w * x }.sum).toSeq
+    val pnorm = math.sqrt(pp.map(x => x * x).sum).max(1e-12)
+
+    // project once into a named column, THEN score — keeps the k′
+    // aggregate folds from being re-expanded per reference
+    val coarse = aggregate(
+      zip_with(col("graft_p"), typedLit(pp), (a, b) => a * b), lit(0.0), _ + _) /
+      (sqrt(aggregate(transform(col("graft_p"), x => x * x), lit(0.0), _ + _)) * pnorm)
+    val pool = df
+      .select(col(idCol), Pca.projectExpr(col(vecCol), model).as("graft_p"))
+      .select(col(idCol), coarse.as("graft_coarse"))
+      .orderBy(col("graft_coarse").desc, col(idCol).asc)
+      .limit(poolK)
+      .select(idCol)
+
+    df.join(broadcast(pool), Seq(idCol), "left_semi")
+      .select(
+        col(idCol),
+        round(cosine(col(vecCol), array(probe.map(lit(_)): _*)), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

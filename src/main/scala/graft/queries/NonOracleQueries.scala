@@ -185,6 +185,22 @@ object NonOracleQueries {
           .orderBy("cluster")
       }),
 
+    // PCA-compressed ANN: coarse-score in a 16-of-64-dim principal
+    // subspace (4× fewer float reads from a stored reduced index,
+    // composable with int8), pool, exact rerank. Approximate (truncated
+    // eigenvalue tail) → rows-only; PcaSpec pins recall@10 ≥ 0.9.
+    GraftQuery(
+      "q_ann_topk_pca",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val p = e.filter(col("vec_id") === 0)
+          .select("embedding").collect().head.getSeq[Float](0).toArray
+        val corpus = e.filter(col("vec_id") =!= 0)
+        val m = graft.operators.Pca.fit(corpus, "embedding", k = 16)
+        graft.operators.Similarity.pcaTopK(
+          corpus, "vec_id", "embedding", p, 10, m, poolK = 100)
+      }),
+
     // PCA embedding compression: distributed covariance (tree-aggregated
     // Gramian via RowMatrix), driver-local eigendecomposition over the
     // d×d result (bounded metadata), then a narrow literal-component
