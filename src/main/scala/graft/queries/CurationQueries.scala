@@ -131,6 +131,40 @@ object CurationQueries {
              |  FROM tf JOIN dfreq USING (term) CROSS JOIN n) x
              |WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin)),
 
+    // Exact substring-level dedup (operators/SubstringDedup.scala, Lee
+    // et al. 2021): every duplicated >= 8-token window keeps only its
+    // most-senior (doc_id, start) occurrence; overlapping removed
+    // windows union into long spans, the rest of each doc survives.
+    // md5 window keys exist in both engines, so the WHOLE pipeline —
+    // windows, keeper election, span union, reassembly — replays in
+    // DuckDB: the row is driver-gated end to end.
+    GraftQuery(
+      "q_substring_dedup",
+      (s, d) =>
+        graft.operators.SubstringDedup.dedupSubstrings(
+          Tables.documents(s, d), "doc_id", "text", minTokens = 8)
+          .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+             |              FROM documents),
+             |wins AS (SELECT doc_id, s, md5(array_to_string(t[s+1:s+8], ' ')) AS h
+             |         FROM toks, unnest(generate_series(0, len(t)-8)) AS u(s)
+             |         WHERE len(t) >= 8),
+             |marked AS (SELECT doc_id, s,
+             |             row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn,
+             |             count(*) OVER (PARTITION BY h) AS c
+             |           FROM wins),
+             |removed AS (SELECT doc_id, s FROM marked WHERE c > 1 AND rn > 1),
+             |tokens AS (SELECT doc_id, i, t[i+1] AS tok
+             |           FROM toks, unnest(generate_series(0, len(t)-1)) AS u(i)),
+             |kept AS (SELECT tk.doc_id, tk.i, tk.tok FROM tokens tk
+             |         WHERE NOT EXISTS (SELECT 1 FROM removed r
+             |           WHERE r.doc_id = tk.doc_id
+             |             AND tk.i >= r.s AND tk.i < r.s + 8))
+             |SELECT d.doc_id,
+             |       coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS text
+             |FROM documents d LEFT JOIN kept k USING (doc_id)
+             |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
     // Repeated-segment boilerplate removal (operators/Boilerplate.scala):
     // drop any fixed-width word segment whose exact text occurs in >= 3
     // distinct docs, keep the rest of each page (C4/RefinedWeb-style).
