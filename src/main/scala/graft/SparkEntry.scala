@@ -23,6 +23,7 @@ object SparkEntry {
       LateralMapQueries.all ++
       CoverageQueries.all ++
       AnalyticsQueries.all ++
+      GraphQueries.all ++
       CurationQueries.all ++
       StoreQueries.all ++
       ProfileQueries.all ++

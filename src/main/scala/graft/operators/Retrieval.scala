@@ -113,4 +113,100 @@ object Retrieval {
 
     rrfFuse(Seq(sparseRank, denseRank), k, c)
   }
+
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick `k` results maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) — relevance traded
+    * against redundancy, the diversification step a retrieval-backed
+    * data-selection pipeline runs so its top-k isn't k near-copies of
+    * the same document.
+    *
+    * Scale shape: the corpus is touched ONCE — a narrow codegen'd
+    * cosine scan cut to a `poolK` pool by TakeOrderedAndProject
+    * (bounded per-partition heaps). The greedy loop is inherently
+    * sequential (selection i depends on 1..i−1), so it runs
+    * driver-side over the pool — bounded by `poolK` BY CONTRACT, the
+    * same driver-memory envelope as a broadcast side, never
+    * corpus-sized. The pool's pairwise cosines are computed
+    * DISTRIBUTED (poolK² rows through the same fused cosine
+    * expression) before the collect, so driver code does arithmetic
+    * only and never re-implements the float kernel.
+    *
+    * Determinism contract (what lets q_mmr hash-match a DuckDB
+    * replay): relevance and pairwise sims round to 4 before any
+    * comparison (the established cross-engine cosine parity
+    * precision), the greedy score λ·rel − (1−λ)·maxsim is computed on
+    * those rounded inputs and rounded to 4, ties break on id
+    * ascending, and the first pick is pure max relevance. */
+  def mmrRerank(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probe: Array[Float],
+      k: Int,
+      lambda: Double = 0.7,
+      poolK: Int = 20): DataFrame = {
+    require(k >= 1 && poolK >= k, s"need 1 <= k=$k <= poolK=$poolK")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda outside [0,1]")
+    val spark = corpus.sparkSession
+    val probeLit = array(probe.map(lit(_)): _*)
+    val pool = corpus
+      .select(
+        col(idCol).as("graft_id"),
+        col(vecCol).as("graft_v"),
+        round(Similarity.cosine(col(vecCol), probeLit), 4).as("graft_rel"))
+      .orderBy(col("graft_rel").desc, col("graft_id").asc)
+      .limit(poolK)
+      .persist()
+    // Pairwise pool cosines, distributed, canonical (lo, hi) id order.
+    val a = pool.select(col("graft_id").as("graft_ia"), col("graft_v").as("graft_va"))
+    val b = pool.select(col("graft_id").as("graft_ib"), col("graft_v").as("graft_vb"))
+    val simRows = a.crossJoin(b)
+      .filter(col("graft_ia") < col("graft_ib"))
+      .select(col("graft_ia").cast("long"), col("graft_ib").cast("long"),
+        round(Similarity.cosine(col("graft_va"), col("graft_vb")), 4).as("graft_sim"))
+      .collect()
+    val sims = simRows.map { r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(2)
+    }.toMap
+    def simOf(x: Long, y: Long): Double =
+      if (x < y) sims((x, y)) else sims((y, x))
+    val cand = scala.collection.mutable.LinkedHashMap(
+      pool.select(col("graft_id").cast("long"), col("graft_rel"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)): _*)
+    // Round exactly as Spark's round(): decimal HALF_UP on the double.
+    def r4(x: Double): Double =
+      BigDecimal.valueOf(x)
+        .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).doubleValue
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    (1 to math.min(k, cand.size)).foreach { _ =>
+      val pick =
+        if (selected.isEmpty)
+          // max rel, tie id asc — explicit, not collect-order-dependent
+          cand.reduceLeft { (x, y) =>
+            if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x
+          }
+        else
+          cand.map { case (id, rel) =>
+            val maxSim = selected.map(s => simOf(id, s._1)).max
+            (id, rel, r4(lambda * rel - (1 - lambda) * maxSim))
+          }.reduceLeft { (x, y) =>
+            if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x
+          } match { case (id, rel, _) => (id, rel) }
+      selected += pick
+      cand.remove(pick._1)
+      ()
+    }
+    pool.unpersist()
+    val out = selected.zipWithIndex.map { case ((id, rel), i) =>
+      org.apache.spark.sql.Row(i + 1, id, rel)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(out.toSeq).asJava),
+      new org.apache.spark.sql.types.StructType()
+        .add("rank", org.apache.spark.sql.types.IntegerType)
+        .add("vec_id", org.apache.spark.sql.types.LongType)
+        .add("rel", org.apache.spark.sql.types.DoubleType))
+  }
 }

@@ -50,4 +50,43 @@ object Splits {
       .when(u < trainFrac + valFrac, "val")
       .otherwise("test")
   }
+
+  /** Efraimidis–Spirakis weighted-sampling key (IPL 2006): the top-k
+    * rows by `ln(u)/w` with u = the row's deterministic md5-uniform are
+    * EXACTLY a weighted sample without replacement of size k (the
+    * exponential-race formulation: −ln(u)/w ~ Exp(w); the k smallest
+    * arrival times win, i.e. the k LARGEST ln(u)/w). One narrow
+    * projection + TakeOrderedAndProject — a single pass, no shuffle of
+    * the corpus, mergeable across any partitioning, which is why this
+    * (not rejection sampling or a global cumulative sum) is the 100 TB
+    * weighted-sampling algorithm.
+    *
+    * Deterministic by the same md5 contract as [[uniform]]: salted
+    * (`#ws`) so sampling does not correlate with split assignment;
+    * u is (h + 0.5)/2³² ∈ (0,1) strictly, so ln is always finite; the
+    * key is ROUNDED to 8 decimals so engines whose pow/log differ in
+    * the last ulp cannot flip an ordering the oracle replays (gaps at
+    * fixture scale are ≫ 1e-8).
+    *
+    * `weight` must be > 0 (caller's contract — a nonpositive weight
+    * yields NULL/ordering-garbage, matching SQL semantics). */
+  def weightedSampleKey(id: Column, weight: Column): Column = {
+    val u = (conv(substring(md5(concat(id.cast("string"), lit("#ws"))), 1, 8),
+      16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
+    round(log(u) / weight.cast("double"), 8)
+  }
+
+  /** Weighted sample without replacement of `k` rows: all input columns
+    * plus the `es_key` ranking key, cut by TakeOrdered on
+    * (key desc, id asc). */
+  def weightedSample(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    df.withColumn("es_key", weightedSampleKey(col(idCol), col(weightCol)))
+      .orderBy(col("es_key").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

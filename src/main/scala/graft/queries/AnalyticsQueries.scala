@@ -297,6 +297,31 @@ object AnalyticsQueries {
              |FROM events JOIN f USING (event_type)
              |WHERE value > fence ORDER BY event_id""".stripMargin)),
 
+    // 2D Pareto frontier (Skyline.pareto2D): lineitem points maximizing
+    // (quantity, price) — multi-objective selection with NO dominance
+    // self-join and NO global sort: a 256-bucket grid prefilter
+    // (two bounded aggregates + one broadcast-threshold scan filter)
+    // leaves a thin sliver; the exact sweep runs driver-side under the
+    // bounded-candidates contract. The oracle exploits frontier ⊆
+    // per-x maxima (any point below its x's max price is dominated by
+    // that max, strictly in y), so its NOT EXISTS runs over ≤50 rows,
+    // not 60k².
+    GraftQuery(
+      "q_skyline",
+      (s, d) =>
+        graft.operators.Skyline.pareto2D(
+          Tables.lineitem(s, d), "l_quantity", "l_extendedprice")
+          .select(col("l_quantity").as("qty"), col("l_extendedprice").as("price"))
+          .orderBy("qty"),
+      Some("""WITH m AS (SELECT CAST(l_quantity AS DOUBLE) AS qty,
+             |                  CAST(MAX(l_extendedprice) AS DOUBLE) AS price
+             |           FROM lineitem GROUP BY 1)
+             |SELECT qty, price FROM m a
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM m b WHERE b.qty >= a.qty AND b.price >= a.price
+             |    AND (b.qty > a.qty OR b.price > a.price))
+             |ORDER BY qty""".stripMargin)),
+
     // Distribution drift (PSI) between two snapshots — the monitoring
     // step of a continuously-ingested corpus: one clearly-drifted pair
     // (quantity truncated at 40) and one stable control (random-subset

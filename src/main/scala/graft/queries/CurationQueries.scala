@@ -626,6 +626,30 @@ object CurationQueries {
              |        / 4294967296.0 < rate
              |ORDER BY doc_id""".stripMargin)),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis,
+    // Splits.weightedSample): top-50 orders by ln(u)/w with w =
+    // price/1e5 — ONE narrow pass + TakeOrderedAndProject, the 100 TB
+    // weighted-sampling shape (no global cumulative sum, no rejection
+    // loop, mergeable per partition). Deterministic md5-uniform (salted
+    // #ws) and an 8-decimal key round on both sides so a last-ulp
+    // LN/division difference between engines cannot reorder the cut.
+    GraftQuery(
+      "q_weighted_sample",
+      (s, d) =>
+        graft.operators.Splits.weightedSample(
+          Tables.orders(s, d)
+            .withColumn("graft_w", col("o_totalprice") / lit(100000.0)),
+          "o_orderkey", "graft_w", k = 50)
+          .select("o_orderkey", "o_totalprice", "es_key")
+          .orderBy(col("es_key").desc, col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_totalprice, es_key FROM (
+             |  SELECT o_orderkey, o_totalprice,
+             |    ROUND(LN((('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '#ws'),
+             |                1, 8))::BIGINT + 0.5) / 4294967296.0)
+             |          / (CAST(o_totalprice AS DOUBLE) / 100000.0), 8) AS es_key
+             |  FROM orders) t
+             |ORDER BY es_key DESC, o_orderkey LIMIT 50""".stripMargin)),
+
     // Deterministic train/val/test split — the reproducibility primitive
     // under every training run: assign each doc to a split by where its
     // md5-uniform lands in [0, .9), [.9, .95), [.95, 1). Hash-ranged

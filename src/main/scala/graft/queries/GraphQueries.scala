@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Graph-structure operators beyond PageRank: transitive near-dup
+  * clustering (connected components over the exact-Jaccard pair graph)
+  * and the triangle census. Both oracle-gated — the CC oracle is a
+  * DuckDB recursive CTE (min reachable id IS the component label,
+  * iteration-order-independent, so the engine's pointer-jumping rounds
+  * and the oracle's naive transitive closure must land on identical
+  * labels), and the triangle oracle is the id-ordered a<b<c
+  * enumeration (count is orientation-invariant, so the engine's
+  * degree-ordered plan must match it exactly).
+  */
+object GraphQueries {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // Transitive near-dup clustering — the step document-PAIR detection
+    // (q_ngram_jaccard) stops short of: pairs (a,b), (b,c) must collapse
+    // into ONE cluster {a,b,c} with one canonical survivor, else chained
+    // near-dups each survive pairwise dedup. Pairs = the exact-threshold
+    // n-gram Jaccard graph (SQL-replayable by construction); clusters =
+    // Dedup.nearDupClusters (min-label propagation + pointer jumping,
+    // O(log diameter) rounds, driver union-find fast path below the
+    // bounded pair cap); docs without any pair are their own cluster.
+    // Scale shape: the cluster step runs on the PAIR set (dup-rate-
+    // sized, orders of magnitude below corpus rows at 100 TB).
+    GraftQuery(
+      "q_dup_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = graft.operators.Dedup.ngramJaccardNearDup(
+          docs, "doc_id", "text", shingleN = 3, threshold = 0.5)
+          .select("id_a", "id_b")
+        val labels = graft.operators.Dedup.nearDupClusters(pairs)
+        docs.join(labels, docs("doc_id") === labels("id"), "left")
+          .select(
+            col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+          .withColumn("is_canonical",
+            (col("cluster") === col("doc_id")).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+             |           FROM documents),
+             |g AS (SELECT doc_id,
+             |        CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |             ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+             |                                 FOR i IN range(1, len(w)-1)])
+             |        END AS sh
+             |      FROM t),
+             |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+             |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+             |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+             |e AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
+             |reach(node, root) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.v, r.root FROM reach r JOIN e ON e.u = r.node)
+             |SELECT node AS doc_id, min(root) AS cluster,
+             |       CASE WHEN min(root) = node THEN 1 ELSE 0 END AS is_canonical
+             |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
+
+    // Triangle census over an overlapping-clique part graph (edges =
+    // same (brand, size) ∪ same (type, size) — two clique families that
+    // intersect, so triangles mix family edges and the count is not a
+    // closed form), thinned by a deterministic md5 edge filter (keep
+    // hex-prefix < '6' ≈ 37.5%) that breaks the cliques into a sparse
+    // organic-looking graph AND bounds the wedge join at bench scale
+    // (raw sf0.1 cliques of ~67 nodes produce ~15M wedges; thinned,
+    // ~0.12× of that). The engine enumerates degree-ordered (out-degree
+    // O(√m) per node — hub-proof); the oracle enumerates id-ordered;
+    // the counts must be identical because triangle count is
+    // orientation-invariant.
+    GraftQuery(
+      "q_triangles",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+        def fam(k1: String, k2: String) = p.as("x").join(p.as("y"),
+            col(s"x.$k1") === col(s"y.$k1") && col(s"x.$k2") === col(s"y.$k2") &&
+              col("x.p_partkey") < col("y.p_partkey"))
+          .select(col("x.p_partkey").as("src"), col("y.p_partkey").as("dst"))
+        val thinned = fam("p_brand", "p_size").unionByName(fam("p_type", "p_size"))
+          .filter(substring(md5(concat(col("src").cast("string"), lit("#"),
+            col("dst").cast("string"))), 1, 1) < "6")
+        graft.operators.Graph.triangleStats(thinned, "src", "dst")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT a.p_partkey AS u, b.p_partkey AS v FROM part a JOIN part b
+             |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             |   AND a.p_partkey < b.p_partkey
+             |  UNION
+             |  SELECT a.p_partkey, b.p_partkey FROM part a JOIN part b
+             |    ON a.p_type = b.p_type AND a.p_size = b.p_size
+             |   AND a.p_partkey < b.p_partkey),
+             |e AS (SELECT u, v FROM e0
+             |      WHERE substring(md5(CAST(u AS VARCHAR) || '#' ||
+             |                          CAST(v AS VARCHAR)), 1, 1) < '6'),
+             |deg AS (SELECT node, COUNT(*) AS d FROM
+             |          (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+             |        GROUP BY 1),
+             |tri AS (SELECT COUNT(*) AS t FROM e e1
+             |        JOIN e e2 ON e2.u = e1.v
+             |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+             |ns AS (SELECT COUNT(*) AS n_nodes,
+             |              CAST(SUM(d*(d-1)) AS BIGINT) // 2 AS n_wedges FROM deg),
+             |es AS (SELECT COUNT(*) AS n_edges FROM e)
+             |SELECT ns.n_nodes, es.n_edges, ns.n_wedges, tri.t AS n_triangles,
+             |       ROUND(CAST(3 AS DOUBLE) * tri.t / ns.n_wedges, 6) AS clustering
+             |FROM ns CROSS JOIN es CROSS JOIN tri""".stripMargin)))
+}

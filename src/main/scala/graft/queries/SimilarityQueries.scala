@@ -145,5 +145,73 @@ object SimilarityQueries {
              |  ROUND(AVG(SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]),
              |                                  CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
              |FROM embeddings GROUP BY 1 ORDER BY label""".stripMargin)),
+
+    // MMR diversified rerank (Retrieval.mmrRerank): greedy top-5 from a
+    // 20-deep relevance pool, λ=0.7 — pick i maximizes
+    // λ·rel − (1−λ)·max-sim-to-selected. The greedy recurrence is
+    // inherently sequential, so the ORACLE UNROLLS the five selections
+    // as chained CTEs (the q_pagerank precedent for iterative
+    // algorithms): s1 = pure max rel; each later sᵢ takes the argmax of
+    // the rounded score over pool minus selections so far, ties on
+    // vec_id. All sims round to 4 (the established cross-engine cosine
+    // parity precision) before any comparison, and (1−λ) is spelled
+    // CAST(1 AS DOUBLE) − 0.7 so both engines use the IDENTICAL
+    // IEEE double (0.30000000000000004, not 0.3).
+    GraftQuery(
+      "q_mmr",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val probe = e.filter(col("vec_id") === 0)
+          .select("embedding").collect().head.getSeq[Float](0).toArray
+        graft.operators.Retrieval.mmrRerank(
+          e.filter(col("vec_id") =!= 0), "vec_id", "embedding", probe,
+          k = 5, lambda = 0.7, poolK = 20)
+      },
+      Some("""WITH pool AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             |         ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]),
+             |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+             |            WHERE vec_id = 0)), 4) AS rel
+             |  FROM embeddings WHERE vec_id <> 0
+             |  ORDER BY rel DESC, vec_id LIMIT 20),
+             |s1 AS (SELECT vec_id, emb, rel FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
+             |s2 AS (SELECT vec_id, emb, rel FROM (
+             |    SELECT c.*, ROUND(CAST(0.7 AS DOUBLE)*c.rel -
+             |        (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+             |        (SELECT MAX(ROUND(LIST_COSINE_SIMILARITY(c.emb, s.emb), 4))
+             |         FROM s1 s), 4) AS score
+             |    FROM pool c WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)) t
+             |  ORDER BY score DESC, vec_id LIMIT 1),
+             |g2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+             |s3 AS (SELECT vec_id, emb, rel FROM (
+             |    SELECT c.*, ROUND(CAST(0.7 AS DOUBLE)*c.rel -
+             |        (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+             |        (SELECT MAX(ROUND(LIST_COSINE_SIMILARITY(c.emb, s.emb), 4))
+             |         FROM g2 s), 4) AS score
+             |    FROM pool c WHERE c.vec_id NOT IN (SELECT vec_id FROM g2)) t
+             |  ORDER BY score DESC, vec_id LIMIT 1),
+             |g3 AS (SELECT * FROM g2 UNION ALL SELECT * FROM s3),
+             |s4 AS (SELECT vec_id, emb, rel FROM (
+             |    SELECT c.*, ROUND(CAST(0.7 AS DOUBLE)*c.rel -
+             |        (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+             |        (SELECT MAX(ROUND(LIST_COSINE_SIMILARITY(c.emb, s.emb), 4))
+             |         FROM g3 s), 4) AS score
+             |    FROM pool c WHERE c.vec_id NOT IN (SELECT vec_id FROM g3)) t
+             |  ORDER BY score DESC, vec_id LIMIT 1),
+             |g4 AS (SELECT * FROM g3 UNION ALL SELECT * FROM s4),
+             |s5 AS (SELECT vec_id, emb, rel FROM (
+             |    SELECT c.*, ROUND(CAST(0.7 AS DOUBLE)*c.rel -
+             |        (CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE)) *
+             |        (SELECT MAX(ROUND(LIST_COSINE_SIMILARITY(c.emb, s.emb), 4))
+             |         FROM g4 s), 4) AS score
+             |    FROM pool c WHERE c.vec_id NOT IN (SELECT vec_id FROM g4)) t
+             |  ORDER BY score DESC, vec_id LIMIT 1)
+             |SELECT rank, vec_id, rel FROM (
+             |  SELECT 1 AS rank, vec_id, rel FROM s1
+             |  UNION ALL SELECT 2, vec_id, rel FROM s2
+             |  UNION ALL SELECT 3, vec_id, rel FROM s3
+             |  UNION ALL SELECT 4, vec_id, rel FROM s4
+             |  UNION ALL SELECT 5, vec_id, rel FROM s5) u
+             |ORDER BY rank""".stripMargin)),
   )
 }

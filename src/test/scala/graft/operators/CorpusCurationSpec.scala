@@ -93,4 +93,36 @@ class CorpusCurationSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(!keptStrict.contains(6L))
   }
+
+  test("weightedSample skews toward heavy weights and stays deterministic") {
+    import org.apache.spark.sql.functions._
+    val rows = (1L to 1000L).map(id =>
+      (id, if (id <= 500) 5.0 else 0.05)).toDF("id", "w")
+    val got = Splits.weightedSample(rows, "id", "w", k = 100)
+      .select("id").as[Long].collect().toSet
+    assert(got.size == 100)
+    val heavy = got.count(_ <= 500)
+    // E[heavy] ≈ 99 under exponential races at 100:1 weight odds
+    assert(heavy >= 85, s"only $heavy/100 sampled from the 100×-weighted half")
+    // layout-independence: repartitioned input picks the identical set
+    val again = Splits.weightedSample(rows.repartition(13), "id", "w", k = 100)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+    // plan: the cut is a bounded-heap TakeOrdered, never a global sort
+    val plan = Splits.weightedSample(rows, "id", "w", k = 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan missing TakeOrdered:\n$plan")
+  }
+
+  test("weightedSample matches a driver-side replay of the exponential race") {
+    import org.apache.spark.sql.functions._
+    val rows = (1L to 300L).map(id => (id, 0.5 + (id % 7))).toDF("id", "w")
+    val got = Splits.weightedSample(rows, "id", "w", k = 20)
+      .select("id").as[Long].collect().toSeq
+    val keys = rows
+      .withColumn("es_key", Splits.weightedSampleKey(col("id"), col("w")))
+      .select("id", "es_key").as[(Long, Double)].collect()
+    val want = keys.sortBy { case (id, k) => (-k, id) }.take(20).map(_._1).toSeq
+    assert(got == want)
+  }
 }

@@ -45,4 +45,64 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(a == b)
   }
+
+  // ---- triangleStats ----
+
+  private def tri(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Double) = {
+    val r = Graph.triangleStats(edges.toDF("src", "dst"), "src", "dst")
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+  }
+
+  test("K4: every wedge closes — clustering 1.0") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    assert(tri(k4) == ((4L, 6L, 12L, 4L, 1.0)))
+  }
+
+  test("path graph has wedges but no triangles") {
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == ((4L, 3L, 2L, 0L, 0.0)))
+  }
+
+  test("triangle with a pendant: 1 triangle over 5 wedges") {
+    val (_, _, w, t, c) = tri(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert((w, t) == ((5L, 1L)) && c == 0.6)
+  }
+
+  test("canonicalization: duplicates, reversed edges, self-loops don't change stats") {
+    val clean = tri(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val dirty = tri(Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (1L, 3L),
+      (1L, 1L), (3L, 3L)))
+    assert(clean == dirty && clean._4 == 1L)
+  }
+
+  test("star graph: the hub's wedges never close") {
+    val star = (2L to 30L).map(i => (1L, i))
+    val (_, _, w, t, _) = tri(star)
+    assert(w == 29L * 28L / 2 && t == 0L)
+  }
+
+  test("degree-ordered count matches an id-ordered brute force on a pseudo-random graph") {
+    // deterministic edge hash over 30 nodes; dense enough for mixed triangles
+    val edges = (1 to 160).map(i => (((i * 7) % 30).toLong, ((i * 13 + 3) % 30).toLong))
+      .filter { case (a, b) => a != b }
+    val adj = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    var brute = 0L
+    for (a <- nodes; b <- nodes if b > a && adj(a)(b); c <- nodes
+         if c > b && adj(a)(c) && adj(b)(c)) brute += 1
+    val (_, _, _, t, _) = tri(edges)
+    assert(t == brute, s"degree-ordered $t != brute-force $brute")
+  }
+
+  test("triangleStats is deterministic across upstream partitionings") {
+    val edges = (1 to 160).map(i => (((i * 7) % 30).toLong, ((i * 13 + 3) % 30).toLong))
+      .filter { case (a, b) => a != b }
+    val a = tri(edges)
+    val b = Graph.triangleStats(
+      edges.toDF("src", "dst").repartition(11), "src", "dst")
+      .collect().head
+    assert(a == ((b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3), b.getDouble(4))))
+  }
 }
