@@ -240,6 +240,115 @@ object Dedup {
     // candidates cover the requested exact-Jaccard threshold.
     minhashNearDup(df, idCol, textCol, numHashes, bands, shingleN, threshold, seed)
 
+  /** Exact-threshold Jaccard pair join via PREFIX FILTERING (the
+    * SSJoin/PPJoin family — Chaudhuri et al. ICDE 2006, Xiao et al.
+    * WWW 2008) — the LSH-free exact alternative to
+    * [[ngramJaccardNearDup]]: no signatures, no probabilistic recall
+    * argument, same output CONTRACT (every pair with true Jaccard ≥
+    * threshold, exactly — q_jaccard_prefix shares q_ngram_jaccard's
+    * oracle verbatim, two different distributed algorithms gated on one
+    * ground truth).
+    *
+    * The filter: order all shingles by GLOBAL RARITY (document
+    * frequency asc, shingle asc — a strict total order), and for each
+    * doc keep only its prefix of p = |A| − ⌈t·|A|⌉ + 1 rarest
+    * shingles. Any two docs with Jaccard ≥ t must share a shingle in
+    * BOTH prefixes (their overlap o ≥ ⌈t·|A|⌉ exceeds what fits
+    * outside either prefix), so the candidate join runs on prefix
+    * shingles only — and prefixes are each doc's RAREST tokens, which
+    * is what keeps candidate buckets small: the boilerplate shingle
+    * every doc shares is at the END of the rarity order and never
+    * joins. ⌈·⌉ is computed with a −1e-9 epsilon so a last-ulp
+    * overestimate of t·|A| can only LENGTHEN a prefix (more
+    * candidates, still exact), never shorten one (missed pairs).
+    *
+    * Scale shape: one df aggregate (shuffle on shingle), one per-doc
+    * sort of its own shingle list (narrow after a co-partitioned
+    * join), a candidate equi-join on prefix shingles, exact verify on
+    * candidate docs only. The loud guard: any prefix shingle whose df
+    * exceeds `maxTokenDf` THROWS (capping would silently break
+    * exactness) — a corpus tripping it should run [[exact]] dedup
+    * first, which removes the identical-doc mass that makes rare-token
+    * prefixes common. */
+  def prefixJaccardNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      maxTokenDf: Long = 100000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold outside (0,1]")
+    val sh = df.select(
+        col(idCol).as("graft_id"),
+        array_distinct(shingles(col(textCol), shingleN)).as("graft_sh"))
+      .persist()
+    val docTok = sh.select(col("graft_id"), explode(col("graft_sh")).as("graft_tok"))
+    val dfs = docTok.groupBy("graft_tok").agg(count(lit(1)).as("graft_df"))
+    val ordered = docTok.join(dfs, "graft_tok")
+      .groupBy("graft_id")
+      .agg(sort_array(collect_list(struct(col("graft_df"), col("graft_tok"))))
+        .as("graft_ord"))
+    val plen = (size(col("graft_ord")) -
+      ceil(lit(threshold) * size(col("graft_ord")) - lit(1e-9)).cast("int") + 1)
+    // prefix entries carry their 1-based position and the doc's set size
+    // for the POSITION FILTER below
+    val prefixes = ordered
+      .select(col("graft_id"), size(col("graft_ord")).as("graft_sz"),
+        posexplode(slice(col("graft_ord"), lit(1), plen)))
+      .select(col("graft_id"), col("graft_sz"),
+        (col("pos") + 1).as("graft_pos"),
+        col("col.graft_tok").as("graft_tok"),
+        col("col.graft_df").as("graft_df"))
+      .persist()
+    // Loud exactness guard (eager, one cheap filter over the prefix set).
+    val hot = prefixes.filter(col("graft_df") > maxTokenDf).count()
+    require(hot == 0L,
+      s"prefixJaccardNearDup: $hot prefix shingles exceed maxTokenDf=$maxTokenDf " +
+        "— run exact dedup first (identical-doc mass makes rare prefixes hot), " +
+        "or raise the bound knowingly")
+    // A shared prefix shingle has df >= 2 by definition, so the df-1
+    // tail — the BULK of a rarity-ordered prefix — can never produce a
+    // candidate and is dropped from the join (exactness untouched).
+    val joinable = prefixes.filter(col("graft_df") >= 2)
+    // Candidate join with the PPJoin LENGTH and POSITION filters:
+    //  - length: J >= t forces t·|B| <= |A| (sizes within factor t);
+    //  - position: matching token at 1-based positions (i, j) bounds the
+    //    overlap by 1 + min(|A|-i, |B|-j), which must reach the
+    //    equivalent-overlap threshold α = ⌈t/(1+t)·(|A|+|B|)⌉. Sound
+    //    because the FIRST common token in the global order has every
+    //    other common token after it on both sides, so the pair's
+    //    qualifying match always survives; pairs pruned here cannot
+    //    reach t. Both are row-local predicates on the joined row —
+    //    they cost nothing and cut the verify set, which is where the
+    //    time goes (array intersections over the candidate pairs).
+    val alpha = ceil(
+      lit(threshold / (1 + threshold)) *
+        (col("a.graft_sz") + col("b.graft_sz")) - lit(1e-9))
+    val candidates = joinable.as("a")
+      .join(joinable.as("b"),
+        col("a.graft_tok") === col("b.graft_tok") &&
+          col("a.graft_id") < col("b.graft_id") &&
+          col("a.graft_sz") >= lit(threshold) * col("b.graft_sz") - lit(1e-9) &&
+          col("b.graft_sz") >= lit(threshold) * col("a.graft_sz") - lit(1e-9) &&
+          (lit(1) + least(
+            col("a.graft_sz") - col("a.graft_pos"),
+            col("b.graft_sz") - col("b.graft_pos"))) >= alpha)
+      .select(col("a.graft_id").as("id_a"), col("b.graft_id").as("id_b"))
+      .distinct()
+    // Verify with SET-SIZE algebra: |A∪B| = |A|+|B|−|A∩B| (shingle
+    // arrays are distinct), so only the intersection is materialized —
+    // array_union would build a deduped 2×-size array per pair for a
+    // number the sizes already determine.
+    candidates
+      .join(sh.select(col("graft_id").as("id_a"), col("graft_sh").as("sh_a")), "id_a")
+      .join(sh.select(col("graft_id").as("id_b"), col("graft_sh").as("sh_b")), "id_b")
+      .withColumn("graft_o", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("graft_o") / (size(col("sh_a")) + size(col("sh_b")) - col("graft_o")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Collapse a near-dup pair graph into clusters: returns (id, cluster)
     * where cluster = min id reachable through pair edges (connected
     * components). Each round combines min-label propagation over edges

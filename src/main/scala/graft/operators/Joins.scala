@@ -75,4 +75,47 @@ object Joins {
       }
     if (estBytes <= maxBytes) broadcast(mat) else mat
   }
+
+  /** Bloom-filter SEMI-JOIN REDUCTION: filter `fact` down to rows whose
+    * key probably exists in `dim` BEFORE the join's shuffle, using a
+    * bloom sketch of dim's key set.
+    *
+    * The gap this fills between broadcast and shuffle joins: a dimension
+    * of 10⁸ keys can't broadcast as a hash relation (tens of GB with
+    * row + table overhead), but its bloom sketch at ~10 bits/key is
+    * ~125 MB — so the fact side's non-matching rows (the bulk, when the
+    * dim is selective) die AT THE SCAN instead of traveling through the
+    * exchange. This is exactly Spark's own injected runtime filter
+    * (spark.sql.optimizer.runtime.bloomFilter), exposed as an explicit
+    * operator because the optimizer's version only fires on selective
+    * joins it can PROVE selective and within its own size thresholds;
+    * a pipeline that knows its dimensions can size the sketch
+    * deliberately.
+    *
+    * Exactness is unconditional: the bloom filter has false positives
+    * but NO false negatives, and the real join still runs after the
+    * prefilter — so the result is row-identical to the plain join (the
+    * q_join_bloom oracle is the PLAIN SQL join, no bloom anywhere).
+    * False-positive rows merely survive to the join and are dropped
+    * there, same as without the filter.
+    *
+    * Driver memory is `numBits/8` bytes (the collected sketch — the
+    * same bounded-by-contract envelope as a broadcast side). NULL fact
+    * keys are dropped by the filter (might_contain(NULL) is NULL) —
+    * identical semantics to the inner join they could never match. */
+  def bloomReducedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      expectedItems: Long = 1000000L,
+      numBits: Long = 8000000L): DataFrame = {
+    import org.apache.spark.sql.graft.BloomBridge
+    val sketch = BloomBridge.bloomAggregate(dim(dimKey), expectedItems, numBits)
+    // one row of numBits/8 bytes to the driver; null when dim is empty
+    val bytes = dim.select(sketch.as("graft_bf"))
+      .collect().head.getAs[Array[Byte]](0)
+    val reduced = fact.filter(BloomBridge.mightContain(bytes, fact(factKey)))
+    reduced.join(dim, reduced(factKey) === dim(dimKey))
+  }
 }

@@ -40,6 +40,33 @@ object JoinQueries {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
 
+    // Bloom-reduced join (Joins.bloomReducedJoin): the fact side is
+    // prefiltered by a bloom sketch of the dim's key set BEFORE the
+    // join's exchange — the middle ground when a dimension is too big
+    // to broadcast as a hash relation but its key set fits a few MB of
+    // bloom bits. The sketch has false positives but NO false
+    // negatives and the real join still runs, so the result is
+    // row-identical to the plain join — which is exactly what the
+    // oracle is (plain SQL, no bloom): the gate proves the reduction
+    // is semantically free.
+    GraftQuery(
+      "q_join_bloom",
+      (s, d) => {
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+        graft.operators.Joins.bloomReducedJoin(
+          Tables.lineitem(s, d), urgent, "l_orderkey", "o_orderkey",
+          expectedItems = 200000L, numBits = 1600000L)
+          .groupBy("l_linestatus")
+          .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("rev"))
+          .orderBy("l_linestatus")
+      },
+      Some("""SELECT l_linestatus, COUNT(*) AS n,
+             |       ROUND(SUM(l_extendedprice), 2) AS rev
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY 1 ORDER BY l_linestatus""".stripMargin)),
+
     // A18 local-cache parity: explicit broadcast hint — the Spark analog of
     // DbDataJoiner's in-process dimension cache (no shuffle of the fact).
     GraftQuery(

@@ -139,6 +139,36 @@ object TextQueries {
              |  FROM g a JOIN g b ON a.doc_id < b.doc_id) p
              |WHERE jc >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // The SAME exact-threshold pair contract computed by a COMPLETELY
+    // DIFFERENT distributed algorithm: prefix filtering
+    // (Dedup.prefixJaccardNearDup — SSJoin/PPJoin family) instead of
+    // LSH banding. Candidates come from each doc's rarest-shingle
+    // prefix (rarity = global document frequency), no signatures and
+    // no recall argument — so this row shares q_ngram_jaccard's oracle
+    // SQL VERBATIM: two independent engines' plans, one O(n²) DuckDB
+    // ground truth, both must hash-match it exactly.
+    GraftQuery(
+      "q_jaccard_prefix",
+      (s, d) =>
+        graft.operators.Dedup.prefixJaccardNearDup(
+          Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, threshold = 0.5)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+             |           FROM documents),
+             |g AS (SELECT doc_id,
+             |        CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |             ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+             |                                 FOR i IN range(1, len(w)-1)])
+             |        END AS sh
+             |      FROM t)
+             |SELECT id_a, id_b, ROUND(jc, 4) AS jaccard FROM (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |           len(list_distinct(list_concat(a.sh, b.sh))) AS jc
+             |  FROM g a JOIN g b ON a.doc_id < b.doc_id) p
+             |WHERE jc >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
     // Rolling-hash content fingerprint (order-sensitive Karp-Rabin
     // polynomial: acc = (acc*131 + codepoint) mod 1e9+7). Deterministic
     // integer arithmetic, so the oracle computes the IDENTICAL polynomial

@@ -1,0 +1,32 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.BinaryType
+
+/** Bridge to Spark's OWN bloom-filter expressions (the machinery behind
+  * `spark.sql.optimizer.runtime.bloomFilter` injected filters). Neither
+  * `bloom_filter_agg` nor `might_contain` is registered in the public
+  * FunctionRegistry in Spark 4.1, so graft.operators.Joins reaches them
+  * through this package-private bridge — reusing Spark's codegen'd,
+  * spill-tested implementation instead of hand-rolling a sketch.
+  */
+object BloomBridge {
+
+  /** Aggregate a bloom sketch (binary) of `key`'s xxhash64 values. */
+  def bloomAggregate(key: Column, expectedItems: Long, numBits: Long): Column =
+    ExpressionUtils.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(ExpressionUtils.expression(key))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+
+  /** Membership probe of `key`'s xxhash64 against a collected sketch
+    * (inlined as a binary literal — broadcast with the plan). */
+  def mightContain(sketch: Array[Byte], key: Column): Column =
+    ExpressionUtils.column(
+      BloomFilterMightContain(
+        Literal(sketch, BinaryType),
+        new XxHash64(Seq(ExpressionUtils.expression(key)))))
+}

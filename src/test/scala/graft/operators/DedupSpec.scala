@@ -171,4 +171,53 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(keptAll == Seq(0L, 1L), s"kept $keptAll")
   }
+
+  test("prefixJaccardNearDup finds the identical pair set as the LSH path on fixture docs") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaPrefix = pairs(Dedup.prefixJaccardNearDup(
+      docs, "doc_id", "text", shingleN = 3, threshold = 0.5))
+    val viaLsh = pairs(Dedup.ngramJaccardNearDup(
+      docs, "doc_id", "text", shingleN = 3, threshold = 0.5))
+    assert(viaPrefix == viaLsh && viaPrefix.nonEmpty,
+      s"prefix ${viaPrefix.size} pairs != LSH ${viaLsh.size}")
+  }
+
+  test("prefixJaccardNearDup matches a brute-force Jaccard join on synthetic docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),   // near-dup of 1
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six eight"),    // near-dup of 3
+      (5L, "totally different content here now"),
+      (6L, "short doc"),
+      (7L, "short doc"))                            // exact dup of 6
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardNearDup(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over distinct 3-gram sets
+    def grams(t: String): Set[String] = {
+      val w = t.split("\\s+").toSeq
+      if (w.length <= 3) Set(w.mkString(" "))
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val all = docs.collect().map(r => (r.getLong(0), grams(r.getString(1))))
+    val want = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j >= 0.5
+    } yield (ia, ib)).toSet
+    assert(got == want && want.contains((6L, 7L)), s"got $got want $want")
+  }
+
+  test("prefixJaccardNearDup throws loudly on a hot prefix shingle instead of capping") {
+    val clones = (1L to 40L).map(i => (i, "the same exact boilerplate text everywhere"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.prefixJaccardNearDup(clones, "doc_id", "text",
+        shingleN = 3, threshold = 0.5, maxTokenDf = 10L).collect()
+    }
+    assert(e.getMessage.contains("exact dedup first"))
+  }
 }

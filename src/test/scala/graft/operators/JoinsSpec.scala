@@ -47,4 +47,55 @@ class JoinsSpec extends AnyFunSuite {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("bloomReducedJoin is row-identical to the plain join") {
+    val fact = (1L to 5000L).map(i => (i, i % 100)).toDF("fk", "v")
+    val dim = (1L to 5000L).filter(_ % 50 == 0).map(i => (i, s"d$i"))
+      .toDF("dk", "name")
+    val plain = fact.join(dim, $"fk" === $"dk")
+      .select("fk", "v", "name").collect().map(_.toString).sorted.toSeq
+    val bloomed = Joins.bloomReducedJoin(fact, dim, "fk", "dk",
+      expectedItems = 200L, numBits = 4000L)
+      .select("fk", "v", "name").collect().map(_.toString).sorted.toSeq
+    assert(bloomed == plain && plain.length == 100)
+  }
+
+  test("bloomReducedJoin prefilters the fact scan: few rows survive to the join") {
+    // range-backed (not LocalRelation) so ConvertToLocalRelation can't
+    // eagerly evaluate the filter out of the inspectable plan
+    val fact = spark.range(1, 10001).select($"id".as("fk"), $"id".as("v"))
+    val dim = spark.range(1, 10001).filter($"id" % 100 === 0)
+      .select($"id".as("dk"), $"id".as("w"))
+    // measure the surviving fact rows through the same filter the join uses
+    val joined = Joins.bloomReducedJoin(fact, dim, "fk", "dk",
+      expectedItems = 100L, numBits = 8000L)
+    assert(joined.count() == 100)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("might_contain"),
+      s"bloom prefilter missing from plan:\n$plan")
+    // survivors = true matches + false positives; at ~10 bits/key the fp
+    // rate is well under 1%, so the prefilter kills >98% of the fact
+    val sketchSurvivors = {
+      import org.apache.spark.sql.graft.BloomBridge
+      val bytes = dim.select(BloomBridge.bloomAggregate(dim("dk"), 100L, 8000L))
+        .collect().head.getAs[Array[Byte]](0)
+      fact.filter(BloomBridge.mightContain(bytes, fact("fk"))).count()
+    }
+    assert(sketchSurvivors < 300, s"prefilter passed $sketchSurvivors of 10000")
+  }
+
+  test("bloomReducedJoin with an empty dim yields an empty result, no crash") {
+    val fact = (1L to 100L).map(i => (i, i)).toDF("fk", "v")
+    val dim = Seq.empty[(Long, Long)].toDF("dk", "w")
+    assert(Joins.bloomReducedJoin(fact, dim, "fk", "dk").count() == 0)
+  }
+
+  test("bloomReducedJoin drops null fact keys exactly like the inner join") {
+    val fact = Seq[(Option[Long], Long)](
+      (Some(1L), 10), (None, 20), (Some(2L), 30)).toDF("fk", "v")
+    val dim = Seq((1L, "a"), (2L, "b")).toDF("dk", "name")
+    val got = Joins.bloomReducedJoin(fact, dim, "fk", "dk")
+      .select("fk").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L))
+  }
 }
