@@ -266,5 +266,47 @@ object StoreQueries {
       },
       Some("""SELECT c_custkey, c_nationkey, c_name FROM customer
              |WHERE c_custkey BETWEEN 100 AND 400
-             |ORDER BY c_custkey""".stripMargin)))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Incremental materialized JOIN view (IncrementalJoin): orders ⋈
+    // customer maintained across three refreshes — build with half of
+    // each side, append the other halves with a refresh between, so
+    // every delta term (ΔL⋈R, L_old⋈ΔR, and the ΔL⋈ΔR inside the
+    // first) really executes — then aggregate the final view. The
+    // oracle is the PLAIN one-shot join of the full tables: the
+    // driver-gated proof that delta maintenance ≡ full recompute,
+    // mirroring q_bm25_log's append-≡-rebuild contract.
+    GraftQuery(
+      "q_incr_join",
+      (s, d) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_ijq").toString
+        val (left, right, view) = (base + "/L", base + "/R", base + "/V")
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        graft.operators.IncrementalJoin.appendTable(s, left,
+          o.filter(col("o_orderkey") % 2 === 0))
+        graft.operators.IncrementalJoin.appendTable(s, right,
+          c.filter(col("c_custkey") % 2 === 0))
+        graft.operators.IncrementalJoin.refresh(s, left, right, view,
+          "o_custkey", "c_custkey")
+        graft.operators.IncrementalJoin.appendTable(s, left,
+          o.filter(col("o_orderkey") % 2 === 1))
+        graft.operators.IncrementalJoin.refresh(s, left, right, view,
+          "o_custkey", "c_custkey")
+        graft.operators.IncrementalJoin.appendTable(s, right,
+          c.filter(col("c_custkey") % 2 === 1))
+        graft.operators.IncrementalJoin.refresh(s, left, right, view,
+          "o_custkey", "c_custkey")
+        graft.operators.IncrementalJoin.readView(s, view).get
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("rev"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+             |       ROUND(SUM(o_totalprice), 2) AS rev
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)))
 }
