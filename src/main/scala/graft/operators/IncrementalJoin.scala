@@ -43,14 +43,18 @@ object IncrementalJoin {
     * use) — the generic log-backed table writer the view's SOURCES use.
     * Blind append: concurrent appends never conflict. Returns the
     * committed version. */
-  def appendTable(spark: SparkSession, store: String, df: DataFrame): Long = {
+  def appendTable(
+      spark: SparkSession,
+      store: String,
+      df: DataFrame,
+      meta: Map[String, String] = Map.empty): Long = {
     val storeP = new Path(store)
     val fs = storeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = Swap.Suffix.staging(storeP, Swap.newTag())
     df.write.mode("overwrite").parquet(staging.toString)
     CommitLog.commitStaged(spark, storeP, staging,
       CommitLog.currentVersion(fs, storeP), Nil, wholeStore = false,
-      meta = Map("operation" -> "append"), blindAppend = true)
+      meta = meta + ("operation" -> "append"), blindAppend = true)
   }
 
   /** Bring the view at `view` up to the current tips of `left` and

@@ -146,6 +146,48 @@ object SimilarityQueries {
              |                                  CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
              |FROM embeddings GROUP BY 1 ORDER BY label""".stripMargin)),
 
+    // k-NN JOIN: top-5 neighbors for EACH of 3 probe vectors in ONE
+    // corpus scan — the batch-eval shape (N probes × corpus) that naive
+    // per-probe orderBy.limit turns into N full scans. The probe matrix
+    // inlines as a literal array of (qid, vec) structs, explode
+    // replicates each corpus row per probe inside the same codegen
+    // pass, and the per-query cut rides the bounded-heap TopK aggregate
+    // (map-side reduction to k rows per query; the shuffle carries
+    // pools, never the scored corpus).
+    GraftQuery(
+      "q_knn_join",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val probes = e.filter(col("vec_id") < 3)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        val probesLit = array(probes.map { case (qid, v) =>
+          struct(lit(qid).as("qid"), array(v.map(lit(_)): _*).as("p"))
+        }: _*)
+        val scored = e
+          .select(col("vec_id"), col("embedding"), explode(probesLit).as("graft_q"))
+          .filter(col("vec_id") =!= col("graft_q.qid"))
+          .select(col("graft_q.qid").as("qid"), col("vec_id"),
+            round(graft.operators.Similarity.cosine(
+              col("embedding"), col("graft_q.p")), 4).as("sim"))
+        graft.operators.TopK.perKey(
+          scored.withColumn("graft_nid", -col("vec_id")),
+          keys = Seq("qid"), ordering = Seq("sim", "graft_nid"), k = 5)
+          .select(col("qid"), (-col("graft_nid")).as("vec_id"), col("sim"))
+          .orderBy("qid", "vec_id")
+      },
+      Some("""WITH p AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS pv
+             |           FROM embeddings WHERE vec_id < 3),
+             |s AS (SELECT p.qid, e.vec_id,
+             |        ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
+             |                                     p.pv), 4) AS sim
+             |      FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.qid),
+             |r AS (SELECT qid, vec_id, sim,
+             |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+             |      FROM s)
+             |SELECT qid, vec_id, sim FROM r WHERE rk <= 5
+             |ORDER BY qid, vec_id""".stripMargin)),
+
     // MMR diversified rerank (Retrieval.mmrRerank): greedy top-5 from a
     // 20-deep relevance pool, λ=0.7 — pick i maximizes
     // λ·rel − (1−λ)·max-sim-to-selected. The greedy recurrence is

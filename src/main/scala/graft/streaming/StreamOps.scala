@@ -331,6 +331,69 @@ object StreamOps {
     true
   }
 
+  /** Streaming incremental-join maintenance: micro-batches of LEFT-side
+    * rows land in the log-backed left source table and the materialized
+    * `left ⋈ right` view (graft.operators.IncrementalJoin) refreshes to
+    * the new tips — the streaming face of delta view maintenance: each
+    * trigger pays batch ⋈ right, never a recompute. The right side is
+    * any log table; appends to it between triggers are picked up by the
+    * same refresh (the view records exact source versions).
+    *
+    * Exactly-once: the batchId high-water mark rides the LEFT source's
+    * manifest meta, so a foreachBatch replay skips the duplicate append;
+    * the refresh itself is idempotent BY CONSTRUCTION (it compares
+    * recorded source versions to tips and publishes nothing when
+    * current), so it runs unconditionally — which also heals the
+    * crash-between-append-and-refresh window: the replayed batch skips
+    * its append and the refresh catches the view up. */
+  def incrementalJoinStream(
+      leftRows: DataFrame,
+      leftStore: String,
+      rightStore: String,
+      viewStore: String,
+      leftKey: String,
+      rightKey: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    leftRows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyJoinBatchOnce(batch, leftStore, rightStore, viewStore,
+          leftKey, rightKey, batchId)
+        ()
+      }
+      .start()
+
+  /** One exactly-once incremental-join maintenance step (see
+    * [[incrementalJoinStream]]); returns false when the batch append
+    * was a replay or empty (the view refresh still runs). */
+  def applyJoinBatchOnce(
+      batch: DataFrame,
+      leftStore: String,
+      rightStore: String,
+      viewStore: String,
+      leftKey: String,
+      rightKey: String,
+      batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val store = new org.apache.hadoop.fs.Path(leftStore)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val last =
+      if (graft.operators.CommitLog.isLog(fs, store))
+        graft.operators.CommitLog.lastMeta(fs, store, "ijBatchId")
+          .map(_.toLong).getOrElse(-1L)
+      else -1L
+    val appended =
+      if (batchId <= last || batch.isEmpty) false
+      else {
+        graft.operators.IncrementalJoin.appendTable(spark, leftStore, batch,
+          meta = Map("ijBatchId" -> batchId.toString))
+        true
+      }
+    graft.operators.IncrementalJoin.refresh(
+      spark, leftStore, rightStore, viewStore, leftKey, rightKey)
+    appended
+  }
+
   /** Streaming SCD2: apply each micro-batch as a dimension delta to the
     * type-2 history store (changed keys close their current version and
     * open a new one — see graft.operators.Scd2). `batchTs` maps the
