@@ -434,5 +434,41 @@ object AnalyticsQueries {
              |             CROSS JOIN (SELECT SUM(n) AS t FROM bb) tb
              |             CROSS JOIN (SELECT SUM(n) AS t FROM b2) tc)),
              |u AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
-             |SELECT metric, psi, chi2, rows_base, rows_cur FROM u ORDER BY metric""".stripMargin)))
+             |SELECT metric, psi, chi2, rows_base, rows_cur FROM u ORDER BY metric""".stripMargin)),
+
+    // Last-touch attribution: every purchase credits its revenue to the
+    // user's most recent PRECEDING channel event (view/click/signup);
+    // purchases with no prior channel fall to 'direct'. ONE ignore-nulls
+    // window pass partitioned on user_id — no per-channel scans, no
+    // self-join of purchases against history (the naive formulation is a
+    // range theta join; the running last_value carries the same answer
+    // through a single sort). (user_id, ts) is unique in the fixture but
+    // event_id still breaks ordering ties so the window is total.
+    GraftQuery(
+      "q_attribution",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .withColumn("channel",
+            last(when(col("event_type").isin("view", "click", "signup"),
+              col("event_type")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            round(sum("value"), 2).as("revenue"))
+          .orderBy("channel")
+      },
+      Some("""SELECT COALESCE(channel, 'direct') AS channel,
+             |       COUNT(*) AS n_purchases,
+             |       ROUND(SUM(value), 2) AS revenue
+             |FROM (
+             |  SELECT event_type, value,
+             |         LAST_VALUE(CASE WHEN event_type IN ('view','click','signup')
+             |                         THEN event_type END IGNORE NULLS)
+             |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+             |  FROM events)
+             |WHERE event_type = 'purchase'
+             |GROUP BY 1 ORDER BY channel""".stripMargin)))
 }

@@ -227,5 +227,93 @@ object JoinQueries {
              |)
              |SELECT p_partkey, sk FROM part JOIN dim USING (p_brand)
              |ORDER BY p_partkey""".stripMargin)),
+
+    // Skew-salted join (Joins.saltedJoin): the fact side joins on
+    // (key, salt) with the dim replicated once per salt, spreading a hot
+    // key over `salts` reducers instead of one — the planned counterpart
+    // to AQE's after-the-fact skew split, and the only option when one
+    // logical key exceeds a single task. The rewrite is semantically
+    // FREE: every fact row meets its key's dim rows exactly once, so the
+    // oracle is the PLAIN join SQL — the gate proves salting changes the
+    // physical routing and nothing else.
+    GraftQuery(
+      "q_join_salted",
+      (s, d) =>
+        graft.operators.Joins.saltedJoin(
+            Tables.lineitem(s, d), Tables.part(s, d),
+            "l_partkey", "p_partkey",
+            saltFrom = col("l_orderkey") * lit(8L) + col("l_linenumber"),
+            salts = 8)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("rev"))
+          .orderBy("p_brand"),
+      Some("""SELECT p_brand, COUNT(*) AS n,
+             |       ROUND(SUM(l_extendedprice), 2) AS rev
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |GROUP BY 1 ORDER BY p_brand""".stripMargin)),
+
+    // Interval-overlap join WITHOUT an equi key (IntervalJoin.overlapJoin):
+    // per-user activity sessions (30-min gaps-and-islands) × 2-hour
+    // incident windows opened by each error event. A naive plan for
+    // "which sessions overlap which incidents" is a BroadcastNestedLoop
+    // theta join — O(|sess|·|inc|); the operator grid-blocks the timeline
+    // into 1-hour buckets and equi-joins on bucket id with an exact
+    // overlap residual and a dedup-free first-shared-bucket rule. The
+    // oracle IS the naive theta join in DuckDB — fine at sf0.01, fatal at
+    // scale — so the gate proves the blocked rewrite exact.
+    GraftQuery(
+      "q_join_interval",
+      (s, d) => {
+        val usExpr =
+          expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)")
+        val e = Tables.events(s, d)
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        val sess = e
+          .withColumn("us", usExpr)
+          .withColumn("new_s",
+            when(col("us") - lag(col("us"), 1).over(w) > lit(1800000000L), 1)
+              .otherwise(0))
+          .withColumn("session_id",
+            sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(min("us").as("s_start"), max("us").as("s_end"))
+          .select("user_id", "s_start", "s_end")
+        val inc = e.filter(col("event_type") === "error")
+          .withColumn("us", usExpr)
+          .select(col("event_id"), col("us").as("i_start"),
+            (col("us") + lit(7200000000L)).as("i_end"))
+        val pairs = graft.operators.IntervalJoin.overlapJoin(
+          sess, inc, "s_start", "s_end", "i_start", "i_end",
+          bucketWidth = 3600000000L)
+        val agg = pairs.groupBy("event_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            countDistinct("user_id").as("n_users"))
+        inc.select("event_id").join(agg, Seq("event_id"), "left")
+          .na.fill(0L, Seq("n_sessions", "n_users"))
+          .orderBy("event_id")
+      },
+      Some("""WITH sess AS (
+             |  SELECT user_id,
+             |         min(epoch_us(ts)) AS s_start, max(epoch_us(ts)) AS s_end
+             |  FROM (
+             |    SELECT user_id, ts,
+             |           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             |             ROWS UNBOUNDED PRECEDING) AS session_id
+             |    FROM (SELECT user_id, ts,
+             |                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |                           > INTERVAL 30 MINUTE
+             |                      THEN 1 ELSE 0 END AS new_session
+             |          FROM events))
+             |  GROUP BY user_id, session_id),
+             |inc AS (SELECT event_id, epoch_us(ts) AS i_start,
+             |               epoch_us(ts + INTERVAL 2 HOUR) AS i_end
+             |        FROM events WHERE event_type = 'error')
+             |SELECT inc.event_id,
+             |       count(sess.user_id) AS n_sessions,
+             |       count(DISTINCT sess.user_id) AS n_users
+             |FROM inc LEFT JOIN sess
+             |  ON sess.s_start <= inc.i_end AND inc.i_start <= sess.s_end
+             |GROUP BY 1 ORDER BY event_id""".stripMargin)),
   )
 }
