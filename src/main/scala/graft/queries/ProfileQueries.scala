@@ -88,5 +88,73 @@ object ProfileQueries {
         import s.implicits._
         top.toSeq.toDF("term", "n_exact", "n_est").orderBy("term")
       },
-      None))
+      None),
+
+    // Declarative data-quality expectations (Expectations.evaluate): the
+    // admission gate a pipeline runs before trusting a batch. Seven
+    // checks over documents — completeness, key uniqueness, range,
+    // mean, regex conformance, membership — ALL compiled into one
+    // aggregate pass (single scan; the unique check's count-distinct
+    // rides the same scan via Expand). Every metric is an exact-integer
+    // ratio or a single division, so the DuckDB replay is bit-identical
+    // and the oracle gates metric values AND pass verdicts.
+    GraftQuery(
+      "q_expectations",
+      (s, d) => {
+        import graft.operators.Expectations._
+        evaluate(Tables.documents(s, d), Seq(
+          Complete("text", 1.0),
+          Complete("lang", 1.0),
+          Unique("doc_id"),
+          Between("n_chars", 1, 10000),
+          MeanBetween("n_chars", 100, 500),
+          MatchesRegex("source", "^src[0-9]+$", 1.0),
+          MemberOf("lang", Seq("en", "de", "es", "fr", "zh"), 0.95)))
+      },
+      Some("""WITH m AS (
+             |  SELECT count(*) AS n,
+             |         count(text) AS c_text,
+             |         count(lang) AS c_lang,
+             |         count(doc_id) AS c_doc,
+             |         count(DISTINCT doc_id) AS d_doc,
+             |         avg(CASE WHEN n_chars IS NULL THEN NULL
+             |                  WHEN n_chars BETWEEN 1 AND 10000 THEN 1.0
+             |                  ELSE 0.0 END) AS f_range,
+             |         avg(CAST(n_chars AS DOUBLE)) AS mean_chars,
+             |         avg(CASE WHEN source IS NULL THEN NULL
+             |                  WHEN regexp_matches(source, '^src[0-9]+$') THEN 1.0
+             |                  ELSE 0.0 END) AS f_regex,
+             |         avg(CASE WHEN lang IS NULL THEN NULL
+             |                  WHEN lang IN ('en','de','es','fr','zh') THEN 1.0
+             |                  ELSE 0.0 END) AS f_member
+             |  FROM documents)
+             |SELECT * FROM (
+             |  SELECT 'between(n_chars)' AS check_name, 'n_chars' AS column_name,
+             |         ROUND(COALESCE(f_range, 1.0), 6) AS metric,
+             |         COALESCE(f_range, 1.0) = 1.0 AS passed FROM m
+             |  UNION ALL
+             |  SELECT 'complete(lang)', 'lang',
+             |         ROUND(COALESCE(c_lang/CAST(n AS DOUBLE), 1.0), 6),
+             |         COALESCE(c_lang/CAST(n AS DOUBLE), 1.0) >= 1.0 FROM m
+             |  UNION ALL
+             |  SELECT 'complete(text)', 'text',
+             |         ROUND(COALESCE(c_text/CAST(n AS DOUBLE), 1.0), 6),
+             |         COALESCE(c_text/CAST(n AS DOUBLE), 1.0) >= 1.0 FROM m
+             |  UNION ALL
+             |  SELECT 'matches_regex(source)', 'source',
+             |         ROUND(COALESCE(f_regex, 1.0), 6),
+             |         COALESCE(f_regex, 1.0) >= 1.0 FROM m
+             |  UNION ALL
+             |  SELECT 'mean_between(n_chars)', 'n_chars',
+             |         ROUND(mean_chars, 6),
+             |         COALESCE(mean_chars >= 100 AND mean_chars <= 500, FALSE) FROM m
+             |  UNION ALL
+             |  SELECT 'member_of(lang)', 'lang',
+             |         ROUND(COALESCE(f_member, 1.0), 6),
+             |         COALESCE(f_member, 1.0) >= 0.95 FROM m
+             |  UNION ALL
+             |  SELECT 'unique(doc_id)', 'doc_id',
+             |         ROUND(COALESCE(d_doc/CAST(c_doc AS DOUBLE), 1.0), 6),
+             |         COALESCE(d_doc/CAST(c_doc AS DOUBLE), 1.0) = 1.0 FROM m)
+             |ORDER BY check_name""".stripMargin)))
 }
