@@ -88,6 +88,46 @@ object Multimodal {
       raw.map(x => (x / n).toFloat)
     }
 
+    /** 64-bit perceptual hash (pHash, DCT variant): grayscale 32×32
+      * thumbnail → 2D DCT-II → the 8×8 low-frequency block → bit i set
+      * iff coefficient i exceeds the median of the 63 non-DC
+      * coefficients. Small pixel edits (recompression, light noise, a
+      * changed corner) perturb high frequencies the hash never looks at,
+      * so near-duplicates land within a few bits while unrelated images
+      * differ in ~32 — the image-side analogue of text SimHash, feeding
+      * the same hamming-banded pair join. The DCT is separable
+      * (rows then columns over a precomputed 32×32 cosine table):
+      * 2·32³ multiplies per image, microseconds per row. */
+    def pHash(img: java.awt.image.BufferedImage): Long = {
+      val n = 32
+      val thumb = renderScaled(img, n, n)
+      val lum = Array.tabulate(n, n) { (y, x) =>
+        val rgb = thumb.getRGB(x, y)
+        0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+      }
+      val cosT = Array.tabulate(n, n) { (u, x) =>
+        math.cos((2 * x + 1) * u * math.Pi / (2.0 * n))
+      }
+      // rows then columns; only the first 8 output frequencies are needed
+      val tmp = Array.tabulate(8, n) { (u, y) =>
+        var s = 0.0; var x = 0
+        while (x < n) { s += cosT(u)(x) * lum(y)(x); x += 1 }
+        s
+      }
+      val block = Array.tabulate(8, 8) { (v, u) =>
+        var s = 0.0; var y = 0
+        while (y < n) { s += cosT(v)(y) * tmp(u)(y); y += 1 }
+        s
+      }
+      val flat = Array.tabulate(64)(i => block(i / 8)(i % 8))
+      val med = flat.drop(1).sorted.apply(31) // median of 63 non-DC coeffs
+      var bits = 0L
+      var i = 0
+      while (i < 64) { if (flat(i) > med) bits |= (1L << i); i += 1 }
+      bits
+    }
+
     private def renderScaled(
         img: java.awt.image.BufferedImage, w: Int, h: Int): java.awt.image.BufferedImage = {
       val out = new java.awt.image.BufferedImage(
@@ -206,29 +246,7 @@ object Multimodal {
       // unconvertible file must fall back, not fail the partition. The
       // in-house stats loop below stays OUTSIDE it so a genuine bug
       // there propagates instead of masquerading as "not decodable".
-      val decoded =
-        try {
-          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          try {
-            val fmt = in.getFormat
-            val durationMs = (in.getFrameLength * 1000.0 / fmt.getFrameRate).round
-            val target = new javax.sound.sampled.AudioFormat(
-              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-              fmt.getSampleRate, 16, fmt.getChannels, 2 * fmt.getChannels,
-              fmt.getSampleRate, false)
-            val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
-            val buf = new java.io.ByteArrayOutputStream()
-            val chunk = new Array[Byte](8192)
-            var n = pcm.read(chunk)
-            while (n > 0) { buf.write(chunk, 0, n); n = pcm.read(chunk) }
-            Some((fmt.getSampleRate.toInt, fmt.getChannels, durationMs,
-              buf.toByteArray))
-          } finally in.close()
-        } catch {
-          case scala.util.control.NonFatal(_) => None
-        }
-      decoded.map { case (rate, channels, durationMs, data) =>
+      decodePcm(bytes).map { case (rate, channels, durationMs, data) =>
         var (sumSq, peak, i) = (0.0, 0.0, 0)
         while (i + 1 < data.length) {
           val s = (((data(i + 1) << 8) | (data(i) & 0xff)).toShort / 32768.0)
@@ -241,6 +259,72 @@ object Multimodal {
           if (nSamples > 0) math.sqrt(sumSq / nSamples) else 0.0, peak)
       }
     }
+
+    /** Header + 16-bit little-endian signed PCM from any JDK-readable
+      * audio container (WAV/AIFF/AU). The broad catch wraps ONLY the JDK
+      * decode calls (see decodeWav's note). */
+    private[multimodal] def decodePcm(
+        bytes: Array[Byte]): Option[(Int, Int, Long, Array[Byte])] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val durationMs = (in.getFrameLength * 1000.0 / fmt.getFrameRate).round
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, fmt.getChannels, 2 * fmt.getChannels,
+            fmt.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = pcm.read(chunk)
+          while (n > 0) { buf.write(chunk, 0, n); n = pcm.read(chunk) }
+          Some((fmt.getSampleRate.toInt, fmt.getChannels, durationMs,
+            buf.toByteArray))
+        } finally in.close()
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+
+    /** 64-bit audio energy fingerprint: mono-fold the PCM, cut it into 64
+      * equal windows, bit i set iff window i's energy exceeds the median
+      * window energy. The median threshold makes the hash invariant to
+      * uniform gain (scaling every sample scales every window energy by
+      * the same factor) — a re-levelled copy of a recording fingerprints
+      * IDENTICALLY, while a different loud/quiet structure flips bits.
+      * The time-bucketed energy envelope is the audio analogue of the
+      * pHash frequency block; pairs feed the same hamming-banded join.
+      * None = not decodable, or shorter than 64 samples (no meaningful
+      * envelope). */
+    def audioFingerprint(bytes: Array[Byte]): Option[Long] =
+      decodePcm(bytes).flatMap { case (_, channels, _, data) =>
+        val nSamples = data.length / 2 / channels
+        if (nSamples < 64) None
+        else {
+          val energy = new Array[Double](64)
+          var i = 0
+          while (i < nSamples) {
+            var mono = 0.0
+            var c = 0
+            while (c < channels) {
+              val o = (i * channels + c) * 2
+              mono += (((data(o + 1) << 8) | (data(o) & 0xff)).toShort / 32768.0)
+              c += 1
+            }
+            mono /= channels
+            // window index by exact integral arithmetic (i*64/n is
+            // monotone and hits every window for nSamples >= 64)
+            energy((i.toLong * 64 / nSamples).toInt) += mono * mono
+            i += 1
+          }
+          val med = energy.sorted.apply(31)
+          var bits = 0L
+          var w = 0
+          while (w < 64) { if (energy(w) > med) bits |= (1L << w); w += 1 }
+          Some(bits)
+        }
+      }
   }
 
   /** STUB codec — deterministic fakes where no JDK decoder exists (video
@@ -249,6 +333,12 @@ object Multimodal {
     * tests are reproducible and the operators' dataflow (shapes,
     * batching, joins) is exercised even on non-media blobs. */
   object StubCodec {
+    /** Deterministic 64-bit stand-in hash for blobs no codec opens —
+      * keeps the near-dup plumbing total over a dirty corpus (two
+      * byte-identical undecodable blobs still collide; nothing else
+      * does). */
+    def hash64(bytes: Array[Byte]): Long = h64(bytes, 0x9e3779b97f4a7c15L)
+
     private def h64(bytes: Array[Byte], salt: Long): Long = {
       // FNV-1a over the bytes, salted — cheap, deterministic, pure JVM.
       var h = 0xcbf29ce484222325L ^ salt
@@ -373,6 +463,77 @@ object Multimodal {
         }
       }
     }
+  }
+
+  case class MediaHash(media_id: Long, phash: Long)
+
+  /** Per-image perceptual hashes (JdkCodec.pHash over real decoded
+    * pixels; byte-identical undecodable blobs fall to the deterministic
+    * stub hash so the pipeline stays total). One narrow map — no
+    * shuffle; at 100 TB this is a scan-shaped pass whose 8-byte/row
+    * output is what every downstream join touches instead of the
+    * blobs. */
+  def imagePhash(ds: Dataset[MediaRow]): Dataset[MediaHash] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(_.kind == "image").map { r =>
+      MediaHash(r.media_id,
+        JdkCodec.decodeImage(r.bytes) match {
+          case Some(img) => JdkCodec.pHash(img)
+          case None => StubCodec.hash64(r.bytes)
+        })
+    }
+  }
+
+  case class AudioHash(media_id: Long, afp: Long)
+
+  /** Per-audio energy-envelope fingerprints (JdkCodec.audioFingerprint);
+    * undecodable or sub-64-sample rows are dropped — an envelope stub
+    * would manufacture fake near-dups between unrelated broken files. */
+  def audioFingerprints(ds: Dataset[MediaRow]): Dataset[AudioHash] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(_.kind == "audio").flatMap { r =>
+      JdkCodec.audioFingerprint(r.bytes).map(AudioHash(r.media_id, _))
+    }
+  }
+
+  /** Hamming-near-dup pairs over ANY 64-bit hash column (pHash, audio
+    * fingerprint, SimHash) — pigeonhole banding exactly as
+    * Dedup.simhashNearDup: split the hash into `chunks` equal bit
+    * chunks; two hashes within `maxHamming` bits MUST agree on at least
+    * one chunk (sound only while maxHamming < chunks, enforced), so the
+    * candidate join is equi on (chunk index, chunk value) — a plain
+    * shuffle join on short keys, never an all-pairs compare. Exact
+    * hamming re-checked on candidates; pair dedup via distinct on the
+    * (id, id, hamming) triple. */
+  def hammingNearDupPairs(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      chunks: Int = 4): DataFrame = {
+    require(64 % chunks == 0, s"chunks=$chunks must divide 64")
+    require(maxHamming < chunks,
+      s"pigeonhole soundness needs maxHamming < chunks (got $maxHamming >= $chunks)")
+    import graft.functions.TextFunctions.hamming64
+    val fp = hashes.select(col(idCol).as("graft_id"), col(hashCol).as("graft_h"))
+    val width = 64 / chunks
+    val chunked = fp.withColumn("graft_chunk",
+      explode(array((0 until chunks).map { c =>
+        struct(lit(c).as("c"),
+          shiftrightunsigned(col("graft_h"), c * width)
+            .bitwiseAND((1L << width) - 1).as("v"))
+      }: _*)))
+    chunked.as("l")
+      .join(chunked.as("r"),
+        col("l.graft_chunk") === col("r.graft_chunk") &&
+          col("l.graft_id") < col("r.graft_id"))
+      .select(
+        col("l.graft_id").as("id_a"), col("r.graft_id").as("id_b"),
+        hamming64(col("l.graft_h"), col("r.graft_h")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Resize images in place (bytes column rewritten, metadata updated):
