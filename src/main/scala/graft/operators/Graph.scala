@@ -138,4 +138,68 @@ object Graph {
           .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
           .as("clustering"))
   }
+
+  /** Community detection by synchronous WEIGHTED-MAJORITY label
+    * propagation (Raghavan et al. 2007) — distinct from connected
+    * components (Dedup.nearDupClusters' min-propagation): a node adopts
+    * the label with the LARGEST incident weight sum each round, so a
+    * component with internal structure (two dense groups joined by a
+    * weak bridge) splits into communities where min-propagation must
+    * collapse it.
+    *
+    * Determinism (the q_label_prop oracle unrolls rounds as CTEs, the
+    * q_pagerank precedent): synchronous rounds (all nodes update from
+    * the PREVIOUS labeling — asynchronous LPA is update-order-dependent),
+    * a FIXED iteration count, INTEGER weights (vote sums are exact longs,
+    * no FP accumulation-order noise on near-ties), and ties broken by
+    * the smallest label. Initial label = the node's own id.
+    *
+    * Edges are undirected: (u,v) and (v,u) are the same edge, duplicate
+    * rows SUM their weights; self-loops are dropped (a self-vote frozen
+    * to the stale label only delays convergence).
+    *
+    * Scale shape per round: one join of the edge table against the
+    * label table (node-sized — broadcastable long after edges are not)
+    * + one (node, label) aggregate + the bounded-heap per-node argmax
+    * (TopK.perKey: map-side partial, no window sort). Never a driver
+    * structure; O(iterations) fixed rounds, not data-dependent. */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      "fixed iteration count in [1, 50] (each iteration extends the plan)")
+    val canon = edges
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(
+        least(col(srcCol), col(dstCol)).as("graft_u"),
+        greatest(col(srcCol), col(dstCol)).as("graft_v"),
+        col(weightCol).cast("long").as("graft_w"))
+      .groupBy("graft_u", "graft_v").agg(sum("graft_w").as("graft_w"))
+    val und = canon
+      .unionByName(canon.select(
+        col("graft_v").as("graft_u"), col("graft_u").as("graft_v"),
+        col("graft_w")))
+      .persist() // scanned once per round by the final plan
+    val nodes = und.select(col("graft_u").as("node")).distinct()
+
+    var labels = nodes.withColumn("label", col("node"))
+    (1 to iterations).foreach { _ =>
+      val votes = und
+        .join(labels, col("graft_u") === col("node"))
+        .groupBy(col("graft_v").as("graft_n"), col("label"))
+        .agg(sum("graft_w").as("graft_votes"))
+        .withColumn("graft_neglabel", -col("label"))
+      val winner = TopK.perKey(votes, keys = Seq("graft_n"),
+          ordering = Seq("graft_votes", "graft_neglabel"), k = 1)
+        .select(col("graft_n"), (-col("graft_neglabel")).as("graft_newlabel"))
+      labels = labels
+        .join(winner, col("node") === col("graft_n"), "left")
+        .select(col("node"),
+          coalesce(col("graft_newlabel"), col("label")).as("label"))
+    }
+    labels
+  }
 }

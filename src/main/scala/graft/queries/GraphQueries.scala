@@ -112,5 +112,72 @@ object GraphQueries {
              |es AS (SELECT COUNT(*) AS n_edges FROM e)
              |SELECT ns.n_nodes, es.n_edges, ns.n_wedges, tri.t AS n_triangles,
              |       ROUND(CAST(3 AS DOUBLE) * tri.t / ns.n_wedges, 6) AS clustering
-             |FROM ns CROSS JOIN es CROSS JOIN tri""".stripMargin)))
+             |FROM ns CROSS JOIN es CROSS JOIN tri""".stripMargin)),
+
+    // Community detection by synchronous weighted-majority label
+    // propagation (Graph.labelPropagation) over the SAME thinned part
+    // graph as q_triangles — an algorithm connected components cannot
+    // imitate (majority votes split a component's dense groups; min-
+    // propagation collapses them). 3 fixed synchronous rounds, integer
+    // votes, ties to the smallest label; the oracle unrolls each round
+    // as agg → row_number argmax → relabel CTEs (the q_pagerank
+    // precedent), so the gate pins the exact round-by-round semantics,
+    // not just a plausible clustering.
+    GraftQuery(
+      "q_label_prop",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+        def fam(k1: String, k2: String) = p.as("x").join(p.as("y"),
+            col(s"x.$k1") === col(s"y.$k1") && col(s"x.$k2") === col(s"y.$k2") &&
+              col("x.p_partkey") < col("y.p_partkey"))
+          .select(col("x.p_partkey").as("src"), col("y.p_partkey").as("dst"))
+        val edges = fam("p_brand", "p_size").unionByName(fam("p_type", "p_size"))
+          .distinct() // both families can produce the same pair; one vote
+          .filter(substring(md5(concat(col("src").cast("string"), lit("#"),
+            col("dst").cast("string"))), 1, 1) < "6")
+          .withColumn("w", lit(1L))
+        graft.operators.Graph
+          .labelPropagation(edges, "src", "dst", "w", iterations = 3)
+          .orderBy("node")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT a.p_partkey AS u, b.p_partkey AS v FROM part a JOIN part b
+             |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+             |   AND a.p_partkey < b.p_partkey
+             |  UNION
+             |  SELECT a.p_partkey, b.p_partkey FROM part a JOIN part b
+             |    ON a.p_type = b.p_type AND a.p_size = b.p_size
+             |   AND a.p_partkey < b.p_partkey),
+             |e AS (SELECT u, v FROM e0
+             |      WHERE substring(md5(CAST(u AS VARCHAR) || '#' ||
+             |                          CAST(v AS VARCHAR)), 1, 1) < '6'),
+             |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+             |n AS (SELECT DISTINCT u AS node FROM und),
+             |l0 AS (SELECT node, node AS label FROM n),
+             |a1 AS (SELECT und.v AS node, l.label, COUNT(*) AS w
+             |       FROM und JOIN l0 l ON und.u = l.node GROUP BY 1, 2),
+             |p1 AS (SELECT node, label,
+             |         row_number() OVER (PARTITION BY node ORDER BY w DESC, label) AS rk
+             |       FROM a1),
+             |l1 AS (SELECT l0.node, COALESCE(p.label, l0.label) AS label
+             |       FROM l0 LEFT JOIN (SELECT node, label FROM p1 WHERE rk = 1) p
+             |         ON p.node = l0.node),
+             |a2 AS (SELECT und.v AS node, l.label, COUNT(*) AS w
+             |       FROM und JOIN l1 l ON und.u = l.node GROUP BY 1, 2),
+             |p2 AS (SELECT node, label,
+             |         row_number() OVER (PARTITION BY node ORDER BY w DESC, label) AS rk
+             |       FROM a2),
+             |l2 AS (SELECT l1.node, COALESCE(p.label, l1.label) AS label
+             |       FROM l1 LEFT JOIN (SELECT node, label FROM p2 WHERE rk = 1) p
+             |         ON p.node = l1.node),
+             |a3 AS (SELECT und.v AS node, l.label, COUNT(*) AS w
+             |       FROM und JOIN l2 l ON und.u = l.node GROUP BY 1, 2),
+             |p3 AS (SELECT node, label,
+             |         row_number() OVER (PARTITION BY node ORDER BY w DESC, label) AS rk
+             |       FROM a3),
+             |l3 AS (SELECT l2.node, COALESCE(p.label, l2.label) AS label
+             |       FROM l2 LEFT JOIN (SELECT node, label FROM p3 WHERE rk = 1) p
+             |         ON p.node = l2.node)
+             |SELECT node, label FROM l3 ORDER BY node""".stripMargin)))
 }

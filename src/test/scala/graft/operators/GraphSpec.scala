@@ -105,4 +105,36 @@ class GraphSpec extends AnyFunSuite {
       .collect().head
     assert(a == ((b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3), b.getDouble(4))))
   }
+
+  private def lpa(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("src", "dst", "w"), "src", "dst", "w", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: weighted majority overrides the smaller label " +
+    "(where min-propagation could not)") {
+    // node 5: label-1 vote weight 1 vs label-6 vote weight 3
+    val got = lpa(Seq((1L, 5L, 1L), (5L, 6L, 3L)), iters = 1)
+    assert(got(5L) == 6L)
+  }
+
+  test("labelPropagation: two dense triangles behind a weak bridge stay " +
+    "separate communities; connected components would merge them") {
+    val intra = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .map { case (a, b) => (a, b, 10L) }
+    val bridge = Seq((3L, 4L, 1L))
+    val got = lpa(intra ++ bridge, iters = 3)
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    assert(got(4L) == 4L && got(5L) == 4L && got(6L) == 4L)
+  }
+
+  test("labelPropagation: duplicate and reversed edge rows SUM their " +
+    "weights; self-loops are ignored") {
+    // (1,2) appears as 1->2, 1->2, 2->1: total weight 3 vs (1,3) weight 2
+    val got = lpa(Seq(
+      (1L, 2L, 1L), (1L, 2L, 1L), (2L, 1L, 1L), (1L, 3L, 2L),
+      (1L, 1L, 100L)), iters = 1)
+    assert(got(1L) == 2L)
+    // synchronous round: 2 and 3 both see only node 1's initial label
+    assert(got(2L) == 1L && got(3L) == 1L)
+  }
 }
