@@ -470,5 +470,46 @@ object AnalyticsQueries {
              |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
              |  FROM events)
              |WHERE event_type = 'purchase'
-             |GROUP BY 1 ORDER BY channel""".stripMargin)))
+             |GROUP BY 1 ORDER BY channel""".stripMargin)),
+
+    // Sequence-pattern detection (the MATCH_RECOGNIZE role): each user's
+    // event stream becomes one ordered character string (v/c/p/s/e) and a
+    // regex counts non-overlapping conversion motifs 'v[cs]*p' — view,
+    // then any clicks/signups, then purchase. One groupBy; per-user state
+    // is bounded by the per-user event count (the same bound sessionize
+    // already assumes). The ordered concat is array_sort over
+    // (ts, event_id, ch) structs — lexicographic struct order IS the
+    // event order, deterministic across partitionings — and both engines
+    // run the same RE2-compatible pattern left-to-right non-overlapping.
+    GraftQuery(
+      "q_seq_pattern",
+      (s, d) => {
+        val ch = when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "c")
+          .when(col("event_type") === "purchase", "p")
+          .when(col("event_type") === "signup", "s")
+          .otherwise("e")
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), ch.as("ch"))
+          .groupBy("user_id")
+          .agg(array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"), col("ch")))),
+              x => x.getField("ch")), "").as("seq"))
+          .select(col("user_id"),
+            length(col("seq")).cast("bigint").as("seq_len"),
+            size(expr("regexp_extract_all(seq, 'v[cs]*p', 0)"))
+              .cast("bigint").as("n_conv"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |       length(seq) AS seq_len,
+             |       CAST(len(regexp_extract_all(seq, 'v[cs]*p')) AS BIGINT) AS n_conv
+             |FROM (SELECT user_id,
+             |        string_agg(CASE event_type WHEN 'view' THEN 'v'
+             |                    WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+             |                    WHEN 'signup' THEN 's' ELSE 'e' END,
+             |                   '' ORDER BY ts, event_id) AS seq
+             |      FROM events GROUP BY user_id)
+             |ORDER BY user_id""".stripMargin)))
 }

@@ -169,6 +169,25 @@ object TextQueries {
              |  FROM g a JOIN g b ON a.doc_id < b.doc_id) p
              |WHERE jc >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Exact edit-distance pair join WITHOUT the O(n²) theta join
+    // (EditDistanceJoin.editPairs — FastSS/SymSpell deletion-neighborhood
+    // blocking): every pair within levenshtein 1 shares a ≤1-deletion
+    // variant, so candidates come from an equi join on hashed variants
+    // and only they pay the exact distance check. The oracle IS the
+    // naive quadratic join — fine at sf0.01, the plan this operator
+    // exists to avoid at scale — so the gate proves the blocking exact.
+    GraftQuery(
+      "q_edit_join",
+      (s, d) =>
+        graft.operators.EditDistanceJoin.editPairs(
+          Tables.supplier(s, d), "s_suppkey", "s_name", maxDist = 1)
+          .orderBy("id_a", "id_b"),
+      Some("""SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+             |       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+             |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+             |WHERE levenshtein(a.s_name, b.s_name) <= 1
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Rolling-hash content fingerprint (order-sensitive Karp-Rabin
     // polynomial: acc = (acc*131 + codepoint) mod 1e9+7). Deterministic
     // integer arithmetic, so the oracle computes the IDENTICAL polynomial
