@@ -766,7 +766,7 @@ object CommitLog {
 
   /** One footer open per file: the row count, plus min/max of `column`
     * when requested (see [[statOf]] for when stats are withheld). */
-  private def fileFooterInfo(
+  private[operators] def fileFooterInfo(
       conf: org.apache.hadoop.conf.Configuration,
       file: Path,
       column: Option[String]): (Long, Option[FileStat]) = {

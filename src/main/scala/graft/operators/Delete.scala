@@ -86,6 +86,104 @@ object Delete {
     CommitLog.read(spark, store).getOrElse(emptyLike(spark, store, readVersion))
   }
 
+  /** TTL/RETENTION expiry: delete every row whose long `tsCol` value is
+    * strictly below `cutoff`, paying DATA reads only at the boundary.
+    *
+    * `where(col(tsCol) < cutoff)` is correct but scans the whole pinned
+    * snapshot to find matching files. Retention has structure a general
+    * predicate lacks: on a time-clustered layout (zorder on the time
+    * column, or plain append-by-arrival — both put disjoint time ranges
+    * in different files) almost every file is either ENTIRELY expired or
+    * entirely live. So classify per file from its own parquet FOOTER
+    * min/max (one metadata read per file — and the file's own footer is
+    * authoritative whatever stats column the store's writers declared in
+    * the manifest, so a mis-declared store cannot mis-drop):
+    *
+    *  - footer max <  cutoff → every row expires: RETIRE the file
+    *    outright, zero rows read or written;
+    *  - footer min >= cutoff → no row expires: file untouched;
+    *  - straddling, or no usable footer stats (nulls present, type not
+    *    int64) → the general path on JUST those files: pushed-predicate
+    *    match scan, copy-on-write rewrite of the files that really hold
+    *    matches.
+    *
+    * One manifest retires dropped + rewritten files together. Null
+    * timestamps never expire (SQL DELETE semantics: an undecidable
+    * predicate must not delete) — footer stats with nulls fall to the
+    * scan path, whose `ts < cutoff` filter is null-safe.
+    *
+    * At 100 TB: a day's retention pass on a date-clustered store costs
+    * O(files) footer reads + a rewrite of the one boundary day —
+    * `where` would scan the full 100 TB to learn the same thing. */
+  def expire(
+      spark: SparkSession,
+      targetPath: String,
+      tsCol: String,
+      cutoff: Long): DataFrame = {
+    val store = new Path(targetPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = store.getFileSystem(conf)
+    require(CommitLog.isLog(fs, store),
+      s"expire needs a commit-log store ($targetPath has no _log/)")
+
+    val readVersion = CommitLog.currentVersion(fs, store)
+    val snapshot = CommitLog.read(spark, store, Some(readVersion)).getOrElse {
+      return emptyLike(spark, store, readVersion)
+    }
+    val files = CommitLog.snapshotFiles(fs, store, readVersion)
+
+    val (dropWhole, candidates) = {
+      val classified = files.map { f =>
+        val (_, stat) =
+          CommitLog.fileFooterInfo(conf, new Path(store, f), Some(tsCol))
+        stat match {
+          case Some(s) if s.tpe == "long" && s.max.toLong < cutoff => (f, "drop")
+          case Some(s) if s.tpe == "long" && s.min.toLong >= cutoff => (f, "keep")
+          case _ => (f, "scan")
+        }
+      }
+      (classified.collect { case (f, "drop") => f },
+        classified.collect { case (f, "scan") => f })
+    }
+
+    // boundary files: find which actually hold expired rows, rewrite those
+    val expired = col(tsCol) < lit(cutoff)
+    val rewriteSrc: Seq[String] =
+      if (candidates.isEmpty) Nil
+      else {
+        val storeUri = fs.makeQualified(store).toUri.getPath
+        CommitLog.readFilesAt(spark, store, readVersion, candidates).get
+          .filter(expired)
+          .select(input_file_name().as("graft_f")).distinct()
+          .collect().map(_.getString(0))
+          .map { f =>
+            val p = new Path(new java.net.URI(f)).toUri.getPath
+            p.stripPrefix(storeUri).stripPrefix("/")
+          }.toSeq
+      }
+
+    val retire = dropWhole ++ rewriteSrc
+    if (retire.isEmpty) return snapshot // nothing expired: no commit
+
+    val staging = Swap.Suffix.staging(store, Swap.newTag())
+    if (rewriteSrc.nonEmpty) {
+      val pcolsPerFile = rewriteSrc.map(CommitLog.partitionColsOf).distinct
+      require(pcolsPerFile.size == 1,
+        s"boundary files disagree on partition layout: $pcolsPerFile")
+      val pcols = pcolsPerFile.head
+      val keep = CommitLog.readFilesAt(spark, store, readVersion, rewriteSrc)
+        .get.filter(!coalesce(expired, lit(false)))
+      val w = keep.write
+      (if (pcols.isEmpty) w else w.partitionBy(pcols: _*)).parquet(staging.toString)
+    } else fs.mkdirs(staging) // drop-only commit: nothing staged
+    CommitLog.commitStaged(spark, store, staging, readVersion,
+      retireNames = retire, wholeStore = false,
+      meta = Map("operation" -> s"expire:$tsCol<$cutoff",
+        "expireDropped" -> dropWhole.size.toString,
+        "expireRewritten" -> rewriteSrc.size.toString))
+    CommitLog.read(spark, store).getOrElse(emptyLike(spark, store, readVersion))
+  }
+
   private def emptyLike(spark: SparkSession, store: Path, v: Long): DataFrame = {
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema = CommitLog.schemaAt(fs, store, v).getOrElse(

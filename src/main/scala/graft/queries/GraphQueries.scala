@@ -179,5 +179,63 @@ object GraphQueries {
              |l3 AS (SELECT l2.node, COALESCE(p.label, l2.label) AS label
              |       FROM l2 LEFT JOIN (SELECT node, label FROM p3 WHERE rk = 1) p
              |         ON p.node = l2.node)
-             |SELECT node, label FROM l3 ORDER BY node""".stripMargin)))
+             |SELECT node, label FROM l3 ORDER BY node""".stripMargin)),
+
+    // Canonical selection by QUALITY, not seniority: within each
+    // transitive near-dup cluster keep the LONGEST document (ties to the
+    // lower id) — the real-world dedup policy ("keep the fullest
+    // version") that min-id canonicalization gets wrong whenever the
+    // best copy is not the oldest. Per-cluster argmax runs on the
+    // bounded-heap top-k aggregate over the pair-graph-sized cluster
+    // table; singletons are their own keeper.
+    GraftQuery(
+      "q_dedup_keep_best",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = graft.operators.Dedup.ngramJaccardNearDup(
+          docs, "doc_id", "text", shingleN = 3, threshold = 0.5)
+          .select("id_a", "id_b")
+        val labels = graft.operators.Dedup.nearDupClusters(pairs)
+        val withC = docs.join(labels, docs("doc_id") === labels("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"),
+            col("n_chars"))
+        val winners = graft.operators.TopK.perKey(
+            withC.withColumn("graft_negid", -col("doc_id")),
+            keys = Seq("cluster"), ordering = Seq("n_chars", "graft_negid"),
+            k = 1)
+          .select(col("cluster"), (-col("graft_negid")).as("graft_keep"))
+        withC.join(winners, "cluster")
+          .select(col("doc_id"), col("cluster"),
+            (col("doc_id") === col("graft_keep")).cast("int").as("kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+             |           FROM documents),
+             |g AS (SELECT doc_id,
+             |        CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |             ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+             |                                 FOR i IN range(1, len(w)-1)])
+             |        END AS sh
+             |      FROM t),
+             |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+             |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+             |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+             |e AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
+             |reach(node, root) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.v, r.root FROM reach r JOIN e ON e.u = r.node),
+             |base AS (SELECT node AS doc_id, min(root) AS cluster
+             |         FROM reach GROUP BY node),
+             |j AS (SELECT b.doc_id, b.cluster, d.n_chars
+             |      FROM base b JOIN documents d USING (doc_id)),
+             |w AS (SELECT doc_id, cluster,
+             |        row_number() OVER (PARTITION BY cluster
+             |          ORDER BY n_chars DESC, doc_id) AS rk
+             |      FROM j)
+             |SELECT doc_id, cluster,
+             |       CASE WHEN rk = 1 THEN 1 ELSE 0 END AS kept
+             |FROM w ORDER BY doc_id""".stripMargin)))
 }

@@ -308,5 +308,33 @@ object StoreQueries {
       Some("""SELECT c_mktsegment, COUNT(*) AS n,
              |       ROUND(SUM(o_totalprice), 2) AS rev
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)))
+             |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
+
+    // TTL/retention expiry (Delete.expire): build a log store of events,
+    // z-order it on the time column (time-clustered files), then expire
+    // everything before 2024-01-10 — the per-file footer classification
+    // drops fully-expired files with ZERO data reads and rewrites only
+    // the straddling boundary file. The oracle states the retention
+    // contract directly (rows at/after the cutoff, in full); DeleteSpec
+    // separately proves the file-level mechanics (drops without rewrite,
+    // live files surviving by name, one commit).
+    GraftQuery(
+      "q_ttl_expire",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ttlq").toString + "/t"
+        val ev = Tables.events(s, d).select(
+          col("event_id"),
+          expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)")
+            .as("us"),
+          col("event_type"))
+        graft.operators.Merge.into(s, tmp, ev, Seq("event_id"), log = Some(true))
+        graft.operators.Optimize.zorder(s, tmp, Seq("us"), numFiles = 8)
+        graft.operators.Delete
+          .expire(s, tmp, "us", cutoff = 1704844800000000L) // 2024-01-10 UTC
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS us, event_type
+             |FROM events WHERE epoch_us(ts) >= 1704844800000000
+             |ORDER BY event_id""".stripMargin)))
 }

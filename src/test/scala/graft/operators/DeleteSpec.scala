@@ -88,4 +88,71 @@ class DeleteSpec extends AnyFunSuite {
       .select("k").as[Long].collect().toSet
     assert(keys == (1L to 10L).filter(_ % 2 == 1).toSet + 100L)
   }
+
+  test("expire on a time-clustered store: fully-expired files drop " +
+    "without a rewrite, live files survive BY NAME, only the boundary " +
+    "file is rewritten — one commit") {
+    val store = tmp("graft_exp_clustered") + "/s"
+    val rows = (1L to 400L).map(k => (k, k * 100L, "v" + k)).toDF("k", "us", "v")
+    Merge.into(spark, store, rows, Seq("k"), log = Some(true))
+    Optimize.zorder(spark, store, Seq("us"), numFiles = 4)
+    val p = new Path(store)
+    val before = snapshotFileSet(store)
+    val vBefore = CommitLog.currentVersion(fs, p)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def footerRange(f: String): (Long, Long) = {
+      val s = CommitLog.fileFooterInfo(conf, new Path(p, f), Some("us"))._2.get
+      (s.min.toLong, s.max.toLong)
+    }
+    // cutoff STRICTLY INSIDE the second file's range (derived from its
+    // own footer, so a different range split cannot land it on a file
+    // boundary): at least one file fully below (drop path), one fully
+    // above (untouched path), and the straddled file itself (rewrite)
+    val secondFile = before.toSeq.sortBy(f => footerRange(f)._1).apply(1)
+    val (b0, b1) = footerRange(secondFile)
+    val cutoff = (b0 + b1) / 2 / 100 * 100 + 50 // between two k*100 rows
+    val fullyLive = before.filter(f => footerRange(f)._1 >= cutoff)
+    val fullyDead = before.filter(f => footerRange(f)._2 < cutoff)
+    val boundary = before -- fullyLive -- fullyDead
+    assert(fullyDead.nonEmpty && fullyLive.nonEmpty && boundary.nonEmpty,
+      s"test setup must produce all three classes, got dead=$fullyDead " +
+        s"live=$fullyLive boundary=$boundary")
+
+    val out = Delete.expire(spark, store, "us", cutoff)
+    val minLiveK = cutoff / 100 + 1 // us = k*100 >= cutoff
+    assert(out.select("k").as[Long].collect().toSet ==
+      (minLiveK to 400L).toSet)
+    val after = snapshotFileSet(store)
+    assert((before intersect after) == fullyLive,
+      "exactly the fully-live files must survive by name")
+    assert(fullyDead.forall(!after.contains(_)))
+    assert(boundary.forall(!after.contains(_)))
+    assert(CommitLog.currentVersion(fs, p) == vBefore + 1)
+  }
+
+  test("expire: no-op below the data leaves the version unchanged; " +
+    "cutoff above everything empties the store via a drop-only commit") {
+    val store = tmp("graft_exp_edges") + "/s"
+    Merge.into(spark, store,
+      (1L to 50L).map(k => (k, k * 10L)).toDF("k", "us"), Seq("k"),
+      log = Some(true))
+    val p = new Path(store)
+    val v0 = CommitLog.currentVersion(fs, p)
+    assert(Delete.expire(spark, store, "us", cutoff = 5L).count() == 50)
+    assert(CommitLog.currentVersion(fs, p) == v0, "no-op must not commit")
+    assert(Delete.expire(spark, store, "us", cutoff = 1000L).count() == 0)
+    assert(CommitLog.currentVersion(fs, p) == v0 + 1)
+    assert(snapshotFileSet(store).isEmpty)
+  }
+
+  test("expire: null timestamps never expire (undecidable predicate " +
+    "keeps the row)") {
+    val store = tmp("graft_exp_null") + "/s"
+    val rows = Seq[(Long, Option[Long])](
+      (1L, Some(10L)), (2L, None), (3L, Some(500L)), (4L, None))
+      .toDF("k", "us")
+    Merge.into(spark, store, rows, Seq("k"), log = Some(true))
+    val out = Delete.expire(spark, store, "us", cutoff = 100L)
+    assert(out.select("k").as[Long].collect().toSet == Set(2L, 3L, 4L))
+  }
 }
