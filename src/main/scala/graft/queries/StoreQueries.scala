@@ -336,5 +336,31 @@ object StoreQueries {
       },
       Some("""SELECT event_id, epoch_us(ts) AS us, event_type
              |FROM events WHERE epoch_us(ts) >= 1704844800000000
-             |ORDER BY event_id""".stripMargin)))
+             |ORDER BY event_id""".stripMargin)),
+
+    // Per-file bloom index (BloomIndex.build/lookup): point lookups on a
+    // column the store's layout does NOT sort by — manifest min/max
+    // stats prune nothing there, a per-file bloom sidecar prunes to the
+    // files that might hold the key. The lookup equals the plain filter
+    // UNCONDITIONALLY (false positives only add scanned files; files
+    // newer than the sidecar are always scanned), which is exactly what
+    // the oracle states; BloomIndexSpec separately measures the prune
+    // and the stale-sidecar conservatism.
+    GraftQuery(
+      "q_bloom_lookup",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_bfq").toString + "/t"
+        val ords = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        graft.operators.Merge.into(s, tmp, ords, Seq("o_orderkey"), log = Some(true))
+        graft.operators.BloomIndex.build(s, tmp, "o_custkey",
+          expectedItemsPerFile = 100000L, numBits = 800000L)
+        graft.operators.BloomIndex
+          .lookup(s, tmp, "o_custkey", Seq(37L, 73L, 111L))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_custkey IN (37, 73, 111)
+             |ORDER BY o_orderkey""".stripMargin)))
 }

@@ -29,4 +29,17 @@ object BloomBridge {
       BloomFilterMightContain(
         Literal(sketch, BinaryType),
         new XxHash64(Seq(ExpressionUtils.expression(key)))))
+
+  /** DRIVER-side probe of a collected sketch: hashes `value` exactly as
+    * [[bloomAggregate]] hashed the column (catalyst XxHash64 over a
+    * literal), so the answer matches what the distributed probe would
+    * say. The value's Scala type must map to the SAME Spark type as the
+    * aggregated column — xxhash64 is type-sensitive (an Int probe of a
+    * LongType column hashes differently and silently never matches). */
+  def mightContainValue(sketch: Array[Byte], value: Any): Boolean = {
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(sketch))
+    val h = new XxHash64(Seq(Literal(value))).eval(null).asInstanceOf[Long]
+    bf.mightContainLong(h)
+  }
 }
