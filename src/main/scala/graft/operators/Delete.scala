@@ -86,6 +86,68 @@ object Delete {
     CommitLog.read(spark, store).getOrElse(emptyLike(spark, store, readVersion))
   }
 
+  /** SET-based DELETE: remove every row whose `keyCols` tuple matches ANY
+    * row of `keys` — the "erase this list of users" primitive.
+    *
+    * Unlike `where(col.isin(...))` the key set is a DATAFRAME, never a
+    * collected literal: a GDPR erasure batch of 10⁸ ids flows through
+    * joins (semi to find matching files, anti to rewrite them) with the
+    * key set broadcast or shuffled by Catalyst like any other join side.
+    * File-grain copy-on-write exactly as [[where]]: untouched files
+    * survive by name, one manifest retires the rewritten ones.
+    *
+    * NULL semantics are SQL `IN`'s: a null store key matches nothing and
+    * stays; null rows in the key set match nothing (equi-join nulls
+    * never compare equal). */
+  def whereIn(
+      spark: SparkSession,
+      targetPath: String,
+      keys: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "set-based DELETE needs at least one key column")
+    val store = new Path(targetPath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(CommitLog.isLog(fs, store),
+      s"set-based DELETE needs a commit-log store ($targetPath has no _log/)")
+
+    val readVersion = CommitLog.currentVersion(fs, store)
+    val snapshot = CommitLog.read(spark, store, Some(readVersion)).getOrElse {
+      return emptyLike(spark, store, readVersion)
+    }
+    val keyset = keys.select(keyCols.map(col): _*).distinct()
+
+    val storeUri = fs.makeQualified(store).toUri.getPath
+    // file name captured BEFORE the join: input_file_name() is
+    // single-source and a key set that itself reads files would
+    // otherwise fail analysis (MULTI_SOURCES_UNSUPPORTED)
+    val matched: Seq[String] = snapshot
+      .withColumn("graft_f", input_file_name())
+      .join(keyset, keyCols, "left_semi")
+      .select("graft_f").distinct()
+      .collect().map(_.getString(0))
+      .map { f =>
+        val p = new Path(new java.net.URI(f)).toUri.getPath
+        p.stripPrefix(storeUri).stripPrefix("/")
+      }.toSeq
+    if (matched.isEmpty) return snapshot
+
+    val scoped = CommitLog.readFilesAt(spark, store, readVersion, matched).get
+    val keep = scoped.join(keyset, keyCols, "left_anti")
+
+    val pcolsPerFile = matched.map(CommitLog.partitionColsOf).distinct
+    require(pcolsPerFile.size == 1,
+      s"matched files disagree on partition layout: $pcolsPerFile")
+    val pcols = pcolsPerFile.head
+
+    val staging = Swap.Suffix.staging(store, Swap.newTag())
+    val w = keep.write
+    (if (pcols.isEmpty) w else w.partitionBy(pcols: _*)).parquet(staging.toString)
+    CommitLog.commitStaged(spark, store, staging, readVersion,
+      retireNames = matched, wholeStore = false,
+      meta = Map("operation" -> s"delete-in:${keyCols.mkString(",")}"))
+    CommitLog.read(spark, store).getOrElse(emptyLike(spark, store, readVersion))
+  }
+
   /** TTL/RETENTION expiry: delete every row whose long `tsCol` value is
     * strictly below `cutoff`, paying DATA reads only at the boundary.
     *

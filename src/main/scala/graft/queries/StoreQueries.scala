@@ -362,5 +362,47 @@ object StoreQueries {
       },
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
              |WHERE o_custkey IN (37, 73, 111)
-             |ORDER BY o_orderkey""".stripMargin)))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // CDC apply_changes (Cdc.applyChanges): a messy change feed —
+    // out-of-order updates (a seq-1 'SHOULD_LOSE' under every seq-2
+    // winner), interleaved deletes that outrank updates on the same key
+    // (keys divisible by 70 carry BOTH and must die), and fresh inserts —
+    // resolved per key by highest sequence, then applied as ONE merge +
+    // ONE set-based delete. The oracle states the replicated end state
+    // directly; CdcSpec pins the resolution semantics, idempotent
+    // replay, and the loud tie refusal.
+    GraftQuery(
+      "q_apply_changes",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_cdcq").toString + "/t"
+        val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+        graft.operators.Merge.into(s, tmp, cust, Seq("c_custkey"), log = Some(true))
+        val feed = cust.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), upper(col("c_name")).as("c_name"),
+            lit(2L).as("seq"), lit("U").as("op"))
+          .unionByName(cust.filter(col("c_custkey") % 7 === 0)
+            .select(col("c_custkey"), lit("SHOULD_LOSE").as("c_name"),
+              lit(1L).as("seq"), lit("U").as("op")))
+          .unionByName(cust.filter(col("c_custkey") % 10 === 0)
+            .select(col("c_custkey"), lit("tombstone").as("c_name"),
+              lit(3L).as("seq"), lit("D").as("op")))
+          .unionByName(cust.filter(col("c_custkey") < 50)
+            .select((col("c_custkey") + 1000000L).as("c_custkey"),
+              concat(lit("NEW_"), col("c_custkey").cast("string")).as("c_name"),
+              lit(1L).as("seq"), lit("I").as("op")))
+        graft.operators.Cdc
+          .applyChanges(s, tmp, feed, Seq("c_custkey"), "seq", "op")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT c_custkey,
+             |         CASE WHEN c_custkey % 7 = 0 THEN UPPER(c_name)
+             |              ELSE c_name END AS c_name
+             |  FROM customer WHERE c_custkey % 10 <> 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, 'NEW_' || CAST(c_custkey AS VARCHAR)
+             |  FROM customer WHERE c_custkey < 50
+             |) ORDER BY c_custkey""".stripMargin)))
 }
