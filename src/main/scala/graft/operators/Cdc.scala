@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -63,5 +64,85 @@ object Cdc {
 
     Merge.into(spark, targetPath, upserts, keyCols, log = Some(true))
     Delete.whereIn(spark, targetPath, deletes, keyCols)
+  }
+
+  /** [[applyChanges]] in ONE atomic commit — the streaming-sink variant.
+    *
+    * The two-commit batch path has a crash window: a failure between the
+    * merge commit and the delete commit leaves the store half-applied,
+    * and a replay that keys idempotence off "did my batch commit?" would
+    * skip the missing deletes. Here upserts and deletes land together:
+    * the files holding ANY winner key (upsert or delete) are rewritten
+    * once — survivors anti-joined on the winner key set, upsert rows
+    * appended — and ONE manifest (carrying the caller's `meta`, e.g. the
+    * foreachBatch batchId) retires the old files. Either the whole batch
+    * is visible or none of it, so exactly-once needs only the
+    * batchId-in-meta check ([[graft.streaming.StreamOps.applyCdcBatchOnce]]).
+    *
+    * A missing store bootstraps from the feed's upserts (commitStaged
+    * creates the log). */
+  def applyChangesAtomic(
+      spark: SparkSession,
+      targetPath: String,
+      feed: DataFrame,
+      keyCols: Seq[String],
+      seqCol: String,
+      opCol: String,
+      meta: Map[String, String] = Map.empty): DataFrame = {
+    require(keyCols.nonEmpty, "applyChanges needs at least one key column")
+    val store = new Path(targetPath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val winners = TopK.perKey(
+        feed.withColumn("graft_seq", col(seqCol)),
+        keys = keyCols, ordering = Seq("graft_seq"), k = 1)
+      .join(feed.withColumnRenamed(seqCol, "graft_seq"),
+        keyCols :+ "graft_seq")
+    val firstDup = winners.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("graft_n")).filter(col("graft_n") > 1)
+      .limit(1).collect()
+    require(firstDup.isEmpty,
+      s"CDC feed has multiple actions at the winning sequence for key " +
+        s"${firstDup.headOption.map(_.toString).getOrElse("")} — refusing to apply")
+    val upserts = winners.filter(col(opCol) =!= "D").drop(opCol, "graft_seq")
+    val allKeys = winners.select(keyCols.map(col): _*).distinct()
+
+    val readVersion = CommitLog.currentVersion(fs, store)
+    val snapshot = CommitLog.read(spark, store, Some(readVersion))
+
+    val storeUri = fs.makeQualified(store).toUri.getPath
+    val matched: Seq[String] = snapshot match {
+      case None => Nil // bootstrap: no files to rewrite
+      case Some(df) => df
+        .withColumn("graft_f", input_file_name())
+        .join(allKeys, keyCols, "left_semi")
+        .select("graft_f").distinct()
+        .collect().map(_.getString(0))
+        .map { f =>
+          val p = new Path(new java.net.URI(f)).toUri.getPath
+          p.stripPrefix(storeUri).stripPrefix("/")
+        }.toSeq
+    }
+
+    val pcols = {
+      val per = matched.map(CommitLog.partitionColsOf).distinct
+      require(per.size <= 1,
+        s"matched files disagree on partition layout: $per")
+      per.headOption.getOrElse(Nil)
+    }
+    val survivors = CommitLog.readFilesAt(spark, store, readVersion, matched)
+      .map(_.join(allKeys, keyCols, "left_anti"))
+    val staged = survivors match {
+      case Some(s) => s.unionByName(upserts.select(s.columns.map(col): _*))
+      case None => upserts
+    }
+    val staging = Swap.Suffix.staging(store, Swap.newTag())
+    val w = staged.write
+    (if (pcols.isEmpty) w else w.partitionBy(pcols: _*)).parquet(staging.toString)
+    CommitLog.commitStaged(spark, store, staging, readVersion,
+      retireNames = matched, wholeStore = false,
+      meta = meta + ("operation" -> "cdc-apply"),
+      schema = Some(staged.schema))
+    CommitLog.read(spark, store).getOrElse(spark.emptyDataFrame)
   }
 }

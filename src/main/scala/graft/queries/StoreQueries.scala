@@ -404,5 +404,36 @@ object StoreQueries {
              |  UNION ALL
              |  SELECT c_custkey + 1000000, 'NEW_' || CAST(c_custkey AS VARCHAR)
              |  FROM customer WHERE c_custkey < 50
-             |) ORDER BY c_custkey""".stripMargin)))
+             |) ORDER BY c_custkey""".stripMargin)),
+
+    // Write-audit-publish (Wap.appendAudited): three staged appends —
+    // evens (audit passes, publishes), the SAME evens again (whole-table
+    // uniqueness audit refuses; store bit-identical), then odds
+    // (publishes). The final table must therefore be exactly the
+    // original documents — the refused duplicate batch left no trace —
+    // which is what the oracle states. WapSpec pins the report contents
+    // and the staged-vs-table audit scopes.
+    GraftQuery(
+      "q_wap_publish",
+      (s, d) => {
+        import graft.operators.Expectations._
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_wapq").toString + "/t"
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val checks = Seq(Unique("doc_id"), Complete("lang", 1.0))
+        val r1 = graft.operators.Wap.appendAudited(
+          s, tmp, docs.filter(col("doc_id") % 2 === 0), checks)
+        val r2 = graft.operators.Wap.appendAudited(
+          s, tmp, docs.filter(col("doc_id") % 2 === 0), checks)
+        val r3 = graft.operators.Wap.appendAudited(
+          s, tmp, docs.filter(col("doc_id") % 2 === 1), checks)
+        require(r1.published && !r2.published && r3.published,
+          s"WAP gate sequence broken: ${(r1.published, r2.published, r3.published)}")
+        graft.operators.CommitLog
+          .read(s, new org.apache.hadoop.fs.Path(tmp)).get
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |ORDER BY doc_id""".stripMargin)))
 }

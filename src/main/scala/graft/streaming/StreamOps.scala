@@ -331,6 +331,57 @@ object StreamOps {
     true
   }
 
+  /** Streaming CDC replication: micro-batches of change events (op +
+    * sequence per key) keep a log-backed replica current — the
+    * `apply_changes` sink. Each trigger resolves its batch per key
+    * (highest sequence wins) and lands upserts AND deletes in ONE
+    * atomic commit ([[graft.operators.Cdc.applyChangesAtomic]]), so
+    * there is no half-applied crash window for the replay logic to
+    * reason about: the batchId high-water mark in that single commit's
+    * meta is the whole exactly-once story. Cross-batch ordering is the
+    * stream's (foreachBatch is ordered); within a batch the sequence
+    * column resolves. */
+  def cdcStream(
+      changes: DataFrame,
+      replicaPath: String,
+      checkpoint: String,
+      keyCols: Seq[String],
+      seqCol: String,
+      opCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdcBatchOnce(batch, replicaPath, batchId, keyCols, seqCol, opCol)
+        ()
+      }
+      .start()
+
+  /** One exactly-once CDC apply step (see [[cdcStream]]); returns false
+    * when the batch was already applied (replay) or empty. */
+  def applyCdcBatchOnce(
+      batch: DataFrame,
+      replicaPath: String,
+      batchId: Long,
+      keyCols: Seq[String],
+      seqCol: String,
+      opCol: String): Boolean = {
+    val spark = batch.sparkSession
+    val store = new org.apache.hadoop.fs.Path(replicaPath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (graft.operators.CommitLog.isLog(fs, store)) {
+      val last = graft.operators.CommitLog.lastMeta(fs, store, "cdcBatchId")
+        .map(_.toLong).getOrElse(-1L)
+      if (batchId <= last) return false
+    } else require(!fs.exists(store),
+      s"$replicaPath exists without a commit log — the CDC sink is " +
+        "log-native (exactly-once needs the atomic manifest)")
+    if (batch.isEmpty) return false
+    graft.operators.Cdc.applyChangesAtomic(
+      spark, replicaPath, batch, keyCols, seqCol, opCol,
+      meta = Map("cdcBatchId" -> batchId.toString))
+    true
+  }
+
   /** Streaming incremental-join maintenance: micro-batches of LEFT-side
     * rows land in the log-backed left source table and the materialized
     * `left ⋈ right` view (graft.operators.IncrementalJoin) refreshes to

@@ -1,0 +1,62 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.flow.SparkTestSession
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Write-audit-publish: passing audits publish atomically, failing
+  * audits leave the store bit-identical and surface the report, and the
+  * whole-table scope catches cross-batch violations a staged-only audit
+  * cannot see. */
+class WapSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import Expectations._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+  private def fs =
+    new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val checks = Seq(
+    Unique("k"), Complete("v", 1.0), MeanBetween("n", 0, 100))
+
+  test("a clean batch publishes; a violating batch refuses with an " +
+    "untouched store and a report naming the failed check") {
+    val dir = tmp("graft_wap") + "/s"
+    val ok = Wap.appendAudited(spark, dir,
+      (1L to 10L).map(k => (k, "v" + k, k)).toDF("k", "v", "n"), checks)
+    assert(ok.published && ok.version == 1L)
+    assert(CommitLog.read(spark, new Path(dir)).get.count() == 10)
+
+    // nulls in v + a mean blowout
+    val bad = Seq((11L, null.asInstanceOf[String], 5000L))
+      .toDF("k", "v", "n")
+    val res = Wap.appendAudited(spark, dir, bad, checks)
+    assert(!res.published && res.version == 1L)
+    assert(CommitLog.currentVersion(fs, new Path(dir)) == 1L)
+    assert(CommitLog.read(spark, new Path(dir)).get.count() == 10,
+      "refused batch must not be readable")
+    val failed = res.report.filter(!_.getBoolean(3)).map(_.getString(0)).toSet
+    assert(failed == Set("complete(v)", "mean_between(n)"))
+  }
+
+  test("whole-table audit catches a key that is unique within the batch " +
+    "but duplicates an EXISTING row; staged-only scope misses it") {
+    val dir = tmp("graft_wap_dup") + "/s"
+    assert(Wap.appendAudited(spark, dir,
+      (1L to 5L).map(k => (k, "v" + k, k)).toDF("k", "v", "n"), checks).published)
+    val dup = Seq((3L, "again", 1L)).toDF("k", "v", "n")
+
+    val tableScope = Wap.appendAudited(spark, dir, dup, Seq(Unique("k")))
+    assert(!tableScope.published)
+    assert(CommitLog.read(spark, new Path(dir)).get.count() == 5)
+
+    val stagedScope = Wap.appendAudited(spark, dir, dup, Seq(Unique("k")),
+      auditWholeTable = false)
+    assert(stagedScope.published, "batch-local scope: the single row is unique")
+    assert(CommitLog.read(spark, new Path(dir)).get.count() == 6)
+  }
+}
