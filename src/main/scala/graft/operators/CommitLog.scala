@@ -504,9 +504,13 @@ object CommitLog {
     val files = snapshotFiles(fs, store, v)
     if (files.isEmpty) None
     else {
-      val reader = spark.read
-        .option("basePath", store.toString)
-        .option("mergeSchema", mergeSchema.toString)
+      // a shallow clone's manifest references its SOURCE's files by
+      // absolute path; basePath (which must prefix every file) is then
+      // impossible — and unneeded, since clones are unpartitioned
+      val external = files.exists(_.startsWith("/"))
+      val reader0 = spark.read.option("mergeSchema", mergeSchema.toString)
+      val reader =
+        if (external) reader0 else reader0.option("basePath", store.toString)
       val withSchema = schemaAt(fs, store, v).fold(reader)(reader.schema)
       Some(withSchema.parquet(files.map(f => new Path(store, f).toString): _*))
     }
@@ -515,6 +519,66 @@ object CommitLog {
   /** True when the store has a log with at least one non-empty version. */
   def nonEmpty(fs: FileSystem, store: Path): Boolean =
     isLog(fs, store) && snapshotFiles(fs, store, currentVersion(fs, store)).nonEmpty
+
+  /** Zero-copy SHALLOW CLONE of `source`'s snapshot at `version` (default
+    * tip) into a NEW store at `target` — the dev-branch / what-if-table
+    * primitive. O(metadata): no data file is read or copied; the clone's
+    * first manifest references the source's files by ABSOLUTE path (plus
+    * the source's recorded per-file stats/row counts and schema, so
+    * metadata COUNT(*) and stats pruning keep working).
+    *
+    * The clone then lives its own life: merges/deletes/appends diverge
+    * copy-on-write — the first write touching a shared file rewrites it
+    * INTO the clone's own directory and retires the absolute reference —
+    * and the clone's vacuum sweeps only files physically under the
+    * clone, so shared source files are structurally safe from the clone
+    * side. The one caveat every production shallow clone carries:
+    * VACUUM ON THE SOURCE can reclaim files a clone still references
+    * (the source's log knows nothing of clones) — retain enough source
+    * versions, or deep-copy when the lifecycles must decouple.
+    *
+    * Unpartitioned sources only: partition-column recovery is
+    * path-relative and an absolute reference would smuggle the source's
+    * directory names into the clone's layout. */
+  def shallowClone(
+      spark: SparkSession,
+      source: Path,
+      target: Path,
+      version: Option[Long] = None): Long = {
+    val fs = source.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(isLog(fs, source), s"shallow clone needs a commit-log source " +
+      s"($source has no _log/)")
+    require(!fs.exists(target),
+      s"shallow clone target $target already exists")
+    val v = version.getOrElse(currentVersion(fs, source))
+    val files = snapshotFilesWithStats(fs, source, v)
+    val rows = snapshotRowCounts(fs, source, v)
+    require(files.forall { case (f, _) => !partitionColsOf(f).exists(_ => true) },
+      "shallow clone supports unpartitioned sources only")
+    require(files.forall { case (f, _) => !f.startsWith("/") },
+      "cloning a clone is not supported — clone the original source")
+    def abs(f: String): String =
+      fs.makeQualified(new Path(source, f)).toUri.getPath
+    val schemaMeta: Map[String, String] =
+      schemaAt(fs, source, v).map(s => SchemaMetaKey -> s.json).toMap
+    val m = Manifest(
+      1L, Set(WholeStore),
+      added = files.map { case (f, _) => abs(f) },
+      removed = Nil,
+      meta = schemaMeta ++ Map(
+        "operation" -> "shallow-clone",
+        "cloneSource" -> fs.makeQualified(source).toUri.getPath,
+        "cloneSourceVersion" -> v.toString),
+      fileStats = files.collect { case (f, Some(s)) => abs(f) -> s }.toMap,
+      fileRows = rows.map { case (f, n) => abs(f) -> n })
+    fs.mkdirs(logDir(target))
+    val tmp = new Path(logDir(target),
+      ".tmp-" + java.util.UUID.randomUUID().toString)
+    writeFully(fs, tmp, renderManifest(m))
+    require(casPublish(fs, tmp, new Path(logDir(target), manifestName(1L))),
+      s"clone target $target was concurrently initialized")
+    1L
+  }
 
   /** Hive partition column names along a store-relative file path, in
     * order (`date=2024/k=1/part.parquet` → date, k; flat → empty) — the
@@ -539,7 +603,10 @@ object CommitLog {
       files: Seq[String]): Option[DataFrame] = {
     if (files.isEmpty) return None
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val reader = spark.read.option("basePath", store.toString)
+    val external = files.exists(_.startsWith("/")) // clone-shared source files
+    val reader =
+      if (external) spark.read
+      else spark.read.option("basePath", store.toString)
     val withSchema = schemaAt(fs, store, v).fold(reader)(reader.schema)
     Some(withSchema.parquet(files.map(f => new Path(store, f).toString): _*))
   }

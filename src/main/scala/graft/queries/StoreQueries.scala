@@ -435,5 +435,45 @@ object StoreQueries {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, lang, n_chars FROM documents
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Zero-copy shallow clone (CommitLog.shallowClone): clone the
+    // customer store O(metadata) — no data copied — then UPDATE and
+    // DELETE on the CLONE only. The returned clone table must match the
+    // mutation SQL while the source stays bit-identical (asserted
+    // in-query: a divergence that leaked into the source would abort
+    // before the oracle ever compared). CloneSpec pins the file-level
+    // mechanics (zero copied files, COW divergence, vacuum safety).
+    GraftQuery(
+      "q_clone_diverge",
+      (s, d) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_clq").toString
+        val src = base + "/src"
+        val dst = base + "/clone"
+        val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+        graft.operators.Merge.into(s, src, cust, Seq("c_custkey"), log = Some(true))
+        graft.operators.CommitLog.shallowClone(s,
+          new org.apache.hadoop.fs.Path(src),
+          new org.apache.hadoop.fs.Path(dst))
+        graft.operators.Merge.into(s, dst,
+          cust.filter(col("c_custkey") % 5 === 0)
+            .withColumn("c_name", upper(col("c_name"))),
+          Seq("c_custkey"))
+        graft.operators.Delete.where(s, dst, col("c_custkey") % 9 === 0)
+        val srcNow = graft.operators.CommitLog
+          .read(s, new org.apache.hadoop.fs.Path(src)).get
+        require(srcNow.count() == cust.count() &&
+          srcNow.filter(col("c_name") =!= upper(col("c_name")) ||
+            col("c_custkey") % 5 =!= 0).count() > 0,
+          "clone writes leaked into the source store")
+        graft.operators.CommitLog
+          .read(s, new org.apache.hadoop.fs.Path(dst)).get
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             |       CASE WHEN c_custkey % 5 = 0 THEN UPPER(c_name)
+             |            ELSE c_name END AS c_name
+             |FROM customer WHERE c_custkey % 9 <> 0
+             |ORDER BY c_custkey""".stripMargin)))
 }
