@@ -520,6 +520,63 @@ object CommitLog {
   def nonEmpty(fs: FileSystem, store: Path): Boolean =
     isLog(fs, store) && snapshotFiles(fs, store, currentVersion(fs, store)).nonEmpty
 
+  /** RESTORE the table to the state of an earlier `toVersion` — rollback
+    * as a NEW commit, not history rewrite: the restore manifest re-adds
+    * the old snapshot's files and removes the current ones, so every
+    * intermediate version stays readable (time travel through the bad
+    * deploy still works, and the restore itself is auditable in the
+    * log). O(metadata): data files are immutable and still on disk, so
+    * nothing is read, copied, or moved.
+    *
+    * Requires every file of the target snapshot to still exist —
+    * a version whose files [[vacuum]] already reclaimed cannot be
+    * restored (refused loudly rather than publishing a manifest that
+    * reads would trip over). Restoring to the current tip is a no-op
+    * (no commit). Conflicts like any whole-store commit: concurrent
+    * writers lose or the restore does, loudly. */
+  def restore(
+      spark: SparkSession,
+      store: Path,
+      toVersion: Long): Long = {
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(isLog(fs, store), s"restore needs a commit-log store ($store)")
+    val tip = currentVersion(fs, store)
+    require(toVersion >= 1 && toVersion <= tip,
+      s"cannot restore $store to version $toVersion (tip is $tip)")
+    if (toVersion == tip) return tip
+    val target = snapshotFilesWithStats(fs, store, toVersion)
+    val targetRows = snapshotRowCounts(fs, store, toVersion)
+    val current = snapshotFiles(fs, store, tip).toSet
+    val missing = target.collect {
+      case (f, _) if !f.startsWith("/") && !fs.exists(new Path(store, f)) => f
+    }
+    require(missing.isEmpty,
+      s"cannot restore to version $toVersion: ${missing.size} of its files " +
+        s"were vacuumed (first: ${missing.headOption.getOrElse("")})")
+    val targetNames = target.map(_._1)
+    val added = targetNames.filterNot(current.contains)
+    val removed = current.toSeq.filterNot(targetNames.toSet.contains).sorted
+    val schemaMeta: Map[String, String] =
+      schemaAt(fs, store, toVersion).map(s => SchemaMetaKey -> s.json).toMap
+    val m = Manifest(
+      tip + 1, Set(WholeStore), added, removed,
+      meta = schemaMeta ++ Map(
+        "operation" -> s"restore:$toVersion"),
+      fileStats = target.collect {
+        case (f, Some(s)) if added.contains(f) => f -> s
+      }.toMap,
+      fileRows = targetRows.filter { case (f, _) => added.contains(f) })
+    val tmp = new Path(logDir(store),
+      ".tmp-" + java.util.UUID.randomUUID().toString)
+    writeFully(fs, tmp, renderManifest(m))
+    if (!casPublish(fs, tmp, new Path(logDir(store), manifestName(tip + 1))))
+      throw new ConflictException(
+        s"restore of $store to $toVersion lost the commit race at " +
+          s"version ${tip + 1} — re-run against the new tip")
+    maybeCheckpoint(fs, store, tip + 1)
+    tip + 1
+  }
+
   /** Zero-copy SHALLOW CLONE of `source`'s snapshot at `version` (default
     * tip) into a NEW store at `target` — the dev-branch / what-if-table
     * primitive. O(metadata): no data file is read or copied; the clone's

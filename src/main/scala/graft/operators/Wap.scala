@@ -41,7 +41,8 @@ object Wap {
       targetPath: String,
       batch: DataFrame,
       checks: Seq[Expectations.Expectation],
-      auditWholeTable: Boolean = true): WapResult = {
+      auditWholeTable: Boolean = true,
+      meta: Map[String, String] = Map.empty): WapResult = {
     require(checks.nonEmpty, "an unaudited append is just an append — " +
       "give at least one expectation or use the plain writer")
     val store = new Path(targetPath)
@@ -68,7 +69,7 @@ object Wap {
     } else {
       val v = CommitLog.commitStaged(spark, store, staging, readVersion,
         retireNames = Nil, wholeStore = false,
-        meta = Map("operation" -> "wap-append",
+        meta = meta ++ Map("operation" -> "wap-append",
           "wapChecks" -> checks.size.toString),
         schema = Some(staged.schema),
         blindAppend = true)

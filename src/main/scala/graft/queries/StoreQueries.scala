@@ -475,5 +475,31 @@ object StoreQueries {
              |       CASE WHEN c_custkey % 5 = 0 THEN UPPER(c_name)
              |            ELSE c_name END AS c_name
              |FROM customer WHERE c_custkey % 9 <> 0
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // RESTORE (CommitLog.restore): a bad deploy — mutate then delete —
+    // rolled back O(metadata) as a FORWARD commit. The tip must equal
+    // the pristine v1 table (the oracle), the rollback leaves all
+    // intermediate versions auditable (asserted in-query via a pinned
+    // read of the broken v2), and no data file is read or copied.
+    GraftQuery(
+      "q_restore",
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_rstq").toString + "/t"
+        val p = new org.apache.hadoop.fs.Path(tmp)
+        val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+        graft.operators.Merge.into(s, tmp, cust, Seq("c_custkey"), log = Some(true))
+        graft.operators.Merge.into(s, tmp,
+          cust.filter(col("c_custkey") % 3 === 0)
+            .withColumn("c_name", lit("BROKEN")), Seq("c_custkey"))
+        graft.operators.Delete.where(s, tmp, col("c_custkey") % 4 === 0)
+        graft.operators.CommitLog.restore(s, p, 1L)
+        require(graft.operators.CommitLog.read(s, p, Some(2L)).get
+          .filter(col("c_name") === "BROKEN").count() > 0,
+          "the rolled-back history must stay auditable")
+        graft.operators.CommitLog.read(s, p).get.orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
              |ORDER BY c_custkey""".stripMargin)))
 }

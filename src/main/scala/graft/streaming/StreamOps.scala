@@ -331,6 +331,69 @@ object StreamOps {
     true
   }
 
+  /** Streaming write-audit-publish: every micro-batch is staged, audited
+    * against the expectations suite, and either published atomically or
+    * QUARANTINED — the admission firewall between an unreliable feed and
+    * a trusted table. Refused batches land in full (plus their per-check
+    * audit report) under `quarantine/batch=<id>/`, so nothing is ever
+    * dropped silently and a fixed upstream can replay the quarantine.
+    *
+    * Exactly-once: accepted batches carry a wapBatchId high-water mark
+    * in their commit meta (replays skip); refused batches publish no
+    * commit, and their replay re-audits deterministically and
+    * OVERWRITES the same quarantine directory — idempotent either
+    * way. */
+  def wapStream(
+      batches: DataFrame,
+      storePath: String,
+      checkpoint: String,
+      checks: Seq[graft.operators.Expectations.Expectation],
+      quarantinePath: String,
+      auditWholeTable: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery =
+    batches.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyWapBatchOnce(batch, storePath, batchId, checks,
+          quarantinePath, auditWholeTable)
+        ()
+      }
+      .start()
+
+  /** One exactly-once audited-append step (see [[wapStream]]); returns
+    * true when the batch PUBLISHED, false when skipped (replay/empty)
+    * or quarantined. */
+  def applyWapBatchOnce(
+      batch: DataFrame,
+      storePath: String,
+      batchId: Long,
+      checks: Seq[graft.operators.Expectations.Expectation],
+      quarantinePath: String,
+      auditWholeTable: Boolean = true): Boolean = {
+    val spark = batch.sparkSession
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (graft.operators.CommitLog.isLog(fs, store)) {
+      val last = graft.operators.CommitLog.lastMeta(fs, store, "wapBatchId")
+        .map(_.toLong).getOrElse(-1L)
+      if (batchId <= last) return false
+    }
+    if (batch.isEmpty) return false
+    val res = graft.operators.Wap.appendAudited(
+      spark, storePath, batch, checks, auditWholeTable,
+      meta = Map("wapBatchId" -> batchId.toString))
+    if (!res.published) {
+      val dir = s"$quarantinePath/batch=$batchId"
+      batch.write.mode("overwrite").parquet(s"$dir/data")
+      import spark.implicits._
+      res.report
+        .map(r => (r.getString(0), r.getString(1),
+          if (r.isNullAt(2)) Double.NaN else r.getDouble(2), r.getBoolean(3)))
+        .toDF("check_name", "column_name", "metric", "passed")
+        .write.mode("overwrite").parquet(s"$dir/report")
+    }
+    res.published
+  }
+
   /** Streaming CDC replication: micro-batches of change events (op +
     * sequence per key) keep a log-backed replica current — the
     * `apply_changes` sink. Each trigger resolves its batch per key
