@@ -520,6 +520,33 @@ object CommitLog {
   def nonEmpty(fs: FileSystem, store: Path): Boolean =
     isLog(fs, store) && snapshotFiles(fs, store, currentVersion(fs, store)).nonEmpty
 
+  /** DESCRIBE HISTORY: one row per still-available commit — (version,
+    * operation, n_added, n_removed, blind_append, commit_ms) — from
+    * driver-side manifest reads alone (no data touched). Manifests below
+    * the vacuum floor are simply absent; the history shows what the log
+    * still proves. `commit_ms` is the manifest file's modification time —
+    * the publish instant, not the (unrecorded) staging start. */
+  def history(spark: SparkSession, store: Path): DataFrame = {
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(isLog(fs, store), s"history needs a commit-log store ($store)")
+    val tip = currentVersion(fs, store)
+    val rows = (1L to tip).flatMap { v =>
+      val p = new Path(logDir(store), manifestName(v))
+      if (!fs.exists(p)) None
+      else {
+        val m = readManifest(fs, store, v)
+        Some((v,
+          m.meta.getOrElse("operation", ""),
+          m.added.size.toLong, m.removed.size.toLong,
+          m.meta.get(BlindAppendMetaKey).contains("true"),
+          fs.getFileStatus(p).getModificationTime))
+      }
+    }
+    import spark.implicits._
+    rows.toDF("version", "operation", "n_added", "n_removed",
+      "blind_append", "commit_ms")
+  }
+
   /** RESTORE the table to the state of an earlier `toVersion` — rollback
     * as a NEW commit, not history rewrite: the restore manifest re-adds
     * the old snapshot's files and removes the current ones, so every

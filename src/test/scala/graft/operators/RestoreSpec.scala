@@ -53,6 +53,26 @@ class RestoreSpec extends AnyFunSuite {
     }
   }
 
+  test("history lists every commit with its operation and file deltas") {
+    val store = tmp("graft_hist") + "/s"
+    Merge.into(spark, store,
+      (1L to 20L).map(k => (k, "v" + k)).toDF("k", "v"), Seq("k"),
+      log = Some(true))
+    Delete.where(spark, store, $"k" % 5 === 0)
+    CommitLog.restore(spark, new Path(store), 1L)
+    val h = CommitLog.history(spark, new Path(store))
+      .select("version", "operation")
+      .as[(Long, String)].collect().toMap
+    assert(h.keySet == Set(1L, 2L, 3L))
+    assert(h(2L) == "delete" && h(3L) == "restore:1")
+    val deltas = CommitLog.history(spark, new Path(store))
+      .select("version", "n_added", "n_removed")
+      .as[(Long, Long, Long)].collect()
+      .map { case (v, a, r) => v -> ((a, r)) }.toMap
+    assert(deltas(3L)._1 > 0 && deltas(3L)._2 > 0,
+      "restore must both re-add old files and remove current ones")
+  }
+
   test("a version whose files were vacuumed cannot be restored") {
     val store = tmp("graft_rst_vac") + "/s"
     Merge.into(spark, store,
