@@ -64,7 +64,20 @@ object Expectations {
   /** Evaluate all `checks` over `df` in one pass. Output: one row per
     * check — (check_name, column_name, metric DOUBLE rounded 6, passed
     * BOOLEAN), ordered by check_name. */
-  def evaluate(df: DataFrame, checks: Seq[Expectation]): DataFrame = {
+  def evaluate(df: DataFrame, checks: Seq[Expectation]): DataFrame =
+    evaluateBy(df, Nil, checks)
+
+  /** Per-SEGMENT evaluation: the same one-pass compilation, grouped —
+    * one report row per (group, check), the shape that catches a
+    * quality collapse in ONE language or ONE source that the global
+    * averages smooth over. Group count bounds the output (report rows =
+    * groups × checks); the scan/shuffle shape is an ordinary grouped
+    * aggregate. Empty `groupCols` degenerates to the global
+    * [[evaluate]]. */
+  def evaluateBy(
+      df: DataFrame,
+      groupCols: Seq[String],
+      checks: Seq[Expectation]): DataFrame = {
     require(checks.nonEmpty, "no expectations given")
     val compiled: Seq[(String, String, Column, Column => Column)] =
       checks.map {
@@ -102,7 +115,10 @@ object Expectations {
     val metrics = compiled.zipWithIndex.map { case ((_, _, m, _), i) =>
       m.as(s"graft_m$i")
     }
-    val agg = df.agg(metrics.head, metrics.tail: _*)
+    val agg =
+      if (groupCols.isEmpty) df.agg(metrics.head, metrics.tail: _*)
+      else df.groupBy(groupCols.map(col): _*)
+        .agg(metrics.head, metrics.tail: _*)
     val reportRows = compiled.zipWithIndex.map { case ((name, c, _, pass), i) =>
       val m = col(s"graft_m$i")
       struct(
@@ -111,8 +127,10 @@ object Expectations {
         round(m, 6).as("metric"),
         coalesce(pass(m), lit(false)).as("passed"))
     }
-    agg.select(explode(array(reportRows: _*)).as("r"))
-      .select("r.*")
-      .orderBy("check_name")
+    agg.select(groupCols.map(col) :+ explode(array(reportRows: _*)).as("r"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("r.check_name"), col("r.column_name"),
+        col("r.metric"), col("r.passed")): _*)
+      .orderBy(groupCols.map(col) :+ col("check_name"): _*)
   }
 }

@@ -156,5 +156,43 @@ object ProfileQueries {
              |  SELECT 'unique(doc_id)', 'doc_id',
              |         ROUND(COALESCE(d_doc/CAST(c_doc AS DOUBLE), 1.0), 6),
              |         COALESCE(d_doc/CAST(c_doc AS DOUBLE), 1.0) = 1.0 FROM m)
-             |ORDER BY check_name""".stripMargin)))
+             |ORDER BY check_name""".stripMargin)),
+
+    // Per-SEGMENT expectations (Expectations.evaluateBy): the same
+    // one-pass compilation grouped by language — one report row per
+    // (lang, check). This is the shape that catches a quality collapse
+    // in ONE language that the corpus-wide averages smooth over
+    // (exactly how curation regressions hide in multilingual crawls).
+    GraftQuery(
+      "q_expectations_by",
+      (s, d) => {
+        import graft.operators.Expectations._
+        evaluateBy(Tables.documents(s, d), Seq("lang"), Seq(
+          Complete("text", 1.0),
+          Between("n_chars", 1, 10000),
+          MeanBetween("n_chars", 100, 500)))
+      },
+      Some("""WITH m AS (
+             |  SELECT lang, count(*) AS n,
+             |         count(text) AS c_text,
+             |         avg(CASE WHEN n_chars IS NULL THEN NULL
+             |                  WHEN n_chars BETWEEN 1 AND 10000 THEN 1.0
+             |                  ELSE 0.0 END) AS f_range,
+             |         avg(CAST(n_chars AS DOUBLE)) AS mean_chars
+             |  FROM documents GROUP BY lang)
+             |SELECT * FROM (
+             |  SELECT lang, 'between(n_chars)' AS check_name,
+             |         'n_chars' AS column_name,
+             |         ROUND(COALESCE(f_range, 1.0), 6) AS metric,
+             |         COALESCE(f_range, 1.0) = 1.0 AS passed FROM m
+             |  UNION ALL
+             |  SELECT lang, 'complete(text)', 'text',
+             |         ROUND(COALESCE(c_text/CAST(n AS DOUBLE), 1.0), 6),
+             |         COALESCE(c_text/CAST(n AS DOUBLE), 1.0) >= 1.0 FROM m
+             |  UNION ALL
+             |  SELECT lang, 'mean_between(n_chars)', 'n_chars',
+             |         ROUND(mean_chars, 6),
+             |         COALESCE(mean_chars >= 100 AND mean_chars <= 500, FALSE)
+             |  FROM m)
+             |ORDER BY lang, check_name""".stripMargin)))
 }

@@ -63,6 +63,20 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(got("mean_between(v)")._2 == false)
   }
 
+  test("evaluateBy reports per group and catches a violation confined " +
+    "to one segment that the global pass misses") {
+    val df = Seq(
+      ("en", 10.0), ("en", 20.0), ("en", 30.0),
+      ("xx", 900.0), ("xx", 950.0))
+      .toDF("lang", "v")
+    // global mean = 382 — would FAIL globally; per-group splits verdicts
+    val by = evaluate(df, Seq(MeanBetween("v", 0, 100)))
+    assert(!by.collect().head.getBoolean(3))
+    val per = evaluateBy(df, Seq("lang"), Seq(MeanBetween("v", 0, 100)))
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(per == Map("en" -> true, "xx" -> false))
+  }
+
   test("all checks ride ONE scan of the input") {
     val dir = java.nio.file.Files.createTempDirectory("graft_exp").toString
     (1L to 100L).map(i => (i, i * 2.0)).toDF("id", "v")
