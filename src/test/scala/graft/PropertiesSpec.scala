@@ -133,4 +133,62 @@ class PropertiesSpec extends AnyFunSuite {
       struct(col("lat"), col("lon")).as("geo")).as[Place]
     assert(back.collect().map(_.geo.lat).sorted.toSeq == Seq(1.5, 3.0))
   }
+
+  test("property: interval overlapJoin equals the naive theta join for " +
+    "random interval sets and bucket widths") {
+    val intervalGen = for {
+      n <- Gen.choose(20, 60)
+      iv <- Gen.listOfN(n, for {
+        s <- Gen.choose(0L, 5000L)
+        len <- Gen.oneOf(Gen.choose(0L, 20L), Gen.choose(0L, 2000L))
+      } yield (s, s + len))
+    } yield iv
+    for (seed <- 1L to 5L) {
+      val ls = sample(intervalGen, seed).zipWithIndex
+        .map { case ((s, e), i) => (i.toLong, s, e) }
+      val rs = sample(intervalGen, seed + 100).zipWithIndex
+        .map { case ((s, e), i) => (i.toLong, s, e) }
+      val width = sample(Gen.oneOf(7L, 64L, 1000L, 10000L), seed + 200)
+      val got = graft.operators.IntervalJoin.overlapJoin(
+          ls.toDF("lid", "ls", "le"), rs.toDF("rid", "rs", "re"),
+          "ls", "le", "rs", "re", width)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      val expect = (for {
+        (li, s1, e1) <- ls; (ri, s2, e2) <- rs
+        if s1 <= e2 && s2 <= e1
+      } yield (li, ri)).toSet
+      assert(got.length == got.toSet.size, s"seed=$seed w=$width: dup pairs")
+      assert(got.toSet == expect, s"seed=$seed w=$width: pair set differs")
+    }
+  }
+
+  test("property: deletion-neighborhood edit join equals brute-force " +
+    "levenshtein for random word corpora, k in {1, 2}") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // short alphabet + short strings → dense near-pair space
+    val wordsGen = Gen.listOfN(40,
+      Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+        .map(_.mkString)))
+    for (seed <- 1L to 3L; k <- Seq(1, 2)) {
+      val rows = sample(wordsGen, seed).zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }
+      val got = graft.operators.EditDistanceJoin.editPairs(
+          rows.toDF("id", "s"), "id", "s", k)
+        .as[(Long, Long, Int)].collect().toSet
+      val expect = (for {
+        (ia, sa) <- rows; (ib, sb) <- rows
+        if ia < ib
+        dd = lev(sa, sb) if dd <= k
+      } yield (ia, ib, dd)).toSet
+      assert(got == expect, s"seed=$seed k=$k differs")
+    }
+  }
 }
