@@ -119,50 +119,4 @@ object Joins {
     reduced.join(dim, reduced(factKey) === dim(dimKey))
   }
 
-  /** SALTED equi join — the skew mitigation for a shuffle join whose key
-    * distribution has hot values.
-    *
-    * A shuffle hash/sort-merge join routes every fact row with the same
-    * key to one reducer: one key holding 10% of a 100 TB fact table means
-    * one task gets 10 TB while 999 executors idle — stragglers, spill,
-    * or OOM. AQE's skew-join splitting handles the SORT-MERGE case after
-    * the fact, when post-shuffle partition stats reveal the skew; salting
-    * is the PLANNED version, and the only one available when the join
-    * must run without AQE (streaming micro-batches, a fixed-plan cache)
-    * or when one logical key genuinely exceeds what a single split chain
-    * can absorb.
-    *
-    * Mechanics: each fact row gets a salt in [0, salts) derived from
-    * `saltFrom` (any row-level expression — a unique id column spreads a
-    * hot key uniformly; the salt value is free to be arbitrary because
-    * correctness never depends on it). The dim side is replicated once
-    * per salt via an explode, and the join key becomes (key, salt): the
-    * hot key's rows now land on `salts` reducers instead of one. Cost is
-    * deliberate and visible — |dim| × salts rows through dim's side of
-    * the exchange — which is why this lives on fact⋈dim joins (dim small,
-    * fact skewed) and not fact⋈fact.
-    *
-    * Exactness is unconditional: every fact row meets its key's full dim
-    * row set exactly once (its one salt replica), so the result is
-    * row-identical to the plain join — the q_join_salted oracle is the
-    * PLAIN SQL join, proving the rewrite semantically free the same way
-    * q_join_bloom's does. */
-  def saltedJoin(
-      fact: DataFrame,
-      dim: DataFrame,
-      factKey: String,
-      dimKey: String,
-      saltFrom: Column,
-      salts: Int): DataFrame = {
-    require(salts > 0, s"salts must be positive, got $salts")
-    val saltCol = "graft_salt"
-    val saltedFact =
-      fact.withColumn(saltCol, pmod(xxhash64(saltFrom), lit(salts.toLong)))
-    val repDim = dim.withColumn(
-      saltCol, explode(sequence(lit(0L), lit(salts.toLong - 1))))
-    saltedFact
-      .join(repDim, saltedFact(factKey) === repDim(dimKey) &&
-        saltedFact(saltCol) === repDim(saltCol))
-      .drop(saltCol)
-  }
 }

@@ -13,20 +13,31 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Salted equi-join: the fact side gets a random salt in [0, buckets);
-    * the dim side is replicated `buckets` times; the join key becomes
+  /** Salted equi-join: each fact row gets a salt in [0, buckets); the dim
+    * side is replicated `buckets` times; the join key becomes
     * (key, salt). Each hot key's rows spread over `buckets` partitions.
     *
     * Use when: dim is too big to broadcast AND fact keys are heavily
     * skewed. Cost: dim shuffles `buckets`× its size — keep buckets small
     * (8–32).
-    */
+    *
+    * Salt source: `saltFrom` (any row-level expression — a unique id
+    * spreads a hot key uniformly via xxhash64, and the result is
+    * DETERMINISTIC across runs and partitionings, which is what lets
+    * q_join_salted hash-match its oracle). Without it, a seeded rand —
+    * fine for spreading, but per-row salt values depend on partitioning.
+    * Correctness never depends on the salt either way: every fact row
+    * meets its key's full dim row set exactly once (its one salt
+    * replica), so the result is row-identical to the plain join — the
+    * q_join_salted oracle is the PLAIN join SQL, proving the rewrite
+    * semantically free. */
   def saltedJoin(
       fact: DataFrame,
       dim: DataFrame,
       key: String,
       buckets: Int = 16,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      saltFrom: Option[org.apache.spark.sql.Column] = None): DataFrame = {
 
     require(buckets > 0)
     // replicate-the-dim is only sound when unmatched DIM rows don't
@@ -36,7 +47,11 @@ object Skew {
       Set("inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti")
         .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left-preserving join types, got $joinType")
-    val salted = fact.withColumn("graft_salt", (rand(42) * buckets).cast("int"))
+    val saltCol = saltFrom match {
+      case Some(c) => pmod(xxhash64(c), lit(buckets.toLong)).cast("int")
+      case None => (rand(42) * buckets).cast("int")
+    }
+    val salted = fact.withColumn("graft_salt", saltCol)
     val replicated = dim.withColumn("graft_salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "graft_salt"), joinType).drop("graft_salt")

@@ -228,22 +228,22 @@ object JoinQueries {
              |SELECT p_partkey, sk FROM part JOIN dim USING (p_brand)
              |ORDER BY p_partkey""".stripMargin)),
 
-    // Skew-salted join (Joins.saltedJoin): the fact side joins on
-    // (key, salt) with the dim replicated once per salt, spreading a hot
-    // key over `salts` reducers instead of one — the planned counterpart
-    // to AQE's after-the-fact skew split, and the only option when one
-    // logical key exceeds a single task. The rewrite is semantically
-    // FREE: every fact row meets its key's dim rows exactly once, so the
-    // oracle is the PLAIN join SQL — the gate proves salting changes the
-    // physical routing and nothing else.
+    // Skew-salted join (Skew.saltedJoin with a DETERMINISTIC saltFrom):
+    // the fact side joins on (key, salt) with the dim replicated once
+    // per salt, spreading a hot key over `buckets` reducers instead of
+    // one — the planned counterpart to AQE's after-the-fact skew split,
+    // and the only option when one logical key exceeds a single task.
+    // The rewrite is semantically FREE: every fact row meets its key's
+    // dim rows exactly once, so the oracle is the PLAIN join SQL — the
+    // gate proves salting changes the physical routing and nothing else.
     GraftQuery(
       "q_join_salted",
       (s, d) =>
-        graft.operators.Joins.saltedJoin(
-            Tables.lineitem(s, d), Tables.part(s, d),
-            "l_partkey", "p_partkey",
-            saltFrom = col("l_orderkey") * lit(8L) + col("l_linenumber"),
-            salts = 8)
+        graft.operators.Skew.saltedJoin(
+            Tables.lineitem(s, d),
+            Tables.part(s, d).withColumnRenamed("p_partkey", "l_partkey"),
+            key = "l_partkey", buckets = 8,
+            saltFrom = Some(col("l_orderkey") * lit(8L) + col("l_linenumber")))
           .groupBy("p_brand")
           .agg(count(lit(1)).as("n"),
             round(sum(col("l_extendedprice")), 2).as("rev"))

@@ -99,33 +99,36 @@ class JoinsSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L))
   }
 
-  test("saltedJoin is row-identical to the plain join under heavy key skew") {
+  test("deterministic saltedJoin is row-identical to the plain join " +
+    "under heavy key skew") {
     import org.apache.spark.sql.functions.col
     // 90% of fact rows share key 7 — the shape salting exists for
     val fact = (1L to 2000L)
       .map(i => (i, if (i % 10 == 0) i % 5 else 7L, i * 3))
       .toDF("rid", "fk", "v")
-    val dim = (0L to 9L).map(i => (i, s"d$i")).toDF("dk", "name")
-    val plain = fact.join(dim, col("fk") === col("dk"))
-      .select("rid", "fk", "v", "dk", "name")
-    val salted = Joins.saltedJoin(fact, dim, "fk", "dk",
-        saltFrom = col("rid"), salts = 8)
-      .select("rid", "fk", "v", "dk", "name")
+    val dim = (0L to 9L).map(i => (i, s"d$i")).toDF("fk", "name")
+    val plain = fact.join(dim, Seq("fk"))
+      .select("rid", "fk", "v", "name")
+    val salted = Skew.saltedJoin(fact, dim, "fk", buckets = 8,
+        saltFrom = Some(col("rid")))
+      .select("rid", "fk", "v", "name")
     val a = plain.collect().map(_.toSeq).sortBy(_.toString)
     val b = salted.collect().map(_.toSeq).sortBy(_.toString)
     assert(a.toSeq == b.toSeq)
   }
 
-  test("saltedJoin joins on (key, salt): the hot key's rows really spread " +
-    "over multiple salt values, and salts=1 degenerates to the plain join") {
+  test("deterministic salt really spreads the hot key over the buckets, " +
+    "and buckets=1 degenerates to the plain join") {
     import org.apache.spark.sql.functions.{col, countDistinct, lit, pmod, xxhash64}
     val fact = (1L to 500L).map(i => (i, 7L)).toDF("rid", "fk")
-    val dim = Seq((7L, "hot")).toDF("dk", "name")
+    val dim = Seq((7L, "hot")).toDF("fk", "name")
     val nSalts = fact
       .select(pmod(xxhash64(col("rid")), lit(8L)).as("s"))
       .agg(countDistinct("s")).head.getLong(0)
     assert(nSalts == 8L, s"hash salt covered only $nSalts of 8 buckets")
-    assert(Joins.saltedJoin(fact, dim, "fk", "dk", col("rid"), 8).count() == 500)
-    assert(Joins.saltedJoin(fact, dim, "fk", "dk", col("rid"), 1).count() == 500)
+    assert(Skew.saltedJoin(fact, dim, "fk", 8,
+      saltFrom = Some(col("rid"))).count() == 500)
+    assert(Skew.saltedJoin(fact, dim, "fk", 1,
+      saltFrom = Some(col("rid"))).count() == 500)
   }
 }
