@@ -499,42 +499,18 @@ object Multimodal {
   }
 
   /** Hamming-near-dup pairs over ANY 64-bit hash column (pHash, audio
-    * fingerprint, SimHash) — pigeonhole banding exactly as
-    * Dedup.simhashNearDup: split the hash into `chunks` equal bit
-    * chunks; two hashes within `maxHamming` bits MUST agree on at least
-    * one chunk (sound only while maxHamming < chunks, enforced), so the
-    * candidate join is equi on (chunk index, chunk value) — a plain
-    * shuffle join on short keys, never an all-pairs compare. Exact
-    * hamming re-checked on candidates; pair dedup via distinct on the
-    * (id, id, hamming) triple. */
+    * fingerprint) — delegates to the one banded pair join the text side
+    * already uses ([[graft.operators.Dedup.hammingNearDupPairs]]), so
+    * image, audio, and SimHash near-dup all share a single verified
+    * blocking implementation. */
   def hammingNearDupPairs(
       hashes: DataFrame,
       idCol: String,
       hashCol: String,
       maxHamming: Int = 3,
-      chunks: Int = 4): DataFrame = {
-    require(64 % chunks == 0, s"chunks=$chunks must divide 64")
-    require(maxHamming < chunks,
-      s"pigeonhole soundness needs maxHamming < chunks (got $maxHamming >= $chunks)")
-    import graft.functions.TextFunctions.hamming64
-    val fp = hashes.select(col(idCol).as("graft_id"), col(hashCol).as("graft_h"))
-    val width = 64 / chunks
-    val chunked = fp.withColumn("graft_chunk",
-      explode(array((0 until chunks).map { c =>
-        struct(lit(c).as("c"),
-          shiftrightunsigned(col("graft_h"), c * width)
-            .bitwiseAND((1L << width) - 1).as("v"))
-      }: _*)))
-    chunked.as("l")
-      .join(chunked.as("r"),
-        col("l.graft_chunk") === col("r.graft_chunk") &&
-          col("l.graft_id") < col("r.graft_id"))
-      .select(
-        col("l.graft_id").as("id_a"), col("r.graft_id").as("id_b"),
-        hamming64(col("l.graft_h"), col("r.graft_h")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-  }
+      chunks: Int = 4): DataFrame =
+    graft.operators.Dedup.hammingNearDupPairs(
+      hashes, idCol, hashCol, maxHamming, chunks)
 
   /** Resize images in place (bytes column rewritten, metadata updated):
     * real bilinear resample + PNG re-encode for decodable images, the

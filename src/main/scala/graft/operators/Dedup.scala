@@ -181,31 +181,47 @@ object Dedup {
     corpus.join(dupIds, Seq(idCol), "left_anti")
   }
 
-  /** Near-dup pairs via 64-bit SimHash. Pigeonhole banding: fingerprints
-    * within Hamming distance `maxHamming` MUST agree on at least one of
-    * `chunks` equal-width bit chunks — which is only guaranteed when
-    * maxHamming < chunks (enforced; with fewer chunks the distance could
-    * spread one flipped bit into every chunk and the pair would silently
-    * never become a candidate). */
+  /** Near-dup pairs via 64-bit SimHash: fingerprint, then the generic
+    * hamming-banded pair join ([[hammingNearDupPairs]]).
+    *
+    * Fingerprints are persisted first: the simhash expression (64-wide
+    * vote fold per token) would otherwise be recomputed per chunk and
+    * per join side. Cache lives as long as the returned lazy plan —
+    * long-lived sessions should spark.catalog.clearCache() between
+    * unrelated corpora. */
   def simhashNearDup(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
       chunks: Int = 4): DataFrame = {
-    require(64 % chunks == 0, s"chunks=$chunks must divide 64")
-    require(maxHamming < chunks,
-      s"pigeonhole soundness needs maxHamming < chunks (got $maxHamming >= $chunks)")
-
-    // Persist fingerprints: the simhash expression (64-wide vote fold per
-    // token) would otherwise be recomputed per chunk and per join side.
-    // Cache lives as long as the returned lazy plan — long-lived sessions
-    // should spark.catalog.clearCache() between unrelated corpora.
     val fp = df.select(
       col(idCol).as("graft_id"),
       simhash64Fast(tokens(col(textCol))).as("graft_sh"))
       .persist()
+    hammingNearDupPairs(fp, "graft_id", "graft_sh", maxHamming, chunks)
+  }
 
+  /** Hamming-near-dup pairs over ANY 64-bit hash column — SimHash, image
+    * pHash, audio energy fingerprints (graft.multimodal) all feed this
+    * one join. Pigeonhole banding: hashes within Hamming distance
+    * `maxHamming` MUST agree on at least one of `chunks` equal-width bit
+    * chunks — guaranteed only while maxHamming < chunks (enforced; with
+    * fewer chunks the distance could spread one flipped bit into every
+    * chunk and the pair would silently never become a candidate). The
+    * candidate join is equi on (chunk index, chunk value) — short keys,
+    * never an all-pairs compare; exact hamming re-checked on candidates;
+    * pair dedup via distinct. */
+  def hammingNearDupPairs(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      chunks: Int = 4): DataFrame = {
+    require(64 % chunks == 0, s"chunks=$chunks must divide 64")
+    require(maxHamming < chunks,
+      s"pigeonhole soundness needs maxHamming < chunks (got $maxHamming >= $chunks)")
+    val fp = hashes.select(col(idCol).as("graft_id"), col(hashCol).as("graft_sh"))
     val width = 64 / chunks
     val chunked = fp.withColumn("graft_chunk", explode(array((0 until chunks).map { c =>
       struct(lit(c).as("c"),
