@@ -511,5 +511,40 @@ object AnalyticsQueries {
              |                    WHEN 'signup' THEN 's' ELSE 'e' END,
              |                   '' ORDER BY ts, event_id) AS seq
              |      FROM events GROUP BY user_id)
-             |ORDER BY user_id""".stripMargin)))
+             |ORDER BY user_id""".stripMargin)),
+
+    // Exponential smoothing (EWMA, α=0.2) of each user's value stream —
+    // the RECURSIVE per-key fold (sᵢ = αxᵢ + (1−α)sᵢ₋₁) that window
+    // functions cannot express (each output depends on the previous
+    // OUTPUT, not a previous input): the ordered values fold through a
+    // higher-order aggregate seeded with the first element, exactly the
+    // left fold DuckDB's list_reduce performs, so both engines evaluate
+    // the IDENTICAL IEEE operation sequence (constants spelled
+    // CAST(0.2 AS DOUBLE) on both sides — bare decimal literals parse
+    // as DECIMAL in both engines and would change the arithmetic).
+    // Per-key state = that user's event count, the same bound
+    // sessionize/q_seq_pattern already assume.
+    GraftQuery(
+      "q_ewma",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(array_sort(
+            collect_list(struct(col("ts"), col("event_id"), col("value"))))
+            .as("graft_seq"))
+          .withColumn("graft_vals", expr("transform(graft_seq, x -> x.value)"))
+          .select(col("user_id"),
+            round(expr(
+              "aggregate(slice(graft_vals, 2, greatest(size(graft_vals)-1, 0)), " +
+                "element_at(graft_vals, 1), " +
+                "(acc, x) -> CAST(0.2 AS DOUBLE)*x + CAST(0.8 AS DOUBLE)*acc)"),
+              6).as("ewma"),
+            size(col("graft_vals")).cast("bigint").as("n"))
+          .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  ROUND(list_reduce(list(value ORDER BY ts, event_id),
+             |        (acc, x) -> CAST(0.2 AS DOUBLE)*x + CAST(0.8 AS DOUBLE)*acc),
+             |        6) AS ewma,
+             |  count(*) AS n
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)))
 }
