@@ -1025,5 +1025,39 @@ object CurationQueries {
              |          t -> CAST(((('0x' || substring(md5(t), 1, 4))::BIGINT % 64)
              |                     * 37) % 21 - 10 AS DOUBLE) / 10.0)), 0.0) AS s
              |      FROM documents) t
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Per-group feature scaling — z-score and min-max standardization of
+    // each event's value within its event_type, the feature-engineering
+    // normalization step before any model sees a column. ONE bounded
+    // group-stats aggregate broadcast back onto the fact scan (the
+    // q_outliers fence shape): no window over the fact table, no second
+    // scan. z rounds to 2 (mean/stddev carry accumulation-order noise at
+    // 1e-12; the min-max ratio is exact-input division and rounds at 6).
+    GraftQuery(
+      "q_feature_scale",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val stats = e.groupBy("event_type").agg(
+          avg("value").as("graft_mu"),
+          expr("stddev_samp(value)").as("graft_sd"),
+          min("value").as("graft_mn"),
+          max("value").as("graft_mx"))
+        e.join(broadcast(stats), Seq("event_type"))
+          .select(
+            col("event_id"), col("event_type"),
+            round((col("value") - col("graft_mu")) / col("graft_sd"), 2).as("z"),
+            round((col("value") - col("graft_mn")) /
+              (col("graft_mx") - col("graft_mn")), 6).as("mm"))
+          .orderBy("event_id")
+      },
+      Some("""WITH st AS (SELECT event_type,
+             |              avg(value) AS mu, stddev_samp(value) AS sd,
+             |              min(value) AS mn, max(value) AS mx
+             |            FROM events GROUP BY 1)
+             |SELECT event_id, event_type,
+             |       ROUND((value - mu) / sd, 2) AS z,
+             |       ROUND((value - mn) / (mx - mn), 6) AS mm
+             |FROM events JOIN st USING (event_type)
+             |ORDER BY event_id""".stripMargin)))
 }
