@@ -1059,5 +1059,39 @@ object CurationQueries {
              |       ROUND((value - mu) / sd, 2) AS z,
              |       ROUND((value - mn) / (mx - mn), 6) AS mm
              |FROM events JOIN st USING (event_type)
+             |ORDER BY event_id""".stripMargin)),
+
+    // LEAVE-ONE-OUT target encoding with a smoothing prior — the
+    // leakage-correct categorical encoder: each row's category is scored
+    // by the mean target of the OTHER rows in its category
+    // ((Σ−vᵢ + m·prior)/(n−1+m)), so a row never sees its own label,
+    // and rare categories shrink toward the global prior instead of
+    // memorizing their few labels. Shape: one category-sums aggregate +
+    // one global prior, both broadcast onto the fact scan — the same
+    // no-window, no-second-scan plan as q_feature_scale. The smoothing
+    // constant is spelled CAST(10 AS DOUBLE) on both sides (bare
+    // integer/decimal literals type differently across engines).
+    GraftQuery(
+      "q_target_encode",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val g = e.groupBy("event_type").agg(
+          sum("value").as("graft_s"), count(lit(1)).as("graft_n"))
+        val p = e.agg(avg("value").as("graft_prior"))
+        e.join(broadcast(g), Seq("event_type"))
+          .crossJoin(broadcast(p))
+          .select(col("event_id"),
+            round((col("graft_s") - col("value") +
+              expr("CAST(10 AS DOUBLE)") * col("graft_prior")) /
+              (col("graft_n") - lit(1) + lit(10)), 4).as("te"))
+          .orderBy("event_id")
+      },
+      Some("""WITH g AS (SELECT event_type, sum(value) AS s, count(*) AS n
+             |           FROM events GROUP BY 1),
+             |p AS (SELECT avg(value) AS prior FROM events)
+             |SELECT event_id,
+             |  ROUND((g.s - e.value + CAST(10 AS DOUBLE) * p.prior)
+             |        / (g.n - 1 + 10), 4) AS te
+             |FROM events e JOIN g USING (event_type) CROSS JOIN p
              |ORDER BY event_id""".stripMargin)))
 }
