@@ -1032,15 +1032,20 @@ object CurationQueries {
     // normalization step before any model sees a column. ONE bounded
     // group-stats aggregate broadcast back onto the fact scan (the
     // q_outliers fence shape): no window over the fact table, no second
-    // scan. z rounds to 2 (mean/stddev carry accumulation-order noise at
-    // 1e-12; the min-max ratio is exact-input division and rounds at 6).
+    // scan. mu/sd are quantized at 6 decimals IN THE AGGREGATE on both
+    // sides: avg/stddev carry partial-aggregation-order noise (~1e-12),
+    // and a raw z within that epsilon of a .xx5 boundary flips the final
+    // round(…, 2) between engines/partitionings. Quantizing the group
+    // stats first makes both engines compute z from bit-identical
+    // inputs, so the final round is deterministic. min/max are exact
+    // selections and need no quantization.
     GraftQuery(
       "q_feature_scale",
       (s, d) => {
         val e = Tables.events(s, d)
         val stats = e.groupBy("event_type").agg(
-          avg("value").as("graft_mu"),
-          expr("stddev_samp(value)").as("graft_sd"),
+          round(avg("value"), 6).as("graft_mu"),
+          round(expr("stddev_samp(value)"), 6).as("graft_sd"),
           min("value").as("graft_mn"),
           max("value").as("graft_mx"))
         e.join(broadcast(stats), Seq("event_type"))
@@ -1052,7 +1057,8 @@ object CurationQueries {
           .orderBy("event_id")
       },
       Some("""WITH st AS (SELECT event_type,
-             |              avg(value) AS mu, stddev_samp(value) AS sd,
+             |              ROUND(avg(value), 6) AS mu,
+             |              ROUND(stddev_samp(value), 6) AS sd,
              |              min(value) AS mn, max(value) AS mx
              |            FROM events GROUP BY 1)
              |SELECT event_id, event_type,
@@ -1075,9 +1081,13 @@ object CurationQueries {
       "q_target_encode",
       (s, d) => {
         val e = Tables.events(s, d)
+        // graft_s / graft_prior are quantized at 6 decimals in the agg on
+        // both sides: double sum/avg carry partial-aggregation-order
+        // noise, and the downstream round(…, 4) must see bit-identical
+        // inputs (same hazard as q_feature_scale).
         val g = e.groupBy("event_type").agg(
-          sum("value").as("graft_s"), count(lit(1)).as("graft_n"))
-        val p = e.agg(avg("value").as("graft_prior"))
+          round(sum("value"), 6).as("graft_s"), count(lit(1)).as("graft_n"))
+        val p = e.agg(round(avg("value"), 6).as("graft_prior"))
         e.join(broadcast(g), Seq("event_type"))
           .crossJoin(broadcast(p))
           .select(col("event_id"),
@@ -1086,9 +1096,10 @@ object CurationQueries {
               (col("graft_n") - lit(1) + lit(10)), 4).as("te"))
           .orderBy("event_id")
       },
-      Some("""WITH g AS (SELECT event_type, sum(value) AS s, count(*) AS n
+      Some("""WITH g AS (SELECT event_type, ROUND(sum(value), 6) AS s,
+             |                  count(*) AS n
              |           FROM events GROUP BY 1),
-             |p AS (SELECT avg(value) AS prior FROM events)
+             |p AS (SELECT ROUND(avg(value), 6) AS prior FROM events)
              |SELECT event_id,
              |  ROUND((g.s - e.value + CAST(10 AS DOUBLE) * p.prior)
              |        / (g.n - 1 + 10), 4) AS te

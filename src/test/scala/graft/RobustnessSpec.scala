@@ -102,6 +102,46 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  // ---- partition-count stability (accumulation-order determinism) ---
+  //
+  // avg/stddev/sum over doubles accumulate in partition order; a query
+  // that rounds arithmetic on those aggregates must quantize the group
+  // stats first or its output can flip at a rounding boundary when the
+  // partitioning changes (the r10 driver-red q_feature_scale flake).
+  // Gate: identical bytes at 1 / 4 / 32 shuffle partitions AND with the
+  // scan split into many tiny file-partitions.
+
+  private val accumulationSensitive =
+    Seq("q_feature_scale", "q_target_encode", "q_agg_stats",
+      "q_stats_moments", "q_regr", "q_ewma", "q_drift_psi")
+
+  test("accumulation-sensitive queries are byte-stable across partitionings") {
+    val dir = "/root/testdata/sf0.001"
+    val conf = spark.conf
+    val origShuffle = conf.get("spark.sql.shuffle.partitions")
+    val origBytes = conf.get("spark.sql.files.maxPartitionBytes")
+    def runAll(shuffle: Int, maxBytes: String): Map[String, Seq[String]] = {
+      conf.set("spark.sql.shuffle.partitions", shuffle.toString)
+      conf.set("spark.sql.files.maxPartitionBytes", maxBytes)
+      accumulationSensitive.map { q =>
+        q -> SparkEntry.queries(q)(spark, dir).collect().toSeq
+          .map(_.toString).sorted
+      }.toMap
+    }
+    try {
+      val base = runAll(32, origBytes)
+      for ((shuffle, mb) <- Seq((1, "16384"), (4, "65536"), (32, "1048576"))) {
+        val got = runAll(shuffle, mb)
+        for (q <- accumulationSensitive)
+          assert(got(q) == base(q),
+            s"$q unstable at shuffle=$shuffle maxPartitionBytes=$mb")
+      }
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", origShuffle)
+      conf.set("spark.sql.files.maxPartitionBytes", origBytes)
+    }
+  }
+
   test("property: fused text minhash equals composed pipeline on random unicode-ish text") {
     val charGen = Gen.frequency(
       8 -> Gen.alphaNumChar, 3 -> Gen.const(' '), 1 -> Gen.const('\t'),
