@@ -94,22 +94,9 @@ object BloomIndex {
     val store = new Path(targetPath)
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = CommitLog.currentVersion(fs, store)
-    val files = CommitLog.snapshotFiles(fs, store, v)
     val pred = col(keyCol).isin(values: _*)
     val empty = lookupMiss(spark, store, v)
-    val indexed: Map[String, Array[Byte]] = {
-      val side = sidecar(store, v)
-      if (!fs.exists(side)) Map.empty
-      else spark.read.parquet(side.toString).collect()
-        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
-    }
-    val toScan = files.filter { f =>
-      indexed.get(f) match {
-        case Some(bytes) =>
-          values.exists(x => BloomBridge.mightContainValue(bytes, x))
-        case None => true // not covered by the index: must scan
-      }
-    }
+    val toScan = scanSet(spark, fs, store, v, keyCol, values)
     CommitLog.readFilesAt(spark, store, v, toScan)
       .fold(empty)(_.filter(pred))
   }
@@ -119,21 +106,53 @@ object BloomIndex {
   def filesScanned(
       spark: SparkSession,
       targetPath: String,
+      keyCol: String,
       values: Seq[Any]): Int = {
     val store = new Path(targetPath)
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val v = CommitLog.currentVersion(fs, store)
+    scanSet(spark, fs, store, v, keyCol, values).size
+  }
+
+  /** Files a lookup on `keyCol IN values` must scan at version `v`.
+    *
+    * Probe values are resolved to the indexed column's DataType from the
+    * recorded schema before hashing — xxhash64 is type-sensitive, and an
+    * Int probe of a LongType column would otherwise hash differently and
+    * silently prune files that DO contain the key. A value that cannot
+    * be resolved (uncastable, or no recorded schema/column) disables
+    * pruning for the whole lookup: conservative, never a miss. Each
+    * file's sketch is deserialized once and probed with the precomputed
+    * hash set. */
+  private def scanSet(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      store: Path,
+      v: Long,
+      keyCol: String,
+      values: Seq[Any]): Seq[String] = {
     val files = CommitLog.snapshotFiles(fs, store, v)
     val side = sidecar(store, v)
-    if (!fs.exists(side)) return files.size
-    val indexed = spark.read.parquet(side.toString).collect()
-      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
-    files.count { f =>
-      indexed.get(f) match {
-        case Some(bytes) =>
-          values.exists(x => BloomBridge.mightContainValue(bytes, x))
-        case None => true
-      }
+    if (!fs.exists(side)) return files
+    val colType = CommitLog.schemaAt(fs, store, v)
+      .flatMap(_.fields.find(_.name == keyCol)).map(_.dataType)
+    val hashes: Option[Seq[Long]] = colType.flatMap { dt =>
+      val hs = values.map(BloomBridge.hashForType(_, dt))
+      if (hs.forall(_.isDefined)) Some(hs.flatten) else None
+    }
+    hashes match {
+      case None => files // cannot hash as the column's type: scan all
+      case Some(hs) =>
+        val indexed = spark.read.parquet(side.toString).collect()
+          .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+        files.filter { f =>
+          indexed.get(f) match {
+            case Some(bytes) =>
+              val bf = BloomBridge.deserialize(bytes)
+              hs.exists(bf.mightContainLong)
+            case None => true // not covered by the index: must scan
+          }
+        }
     }
   }
 

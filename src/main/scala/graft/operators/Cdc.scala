@@ -41,11 +41,17 @@ object Cdc {
       opCol: String): DataFrame = {
     require(keyCols.nonEmpty, "applyChanges needs at least one key column")
 
+    // An at-least-once transport redelivers byte-identical rows as its
+    // NORMAL output; only rows that differ at the winning sequence are a
+    // corrupt feed. Dedup exact duplicates first so redelivery is not a
+    // poison pill that permanently halts every replay of this batch.
+    val events = feed.distinct()
+
     // per-key winner by seq — bounded-heap argmax, feed-sized
     val winners = TopK.perKey(
-        feed.withColumn("graft_seq", col(seqCol)),
+        events.withColumn("graft_seq", col(seqCol)),
         keys = keyCols, ordering = Seq("graft_seq"), k = 1)
-      .join(feed.withColumnRenamed(seqCol, "graft_seq"),
+      .join(events.withColumnRenamed(seqCol, "graft_seq"),
         keyCols :+ "graft_seq")
 
     // the upstream log guarantees one action per (key, seq); a tie at
@@ -93,10 +99,13 @@ object Cdc {
     val store = new Path(targetPath)
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // exact-duplicate redelivery is normal at-least-once output, not a
+    // corrupt feed (see applyChanges)
+    val events = feed.distinct()
     val winners = TopK.perKey(
-        feed.withColumn("graft_seq", col(seqCol)),
+        events.withColumn("graft_seq", col(seqCol)),
         keys = keyCols, ordering = Seq("graft_seq"), k = 1)
-      .join(feed.withColumnRenamed(seqCol, "graft_seq"),
+      .join(events.withColumnRenamed(seqCol, "graft_seq"),
         keyCols :+ "graft_seq")
     val firstDup = winners.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("graft_n")).filter(col("graft_n") > 1)
@@ -124,10 +133,17 @@ object Cdc {
         }.toSeq
     }
 
+    // Partition layout comes from the FULL snapshot at readVersion, not
+    // just the matched files: an insert-only batch on a Hive-partitioned
+    // store matches no existing file, and deriving from `matched` alone
+    // would write the staged rows flat — mixing partitioned and
+    // unpartitioned files under one basePath and breaking every
+    // subsequent partition discovery.
     val pcols = {
-      val per = matched.map(CommitLog.partitionColsOf).distinct
+      val per = CommitLog.snapshotFiles(fs, store, readVersion)
+        .map(CommitLog.partitionColsOf).distinct
       require(per.size <= 1,
-        s"matched files disagree on partition layout: $per")
+        s"store files disagree on partition layout: $per")
       per.headOption.getOrElse(Nil)
     }
     val survivors = CommitLog.readFilesAt(spark, store, readVersion, matched)

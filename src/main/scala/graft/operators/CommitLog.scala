@@ -1112,12 +1112,23 @@ object CommitLog {
       .map(_.stripSuffix(".checkpoint").toLong).filter(_ <= floor)
     val replayBase = if (ckpts.isEmpty) 0L else ckpts.max
     var logDeleted = 0
+    // bloom sidecars (bloom-v<N>.parquet dirs) describe exactly one
+    // snapshot version; below the retain floor that snapshot is gone, so
+    // the sidecar is dead weight — without this they accumulate one per
+    // build() forever. Abandoned .tmp sidecars drop unconditionally.
+    val BloomSidecar = """bloom-v(\d+)\.parquet""".r
     names.foreach { n =>
-      val drop =
-        n.startsWith(".tmp-") ||
-          (n.endsWith(".txt") && n.stripSuffix(".txt").toLong <= replayBase) ||
-          (n.endsWith(".checkpoint") && n.stripSuffix(".checkpoint").toLong < replayBase)
-      if (drop) { fs.delete(new Path(logDir(store), n), false); logDeleted += 1 }
+      val (drop, recursive) = n match {
+        case _ if n.startsWith(".tmp-") => (true, false)
+        case _ if n.contains(".parquet.tmp") => (true, true)
+        case BloomSidecar(v) => (v.toLong < floor, true)
+        case _ if n.endsWith(".txt") =>
+          (n.stripSuffix(".txt").toLong <= replayBase, false)
+        case _ if n.endsWith(".checkpoint") =>
+          (n.stripSuffix(".checkpoint").toLong < replayBase, false)
+        case _ => (false, false)
+      }
+      if (drop) { fs.delete(new Path(logDir(store), n), recursive); logDeleted += 1 }
     }
     (dataDeleted, logDeleted)
   }

@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   * Failure semantics: the staged files are deleted, the store is
   * bit-identical to before (the stage was never reachable by any
   * reader), and the caller gets the per-check report to route to a
-  * quarantine or an alert. Success publishes one atomic manifest —
-  * a blind append, so disjoint audited appends race without conflict.
+  * quarantine or an alert. Success publishes one atomic manifest: a
+  * blind append for batch-local audits (disjoint feeds race without
+  * conflict), a whole-store-read commit for whole-table audits (any
+  * intervening commit invalidates the audit, so OCC aborts and the
+  * caller re-audits — the only way "unique across the whole table"
+  * can hold at the tip under concurrency).
   */
 object Wap {
 
@@ -35,19 +39,49 @@ object Wap {
   /** Append `batch` iff `checks` pass. `auditWholeTable = true` (default)
     * audits current ∪ staged — the only scope where cross-batch
     * uniqueness means anything; `false` audits the staged rows alone
-    * (cheaper; right for batch-local checks on an append-only feed). */
+    * (cheaper; right for batch-local checks on an append-only feed).
+    * Whole-table mode serializes against concurrent commits: if another
+    * writer lands between audit and publish, the stale audit is thrown
+    * away and the stage–audit–publish cycle re-runs against the new tip
+    * (up to `maxAudits` times). */
   def appendAudited(
       spark: SparkSession,
       targetPath: String,
       batch: DataFrame,
       checks: Seq[Expectations.Expectation],
       auditWholeTable: Boolean = true,
-      meta: Map[String, String] = Map.empty): WapResult = {
+      meta: Map[String, String] = Map.empty,
+      maxAudits: Int = 5): WapResult = {
     require(checks.nonEmpty, "an unaudited append is just an append — " +
       "give at least one expectation or use the plain writer")
     val store = new Path(targetPath)
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    var lastConflict: CommitLog.ConflictException = null
+    var audits = 0
+    while (audits < maxAudits) {
+      audits += 1
+      try return stageAuditPublish(
+        spark, store, fs, batch, checks, auditWholeTable, meta)
+      catch { case e: CommitLog.ConflictException =>
+        // a commit intervened between audit and publish: the audit's
+        // pre-image is stale, so re-run the whole cycle at the new tip
+        lastConflict = e
+      }
+    }
+    throw new java.io.IOException(
+      s"audited append to $store lost the publish race $maxAudits times " +
+        s"(last: ${lastConflict.getMessage}); nothing published")
+  }
+
+  private def stageAuditPublish(
+      spark: SparkSession,
+      store: Path,
+      fs: org.apache.hadoop.fs.FileSystem,
+      batch: DataFrame,
+      checks: Seq[Expectations.Expectation],
+      auditWholeTable: Boolean,
+      meta: Map[String, String]): WapResult = {
     val readVersion = CommitLog.currentVersion(fs, store)
     val staging = Swap.Suffix.staging(store, Swap.newTag())
     batch.write.parquet(staging.toString)
@@ -67,12 +101,24 @@ object Wap {
       fs.delete(staging, true)
       WapResult(published = false, readVersion, report)
     } else {
+      // Commit mode follows the audit scope. A whole-table audit READ the
+      // entire snapshot at readVersion, so its commit must declare that
+      // read (WholeStore in the touched set): two concurrent audited
+      // appends would otherwise each validate e.g. Unique(doc_id) against
+      // the same pre-image and both publish as blind appends, violating
+      // the invariant at the tip with every audit green. With the read
+      // declared, OCC aborts the loser (ConflictException), which
+      // re-audits against the new tip and retries. Batch-local audits
+      // read only the staged rows, so they stay blind appends and
+      // disjoint feeds race without conflict.
       val v = CommitLog.commitStaged(spark, store, staging, readVersion,
         retireNames = Nil, wholeStore = false,
         meta = meta ++ Map("operation" -> "wap-append",
           "wapChecks" -> checks.size.toString),
+        extraTouched =
+          if (auditWholeTable) Seq(CommitLog.WholeStore) else Nil,
         schema = Some(staged.schema),
-        blindAppend = true)
+        blindAppend = !auditWholeTable)
       WapResult(published = true, v, report)
     }
   }

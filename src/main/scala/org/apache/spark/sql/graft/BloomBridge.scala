@@ -35,11 +35,37 @@ object BloomBridge {
     * literal), so the answer matches what the distributed probe would
     * say. The value's Scala type must map to the SAME Spark type as the
     * aggregated column — xxhash64 is type-sensitive (an Int probe of a
-    * LongType column hashes differently and silently never matches). */
+    * LongType column hashes differently and silently never matches);
+    * use [[hashForType]] + [[deserialize]] when the column's DataType is
+    * known, which casts the probe first and amortizes sketch decoding. */
   def mightContainValue(sketch: Array[Byte], value: Any): Boolean = {
-    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(sketch))
     val h = new XxHash64(Seq(Literal(value))).eval(null).asInstanceOf[Long]
-    bf.mightContainLong(h)
+    deserialize(sketch).mightContainLong(h)
   }
+
+  /** xxhash64 of `value` AS the column's type `dt` — the hash the
+    * aggregate computed for an equal column value. The probe is cast to
+    * `dt` first (an Int probing a LongType column must hash as a Long);
+    * None when the cast fails, so a type-mismatched probe degrades to
+    * "cannot rule anything out" instead of silently mis-pruning. */
+  def hashForType(
+      value: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[Long] = {
+    val lit = Literal(value)
+    val casted: Any =
+      if (lit.dataType == dt) lit.value
+      else if (org.apache.spark.sql.catalyst.expressions.Cast
+        .canCast(lit.dataType, dt))
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          lit, dt, evalMode =
+            org.apache.spark.sql.catalyst.expressions.EvalMode.TRY).eval(null)
+      else null
+    Option(casted).map(c =>
+      new XxHash64(Seq(Literal.create(c, dt))).eval(null).asInstanceOf[Long])
+  }
+
+  /** Decode a collected sketch ONCE; probe with `mightContainLong`. */
+  def deserialize(sketch: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(sketch))
 }

@@ -45,13 +45,61 @@ class BloomIndexSpec extends AnyFunSuite {
       .select("k", "uid").as[(Long, Long)].collect().toSet
     assert(got == plain && got.nonEmpty)
 
-    val scanned = BloomIndex.filesScanned(spark, store, wanted)
+    val scanned = BloomIndex.filesScanned(spark, store, "uid", wanted)
     assert(scanned < total,
       s"bloom index pruned nothing: $scanned of $total files scanned")
 
     // a value that exists nowhere: prune to (almost) nothing, empty result
     assert(BloomIndex.lookup(spark, store, "uid", Seq(999999L)).count() == 0)
-    assert(BloomIndex.filesScanned(spark, store, Seq(999999L)) < total)
+    assert(BloomIndex.filesScanned(spark, store, "uid", Seq(999999L)) < total)
+  }
+
+  test("an Int probe of a LongType column is cast before hashing — " +
+    "lookup still equals the plain filter, never a silent miss") {
+    val store = tmp("graft_bf_type") + "/s"
+    buildStore(store)
+    BloomIndex.build(spark, store, "uid", 1000L, 80000L)
+    // uid is LongType; probe with Scala Ints (the raw-literal hash of an
+    // Int differs from the Long hash and used to prune the true files)
+    val got = BloomIndex.lookup(spark, store, "uid", Seq(3012, 7049))
+      .select("k").as[Long].collect().toSet
+    val plain = CommitLog.read(spark, new Path(store)).get
+      .filter($"uid".isin(3012L, 7049L)).select("k").as[Long].collect().toSet
+    assert(got == plain && got.nonEmpty,
+      "Int probes of a Long column must still find the rows")
+    // an unhashable probe disables pruning entirely (scan everything);
+    // the lookup itself then fails exactly as loudly as the plain ANSI
+    // filter would — never a silent wrong answer
+    assert(BloomIndex.filesScanned(spark, store, "uid", Seq("not-a-number")) ==
+      CommitLog.snapshotFiles(fs, new Path(store),
+        CommitLog.currentVersion(fs, new Path(store))).size)
+    val thrown = intercept[Exception] {
+      BloomIndex.lookup(spark, store, "uid", Seq("not-a-number")).count()
+    }
+    assert(thrown.getMessage.contains("CAST_INVALID_INPUT"),
+      s"expected the plain ANSI cast failure, got: ${thrown.getMessage}")
+  }
+
+  test("vacuum drops bloom sidecars below the retain floor, keeps the " +
+    "live one") {
+    val store = tmp("graft_bf_vac") + "/s"
+    buildStore(store) // v1
+    BloomIndex.build(spark, store, "uid", 1000L, 80000L) // bloom-v1
+    Merge.into(spark, store,
+      Seq((2001L, 777777L, "p0")).toDF("k", "uid", "p"), Seq("k")) // v2
+    Merge.into(spark, store,
+      Seq((2002L, 777778L, "p0")).toDF("k", "uid", "p"), Seq("k")) // v3
+    BloomIndex.build(spark, store, "uid", 1000L, 80000L) // bloom-v3
+    val log = CommitLog.logDir(new Path(store))
+    def sidecars = fs.listStatus(log).map(_.getPath.getName)
+      .filter(_.startsWith("bloom-v")).toSet
+    assert(sidecars == Set("bloom-v1.parquet", "bloom-v3.parquet"))
+    CommitLog.vacuum(spark, new Path(store), retainVersions = 2,
+      orphanGraceMs = 0L)
+    assert(sidecars == Set("bloom-v3.parquet"),
+      "sidecar below the floor must be vacuumed, live one kept")
+    // the surviving index still prunes and still answers correctly
+    assert(BloomIndex.lookup(spark, store, "uid", Seq(777778L)).count() == 1)
   }
 
   test("appends AFTER the index are scanned conservatively — a stale " +

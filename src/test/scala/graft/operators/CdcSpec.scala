@@ -79,6 +79,45 @@ class CdcSpec extends AnyFunSuite {
     assert(state(store) == Map(1L -> "base"))
   }
 
+  test("byte-identical redelivery (at-least-once transport) applies " +
+    "cleanly; only DIFFERING payloads at the winning seq refuse") {
+    val store = tmp("graft_cdc_redeliver") + "/s"
+    Merge.into(spark, store,
+      Seq((1L, "base")).toDF("k", "v"), Seq("k"), log = Some(true))
+    // the same action delivered twice — normal at-least-once output
+    val feed = Seq((1L, "upd", 3L, "U"), (1L, "upd", 3L, "U"),
+      (2L, "new", 1L, "I"), (2L, "new", 1L, "I"))
+      .toDF("k", "v", "seq", "op")
+    Cdc.applyChanges(spark, store, feed, Seq("k"), "seq", "op")
+    assert(state(store) == Map(1L -> "upd", 2L -> "new"))
+    // atomic path too
+    Cdc.applyChangesAtomic(spark, store,
+      Seq((3L, "x", 1L, "I"), (3L, "x", 1L, "I")).toDF("k", "v", "seq", "op"),
+      Seq("k"), "seq", "op")
+    assert(state(store) == Map(1L -> "upd", 2L -> "new", 3L -> "x"))
+  }
+
+  test("atomic apply of an insert-only batch keeps a hive-partitioned " +
+    "store's layout (no flat files mixed under basePath)") {
+    val store = tmp("graft_cdc_part") + "/s"
+    Merge.into(spark, store,
+      Seq((1L, "a", "p0"), (2L, "b", "p1")).toDF("k", "v", "p"),
+      Seq("k"), prunePartitions = Some("p"), log = Some(true))
+    // insert-only: no existing file holds any winner key
+    Cdc.applyChangesAtomic(spark, store,
+      Seq((3L, "c", "p1", 1L, "I")).toDF("k", "v", "p", "seq", "op"),
+      Seq("k"), "seq", "op")
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = CommitLog.snapshotFiles(fs, new Path(store),
+      CommitLog.currentVersion(fs, new Path(store)))
+    assert(files.forall(_.startsWith("p=")),
+      s"insert-only batch wrote outside the partition layout: $files")
+    // partition discovery still works and sees all three rows
+    val out = CommitLog.read(spark, new Path(store)).get
+    assert(out.select("k").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(out.filter($"p" === "p1").count() == 2)
+  }
+
   test("whereIn deletes by composite key from a dataframe key set; " +
     "null store keys stay") {
     val store = tmp("graft_cdc_in") + "/s"
