@@ -144,11 +144,14 @@ object Clustering {
     *
     * Common path (no cluster over the cap, checked with one k-row
     * aggregate): the witness side is `assigned` verbatim — no window, no
-    * extra pass. Overflow path: for each oversized cluster (logged
-    * loudly — overflow degrades dedup coverage for that cluster) compute
-    * the cap'th-smallest id with a TakeOrdered+max probe, and keep only
-    * ids ≤ that threshold. No window function anywhere, so nothing ever
-    * funnels a whole cluster through one task. */
+    * extra pass. Overflow path (logged loudly — overflow degrades dedup
+    * coverage for the affected clusters): ONE grouped bounded-heap pass
+    * computes every oversized cluster's cap'th-smallest id at once
+    * (TopKAgg k-smallest → max per cluster — a single Spark job no
+    * matter how many clusters run hot, not a per-cluster driver loop),
+    * and a broadcast of those ≤ k threshold rows filters the witness
+    * set. No window function anywhere, so nothing ever funnels a whole
+    * cluster through one task. */
   private[operators] def witnessSide(
       assigned: DataFrame,
       idCol: String,
@@ -164,17 +167,16 @@ object Clustering {
           "witness set capped to the most-senior rows — near-duplicates " +
           "junior to the cap in these clusters may survive. Raise k (smaller " +
           "clusters) or maxWitnesses to restore full coverage.")
-      val thresholds = oversized.map { c =>
-        val t = assigned.filter(col("cluster") === c)
-          .select(col(idCol).cast("long").as("i"))
-          .orderBy("i").limit(maxWitnesses)
-          .agg(max("i")).collect().head.getLong(0)
-        (c, t)
-      }.toMap
-      val keep = thresholds.foldLeft(lit(true)) { case (acc, (c, t)) =>
-        acc && (col("cluster") =!= c || col(idCol) <= t)
-      }
-      assigned.filter(keep)
+      val over = assigned
+        .filter(col("cluster").isin(oversized.map(Int.box): _*))
+        .select(col("cluster"), col(idCol).cast("long").as("graft_i"))
+      val thresholds = TopK.perKey(over, keys = Seq("cluster"),
+          ordering = Seq("graft_i"), k = maxWitnesses, desc = false)
+        .groupBy("cluster").agg(max("graft_i").as("graft_thresh"))
+      assigned.join(broadcast(thresholds), Seq("cluster"), "left")
+        .filter(col("graft_thresh").isNull ||
+          col(idCol).cast("long") <= col("graft_thresh"))
+        .drop("graft_thresh")
     }
   }
 

@@ -130,6 +130,41 @@ class ClusteringSpec extends AnyFunSuite {
       s"expected broadcast witness join in plan:\n$plan")
   }
 
+  test("N hot clusters: thresholds compute in one grouped pass (job count " +
+    "independent of N) with per-cluster semantics unchanged") {
+    val nClusters = 6; val perCluster = 30; val maxW = 10
+    val rows = for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield (c, c * 1000L + i * 7L) // non-contiguous ids
+    val assigned = rows.toDF("cluster", "vec_id")
+
+    // reference: per cluster, the maxW smallest ids survive
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (c, g) =>
+      g.map(_._2).sorted.take(maxW).map(i => (c, i))
+    }.toSet
+
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = Clustering.witnessSide(assigned, "vec_id", maxW)
+        .select("cluster", "vec_id").as[(Int, Long)].collect().toSet
+      // listener delivery is async: wait until the count stops moving
+      var last = -1
+      while (jobs != last) { last = jobs; Thread.sleep(300) }
+      assert(got == want, "one-pass thresholds must equal per-cluster take")
+      // sizes collect + threshold broadcast + final collect — a small
+      // constant, NOT O(nClusters) (the old loop ran one job per cluster)
+      assert(jobs < nClusters,
+        s"$jobs jobs for $nClusters hot clusters — thresholds not batched")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("semanticDedup leaves no same-cluster survivor pair within threshold") {
     val k = 8; val t = 0.3
     val cents = Clustering.kmeansFit(emb, "vec_id", "embedding", k)
