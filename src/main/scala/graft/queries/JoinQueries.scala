@@ -200,6 +200,67 @@ object JoinQueries {
              |  ON l.user_id = r.user_id AND l.ts >= r.ts
              |ORDER BY l.event_id""".stripMargin)),
 
+    // Forward as-of: each click gets the user's EARLIEST subsequent (or
+    // simultaneous) purchase — next-scheduled-event lookup; the identical
+    // union+window machinery scanning time descending. DuckDB infers the
+    // direction from the inequality.
+    GraftQuery(
+      "q_join_asof_fwd",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.operators.AsOfJoin.asof(
+            left = ev.filter(col("event_type") === "click")
+              .select("event_id", "user_id", "ts"),
+            right = ev.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts"), col("value").as("purchase_value")),
+            keyCols = Seq("user_id"),
+            leftTs = "ts",
+            rightTs = "ts",
+            valueCols = Seq("purchase_value"),
+            direction = "forward")
+          .select("event_id", "purchase_value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id, r.value AS purchase_value
+             |FROM (SELECT * FROM events WHERE event_type = 'click') l
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+             |  ON l.user_id = r.user_id AND l.ts <= r.ts
+             |ORDER BY l.event_id""".stripMargin)),
+
+    // Nearest as-of: whichever of the prior/subsequent purchase is closer
+    // in time, exact ties going backward — pandas merge_asof
+    // direction='nearest'. One shuffle, two in-partition scans; the
+    // oracle replays it as backward ASOF + forward ASOF + distance CASE.
+    GraftQuery(
+      "q_join_asof_near",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.operators.AsOfJoin.asof(
+            left = ev.filter(col("event_type") === "click")
+              .select("event_id", "user_id", "ts"),
+            right = ev.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts"), col("value").as("purchase_value")),
+            keyCols = Seq("user_id"),
+            leftTs = "ts",
+            rightTs = "ts",
+            valueCols = Seq("purchase_value"),
+            direction = "nearest")
+          .select("event_id", "purchase_value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id,
+             |  CASE WHEN b.ts IS NULL THEN f.value
+             |       WHEN f.ts IS NULL THEN b.value
+             |       WHEN epoch(l.ts) - epoch(b.ts) <= epoch(f.ts) - epoch(l.ts)
+             |         THEN b.value
+             |       ELSE f.value END AS purchase_value
+             |FROM (SELECT * FROM events WHERE event_type = 'click') l
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+             |  ON l.user_id = b.user_id AND l.ts >= b.ts
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') f
+             |  ON l.user_id = f.user_id AND l.ts <= f.ts
+             |ORDER BY l.event_id""".stripMargin)),
+
     // A18 full semantics, deterministic batch model: distinct dim values →
     // dense_rank surrogate keys → broadcast join back onto the fact.
     // (True incremental upsert against a live store is the streaming layer's

@@ -73,4 +73,37 @@ class IterateSinksSpec extends AnyFunSuite {
     assert(out(3L).isEmpty)        // nothing at or before t=5
     assert(out(4L).isEmpty)        // no right rows for key v
   }
+
+  test("asof forward attaches the earliest subsequent value, " +
+    "with <= tie semantics") {
+    val left = Seq((1L, "u", 10L), (2L, "u", 16L), (3L, "u", 20L), (4L, "v", 1L))
+      .toDF("event_id", "user", "t")
+    val right = Seq(("u", 10L, 1.0), ("u", 15L, 2.0), ("u", 18L, 3.0))
+      .toDF("user", "rt", "v")
+    val out = AsOfJoin.asof(left, right, Seq("user"), "t", "rt", Seq("v"),
+        direction = "forward")
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(1.0))  // tie at t=10 → simultaneous row matches
+    assert(out(2L).contains(3.0))  // earliest of the future rows {18}
+    assert(out(3L).isEmpty)        // nothing at or after t=20
+    assert(out(4L).isEmpty)        // no right rows for key v
+  }
+
+  test("asof nearest picks the closer side; exact-distance ties go backward") {
+    val left = Seq(
+      (1L, "u", 12L),  // b@10 (d=2) vs f@15 (d=3) → backward 1.0
+      (2L, "u", 14L),  // b@10 (d=4) vs f@15 (d=1) → forward 2.0
+      (3L, "u", 5L),   // nothing before → forward 1.0
+      (4L, "u", 99L),  // nothing after → backward 2.0
+      (5L, "w", 13L))  // b@11 (d=2) vs f@15 (d=2): TIE → backward 7.0
+      .toDF("event_id", "user", "t")
+    val right = Seq(("u", 10L, 1.0), ("u", 15L, 2.0),
+        ("w", 11L, 7.0), ("w", 15L, 8.0))
+      .toDF("user", "rt", "v")
+    val out = AsOfJoin.asof(left, right, Seq("user"), "t", "rt", Seq("v"),
+        direction = "nearest")
+      .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(1.0),
+      4L -> Some(2.0), 5L -> Some(7.0)))
+  }
 }
