@@ -398,5 +398,31 @@ object CoverageQueries {
              |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
              |  FROM orders) t WHERE rn = 1
              |ORDER BY o_custkey""".stripMargin)),
+
+    // Avro source proof, oracle-gated: lineitem → avro container files
+    // (mapreduce output path, one file per partition) → block-splittable
+    // avro read → aggregate. The oracle aggregates the ORIGINAL parquet,
+    // so a hash match proves the write+read round-trip is lossless for
+    // longs, ints, doubles, strings and local timestamps — the real
+    // source machinery (graft.sources.Avro), not a re-read of parquet.
+    GraftQuery(
+      "q_avro_roundtrip",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_returnflag", "l_shipdate")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_avro_q").toString + "/t"
+        graft.sources.Avro.write(li, dir)
+        graft.sources.Avro.read(s, dir)
+          .groupBy("l_returnflag")
+          .agg(sum("l_quantity").as("sum_qty"),
+            count(lit(1)).as("n"),
+            max("l_shipdate").as("last_ship"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+             |       count(*) AS n, max(l_shipdate) AS last_ship
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

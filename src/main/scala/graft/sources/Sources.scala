@@ -46,6 +46,14 @@ object Sources {
   def text(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** Avro container files — block-splittable read on the mapreduce I/O
+    * path (the external spark-avro module is absent here; see
+    * [[graft.sources.Avro]] for the full reader/writer/quarantine
+    * surface and the supported type subset). */
+  def avro(spark: SparkSession, path: String,
+      avroSchemaJson: Option[String] = None): DataFrame =
+    Avro.read(spark, path, avroSchemaJson)
+
   /** Streaming file source: picks up new files per micro-batch;
     * `maxFilesPerTrigger` is the backpressure knob (A23 BoundedCapacity
     * parity). */

@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.flow.SparkTestSession
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Avro source/sink on the mapreduce I/O path: round-trips preserve
+  * values and nullability, the reader schema pins decoding, corrupt
+  * container files quarantine per file, and the fixture tables survive a
+  * parquet → avro → parquet round-trip unchanged. */
+class AvroSpec extends AnyFunSuite {
+
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("write → read round-trips primitives, nulls, nested structs, " +
+    "arrays, maps, dates and timestamps") {
+    val dir = tmp("graft_avro_rt") + "/t"
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = true),
+      StructField("flag", BooleanType, nullable = false),
+      StructField("blob", BinaryType, nullable = true),
+      StructField("tags", ArrayType(StringType, containsNull = true)),
+      StructField("props", MapType(StringType, LongType, valueContainsNull = true)),
+      StructField("nested", StructType(Seq(
+        StructField("a", IntegerType, nullable = true),
+        StructField("b", StringType, nullable = true))), nullable = true),
+      StructField("d", DateType, nullable = true),
+      StructField("ts", TimestampType, nullable = true)))
+    val rows = Seq(
+      Row(1L, "alpha", 1.5, true, Array[Byte](1, 2, 3), Seq("x", "y"),
+        Map("k" -> 7L), Row(5, "in"), java.sql.Date.valueOf("2024-06-01"),
+        java.sql.Timestamp.valueOf("2024-06-01 12:34:56.789012")),
+      Row(2L, null, null, false, null, Seq.empty[String],
+        Map.empty[String, Long], null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    Avro.write(df, dir)
+
+    val back = Avro.read(spark, dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val got = back.orderBy("id").collect()
+    assert(got.length == 2)
+    val r1 = got(0)
+    assert(r1.getLong(0) == 1L && r1.getString(1) == "alpha")
+    assert(r1.getAs[Array[Byte]]("blob").toSeq == Seq[Byte](1, 2, 3))
+    assert(r1.getAs[scala.collection.Seq[String]]("tags").toSeq == Seq("x", "y"))
+    assert(r1.getAs[Map[String, Long]]("props") == Map("k" -> 7L))
+    assert(r1.getAs[Row]("nested") == Row(5, "in"))
+    assert(r1.getAs[java.sql.Date]("d").toString == "2024-06-01")
+    assert(r1.getAs[java.sql.Timestamp]("ts").toString ==
+      "2024-06-01 12:34:56.789012", "microsecond precision must survive")
+    val r2 = got(1)
+    assert(r2.isNullAt(1) && r2.isNullAt(2) && r2.isNullAt(7) && r2.isNullAt(9))
+  }
+
+  test("fixture lineitem survives parquet → avro → parquet with equal " +
+    "aggregates") {
+    val dir = tmp("graft_avro_li") + "/t"
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+        "l_shipdate")
+    Avro.write(li, dir)
+    val back = Avro.read(spark, dir)
+    assert(back.count() == li.count())
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum("l_quantity"), countDistinct("l_orderkey"),
+        max("l_shipdate")).collect().head.toSeq
+    assert(agg(back) == agg(li))
+  }
+
+  test("explicit reader schema pins decoding; a projection-compatible " +
+    "reader reads files written with the full schema") {
+    val dir = tmp("graft_avro_schema") + "/t"
+    Avro.write(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "s", "v"), dir)
+    // reader schema = the writer schema (pinned via JSON)
+    val writerJson = Avro.toAvroSchema(
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("s", StringType, nullable = true),
+        StructField("v", DoubleType, nullable = false)))).toString
+    val pinned = Avro.read(spark, dir, Some(writerJson))
+    assert(pinned.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("corrupt container files quarantine per file; intact files decode") {
+    val dir = tmp("graft_avro_bad") + "/t"
+    Avro.write(Seq((1L, "ok"), (2L, "fine")).toDF("id", "s"), dir)
+    // clobber bytes INSIDE one container file (past the header) and add
+    // a file that is not avro at all
+    val d = new java.io.File(dir)
+    val avros = d.listFiles().filter(_.getName.endsWith(".avro")).sorted
+    assert(avros.nonEmpty)
+    val victim = avros.head
+    val raf = new java.io.RandomAccessFile(victim, "rw")
+    try {
+      val n = raf.length()
+      raf.seek(n - math.min(32, n / 2))
+      raf.write(Array.fill(16)(0x5a.toByte))
+    } finally raf.close()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "garbage.avro"),
+      "this is not avro".getBytes)
+
+    val schemaJson = Avro.toAvroSchema(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = true)))).toString
+    val (good, bad) = Avro.readPermissive(spark, dir, schemaJson)
+    assert(bad.exists(_.endsWith("garbage.avro")),
+      s"non-avro file must quarantine: $bad")
+    assert(bad.size >= 1 && bad.size <= 2)
+    // every surviving row decodes, none from quarantined files
+    val ids = good.select("id").as[Long].collect().toSet
+    assert(ids.subsetOf(Set(1L, 2L)))
+  }
+
+  test("unsupported shapes refuse loudly at schema conversion") {
+    intercept[IllegalArgumentException] {
+      Avro.toAvroSchema(StructType(Seq(
+        StructField("d", DecimalType(10, 2), nullable = true))))
+    }
+    val multi = org.apache.avro.SchemaBuilder.unionOf()
+      .intType().and().stringType().endUnion()
+    val rec = org.apache.avro.SchemaBuilder.record("r").fields()
+      .name("u").`type`(multi).noDefault().endRecord()
+    intercept[IllegalArgumentException] { Avro.toSparkSchema(rec) }
+  }
+}
