@@ -702,17 +702,71 @@ object CurationQueries {
 
     // Whole-document best-fit packing — the no-doc-splitting layout
     // (SeqPack.packBestFit): best-fit-decreasing bins per shard, docs
-    // never straddle a sequence boundary, padding measured. Bin packing
-    // is not SQL-expressible → rows-only; SeqPackSpec pins the property
-    // matrix (capacity, no-split, shard containment, utilization ≥ naive
-    // first-fit, determinism across partitionings).
+    // never straddle a sequence boundary, padding measured. The packing
+    // is sequential state, but it IS deterministic, so the oracle
+    // replays it exactly with a recursive CTE carrying the open-bin list
+    // per shard: docs sorted (tokens desc, id asc), candidate bins
+    // filtered on remaining ≥ need, chosen by (tightest, lowest id) via
+    // struct sort, fills tracked as 2048 − remaining. One recursion step
+    // per doc per shard (shards advance in parallel rows). SeqPackSpec
+    // additionally pins the property matrix (capacity, no-split, shard
+    // containment, utilization ≥ naive first-fit, partitioning
+    // determinism).
     GraftQuery(
       "q_seq_pack_bfd",
       (s, d) =>
         graft.operators.SeqPack.packBestFit(
           Tables.documents(s, d), "doc_id", "text",
           ctxTokens = 2048, shards = 8)
-          .orderBy("doc_id")),
+          .orderBy("doc_id"),
+      Some("""WITH RECURSIVE
+             |d0 AS (
+             |  SELECT doc_id,
+             |         CAST(doc_id % 8 AS INTEGER) AS shard,
+             |         CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n
+             |  FROM documents),
+             |sorted AS (
+             |  SELECT shard,
+             |         list(STRUCT_PACK(id := doc_id, n := n) ORDER BY n DESC, doc_id ASC) AS ds
+             |  FROM d0 GROUP BY shard),
+             |st AS (
+             |  SELECT shard, ds, 1 AS i,
+             |         CAST([] AS STRUCT(rem BIGINT, b BIGINT)[]) AS bins,
+             |         CAST(0 AS BIGINT) AS nxt,
+             |         CAST([] AS STRUCT(id BIGINT, n BIGINT, b BIGINT, off BIGINT)[]) AS placed
+             |  FROM sorted
+             |  UNION ALL
+             |  SELECT shard, ds, i + 1,
+             |         CASE WHEN fresh THEN
+             |                CASE WHEN d.n < 2048
+             |                  THEN list_append(bins, STRUCT_PACK(rem := 2048 - d.n, b := nxt))
+             |                  ELSE bins END
+             |              ELSE list_transform(bins, x ->
+             |                CASE WHEN x.b = chosen.b
+             |                  THEN STRUCT_PACK(rem := x.rem - need, b := x.b)
+             |                  ELSE x END)
+             |         END AS bins,
+             |         CASE WHEN fresh THEN nxt + 1 ELSE nxt END AS nxt,
+             |         list_append(placed, STRUCT_PACK(
+             |           id := d.id, n := d.n,
+             |           b := CASE WHEN fresh THEN nxt ELSE chosen.b END,
+             |           off := CASE WHEN fresh THEN CAST(0 AS BIGINT) ELSE 2048 - chosen.rem END)) AS placed
+             |  FROM (
+             |    SELECT shard, ds, i, bins, nxt, placed,
+             |           ds[i] AS d,
+             |           LEAST(ds[i].n, 2048) AS need,
+             |           (list_sort(list_filter(bins, x -> x.rem >= LEAST(ds[i].n, 2048)))[1] IS NULL
+             |             OR ds[i].n > 2048) AS fresh,
+             |           CASE WHEN ds[i].n > 2048 THEN NULL
+             |                ELSE list_sort(list_filter(bins, x -> x.rem >= LEAST(ds[i].n, 2048)))[1] END AS chosen
+             |    FROM st WHERE i <= len(ds)) s),
+             |fin AS (SELECT shard, placed FROM st WHERE i = len(ds) + 1),
+             |u AS (SELECT shard, unnest(placed) AS p FROM fin)
+             |SELECT p.id AS doc_id, shard, p.n AS n_tokens,
+             |       CAST(shard * 1000000000000 + p.b AS BIGINT) AS seq_id,
+             |       p.off AS seq_off,
+             |       p.n > 2048 AS truncated
+             |FROM u ORDER BY doc_id""".stripMargin)),
 
     // Bigram language-model score with add-k smoothing — one step up the
     // perplexity-filter ladder from q_unigram_logprob: score each doc by

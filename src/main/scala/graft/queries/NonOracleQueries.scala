@@ -172,9 +172,12 @@ object NonOracleQueries {
     // Distributed k-means summary: deterministic driver-local fit over a
     // sorted bounded sample (LocalKMeans — the IVF-PQ codebook contract),
     // narrow literal-centroid assignment, per-cluster sizes + inertia.
-    // The fit's local optimum is not SQL-expressible → rows-only;
-    // ClusteringSpec pins determinism across repartitionings and the
-    // nearest-assignment property.
+    // Stays rows-only BY NECESSITY (evaluated for oracle promotion in
+    // r11): the fit is deterministic but its k-means++ init draws from a
+    // seeded JVM RNG, and no SQL replay can reproduce that stream —
+    // unlike q_seq_pack_bfd, whose packing is pure arithmetic and IS
+    // oracle-gated. ClusteringSpec pins determinism across
+    // repartitionings and the nearest-assignment property instead.
     GraftQuery(
       "q_kmeans",
       (s, d) => {
