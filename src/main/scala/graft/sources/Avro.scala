@@ -156,7 +156,7 @@ object Avro {
     case (x, _) => x
   }
 
-  private def recordToRow(r: GenericRecord, st: StructType): Row =
+  private[sources] def recordToRow(r: GenericRecord, st: StructType): Row =
     Row.fromSeq(st.fields.toSeq.map { f =>
       val raw = r.get(f.name)
       // normalize timestamp-millis to micros-backed Instant
@@ -206,7 +206,7 @@ object Avro {
     }
   }
 
-  private def rowToRecord(row: Row, s: Schema): GenericRecord = {
+  private[sources] def rowToRecord(row: Row, s: Schema): GenericRecord = {
     val b = new GenericRecordBuilder(s)
     s.getFields.asScala.foreach { f =>
       val i = row.fieldIndex(f.name())
