@@ -86,6 +86,10 @@ object AsOfJoin {
     * @param valueCols right columns to carry (null when no match in the
     *                  direction)
     * @param direction "backward" (default), "forward", or "nearest"
+    * @param tolerance max |left.ts − matched.ts| in SECONDS (epoch-seconds
+    *                  axis; identity for numeric ts) — matches farther away
+    *                  attach as NULL, pandas merge_asof's `tolerance`.
+    *                  None (default) = unbounded.
     */
   def asof(
       left: DataFrame,
@@ -94,9 +98,17 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       valueCols: Seq[String],
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tolerance: Option[Double] = None): DataFrame = {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"unknown as-of direction '$direction'")
+    require(tolerance.forall(_ >= 0), s"negative tolerance: $tolerance")
+    // time axis embeds via cast-to-timestamp-then-double: identity
+    // (epoch seconds) for numerics, epoch seconds for timestamp/ntz —
+    // one monotone rule for every supported ts type
+    val num = (c: Column) => c.cast("timestamp").cast("double")
+    val dist = (m: Column) =>
+      abs(num(col(ts)) - num(m.getField("graft_mts")))
     val u = unioned(left, right, keyCols, leftTs, rightTs, valueCols)
     val chosen = direction match {
       case "backward" | "forward" =>
@@ -105,17 +117,11 @@ object AsOfJoin {
       case "nearest" =>
         // both scans over the one shuffled union; per row pick the closer
         // match; exact ties go backward — the deterministic choice a
-        // re-run and the oracle both reproduce. The time axis embeds via
-        // cast-to-timestamp-then-double: identity (epoch seconds) for
-        // numerics, epoch seconds for timestamp/ntz — one monotone rule
-        // for every supported ts type.
+        // re-run and the oracle both reproduce
         val b = last(col(payload), ignoreNulls = true)
           .over(carryWindow(keyCols, forward = false))
         val f = last(col(payload), ignoreNulls = true)
           .over(carryWindow(keyCols, forward = true))
-        val num = (c: Column) => c.cast("timestamp").cast("double")
-        val dist = (m: Column) =>
-          abs(num(col(ts)) - num(m.getField("graft_mts")))
         u.withColumn("graft_b", b).withColumn("graft_f", f)
           .withColumn(payload,
             when(col("graft_b").isNull, col("graft_f"))
@@ -124,7 +130,15 @@ object AsOfJoin {
               .otherwise(col("graft_f")))
           .drop("graft_b", "graft_f")
     }
-    valueCols.foldLeft(chosen.filter(col(side) === 1)) { (df, c) =>
+    // Tolerance applies AFTER the directional pick, exactly like pandas:
+    // the nearest/latest match either qualifies or the row gets NULL —
+    // a farther-but-within-tolerance candidate is never substituted.
+    val bounded = tolerance match {
+      case None => chosen
+      case Some(t) => chosen.withColumn(payload,
+        when(dist(col(payload)) <= lit(t), col(payload)))
+    }
+    valueCols.foldLeft(bounded.filter(col(side) === 1)) { (df, c) =>
         df.withColumn(c, col(s"$payload.$c"))
       }
       .drop(ts, side, payload)

@@ -261,6 +261,36 @@ object JoinQueries {
              |  ON l.user_id = f.user_id AND l.ts <= f.ts
              |ORDER BY l.event_id""".stripMargin)),
 
+    // Bounded-staleness as-of: backward lookup with pandas merge_asof's
+    // `tolerance` — a prior purchase older than 6 hours attaches as NULL
+    // (a point-in-time feature with an expiry). Oracle = plain ASOF plus
+    // a distance CASE on the matched timestamp.
+    GraftQuery(
+      "q_join_asof_tol",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.operators.AsOfJoin.asof(
+            left = ev.filter(col("event_type") === "click")
+              .select("event_id", "user_id", "ts"),
+            right = ev.filter(col("event_type") === "purchase")
+              .select(col("user_id"), col("ts"), col("value").as("purchase_value")),
+            keyCols = Seq("user_id"),
+            leftTs = "ts",
+            rightTs = "ts",
+            valueCols = Seq("purchase_value"),
+            direction = "backward",
+            tolerance = Some(21600.0))
+          .select("event_id", "purchase_value")
+          .orderBy("event_id")
+      },
+      Some("""SELECT l.event_id,
+             |  CASE WHEN epoch(l.ts) - epoch(r.ts) <= 21600.0
+             |       THEN r.value END AS purchase_value
+             |FROM (SELECT * FROM events WHERE event_type = 'click') l
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts
+             |ORDER BY l.event_id""".stripMargin)),
+
     // A18 full semantics, deterministic batch model: distinct dim values →
     // dense_rank surrogate keys → broadcast join back onto the fact.
     // (True incremental upsert against a live store is the streaming layer's

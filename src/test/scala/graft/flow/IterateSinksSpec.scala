@@ -89,6 +89,23 @@ class IterateSinksSpec extends AnyFunSuite {
     assert(out(4L).isEmpty)        // no right rows for key v
   }
 
+  test("asof tolerance nulls matches farther than the bound, per direction") {
+    val left = Seq((1L, "u", 12L), (2L, "u", 30L), (3L, "u", 14L))
+      .toDF("event_id", "user", "t")
+    val right = Seq(("u", 10L, 1.0), ("u", 15L, 2.0)).toDF("user", "rt", "v")
+    def run(dir: String, tol: Double) =
+      AsOfJoin.asof(left, right, Seq("user"), "t", "rt", Seq("v"),
+          direction = dir, tolerance = Some(tol))
+        .select("event_id", "v").as[(Long, Option[Double])].collect().toMap
+    // backward: t=12→b@10 (d=2, in), t=30→b@15 (d=15, out), t=14→b@10 (d=4, out)
+    assert(run("backward", 3.0) ==
+      Map(1L -> Some(1.0), 2L -> None, 3L -> None))
+    // nearest with tight tolerance: the NEAREST either qualifies or NULL —
+    // t=14 nearest is f@15 (d=1, in); t=12 nearest is b@10 (d=2, out at 1.0)
+    assert(run("nearest", 1.0) ==
+      Map(1L -> None, 2L -> None, 3L -> Some(2.0)))
+  }
+
   test("asof nearest picks the closer side; exact-distance ties go backward") {
     val left = Seq(
       (1L, "u", 12L),  // b@10 (d=2) vs f@15 (d=3) → backward 1.0
