@@ -546,5 +546,43 @@ object AnalyticsQueries {
              |        (acc, x) -> CAST(0.2 AS DOUBLE)*x + CAST(0.8 AS DOUBLE)*acc),
              |        6) AS ewma,
              |  count(*) AS n
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // CUSUM changepoint detection per user (Page's upward control
+    // chart): has each user's value stream shifted above its own mean,
+    // and when did it first alarm? The recursion Sᵢ = max(0, Sᵢ₋₁ + dᵢ)
+    // evaluates by its CLOSED FORM — S = P − min(0, running-min(P)) over
+    // the deviation cumsum — so Spark and DuckDB run the identical
+    // two-window plan (cumsum + running min per user), no fold, no
+    // driver loop. μ quantizes at 6 per the q_feature_scale rule; the
+    // windows then replay the same IEEE sequence in both engines.
+    GraftQuery(
+      "q_cusum",
+      (s, d) =>
+        graft.operators.Changepoint.cusumSummary(
+          Tables.events(s, d).select("user_id", "ts", "event_id", "value"),
+          keyCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+          valueCol = "value", slack = 5.0, threshold = 320.0,
+          firstAlarmCol = "first_alarm_ts")
+          .withColumnRenamed("first_alarm_ts", "first_alarm")
+          .orderBy("user_id"),
+      Some("""WITH mu AS (SELECT user_id, ROUND(avg(value), 6) AS mu
+             |            FROM events GROUP BY 1),
+             |p AS (SELECT e.user_id, ts, event_id,
+             |        SUM(value - mu - CAST(5 AS DOUBLE)) OVER
+             |          (PARTITION BY e.user_id ORDER BY ts, event_id
+             |           ROWS UNBOUNDED PRECEDING) AS P
+             |      FROM events e JOIN mu USING (user_id)),
+             |s AS (SELECT user_id, ts,
+             |        P - LEAST(CAST(0 AS DOUBLE),
+             |              MIN(P) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                           ROWS UNBOUNDED PRECEDING)) AS S
+             |      FROM p)
+             |SELECT user_id,
+             |       ROUND(max(S), 4) AS max_cusum,
+             |       CAST(SUM(CASE WHEN S > 320.0 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_alarms,
+             |       MIN(CASE WHEN S > 320.0 THEN ts END) AS first_alarm,
+             |       count(*) AS n
+             |FROM s GROUP BY 1 ORDER BY user_id""".stripMargin)))
 }

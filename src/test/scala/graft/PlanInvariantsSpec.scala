@@ -56,6 +56,16 @@ class PlanInvariantsSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("q_join_asof_near: both directional scans reuse ONE shuffle of the " +
+    "union (two window sorts, a single exchange on the equi key)") {
+    val plan = executedPlan("q_join_asof_near")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"nearest as-of must shuffle the union once, found $exchanges:\n$plan")
+    assert("\\bWindow\\b".r.findAllIn(plan).length >= 2,
+      s"expected two window scans over the shared exchange:\n$plan")
+  }
+
   test("q_reservoir_sample: the sample aggregates partially map-side, " +
     "never a window sort") {
     val plan = executedPlan("q_reservoir_sample")
