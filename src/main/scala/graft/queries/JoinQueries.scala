@@ -291,6 +291,35 @@ object JoinQueries {
              |  ON l.user_id = r.user_id AND l.ts >= r.ts
              |ORDER BY l.event_id""".stripMargin)),
 
+    // Co-located join via bucketed layout: BOTH sides written bucketed +
+    // sorted on the join key, then joined with zero exchanges (the
+    // bucketed scans already satisfy the join's distribution — the plan
+    // contract BucketingSpec asserts). The one-time-layout-pays-for-
+    // every-join trade that makes repeated fact⋈fact pipelines viable at
+    // 100 TB. The oracle is the plain join: a hash match proves the
+    // exchange-free plan computes the identical relation.
+    GraftQuery(
+      "q_join_bucketed",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_bucket_q").toString
+        val orders = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        graft.operators.Bucketing.writeBucketed(
+          orders, "graft_q_bucket_o", s"$dir/o", 8, Seq("o_orderkey"))
+        graft.operators.Bucketing.writeBucketed(
+          li.withColumnRenamed("l_orderkey", "o_orderkey"),
+          "graft_q_bucket_l", s"$dir/l", 8, Seq("o_orderkey"))
+        graft.operators.Bucketing.colocatedJoin(s,
+            "graft_q_bucket_o", "graft_q_bucket_l", Seq("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(sum("l_quantity").as("qty"), count(lit(1)).as("n"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, sum(l_quantity) AS qty, count(*) AS n
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY o_custkey""".stripMargin)),
+
     // A18 full semantics, deterministic batch model: distinct dim values →
     // dense_rank surrogate keys → broadcast join back onto the fact.
     // (True incremental upsert against a live store is the streaming layer's
