@@ -1121,6 +1121,47 @@ object CurationQueries {
              |FROM events JOIN st USING (event_type)
              |ORDER BY event_id""".stripMargin)),
 
+    // Robust per-group scaling — (value − median)/IQR plus winsorized
+    // value at the Tukey fences — the outlier-immune companion to
+    // q_feature_scale's z-score (one extreme row cannot move a median
+    // or an IQR the way it moves a mean). Same fence shape: ONE bounded
+    // group-stats aggregate broadcast onto the fact scan. Quantiles are
+    // exact interpolated percentiles (Spark percentile ≡ DuckDB
+    // quantile_cont — the q_percentile parity), quantized at 6 in the
+    // aggregate per the determinism rule before any downstream division.
+    GraftQuery(
+      "q_robust_scale",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val st = e.groupBy("event_type").agg(
+          round(expr("percentile(value, 0.5)"), 6).as("graft_med"),
+          round(expr("percentile(value, 0.25)"), 6).as("graft_q1"),
+          round(expr("percentile(value, 0.75)"), 6).as("graft_q3"))
+        e.join(broadcast(st), Seq("event_type"))
+          .withColumn("graft_iqr", col("graft_q3") - col("graft_q1"))
+          .select(
+            col("event_id"), col("event_type"),
+            round((col("value") - col("graft_med")) / col("graft_iqr"), 4)
+              .as("rs"),
+            round(least(
+              greatest(col("value"),
+                col("graft_q1") - lit(1.5) * col("graft_iqr")),
+              col("graft_q3") + lit(1.5) * col("graft_iqr")), 6)
+              .as("winsor"))
+          .orderBy("event_id")
+      },
+      Some("""WITH st AS (SELECT event_type,
+             |    ROUND(quantile_cont(value, 0.5), 6) AS med,
+             |    ROUND(quantile_cont(value, 0.25), 6) AS q1,
+             |    ROUND(quantile_cont(value, 0.75), 6) AS q3
+             |  FROM events GROUP BY 1)
+             |SELECT event_id, event_type,
+             |  ROUND((value - med) / (q3 - q1), 4) AS rs,
+             |  ROUND(LEAST(GREATEST(value, q1 - 1.5 * (q3 - q1)),
+             |              q3 + 1.5 * (q3 - q1)), 6) AS winsor
+             |FROM events JOIN st USING (event_type)
+             |ORDER BY event_id""".stripMargin)),
+
     // LEAVE-ONE-OUT target encoding with a smoothing prior — the
     // leakage-correct categorical encoder: each row's category is scored
     // by the mean target of the OTHER rows in its category

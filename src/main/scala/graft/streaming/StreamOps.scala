@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -106,6 +106,43 @@ object StreamOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
       outputMode: OutputMode = OutputMode.Append()): Dataset[O] =
     ds.groupByKey(key).transformWithState(processor, timeMode, outputMode)
+
+  /** Streaming CUSUM drift monitor ([[graft.operators.Changepoint]] in
+    * stateful-stream form): per key, fold Page's recursion
+    * S ← max(0, S + (x − μ − slack)) across micro-batches and EMIT only
+    * alarm rows (key, ts, statistic) where S crosses `threshold` — the
+    * alert stream a monitoring sink subscribes to. μ rides on each input
+    * row (caller joins its trained reference table; a stream cannot use
+    * its own mean), which is exactly the production shape: monitor live
+    * traffic against a frozen baseline.
+    *
+    * Ordering: rows are folded in `ts` order WITHIN a micro-batch;
+    * cross-batch order is arrival order (use a watermarked, in-order
+    * source per key, the standard monitoring contract). State per key is
+    * ONE double; `timeout` is required for the same leak reason as
+    * [[dispatchStateful]].
+    *
+    * Input tuples: (key, ts, value, mu). */
+  def cusumStream[K: Encoder](
+      ds: Dataset[(K, Long, Double, Double)],
+      slack: Double,
+      threshold: Double,
+      timeout: GroupStateTimeout): Dataset[(K, Long, Double)] = {
+    implicit val outEnc: Encoder[(K, Long, Double)] =
+      Encoders.tuple(implicitly[Encoder[K]],
+        Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val stateEnc: Encoder[Double] = Encoders.scalaDouble
+    dispatchStateful[K, (K, Long, Double, Double), Double, (K, Long, Double)](
+      ds, _._1, timeout) { (key, rows, state) =>
+      var s = state.getOption.getOrElse(0.0)
+      val alarms = rows.toArray.sortBy(_._2).flatMap { case (_, ts, x, mu) =>
+        s = math.max(0.0, s + (x - mu - slack))
+        if (s > threshold) Some((key, ts, s)) else None
+      }
+      state.update(s)
+      alarms.iterator
+    }
+  }
 
   /** A18 streaming form: maintain a dimension store from a stream via
     * `foreachBatch` — each micro-batch runs one DimUpsert cycle (new keys

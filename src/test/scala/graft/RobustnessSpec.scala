@@ -113,7 +113,8 @@ class RobustnessSpec extends AnyFunSuite {
 
   private val accumulationSensitive =
     Seq("q_feature_scale", "q_target_encode", "q_agg_stats",
-      "q_stats_moments", "q_regr", "q_ewma", "q_drift_psi")
+      "q_stats_moments", "q_regr", "q_ewma", "q_drift_psi",
+      "q_cusum", "q_robust_scale")
 
   test("accumulation-sensitive queries are byte-stable across partitionings") {
     val dir = "/root/testdata/sf0.001"

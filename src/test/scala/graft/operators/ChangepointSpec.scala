@@ -47,6 +47,50 @@ class ChangepointSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming CUSUM folds state across micro-batches and emits the " +
+    "same alarms as the batch recursion against the same reference mean") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mu = 10.0; val slack = 2.0; val threshold = 30.0
+    // one drifting key, one calm key, interleaved
+    val events = (0 until 60).flatMap { i =>
+      Seq(("drift", i.toLong, if (i < 20) 10.0 else 25.0, mu),
+        ("calm", i.toLong, 10.0 + (i % 2), mu))
+    }
+
+    val in = MemoryStream[(String, Long, Double, Double)]
+    val out = graft.streaming.StreamOps.cusumStream(
+      in.toDS(), slack, threshold,
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+    val q = out.toDF("k", "ts", "s").writeStream.format("memory")
+      .queryName("graft_cusum_stream").outputMode("append").start()
+    try {
+      // three micro-batches: state must carry across them
+      in.addData(events.take(40)); q.processAllAvailable()
+      in.addData(events.slice(40, 80)); q.processAllAvailable()
+      in.addData(events.drop(80)); q.processAllAvailable()
+      val got = spark.table("graft_cusum_stream")
+        .as[(String, Long, Double)].collect()
+        .map { case (k, ts, s) => (k, ts) -> s }.toMap
+
+      // batch reference: the literal recursion over the full stream
+      val want = events.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+        var s = 0.0
+        g.sortBy(_._2).flatMap { case (_, ts, x, m) =>
+          s = math.max(0.0, s + (x - m - slack))
+          if (s > threshold) Some((k, ts) -> s) else None
+        }
+      }.toMap
+      assert(got.keySet == want.keySet,
+        s"alarm sets differ: extra=${got.keySet -- want.keySet} " +
+          s"missing=${want.keySet -- got.keySet}")
+      want.foreach { case (key, s) =>
+        assert(math.abs(got(key) - s) < 1e-9, s"$key: ${got(key)} vs $s")
+      }
+      assert(!got.keySet.exists(_._1 == "calm"), "calm key must not alarm")
+    } finally q.stop()
+  }
+
   test("a planted mean shift alarms once and stays alarmed; the " +
     "in-control key never alarms") {
     val calm = (0 until 100).map(i => ("calm", i.toLong, 10.0 + (i % 3)))
