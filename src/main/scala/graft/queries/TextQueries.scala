@@ -208,5 +208,43 @@ object TextQueries {
              |                     x -> CAST(ascii(x) AS BIGINT))),
              |    (acc, x) -> (acc * 131 + x) % 1000000007) AS rfp
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Token-entropy quality signal: Shannon entropy of each document's
+    // token distribution — word-salad and boilerplate score LOW (few
+    // distinct tokens dominate), natural prose scores near ln(vocab).
+    // H = ln(n) − (Σ c·ln c)/n computed from ONE (doc, term) count
+    // aggregate; the Σ c·ln c partial is quantized at 6 in the aggregate
+    // (the determinism rule) before the division. Two shuffles both
+    // keyed by doc_id — never a token-grain window.
+    GraftQuery(
+      "q_token_entropy",
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("graft_c"))
+        tf.groupBy("doc_id")
+          .agg(
+            sum("graft_c").as("graft_n"),
+            count(lit(1)).as("n_distinct"),
+            round(sum(col("graft_c").cast("double") *
+              log(col("graft_c").cast("double"))), 6).as("graft_clc"))
+          .select(col("doc_id"), col("n_distinct"),
+            round(log(col("graft_n").cast("double")) -
+              col("graft_clc") / col("graft_n").cast("double"), 6)
+              .as("entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tf AS (SELECT doc_id, term, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |        FROM documents) t
+             |  GROUP BY 1, 2),
+             |agg AS (SELECT doc_id, sum(c) AS n, count(*) AS n_distinct,
+             |          ROUND(sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))), 6)
+             |            AS clc
+             |        FROM tf GROUP BY 1)
+             |SELECT doc_id, n_distinct,
+             |       ROUND(ln(CAST(n AS DOUBLE)) - clc / CAST(n AS DOUBLE), 6)
+             |         AS entropy
+             |FROM agg ORDER BY doc_id""".stripMargin)),
   )
 }
