@@ -113,6 +113,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor
+    * (id, vector, label), the `k` corpus vectors MOST similar to the
+    * anchor among those with a DIFFERENT label — the near-miss negatives
+    * that actually move an embedding model, versus random negatives a
+    * model separates for free.
+    *
+    * Scale shape: the q_knn_join batch-eval plan — anchors inline as a
+    * literal struct array (anchors are a batch, corpus is the table),
+    * explode replicates each corpus row per anchor inside one codegen
+    * pass, the label-mismatch filter runs before any scoring leaves the
+    * scan, and the per-anchor cut rides the bounded-heap TopK aggregate
+    * (map-side reduction to k rows per anchor; the shuffle carries
+    * pools, never the scored corpus). One corpus scan for ALL anchors.
+    *
+    * Output: (anchor_id, vec_id, label, sim), k rows per anchor, sims
+    * rounded at 4 (the cross-engine cosine parity precision). */
+  def hardNegatives(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      anchors: Seq[(Long, Array[Float], Int)],
+      k: Int): DataFrame = {
+    require(anchors.nonEmpty && k > 0)
+    require(anchors.size <= 1024,
+      s"${anchors.size} anchors would inline a ${anchors.size}-wide " +
+        "literal array; mine in batches")
+    val anchorsLit = array(anchors.map { case (aid, v, lbl) =>
+      struct(lit(aid).as("aid"), array(v.map(lit(_)): _*).as("av"),
+        lit(lbl).as("albl"))
+    }: _*)
+    val scored = corpus
+      .select(col(idCol), col(vecCol), col(labelCol).cast("int").as("graft_lbl"),
+        explode(anchorsLit).as("graft_a"))
+      .filter(col("graft_lbl") =!= col("graft_a.albl") &&
+        col(idCol) =!= col("graft_a.aid"))
+      .select(col("graft_a.aid").as("anchor_id"), col(idCol),
+        col("graft_lbl").as("label"),
+        round(cosine(col(vecCol), col("graft_a.av")), 4).as("sim"))
+    TopK.perKey(
+        scored.withColumn("graft_nid", -col(idCol)),
+        keys = Seq("anchor_id"),
+        ordering = Seq("sim", "graft_nid", "label"), k = k)
+      .select(col("anchor_id"), (-col("graft_nid")).as(idCol),
+        col("label"), col("sim"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates = vectors in the probe's
     * bucket or any 1-bit-flip neighbor bucket (multi-probe), reranked by
     * exact cosine. Recall/cost knob: fewer planes or more probes → more

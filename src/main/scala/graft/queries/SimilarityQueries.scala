@@ -188,6 +188,40 @@ object SimilarityQueries {
              |SELECT qid, vec_id, sim FROM r WHERE rk <= 5
              |ORDER BY qid, vec_id""".stripMargin)),
 
+    // Hard-negative mining (Similarity.hardNegatives): per anchor, the 5
+    // most-similar corpus vectors with a DIFFERENT label — the
+    // contrastive-training near-misses. One corpus scan for all anchors
+    // (q_knn_join's batch-eval shape) with the label-mismatch filter
+    // inside the scan; the oracle replays scoring + rank in SQL.
+    GraftQuery(
+      "q_hard_negatives",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val anchors = e.filter(col("vec_id") < 3)
+          .select(col("vec_id"), col("embedding"), col("label").cast("int"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+          .toSeq
+        graft.operators.Similarity.hardNegatives(
+            e, "vec_id", "embedding", "label", anchors, k = 5)
+          .orderBy("anchor_id", "vec_id")
+      },
+      Some("""WITH a AS (SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av,
+             |                  CAST(label AS INT) AS albl
+             |           FROM embeddings WHERE vec_id < 3),
+             |s AS (SELECT a.aid AS anchor_id, e.vec_id,
+             |        CAST(e.label AS INT) AS label,
+             |        ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
+             |                                     a.av), 4) AS sim
+             |      FROM embeddings e CROSS JOIN a
+             |      WHERE CAST(e.label AS INT) <> a.albl AND e.vec_id <> a.aid),
+             |r AS (SELECT anchor_id, vec_id, label, sim,
+             |        row_number() OVER (PARTITION BY anchor_id
+             |          ORDER BY sim DESC, vec_id) AS rk
+             |      FROM s)
+             |SELECT anchor_id, vec_id, label, sim FROM r WHERE rk <= 5
+             |ORDER BY anchor_id, vec_id""".stripMargin)),
+
     // MMR diversified rerank (Retrieval.mmrRerank): greedy top-5 from a
     // 20-deep relevance pool, λ=0.7 — pick i maximizes
     // λ·rel − (1−λ)·max-sim-to-selected. The greedy recurrence is
