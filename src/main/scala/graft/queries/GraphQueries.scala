@@ -65,6 +65,57 @@ object GraphQueries {
              |       CASE WHEN min(root) = node THEN 1 ELSE 0 END AS is_canonical
              |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin)),
 
+    // Leakage-safe train/val/test split: assignment hashes the near-dup
+    // CLUSTER id, not the document id, so every near-duplicate of a
+    // training document lands in train with it — the eval-contamination
+    // bug (test doc ≈ train doc) made structurally impossible, which
+    // row-hash splitting (q_train_split) cannot guarantee. Pipeline:
+    // exact-threshold Jaccard pairs → transitive clusters → md5-uniform
+    // split on the cluster label. The oracle replays the full chain
+    // (q_dup_clusters' CC CTEs + q_train_split's hash arithmetic).
+    GraftQuery(
+      "q_split_dedup_safe",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = graft.operators.Dedup.ngramJaccardNearDup(
+          docs, "doc_id", "text", shingleN = 3, threshold = 0.5)
+          .select("id_a", "id_b")
+        val labels = graft.operators.Dedup.nearDupClusters(pairs)
+        docs.join(labels, docs("doc_id") === labels("id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster"))
+          .withColumn("split", graft.operators.Splits.split(col("cluster")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+             |           FROM documents),
+             |g AS (SELECT doc_id,
+             |        CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |             ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+             |                                 FOR i IN range(1, len(w)-1)])
+             |        END AS sh
+             |      FROM t),
+             |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+             |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+             |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+             |e AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
+             |reach(node, root) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.v, r.root FROM reach r JOIN e ON e.u = r.node),
+             |c AS (SELECT node AS doc_id, min(root) AS cluster
+             |      FROM reach GROUP BY node)
+             |SELECT doc_id, cluster,
+             |  CASE WHEN u < 0.9 THEN 'train'
+             |       WHEN u < 0.95 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (SELECT doc_id, cluster,
+             |        ('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 8))::BIGINT
+             |          / 4294967296.0 AS u
+             |      FROM c)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Triangle census over an overlapping-clique part graph (edges =
     // same (brand, size) ∪ same (type, size) — two clique families that
     // intersect, so triangles mix family edges and the count is not a
