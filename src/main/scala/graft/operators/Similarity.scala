@@ -135,7 +135,29 @@ object Similarity {
       vecCol: String,
       labelCol: String,
       anchors: Seq[(Long, Array[Float], Int)],
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    minePairs(corpus, idCol, vecCol, labelCol, anchors, k, sameLabel = false)
+
+  /** Positive-pair mining — the other half of a contrastive batch: per
+    * anchor, the `k` most-similar SAME-label vectors (excluding the
+    * anchor itself). Same single-scan plan as [[hardNegatives]]. */
+  def positivePairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      anchors: Seq[(Long, Array[Float], Int)],
+      k: Int): DataFrame =
+    minePairs(corpus, idCol, vecCol, labelCol, anchors, k, sameLabel = true)
+
+  private def minePairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      anchors: Seq[(Long, Array[Float], Int)],
+      k: Int,
+      sameLabel: Boolean): DataFrame = {
     require(anchors.nonEmpty && k > 0)
     require(anchors.size <= 1024,
       s"${anchors.size} anchors would inline a ${anchors.size}-wide " +
@@ -144,11 +166,13 @@ object Similarity {
       struct(lit(aid).as("aid"), array(v.map(lit(_)): _*).as("av"),
         lit(lbl).as("albl"))
     }: _*)
+    val labelPred =
+      if (sameLabel) col("graft_lbl") === col("graft_a.albl")
+      else col("graft_lbl") =!= col("graft_a.albl")
     val scored = corpus
       .select(col(idCol), col(vecCol), col(labelCol).cast("int").as("graft_lbl"),
         explode(anchorsLit).as("graft_a"))
-      .filter(col("graft_lbl") =!= col("graft_a.albl") &&
-        col(idCol) =!= col("graft_a.aid"))
+      .filter(labelPred && col(idCol) =!= col("graft_a.aid"))
       .select(col("graft_a.aid").as("anchor_id"), col(idCol),
         col("graft_lbl").as("label"),
         round(cosine(col(vecCol), col("graft_a.av")), 4).as("sim"))

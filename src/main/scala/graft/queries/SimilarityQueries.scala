@@ -222,6 +222,95 @@ object SimilarityQueries {
              |SELECT anchor_id, vec_id, label, sim FROM r WHERE rk <= 5
              |ORDER BY anchor_id, vec_id""".stripMargin)),
 
+    // Positive-pair mining — the other half of a contrastive batch: per
+    // anchor, the 5 most-similar SAME-label vectors (self excluded).
+    // Identical single-scan plan to q_hard_negatives.
+    GraftQuery(
+      "q_positive_pairs",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val anchors = e.filter(col("vec_id") < 3)
+          .select(col("vec_id"), col("embedding"), col("label").cast("int"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+          .toSeq
+        graft.operators.Similarity.positivePairs(
+            e, "vec_id", "embedding", "label", anchors, k = 5)
+          .orderBy("anchor_id", "vec_id")
+      },
+      Some("""WITH a AS (SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av,
+             |                  CAST(label AS INT) AS albl
+             |           FROM embeddings WHERE vec_id < 3),
+             |s AS (SELECT a.aid AS anchor_id, e.vec_id,
+             |        CAST(e.label AS INT) AS label,
+             |        ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
+             |                                     a.av), 4) AS sim
+             |      FROM embeddings e CROSS JOIN a
+             |      WHERE CAST(e.label AS INT) = a.albl AND e.vec_id <> a.aid),
+             |r AS (SELECT anchor_id, vec_id, label, sim,
+             |        row_number() OVER (PARTITION BY anchor_id
+             |          ORDER BY sim DESC, vec_id) AS rk
+             |      FROM s)
+             |SELECT anchor_id, vec_id, label, sim FROM r WHERE rk <= 5
+             |ORDER BY anchor_id, vec_id""".stripMargin)),
+
+    // Embedding-space separation report: per label, how tight is the
+    // class (mean cosine to its OWN centroid) and how close is the
+    // nearest confusion (mean of each row's BEST cosine to any OTHER
+    // centroid)? margin = tightness − confusion; a collapsing embedding
+    // shows margin → 0 before any downstream model notices. Centroids
+    // are the quantized per-label element means (labelCentroids' round-6
+    // contract — both engines fold from bit-identical centroid inputs),
+    // inlined as literals so the scoring pass is one narrow projection.
+    GraftQuery(
+      "q_embed_margin",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = graft.operators.Clustering.labelCentroids(e, "label", "embedding")
+        // cosineHof, not the native expression: the centroid literal is
+        // array<double> (quantization lives in double) and the HOF form
+        // upcasts mixed float/double element-wise — bit-identical math
+        val sims = array(cents.map { case (l, c) =>
+          struct(lit(l).as("l"),
+            round(graft.operators.Similarity.cosineHof(
+              col("embedding"), array(c.map(lit(_)): _*)), 4).as("s"))
+        }: _*)
+        e.select(col("label").cast("int").as("label"), sims.as("graft_sims"))
+          .select(col("label"),
+            expr("element_at(filter(graft_sims, x -> x.l = label), 1).s")
+              .as("graft_own"),
+            expr("array_max(transform(filter(graft_sims, x -> x.l != label), x -> x.s))")
+              .as("graft_other"))
+          .groupBy("label")
+          .agg(
+            round(avg("graft_own"), 4).as("tightness"),
+            round(avg("graft_other"), 4).as("confusion"),
+            round(avg(col("graft_own") - col("graft_other")), 4).as("margin"),
+            count(lit(1)).as("n"))
+          .orderBy("label")
+      },
+      Some("""WITH comp AS (
+             |  SELECT CAST(label AS INT) AS l, i,
+             |         ROUND(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+             |  FROM embeddings CROSS JOIN range(1, 65) t(i)
+             |  GROUP BY 1, 2),
+             |cent AS (SELECT l, list(m ORDER BY i) AS cv FROM comp GROUP BY l),
+             |scored AS (
+             |  SELECT e.vec_id, CAST(e.label AS INT) AS label, c.l,
+             |         ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
+             |                                      c.cv), 4) AS s
+             |  FROM embeddings e CROSS JOIN cent c),
+             |per_row AS (
+             |  SELECT vec_id, label,
+             |         MAX(CASE WHEN l = label THEN s END) AS own,
+             |         MAX(CASE WHEN l <> label THEN s END) AS other
+             |  FROM scored GROUP BY 1, 2)
+             |SELECT label, ROUND(avg(own), 4) AS tightness,
+             |       ROUND(avg(other), 4) AS confusion,
+             |       ROUND(avg(own - other), 4) AS margin,
+             |       count(*) AS n
+             |FROM per_row GROUP BY 1 ORDER BY label""".stripMargin)),
+
     // MMR diversified rerank (Retrieval.mmrRerank): greedy top-5 from a
     // 20-deep relevance pool, λ=0.7 — pick i maximizes
     // λ·rel − (1−λ)·max-sim-to-selected. The greedy recurrence is
