@@ -675,6 +675,29 @@ object CurationQueries {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Group-integrity split: assignment hashes the GROUP key (user), not
+    // the row, so all of a user's events share a split — the
+    // user-leakage guard (behavioral models memorize users; a user seen
+    // in train must not appear in test). Same md5-uniform arithmetic as
+    // q_train_split, applied one level up; the near-dup analogue is
+    // q_split_dedup_safe.
+    GraftQuery(
+      "q_group_split",
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            graft.operators.Splits.split(col("user_id")).as("split"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+             |  CASE WHEN u < 0.9 THEN 'train'
+             |       WHEN u < 0.95 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (SELECT event_id, user_id,
+             |        ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+             |          / 4294967296.0 AS u
+             |      FROM events)
+             |ORDER BY event_id""".stripMargin)),
+
     // Training-sequence packing (concat-then-chunk): each doc labeled with
     // the fixed-ctx sequence its first token lands in and the offset
     // inside it — the final batch-layout step of an LLM data pipeline.
