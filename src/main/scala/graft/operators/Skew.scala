@@ -56,4 +56,36 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "graft_salt"), joinType).drop("graft_salt")
   }
+
+  /** Skew DIAGNOSIS — the report that decides between broadcast, AQE and
+    * [[saltedJoin]] before a job ships: the `topN` heaviest keys with
+    * their row share, their ratio over the mean key size, and the salt
+    * bucket count that would level each one (ceil of that ratio,
+    * integer-exact ceil-div so the number is reproducible anywhere).
+    * One count aggregate + one k-row bounded-heap cut + a 1-row totals
+    * broadcast — key-cardinality-sized work, corpus-sized only in the
+    * first scan. */
+  def report(
+      df: DataFrame,
+      keyCols: Seq[String],
+      topN: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty && topN > 0)
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum("n").as("graft_total"), count(lit(1)).as("graft_keys"))
+    val heavy = TopK.perKey(
+        counts.select(lit(1).as("graft_one"),
+          col("n"), struct(keyCols.map(col): _*).as("graft_k")),
+        keys = Seq("graft_one"), ordering = Seq("n", "graft_k"), k = topN)
+      .select(keyCols.map(c => col(s"graft_k.$c")) :+ col("n"): _*)
+    heavy.crossJoin(broadcast(totals))
+      .select(keyCols.map(col) ++ Seq(
+        col("n"),
+        round(col("n") / col("graft_total"), 6).as("share"),
+        round(col("n") * col("graft_keys") / col("graft_total"), 2)
+          .as("skew_ratio"),
+        expr("(n * graft_keys + graft_total - 1) div graft_total")
+          .as("suggested_salt")): _*)
+  }
 }

@@ -399,6 +399,31 @@ object CoverageQueries {
              |  FROM orders) t WHERE rn = 1
              |ORDER BY o_custkey""".stripMargin)),
 
+    // Skew diagnosis report (Skew.report): the topN heaviest keys with
+    // row share, ratio over the mean key size, and the integer-exact
+    // salt bucket count that would level each — the numbers that decide
+    // between broadcast, AQE and Skew.saltedJoin BEFORE a job ships.
+    // Key-cardinality-sized after the first scan (count agg +
+    // bounded-heap top-N + a 1-row totals broadcast).
+    GraftQuery(
+      "q_skew_report",
+      (s, d) =>
+        graft.operators.Skew.report(
+            Tables.orders(s, d), Seq("o_orderstatus"), topN = 3)
+          .orderBy("o_orderstatus"),
+      Some("""WITH c AS (SELECT o_orderstatus, count(*) AS n
+             |           FROM orders GROUP BY 1),
+             |t AS (SELECT sum(n) AS total, count(*) AS keys FROM c),
+             |r AS (SELECT o_orderstatus, n,
+             |        row_number() OVER (ORDER BY n DESC, o_orderstatus DESC) AS rk
+             |      FROM c)
+             |SELECT o_orderstatus, n,
+             |       ROUND(n / total, 6) AS share,
+             |       ROUND(n * keys / total, 2) AS skew_ratio,
+             |       CAST((n * keys + total - 1) // total AS BIGINT) AS suggested_salt
+             |FROM r CROSS JOIN t WHERE rk <= 3
+             |ORDER BY o_orderstatus""".stripMargin)),
+
     // Avro source proof, oracle-gated: lineitem → avro container files
     // (mapreduce output path, one file per partition) → block-splittable
     // avro read → aggregate. The oracle aggregates the ORIGINAL parquet,
