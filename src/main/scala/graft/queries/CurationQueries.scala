@@ -675,6 +675,76 @@ object CurationQueries {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Per-source document cap — the domain-cap crawl-curation step: keep
+    // at most N docs per source, preferring the longest (tie → lower
+    // id), so one over-crawled domain cannot dominate the training mix.
+    // Bounded-heap top-N per source (map-side reduction; the shuffle
+    // carries ≤ N rows per source, never the corpus).
+    GraftQuery(
+      "q_source_cap",
+      (s, d) =>
+        graft.operators.TopK.perKey(
+            Tables.documents(s, d)
+              .select(col("source"), col("n_chars"), (-col("doc_id")).as("graft_nid")),
+            keys = Seq("source"), ordering = Seq("n_chars", "graft_nid"), k = 20)
+          .select(col("source"), (-col("graft_nid")).as("doc_id"), col("n_chars"))
+          .orderBy("source", "doc_id"),
+      Some("""SELECT source, doc_id, n_chars FROM (
+             |  SELECT source, doc_id, n_chars,
+             |         row_number() OVER (PARTITION BY source
+             |           ORDER BY n_chars DESC, doc_id) AS rk
+             |  FROM documents) t
+             |WHERE rk <= 20 ORDER BY source, doc_id""".stripMargin)),
+
+    // Corpus data card — the one-row summary a dataset ships with:
+    // volume (docs, tokens, chars), composition (sources, langs, top
+    // lang share), and shape (char-length quartiles). ONE pass over the
+    // corpus (single aggregate; the token count is the same codegen
+    // expression every curation query uses) plus a lang-mode argmax on
+    // the ≤|langs| aggregate.
+    GraftQuery(
+      "q_data_card",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val langs = docs.groupBy("lang").agg(count(lit(1)).as("graft_n"))
+        val top = langs.agg(
+          max(struct(col("graft_n"), col("lang"))).as("graft_top"),
+          count(lit(1)).as("n_langs"),
+          sum("graft_n").as("graft_tot"))
+          .select(col("n_langs"),
+            col("graft_top.lang").as("top_lang"),
+            round(col("graft_top.graft_n") / col("graft_tot"), 6)
+              .as("top_lang_share"))
+        docs.agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct("source").as("n_sources"),
+            sum(graft.functions.TextFunctions.tokenCount(col("text")))
+              .as("n_tokens"),
+            sum("n_chars").as("n_chars"),
+            round(expr("percentile(n_chars, 0.25)"), 2).as("chars_q1"),
+            round(expr("percentile(n_chars, 0.5)"), 2).as("chars_med"),
+            round(expr("percentile(n_chars, 0.75)"), 2).as("chars_q3"))
+          .crossJoin(broadcast(top))
+      },
+      Some("""WITH l AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+             |top AS (SELECT count(*) AS n_langs,
+             |          max(struct_pack(n := n, lang := lang)).lang AS top_lang,
+             |          ROUND(max(n) / sum(n), 6) AS top_lang_share
+             |        FROM l)
+             |SELECT count(*) AS n_docs,
+             |       count(DISTINCT source) AS n_sources,
+             |       CAST(sum(CAST(LEN(regexp_extract_all(text,
+             |         '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)) AS BIGINT)
+             |         AS n_tokens,
+             |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             |       ROUND(quantile_cont(n_chars, 0.25), 2) AS chars_q1,
+             |       ROUND(quantile_cont(n_chars, 0.5), 2) AS chars_med,
+             |       ROUND(quantile_cont(n_chars, 0.75), 2) AS chars_q3,
+             |       (SELECT n_langs FROM top) AS n_langs,
+             |       (SELECT top_lang FROM top) AS top_lang,
+             |       (SELECT top_lang_share FROM top) AS top_lang_share
+             |FROM documents""".stripMargin)),
+
     // Group-integrity split: assignment hashes the GROUP key (user), not
     // the row, so all of a user's events share a split — the
     // user-leakage guard (behavioral models memorize users; a user seen
