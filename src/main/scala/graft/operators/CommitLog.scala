@@ -315,6 +315,33 @@ object CommitLog {
     else Some(files.iterator.map { case (f, _) => rows(f) }.sum)
   }
 
+  /** MIN/MAX of the stats column at version `v` from manifest metadata
+    * alone — the scan-free companion to [[fastCount]] (min of file mins,
+    * max of file maxes; exact because file stats are exact). Returned as
+    * the recorded strings with the stat type ("long"/"string") so the
+    * caller compares in the right domain. None when ANY snapshot file
+    * lacks stats (written without a declared statsCol, or an
+    * all-null/unsupported-type file): a partial envelope must not claim
+    * to bound the table — fall back to scanning. Empty snapshot → None
+    * (a table with no rows has no extremes). */
+  def fastMinMax(
+      fs: FileSystem, store: Path, v: Long): Option[(String, String, String)] = {
+    val (files, _) = replaySnapshot(fs, store, v)
+    if (files.isEmpty || files.exists(_._2.isEmpty)) return None
+    val stats = files.map(_._2.get)
+    val tpes = stats.map(_.tpe).distinct
+    if (tpes.size != 1) return None // mixed stat types: refuse to compare
+    tpes.head match {
+      case "long" => Some((
+        "long",
+        stats.map(_.min.toLong).min.toString,
+        stats.map(_.max.toLong).max.toString))
+      case "string" =>
+        Some(("string", stats.map(_.min).min, stats.map(_.max).max))
+      case _ => None
+    }
+  }
+
   private def replaySnapshot(
       fs: FileSystem, store: Path, v: Long):
       (Seq[(String, Option[FileStat])], Map[String, Long]) = {

@@ -254,4 +254,31 @@ class CommitLogSpec extends AnyFunSuite {
       .filter(_._1.startsWith("p=px/"))
     assert(px.nonEmpty && px.forall(_._2.isEmpty), px.toString)
   }
+
+  test("fastMinMax: exact table extremes from metadata alone; partial " +
+    "stats coverage refuses instead of under-claiming") {
+    val store = new Path(tmp("graft_cl_mm") + "/s")
+    (0 until 3).foreach { i =>
+      CommitLog.commitStaged(spark, store,
+        stage(store, s"p$i", Seq((i * 100L, s"lo$i"), (i * 100L + 9, s"hi$i"))),
+        i.toLong, Nil, wholeStore = false, statsCol = Some("k"))
+    }
+    val tip = CommitLog.currentVersion(fs, store)
+    assert(CommitLog.fastMinMax(fs, store, tip)
+      .contains(("long", "0", "209")))
+    // exactness: matches the scanned extremes
+    val scanned = CommitLog.read(spark, store).get
+      .agg(org.apache.spark.sql.functions.min("k"),
+        org.apache.spark.sql.functions.max("k")).head()
+    assert(scanned.getLong(0) == 0L && scanned.getLong(1) == 209L)
+    // one stat-less file poisons the envelope: None, never a wrong bound
+    CommitLog.commitStaged(spark, store,
+      stage(store, "px", Seq((999999L, "x"))), tip, Nil,
+      wholeStore = false, statsCol = Some("no_such_column"))
+    assert(CommitLog.fastMinMax(fs, store,
+      CommitLog.currentVersion(fs, store)).isEmpty)
+    // an empty store has no extremes
+    val empty = new Path(tmp("graft_cl_mm_e") + "/s")
+    assert(CommitLog.fastMinMax(fs, empty, 0L).isEmpty)
+  }
 }
