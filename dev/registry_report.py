@@ -33,8 +33,10 @@ for path in sorted(glob.glob(QUERY_GLOB)):
                     break
 
 # ---- latest correctness run ------------------------------------------
-corr_files = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")),
-                    key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+corr_files = sorted(
+    glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")),
+    key=lambda p: int(
+        re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(p)).group(1)))
 corr, corr_name = {}, "none"
 if corr_files:
     corr_name = os.path.basename(corr_files[-1])

@@ -141,7 +141,17 @@ object BloomIndex {
       if (hs.forall(_.isDefined)) Some(hs.flatten) else None
     }
     hashes match {
-      case None => files // cannot hash as the column's type: scan all
+      case None =>
+        // cannot hash as the column's type (no recorded schema, column
+        // missing, or uncastable probe): scan everything. Loud, not
+        // silent — a dead index on a schema-less store looks exactly
+        // like a working one otherwise.
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"bloom index on $store: probe values for '$keyCol' could not " +
+            "be resolved to the recorded column type " +
+            s"(schema ${if (colType.isEmpty) "missing" else "mismatch"}); " +
+            "pruning disabled for this lookup")
+        files
       case Some(hs) =>
         val indexed = spark.read.parquet(side.toString).collect()
           .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap

@@ -29,6 +29,23 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** Exact-row dedup of the feed, skipped when any column carries a
+    * map type (Spark cannot group/sort maps — `distinct` would throw on
+    * a feed shape that applies fine otherwise). Map-payload feeds keep
+    * the pre-dedup behavior: byte-identical redelivery at the winning
+    * sequence still refuses via the tie check, which is the loud, not
+    * the silent, failure mode. */
+  private def dedupExact(feed: DataFrame): DataFrame = {
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    if (feed.schema.fields.exists(f => hasMap(f.dataType))) feed
+    else feed.distinct()
+  }
+
   /** Apply `feed` to the store at `targetPath`. `feed` columns: the
     * store's data columns + `opCol` (values "I"/"U" upsert, "D" delete)
     * + `seqCol` (orderable). Returns the resulting table. */
@@ -45,7 +62,7 @@ object Cdc {
     // NORMAL output; only rows that differ at the winning sequence are a
     // corrupt feed. Dedup exact duplicates first so redelivery is not a
     // poison pill that permanently halts every replay of this batch.
-    val events = feed.distinct()
+    val events = dedupExact(feed)
 
     // per-key winner by seq — bounded-heap argmax, feed-sized
     val winners = TopK.perKey(
@@ -101,7 +118,7 @@ object Cdc {
 
     // exact-duplicate redelivery is normal at-least-once output, not a
     // corrupt feed (see applyChanges)
-    val events = feed.distinct()
+    val events = dedupExact(feed)
     val winners = TopK.perKey(
         events.withColumn("graft_seq", col(seqCol)),
         keys = keyCols, ordering = Seq("graft_seq"), k = 1)

@@ -29,7 +29,18 @@ object Changepoint {
   /** Per-row CUSUM statistic and alarm flag. Adds `graft_cusum` and
     * `graft_alarm` to `df`'s columns (plus nothing else). `orderCols`
     * must be unique per key — ties would make the fold order, and thus
-    * the statistic, partitioning-dependent. */
+    * the statistic, partitioning-dependent.
+    *
+    * Deviations quantize to the dyadic 1/64 grid (`floor(d·64)/64`)
+    * before summation: dyadic rationals sum EXACTLY in IEEE double (no
+    * rounding error until ~2⁴⁷ events per key), so every prefix sum —
+    * and therefore the statistic — is bit-identical under ANY
+    * accumulation order. This is determinism by construction, which
+    * survives what per-value rounding cannot: engines genuinely differ
+    * on window-sum order (DuckDB segment tree vs Spark sequential), and
+    * a noisy value exactly at a rounding boundary flips either way. The
+    * ≤1/64 per-step quantization bias is irrelevant to a control chart
+    * (pick slack accordingly). */
   def cusum(
       df: DataFrame,
       keyCols: Seq[String],
@@ -43,7 +54,8 @@ object Changepoint {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val p = sum(col(valueCol) - col("graft_mu") - lit(slack)).over(w)
+    val dq = floor((col(valueCol) - col("graft_mu") - lit(slack)) * 64d) / 64d
+    val p = sum(dq).over(w)
     df.join(broadcast(mu), keyCols)
       .withColumn("graft_p", p)
       .withColumn("graft_cusum",
@@ -53,7 +65,11 @@ object Changepoint {
   }
 
   /** Per-key summary: peak statistic, alarm count, first alarm position
-    * (by `orderCols`, null if never alarmed), event count. */
+    * (by `orderCols`, null if never alarmed), event count.
+    *
+    * The statistic is exact by [[cusum]]'s dyadic quantization, so every
+    * comparison and aggregate here is deterministic; the peak reports at
+    * 2 decimals (a monitoring signal, not a measurement). */
   def cusumSummary(
       df: DataFrame,
       keyCols: Seq[String],
@@ -66,7 +82,7 @@ object Changepoint {
     val firstOrd = col(orderCols.head)
     scored.groupBy(keyCols.map(col): _*)
       .agg(
-        round(max(col("graft_cusum")), 4).as("max_cusum"),
+        round(max(col("graft_cusum")), 2).as("max_cusum"),
         sum(when(col("graft_alarm"), 1L).otherwise(0L)).as("n_alarms"),
         min(when(col("graft_alarm"), firstOrd)).as(firstAlarmCol),
         count(lit(1)).as("n"))

@@ -337,7 +337,15 @@ object CommitLog {
         stats.map(_.min.toLong).min.toString,
         stats.map(_.max.toLong).max.toString))
       case "string" =>
-        Some(("string", stats.map(_.min).min, stats.map(_.max).max))
+        // parquet string stats order by unsigned UTF-8 bytes; combining
+        // with Scala's UTF-16 String ordering would mis-bound
+        // supplementary-plane text (a surrogate pair sorts below U+FFFF
+        // in UTF-16 but above it in UTF-8)
+        val byUtf8: Ordering[String] = Ordering.comparatorToOrdering(
+          (a: String, b: String) => java.util.Arrays.compareUnsigned(
+            a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            b.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        Some(("string", stats.map(_.min).min(byUtf8), stats.map(_.max).max(byUtf8)))
       case _ => None
     }
   }
@@ -1142,12 +1150,17 @@ object CommitLog {
     // bloom sidecars (bloom-v<N>.parquet dirs) describe exactly one
     // snapshot version; below the retain floor that snapshot is gone, so
     // the sidecar is dead weight — without this they accumulate one per
-    // build() forever. Abandoned .tmp sidecars drop unconditionally.
+    // build() forever. Sidecar TEMP dirs get the same grace window as
+    // orphan data files: a concurrent build's in-flight write must not
+    // be deleted out from under it — only temps older than the grace
+    // are abandoned.
     val BloomSidecar = """bloom-v(\d+)\.parquet""".r
-    names.foreach { n =>
+    listLog(fs, store).foreach { st =>
+      val n = st.getPath.getName
+      val aged = now - st.getModificationTime > orphanGraceMs
       val (drop, recursive) = n match {
-        case _ if n.startsWith(".tmp-") => (true, false)
-        case _ if n.contains(".parquet.tmp") => (true, true)
+        case _ if n.startsWith(".tmp-") => (aged, false)
+        case _ if n.contains(".parquet.tmp") => (aged, true)
         case BloomSidecar(v) => (v.toLong < floor, true)
         case _ if n.endsWith(".txt") =>
           (n.stripSuffix(".txt").toLong <= replayBase, false)

@@ -195,17 +195,17 @@ object Graph {
     // measured 7.4 s for 3 rounds on the sf0.1 part graph vs 0.9 s for
     // this shape).
     var labels = nodes.withColumn("label", col("node"))
-    // Materialize each intermediate round's (node, label) table —
-    // node-sized, tiny next to the edge set. Without this the final plan
-    // nests `iterations` rounds of join+agg lineage: analysis + codegen
-    // cost grows with depth (measured ~9 s of first-run overhead at 3
-    // rounds on the sf0.1 part graph) and a task failure recomputes
-    // every round. The iterative-algorithm norm: persist + cut per
-    // round. A round unpersists once its SUCCESSOR is materialized (the
-    // final round stays lazy, so its immediate predecessor stays cached
-    // for the caller's action).
+    // Materialize EVERY round's (node, label) table — node-sized, tiny
+    // next to the edge set. Without this the final plan nests
+    // `iterations` rounds of join+agg lineage: analysis + codegen cost
+    // grows with depth (measured ~9 s of first-run overhead at 3 rounds
+    // on the sf0.1 part graph) and a task failure recomputes every
+    // round. The iterative-algorithm norm: persist + cut per round; a
+    // round unpersists once its successor is materialized, so exactly
+    // ONE node-sized table (the returned, materialized result — the
+    // caller's handle, the caller's release) outlives the call.
     var prevCached: Option[DataFrame] = None
-    (1 to iterations).foreach { i =>
+    (1 to iterations).foreach { _ =>
       val votes = und
         .join(labels, col("graft_u") === col("node"))
         .groupBy(col("graft_v").as("graft_n"), col("label"))
@@ -214,13 +214,12 @@ object Graph {
       labels = TopK.perKey(votes, keys = Seq("graft_n"),
           ordering = Seq("graft_votes", "graft_neglabel"), k = 1)
         .select(col("graft_n").as("node"), (-col("graft_neglabel")).as("label"))
-      if (i < iterations) {
-        labels = labels.persist()
-        labels.count()
-        prevCached.foreach(_.unpersist(blocking = false))
-        prevCached = Some(labels)
-      }
+        .persist()
+      labels.count()
+      prevCached.foreach(_.unpersist(blocking = false))
+      prevCached = Some(labels)
     }
+    und.unpersist(blocking = false)
     labels
   }
 }

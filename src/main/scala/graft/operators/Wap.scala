@@ -54,6 +54,7 @@ object Wap {
       maxAudits: Int = 5): WapResult = {
     require(checks.nonEmpty, "an unaudited append is just an append — " +
       "give at least one expectation or use the plain writer")
+    require(maxAudits > 0, s"maxAudits must be positive, got $maxAudits")
     val store = new Path(targetPath)
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
 

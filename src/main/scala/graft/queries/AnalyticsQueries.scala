@@ -554,8 +554,13 @@ object AnalyticsQueries {
     // evaluates by its CLOSED FORM — S = P − min(0, running-min(P)) over
     // the deviation cumsum — so Spark and DuckDB run the identical
     // two-window plan (cumsum + running min per user), no fold, no
-    // driver loop. μ quantizes at 6 per the q_feature_scale rule; the
-    // windows then replay the same IEEE sequence in both engines.
+    // driver loop. μ quantizes at 6 per the q_feature_scale rule, and
+    // deviations quantize to the dyadic 1/64 grid BEFORE summation —
+    // dyadic rationals sum exactly in double, so the statistic is
+    // bit-identical under any accumulation order. That, not rounding,
+    // is what survives the engines' different window-sum orders (DuckDB
+    // segment tree vs Spark sequential — ~1e-10 noise that flipped a
+    // round-4 peak on 3/1500 keys at sf0.1).
     GraftQuery(
       "q_cusum",
       (s, d) =>
@@ -569,7 +574,7 @@ object AnalyticsQueries {
       Some("""WITH mu AS (SELECT user_id, ROUND(avg(value), 6) AS mu
              |            FROM events GROUP BY 1),
              |p AS (SELECT e.user_id, ts, event_id,
-             |        SUM(value - mu - CAST(5 AS DOUBLE)) OVER
+             |        SUM(FLOOR((value - mu - CAST(5 AS DOUBLE)) * 64) / 64) OVER
              |          (PARTITION BY e.user_id ORDER BY ts, event_id
              |           ROWS UNBOUNDED PRECEDING) AS P
              |      FROM events e JOIN mu USING (user_id)),
@@ -579,7 +584,7 @@ object AnalyticsQueries {
              |                           ROWS UNBOUNDED PRECEDING)) AS S
              |      FROM p)
              |SELECT user_id,
-             |       ROUND(max(S), 4) AS max_cusum,
+             |       ROUND(max(S), 2) AS max_cusum,
              |       CAST(SUM(CASE WHEN S > 320.0 THEN 1 ELSE 0 END) AS BIGINT)
              |         AS n_alarms,
              |       MIN(CASE WHEN S > 320.0 THEN ts END) AS first_alarm,

@@ -287,39 +287,66 @@ object Avro {
   /** Per-file permissive read: corrupt container files are QUARANTINED
     * (named in the second return) instead of failing the job — the A24
     * corrupt-record contract at Avro's natural granularity. Decodes one
-    * file per task (no block splits), so use [[read]] on trusted data. */
+    * file per task (no block splits), so use [[read]] on trusted data.
+    *
+    * Two passes over the files (a cheap probe for the bad list, then the
+    * decode of the survivors) rather than one cached pass: no
+    * corpus-sized cache entry leaks past the call, and the probe pass
+    * stops at the first failure per file. Executors rebuild the
+    * SESSION's Hadoop conf from a broadcast key-value copy — a blank
+    * Configuration would drop s3a/HDFS credentials and quarantine every
+    * intact file as "corrupt". */
   def readPermissive(spark: SparkSession, path: String,
       avroSchemaJson: String): (DataFrame, Seq[String]) = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
     val files = fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
       .filter(_.endsWith(".avro")).sorted.toSeq
     val sparkSchema = toSparkSchema(new Schema.Parser().parse(avroSchemaJson))
+    // Configuration is not serializable; ship the session's entries and
+    // rebuild per task (closures below capture ONLY serializable values)
+    val confEntries: Array[(String, String)] = {
+      val it = conf.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
+    val confBc = spark.sparkContext.broadcast(confEntries)
+    val schemaJson = avroSchemaJson
     val fileRdd = spark.sparkContext.parallelize(files,
       math.max(1, math.min(files.size, 64)))
-    val decoded = fileRdd.mapPartitions { it =>
-      val st = schemaOfJson(avroSchemaJson)
-      it.flatMap { f =>
-        val path = new org.apache.hadoop.fs.Path(f)
-        val lfs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        try {
-          val in = lfs.open(path)
-          val reader = new org.apache.avro.file.DataFileStream[GenericRecord](
-            in, new org.apache.avro.generic.GenericDatumReader[GenericRecord](
-              new Schema.Parser().parse(avroSchemaJson)))
-          try {
-            // materialize so decode errors surface inside this try
-            val rows = new scala.collection.mutable.ArrayBuffer[Row]()
-            while (reader.hasNext) rows += recordToRow(reader.next(), st)
-            rows.iterator.map(r => (f, Some(r), None: Option[String]))
-          } finally { reader.close(); in.close() }
-        } catch { case e: Exception =>
-          Iterator.single((f, None: Option[Row], Some(e.getClass.getName)))
-        }
-      }
-    }.cache()
-    val bad = decoded.filter(_._3.isDefined).map(_._1).distinct().collect().toSeq
-    val good = decoded.collect { case (_, Some(r), _) => r }
-    (spark.createDataFrame(good, sparkSchema), bad)
+    val bad = fileRdd.flatMap { f =>
+      try { decodeWholeFile(f, confBc.value, schemaJson).foreach(_ => ()); None }
+      catch { case e: Exception => Some(f -> e.getClass.getName) }
+    }.collect().map(_._1).sorted.toSeq
+    val badSet = bad.toSet
+    val goodFiles = files.filterNot(badSet)
+    val goodRdd = spark.sparkContext.parallelize(goodFiles,
+      math.max(1, math.min(math.max(goodFiles.size, 1), 64)))
+      .flatMap(f => decodeWholeFile(f, confBc.value, schemaJson))
+    (spark.createDataFrame(goodRdd, sparkSchema), bad)
+  }
+
+  /** Decode one container file fully (errors surface to the caller);
+    * static so task closures capture no driver-side state. */
+  private def decodeWholeFile(
+      f: String,
+      confEntries: Array[(String, String)],
+      schemaJson: String): Iterator[Row] = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    confEntries.foreach { case (k, v) => c.set(k, v) }
+    val path = new org.apache.hadoop.fs.Path(f)
+    val lfs = path.getFileSystem(c)
+    val st = schemaOfJson(schemaJson)
+    val in = lfs.open(path)
+    val reader = new org.apache.avro.file.DataFileStream[GenericRecord](
+      in, new org.apache.avro.generic.GenericDatumReader[GenericRecord](
+        new Schema.Parser().parse(schemaJson)))
+    try {
+      val rows = new scala.collection.mutable.ArrayBuffer[Row]()
+      while (reader.hasNext) rows += recordToRow(reader.next(), st)
+      rows.iterator
+    } finally { reader.close(); in.close() }
   }
 }

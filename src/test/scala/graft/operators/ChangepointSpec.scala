@@ -31,7 +31,9 @@ class ChangepointSpec extends AnyFunSuite {
         .as[(String, Long, Double)].collect()
         .map { case (k, i, s) => (k, i) -> s }.toMap
 
-      // Page's recursion, replayed literally with the SAME quantized mean
+      // Page's recursion, replayed literally with the SAME quantized
+      // mean and the SAME dyadic deviation grid — the statistic is then
+      // EXACT, so the comparison is equality, not tolerance
       val mus = rows.groupBy(_._1).map { case (k, g) =>
         k -> BigDecimal(g.map(_._3).sum / g.size)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -39,8 +41,9 @@ class ChangepointSpec extends AnyFunSuite {
       rows.groupBy(_._1).foreach { case (k, g) =>
         var s = 0.0
         g.sortBy(_._2).foreach { case (_, i, v) =>
-          s = math.max(0.0, s + (v - mus(k) - slack))
-          assert(math.abs(got((k, i)) - s) < 1e-9,
+          val dq = math.floor((v - mus(k) - slack) * 64d) / 64d
+          s = math.max(0.0, s + dq)
+          assert(got((k, i)) == s,
             s"seed=$seed key=$k i=$i closed=${got((k, i))} recursion=$s")
         }
       }
