@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Whole-registry partition-stability compare.
+
+Usage: python3 dev/stability_check.py dirA dirB
+
+Compares two graft.Verify output dirs (e.g. produced with
+SPARK_GRAFT_CPUS=1 vs =32): per query, sorted-by-all-columns frames
+must match cell-for-cell. Any mismatch in an ORACLE query is a
+partitioning-dependence bug of exactly the class that made
+q_feature_scale driver-red in r10; mismatches in approximation-sketch
+queries (HLL / approx-percentile / CMS) may be legitimate merge-order
+effects and are reported separately.
+"""
+import glob
+import json
+import os
+import sys
+
+import duckdb
+
+A, B = sys.argv[1], sys.argv[2]
+oracle = set(json.load(open(os.path.join(A, "oracle_sql.json"))))
+SKETCHY = {"q_hll_distinct", "q_hll_sketch", "q_approx_percentile",
+           "q_freq_sketch", "q_incr_distinct"}
+
+con = duckdb.connect()
+names = sorted(d for d in os.listdir(A)
+               if os.path.isdir(os.path.join(A, d))
+               and os.path.isdir(os.path.join(B, d)))
+n_ok = n_bad = n_sketch = 0
+for q in names:
+    fa = sorted(glob.glob(f"{A}/{q}/*.parquet"))
+    fb = sorted(glob.glob(f"{B}/{q}/*.parquet"))
+    if not fa or not fb:
+        print(f"SKIP {q}: missing output ({len(fa)}/{len(fb)})")
+        continue
+    try:
+        da = con.execute(f"SELECT * FROM read_parquet({fa!r})").df()
+        db = con.execute(f"SELECT * FROM read_parquet({fb!r})").df()
+        cols = sorted(da.columns)
+        da = da[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+        db = db[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+        same = da.shape == db.shape and da.equals(db)
+    except Exception as e:
+        print(f"ERR  {q}: {e}")
+        n_bad += 1
+        continue
+    if same:
+        n_ok += 1
+    elif q in SKETCHY:
+        n_sketch += 1
+        print(f"SKETCH-DIFF {q} (approximation merge order — expected class)")
+    else:
+        n_bad += 1
+        gate = "ORACLE" if q in oracle else "rows-only"
+        print(f"DIFF {q} [{gate}]: shapes {da.shape} vs {db.shape}")
+
+print(f"\n== {n_ok} stable, {n_bad} DIFFER, {n_sketch} sketch-class diffs "
+      f"over {len(names)} queries")
+sys.exit(1 if n_bad else 0)
