@@ -873,6 +873,53 @@ object CurationQueries {
     // broadcast switch; the scalar V broadcasts as one row. Docs with
     // <2 tokens have no bigrams and drop out in BOTH engines (group-by
     // over an empty set), so the contract stays aligned.
+    // Cross-corpus LM scoring — the perplexity filter against a CLEAN
+    // REFERENCE, not the corpus itself: train an add-k unigram LM on the
+    // reference slice (source='src0'), score EVERY doc by avg neg
+    // log-prob with OOV mass from the union vocabulary. Self-corpus
+    // scoring (q_unigram_logprob) can't flag a corpus-wide quality
+    // drift — if everything is word salad, everything is typical; a
+    // frozen reference can. Both count tables are vocabulary-shaped
+    // (measured broadcast); OOV terms get c_ref = 0 via left join.
+    GraftQuery(
+      "q_xent_ref",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tok = docs
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("term"))
+        val refCnt = graft.operators.Joins.broadcastIfSmall(
+          tok.filter(col("source") === "src0")
+            .groupBy("term").agg(count(lit(1)).as("graft_nref")))
+        val refTot = tok.filter(col("source") === "src0")
+          .agg(count(lit(1)).cast("double").as("graft_ntot"))
+        val vocab = tok.agg(
+          countDistinct("term").cast("double").as("graft_v"))
+        tok.join(refCnt, Seq("term"), "left")
+          .crossJoin(broadcast(refTot)).crossJoin(broadcast(vocab))
+          .groupBy("doc_id")
+          .agg(round(avg(-log(
+            (coalesce(col("graft_nref"), lit(0L)) + 0.5d) /
+              (col("graft_ntot") + col("graft_v") * 0.5d))), 4)
+            .as("xent_ref"),
+            count(lit(1)).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |            unnest(string_split(text, ' ')) AS term
+             |          FROM documents),
+             |rc AS (SELECT term, count(*) AS nref FROM t
+             |       WHERE source = 'src0' GROUP BY 1),
+             |rt AS (SELECT CAST(count(*) AS DOUBLE) AS ntot FROM t
+             |       WHERE source = 'src0'),
+             |vv AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM t)
+             |SELECT doc_id,
+             |  ROUND(AVG(-ln((COALESCE(nref, 0) + 0.5) / (ntot + 0.5 * v))), 4)
+             |    AS xent_ref,
+             |  count(*) AS n_tokens
+             |FROM t LEFT JOIN rc USING (term) CROSS JOIN rt CROSS JOIN vv
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     GraftQuery(
       "q_bigram_logprob",
       (s, d) => {
