@@ -31,6 +31,41 @@ object CurationQueries {
              |           greatest(0, (len(toks) - 3) // 8))) AS g) s
              |ORDER BY doc_id, chunk_ix""".stripMargin)),
 
+    // Middle-out truncation to a token budget — the long-document
+    // context-fitting rule (keep the head and the tail, drop the
+    // middle): classification/retrieval signal concentrates at document
+    // boundaries, so head+tail beats head-only at the same budget.
+    // Keep first 32 + last 16 tokens with an ellipsis marker when
+    // anything was dropped; short docs pass through verbatim. Pure
+    // per-row array slicing — narrow, scan-bound at any corpus size.
+    GraftQuery(
+      "q_truncate_mid",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val n = size(toks)
+        val head = lit(32); val tail = lit(16)
+        Tables.documents(s, d)
+          .select(col("doc_id"), n.cast("bigint").as("n_tokens"),
+            when(n <= head + tail, col("text"))
+              .otherwise(concat_ws(" ",
+                array_join(slice(toks, lit(1), head), " "),
+                lit("…"),
+                array_join(slice(toks, n - tail + 1, tail), " ")))
+              .as("truncated"),
+            (n > head + tail).as("was_truncated"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  CASE WHEN len(toks) <= 48 THEN text
+             |       ELSE array_to_string(toks[1:32], ' ') || ' … ' ||
+             |            array_to_string(toks[len(toks)-15 : len(toks)], ' ')
+             |  END AS truncated,
+             |  len(toks) > 48 AS was_truncated
+             |FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+             |      FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
+
     // Repetition score (Gopher-style quality rule): fraction of duplicate
     // word bigrams within each document. Pure per-row higher-order
     // functions — no shuffle.
