@@ -195,17 +195,21 @@ object Graph {
     // measured 7.4 s for 3 rounds on the sf0.1 part graph vs 0.9 s for
     // this shape).
     var labels = nodes.withColumn("label", col("node"))
-    // Materialize EVERY round's (node, label) table — node-sized, tiny
-    // next to the edge set. Without this the final plan nests
-    // `iterations` rounds of join+agg lineage: analysis + codegen cost
-    // grows with depth (measured ~9 s of first-run overhead at 3 rounds
-    // on the sf0.1 part graph) and a task failure recomputes every
-    // round. The iterative-algorithm norm: persist + cut per round; a
-    // round unpersists once its successor is materialized, so exactly
-    // ONE node-sized table (the returned, materialized result — the
-    // caller's handle, the caller's release) outlives the call.
+    // Depth-gated materialization. SHALLOW runs (≤4 rounds) keep one
+    // lazy plan: per-round analysis overhead is paid once per JVM (it is
+    // NOT per-execution — the compiled plan re-runs warm at the plan's
+    // own cost), and materializing costs 3 extra blocking jobs + cache
+    // writes per call, measured as a steady-state pessimization (bench:
+    // 1.9 s lazy vs 3.4 s materialized at 3 rounds). DEEP runs
+    // materialize each round: lineage depth is what actually explodes
+    // analysis/codegen and failure-recompute there, the classic
+    // iterative-algorithm persist-and-cut. Each round unpersists once
+    // its successor is materialized; exactly one node-sized table (the
+    // returned, materialized result — the caller's handle, the caller's
+    // release) outlives a deep call.
+    val materialize = iterations > 4
     var prevCached: Option[DataFrame] = None
-    (1 to iterations).foreach { _ =>
+    (1 to iterations).foreach { i =>
       val votes = und
         .join(labels, col("graft_u") === col("node"))
         .groupBy(col("graft_v").as("graft_n"), col("label"))
@@ -214,12 +218,14 @@ object Graph {
       labels = TopK.perKey(votes, keys = Seq("graft_n"),
           ordering = Seq("graft_votes", "graft_neglabel"), k = 1)
         .select(col("graft_n").as("node"), (-col("graft_neglabel")).as("label"))
-        .persist()
-      labels.count()
-      prevCached.foreach(_.unpersist(blocking = false))
-      prevCached = Some(labels)
+      if (materialize) {
+        labels = labels.persist()
+        labels.count()
+        prevCached.foreach(_.unpersist(blocking = false))
+        prevCached = Some(labels)
+      }
     }
-    und.unpersist(blocking = false)
+    if (materialize) und.unpersist(blocking = false)
     labels
   }
 }

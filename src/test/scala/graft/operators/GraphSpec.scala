@@ -127,6 +127,16 @@ class GraphSpec extends AnyFunSuite {
     assert(got(4L) == 4L && got(5L) == 4L && got(6L) == 4L)
   }
 
+  test("labelPropagation: deep runs (materialized rounds) equal shallow " +
+    "semantics — the depth gate changes the plan, never the labels") {
+    val intra = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .map { case (a, b) => (a, b, 10L) }
+    val bridge = Seq((3L, 4L, 1L))
+    // 3 iterations = lazy path, 6 = materialized path; LPA on this graph
+    // is at its fixpoint by round 3, so the label sets must be identical
+    assert(lpa(intra ++ bridge, iters = 3) == lpa(intra ++ bridge, iters = 6))
+  }
+
   test("labelPropagation: duplicate and reversed edge rows SUM their " +
     "weights; self-loops are ignored") {
     // (1,2) appears as 1->2, 1->2, 2->1: total weight 3 vs (1,3) weight 2
