@@ -38,9 +38,22 @@ for q in names:
         da = con.execute(f"SELECT * FROM read_parquet({fa!r})").df()
         db = con.execute(f"SELECT * FROM read_parquet({fb!r})").df()
         cols = sorted(da.columns)
-        da = da[cols].sort_values(cols, na_position="first").reset_index(drop=True)
-        db = db[cols].sort_values(cols, na_position="first").reset_index(drop=True)
+        da, db = da[cols], db[cols]
+        # list/struct columns load as object arrays pandas cannot sort —
+        # stringify for ORDERING only (equality still compares the
+        # stringified frames, which is exact for identical values)
+        try:
+            da = da.sort_values(cols, na_position="first").reset_index(drop=True)
+            db = db.sort_values(cols, na_position="first").reset_index(drop=True)
+        except TypeError:
+            da = da.astype(str).sort_values(cols).reset_index(drop=True)
+            db = db.astype(str).sort_values(cols).reset_index(drop=True)
         same = da.shape == db.shape and da.equals(db)
+        detail = ""
+        if not same and da.shape == db.shape:
+            neq = (da.astype(str).values != db.astype(str).values)
+            detail = f"; {int(neq.sum())} cells differ, first col(s): " + \
+                ", ".join(c for i, c in enumerate(cols) if neq[:, i].any())
     except Exception as e:
         print(f"ERR  {q}: {e}")
         n_bad += 1
@@ -53,7 +66,7 @@ for q in names:
     else:
         n_bad += 1
         gate = "ORACLE" if q in oracle else "rows-only"
-        print(f"DIFF {q} [{gate}]: shapes {da.shape} vs {db.shape}")
+        print(f"DIFF {q} [{gate}]: shapes {da.shape} vs {db.shape}{detail}")
 
 print(f"\n== {n_ok} stable, {n_bad} DIFFER, {n_sketch} sketch-class diffs "
       f"over {len(names)} queries")

@@ -178,11 +178,18 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("graft_v"),
         col(weightCol).cast("long").as("graft_w"))
       .groupBy("graft_u", "graft_v").agg(sum("graft_w").as("graft_w"))
+    // The symmetrized edge table is scanned by every round — persist it
+    // for the duration of the call and release it after the RESULT is
+    // materialized below (measured: without the cache, exchange reuse
+    // does not cover the rounds' joins and q_label_prop pays ~1.5 s per
+    // execution; with the old never-released persist, one edge-sized
+    // cache entry leaked per call).
+    val materialize = iterations > 4
     val und = canon
       .unionByName(canon.select(
         col("graft_v").as("graft_u"), col("graft_u").as("graft_v"),
         col("graft_w")))
-      .persist() // scanned once per round by the final plan
+      .persist()
     val nodes = und.select(col("graft_u").as("node")).distinct()
 
     // Each round builds the next labeling from the vote winners ALONE:
@@ -195,19 +202,16 @@ object Graph {
     // measured 7.4 s for 3 rounds on the sf0.1 part graph vs 0.9 s for
     // this shape).
     var labels = nodes.withColumn("label", col("node"))
-    // Depth-gated materialization. SHALLOW runs (≤4 rounds) keep one
-    // lazy plan: per-round analysis overhead is paid once per JVM (it is
-    // NOT per-execution — the compiled plan re-runs warm at the plan's
-    // own cost), and materializing costs 3 extra blocking jobs + cache
-    // writes per call, measured as a steady-state pessimization (bench:
-    // 1.9 s lazy vs 3.4 s materialized at 3 rounds). DEEP runs
-    // materialize each round: lineage depth is what actually explodes
-    // analysis/codegen and failure-recompute there, the classic
-    // iterative-algorithm persist-and-cut. Each round unpersists once
-    // its successor is materialized; exactly one node-sized table (the
-    // returned, materialized result — the caller's handle, the caller's
-    // release) outlives a deep call.
-    val materialize = iterations > 4
+    // Depth-gated INTERMEDIATE materialization. Shallow runs (≤4
+    // rounds) keep one lazy multi-round plan (materializing every round
+    // costs blocking jobs + cache writes and measured as a steady-state
+    // pessimization at 3 rounds); deep runs persist-and-cut per round —
+    // lineage depth is what actually explodes analysis/codegen and
+    // failure-recompute there. On BOTH paths the FINAL labeling is
+    // persisted and materialized before returning, which is what lets
+    // the edge cache (and deep-path intermediates) release here: exactly
+    // one node-sized table — the returned result, the caller's handle,
+    // the caller's release — outlives the call.
     var prevCached: Option[DataFrame] = None
     (1 to iterations).foreach { i =>
       val votes = und
@@ -218,14 +222,14 @@ object Graph {
       labels = TopK.perKey(votes, keys = Seq("graft_n"),
           ordering = Seq("graft_votes", "graft_neglabel"), k = 1)
         .select(col("graft_n").as("node"), (-col("graft_neglabel")).as("label"))
-      if (materialize) {
+      if (materialize || i == iterations) {
         labels = labels.persist()
         labels.count()
         prevCached.foreach(_.unpersist(blocking = false))
         prevCached = Some(labels)
       }
     }
-    if (materialize) und.unpersist(blocking = false)
+    und.unpersist(blocking = false)
     labels
   }
 }

@@ -926,8 +926,11 @@ object CurationQueries {
         val refCnt = graft.operators.Joins.broadcastIfSmall(
           tok.filter(col("source") === "src0")
             .groupBy("term").agg(count(lit(1)).as("graft_nref")))
-        val refTot = tok.filter(col("source") === "src0")
-          .agg(count(lit(1)).cast("double").as("graft_ntot"))
+        // total ref tokens derives from the vocabulary-sized count table
+        // (already materialized by the broadcast switch) — not a second
+        // corpus-sized tokenize+filter pass
+        val refTot = refCnt.agg(
+          sum("graft_nref").cast("double").as("graft_ntot"))
         val vocab = tok.agg(
           countDistinct("term").cast("double").as("graft_v"))
         tok.join(refCnt, Seq("term"), "left")

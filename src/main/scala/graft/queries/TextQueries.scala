@@ -209,6 +209,48 @@ object TextQueries {
              |    (acc, x) -> (acc * 131 + x) % 1000000007) AS rfp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Language ID heuristic — ORACLE-GATED (promoted from rows-only in
+    // r11): the scorer is deterministic arithmetic over LITERAL marker
+    // lists (argmax stopword hits over cleaned lowercase tokens, ties to
+    // the lexicographically LAST language, zero hits → 'und'), so DuckDB
+    // replays it exactly: unnest tokens → clean → join the marker VALUES
+    // → per-doc argmax via row_number(hits DESC, lang DESC). The native
+    // single-pass expression is thus pinned against its own SQL
+    // definition, not just a row count. Split semantics note (the
+    // q_rolling_fingerprint precedent): the native cleaner tests
+    // UTF-16 units with Character.isLetter, RE2's \p{L} tests
+    // codepoints — identical over BMP text, and the fixtures are
+    // ASCII (verified); astral letters would diverge by construction
+    // on both engines' own terms.
+    GraftQuery(
+      "q_lang_id",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextFunctions.langIdFast(col("text")).as("lang_pred"))
+          .orderBy("doc_id"),
+      Some {
+        val markers = graft.functions.TextFunctions.languageMarkers.toSeq
+          .sortBy(_._1)
+          .flatMap { case (l, ms) => ms.map(m => s"('$l','$m')") }
+          .mkString(", ")
+        s"""WITH m(lang, marker) AS (VALUES $markers),
+           |t AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS rawtok
+           |      FROM documents),
+           |c AS (SELECT doc_id,
+           |        regexp_replace(lower(rawtok), '[^\\p{L}]', '', 'g') AS tok
+           |      FROM t),
+           |h AS (SELECT c.doc_id, m.lang, count(*) AS hits
+           |      FROM c JOIN m ON c.tok = m.marker GROUP BY 1, 2),
+           |best AS (SELECT doc_id, lang,
+           |           row_number() OVER (PARTITION BY doc_id
+           |             ORDER BY hits DESC, lang DESC) AS rk
+           |         FROM h)
+           |SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred
+           |FROM documents d LEFT JOIN
+           |  (SELECT doc_id, lang FROM best WHERE rk = 1) b USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin
+      }),
+
     // Token-entropy quality signal: Shannon entropy of each document's
     // token distribution — word-salad and boilerplate score LOW (few
     // distinct tokens dominate), natural prose scores near ln(vocab).
