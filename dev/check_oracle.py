@@ -61,7 +61,13 @@ for name in sorted(oracle):
                 if a.dtype == object:
                     neq = np.array([str(x) != str(y) for x, y in zip(av, bv)])
                 elif np.issubdtype(a.dtype, np.floating):
-                    neq = ~((av == bv) | (pd.isna(av) & pd.isna(bv)))
+                    # BITWISE compare: the driver hashes raw bytes, so
+                    # -0.0 vs 0.0 (equal under ==) must count as a diff.
+                    # NaN payloads equal-if-both-NaN (engines agree on the
+                    # canonical quiet NaN; pd.isna masks them out).
+                    ab = np.ascontiguousarray(av, dtype=np.float64).view(np.uint64)
+                    bb = np.ascontiguousarray(bv, dtype=np.float64).view(np.uint64)
+                    neq = (ab != bb) & ~(pd.isna(av) & pd.isna(bv))
                 else:
                     try:
                         neq = ~((av == bv) | (pd.isna(av) & pd.isna(bv)))
@@ -72,6 +78,18 @@ for name in sorted(oracle):
                     problems.append(
                         f"values[{c}] {int(neq.sum())}/{len(a)} differ; "
                         f"first@{i}: spark={av[i]!r} oracle={bv[i]!r}")
+                if np.issubdtype(a.dtype, np.floating):
+                    # -0.0 anywhere (even bit-matching on both sides) is a
+                    # latent hazard: a partition/fixture change can flip the
+                    # sign bit on one engine only. Normalize with +0.0 at
+                    # the query (hazard class 4, SURVEY §7.4).
+                    for side, vals in (("spark", av), ("oracle", bv)):
+                        nz = (np.ascontiguousarray(vals, dtype=np.float64)
+                              .view(np.uint64) == 0x8000000000000000)
+                        if nz.any():
+                            problems.append(
+                                f"negzero[{c}] {int(nz.sum())} cells are "
+                                f"-0.0 on {side} — add +0.0 after ROUND")
     if problems:
         print(f"FAIL {name}: " + " | ".join(problems))
         n_fail += 1

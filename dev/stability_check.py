@@ -17,10 +17,34 @@ import os
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
+
+
+def frames_equal_bitwise(da, db):
+    """df.equals, except float64 columns compare BITWISE (NaN-masked):
+    the driver hashes raw bytes, so -0.0 vs 0.0 must count as a diff."""
+    if da.shape != db.shape or list(da.columns) != list(db.columns):
+        return False
+    for c in da.columns:
+        a, b = da[c], db[c]
+        if np.issubdtype(a.dtype, np.floating) and \
+                np.issubdtype(b.dtype, np.floating):
+            ab = np.ascontiguousarray(a.values, dtype=np.float64).view(np.uint64)
+            bb = np.ascontiguousarray(b.values, dtype=np.float64).view(np.uint64)
+            if (((ab != bb) & ~(pd.isna(a.values) & pd.isna(b.values))).any()):
+                return False
+        elif not a.equals(b):
+            return False
+    return True
+
 
 A, B = sys.argv[1], sys.argv[2]
 oracle = set(json.load(open(os.path.join(A, "oracle_sql.json"))))
-SKETCHY = {"q_hll_distinct", "q_hll_sketch", "q_approx_percentile",
+# q_hll_sketch left OUT since r12: its final union folds per-group
+# sketches in sorted order (scalar hll_union), making the estimate
+# partition-stable — a diff there is a regression, not merge-order noise.
+SKETCHY = {"q_hll_distinct", "q_approx_percentile",
            "q_freq_sketch", "q_incr_distinct"}
 
 con = duckdb.connect()
@@ -48,7 +72,7 @@ for q in names:
         except TypeError:
             da = da.astype(str).sort_values(cols).reset_index(drop=True)
             db = db.astype(str).sort_values(cols).reset_index(drop=True)
-        same = da.shape == db.shape and da.equals(db)
+        same = da.shape == db.shape and frames_equal_bitwise(da, db)
         detail = ""
         if not same and da.shape == db.shape:
             neq = (da.astype(str).values != db.astype(str).values)

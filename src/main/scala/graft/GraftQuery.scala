@@ -17,6 +17,56 @@ final case class GraftQuery(
 
 object GraftQuery {
 
+  /** Negative-zero normalization (determinism hazard class 4, SURVEY §7.4).
+    *
+    * A signed expression that rounds to zero yields IEEE -0.0 in DuckDB
+    * (sign bit preserved through ROUND) but +0.0 in Spark (round goes via
+    * BigDecimal, which has no signed zero). `-0.0 == 0.0` is true, so
+    * value-compares pass — but the driver hashes raw bytes and
+    * 0x8000000000000000 != 0x0 (the r10/r11 `q_feature_scale` red row).
+    * `+ 0.0` maps -0.0 to +0.0 on both engines (IEEE 754 addition) and is
+    * the identity everywhere else. Apply to EVERY rounded output column
+    * whose input can be negative; mirror `+ 0.0` in the oracle SQL.
+    */
+  def nz(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c + org.apache.spark.sql.functions.lit(0.0)
+
+  private val tmpDirs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
+  private lazy val cleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpDirs.forEach { d =>
+        try deleteRecursively(d.toFile)
+        catch { case _: Exception => () } // best-effort at exit
+      }))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Temp scratch dir for queries that stage a store/index/layout on
+    * disk, registered for recursive deletion at JVM exit. Query results
+    * read these files LAZILY (Verify/Bench act on the returned frame
+    * after the query function returns), so an inline delete would break
+    * the plan; the shutdown hook means repeated runs leak nothing
+    * beyond the life of one process. Unique per call, so concurrent
+    * executions never collide. */
+  def tempDir(prefix: String): String = {
+    cleanupHook
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    tmpDirs.add(d)
+    d.toString
+  }
+
+  /** Per-run unique suffix for global names (catalog tables) derived
+    * from a fresh temp path, so concurrent executions cannot collide. */
+  def runTag(dir: String): String =
+    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9_]", "_")
+
   /** Driver-comparator output contract for oracle queries: every output
     * column must be a sortable scalar. The driver loads both sides into
     * pandas and sorts ALL columns before hashing; `sort_values` over a

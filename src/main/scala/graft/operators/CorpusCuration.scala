@@ -65,6 +65,7 @@ object CorpusCuration {
       minUniqRatio: Double = 0.0,
       minAlphaRatio: Double = 0.0,
       nearDup: Boolean = true,
+      nearDupExact: Boolean = false,
       nearDupThreshold: Double = 0.8,
       benchmark: Option[DataFrame] = None,
       benchmarkTextCol: String = "text",
@@ -88,7 +89,15 @@ object CorpusCuration {
       // between the exact and near stages. Cache lives as long as the
       // returned lazy plan — clearCache() between unrelated corpora.
       val exactDeduped = Dedup.exact(filtered, idCol, textCol).persist()
-      Dedup.dedupNear(exactDeduped, idCol, textCol, threshold = nearDupThreshold)
+      // nearDupExact swaps MinHash candidates for the exact-threshold
+      // pair graph — survivors become a deterministic function of the
+      // corpus (no LSH recall term), which a SQL oracle can replay.
+      if (nearDupExact)
+        Dedup.dedupNearExact(exactDeduped, idCol, textCol,
+          threshold = nearDupThreshold)
+      else
+        Dedup.dedupNear(exactDeduped, idCol, textCol,
+          threshold = nearDupThreshold)
     }
     val cleaned = benchmark.fold(deduped)(b =>
       Decontaminate.clean(deduped, idCol, textCol, b, benchmarkTextCol,

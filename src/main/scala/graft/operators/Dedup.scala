@@ -507,8 +507,37 @@ object Dedup {
     // persist every loop round would re-run the whole LSH pipeline.
     val pairs = minhashNearDup(df, idCol, textCol, numHashes, bands, shingleN, threshold, seed)
       .persist()
-    // nearDupClusters materializes its labels (local relation or
-    // checkpoint) before returning, so the pair cache can go immediately.
+    dropClusterLosers(df, idCol, pairs)
+  }
+
+  /** [[dedupNear]] with the EXACT-threshold pair graph
+    * ([[ngramJaccardNearDup]]: LSH blocking + exact Jaccard verify with
+    * complete candidate coverage) instead of MinHash candidates. Same
+    * cluster/survivor semantics, but the survivor set is a deterministic
+    * function of the corpus — no LSH recall term — which makes a
+    * composed pipeline over it SQL-replayable (q_corpus_curate's oracle
+    * relies on this). Costs the exact-verify blocking instead of the
+    * fused signature scan; both paths stay pair-bounded at 100 TB. */
+  def dedupNearExact(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleN: Int = 3): DataFrame = {
+    val pairs = ngramJaccardNearDup(df, idCol, textCol, shingleN, threshold)
+      .select(col("id_a"), col("id_b"))
+      .persist()
+    dropClusterLosers(df, idCol, pairs)
+  }
+
+  /** Shared tail of the near-dup dedup paths: cluster the (persisted)
+    * pair graph, drop every non-canonical member. nearDupClusters
+    * materializes its labels (local relation or checkpoint) before
+    * returning, so the pair cache can go immediately. */
+  private def dropClusterLosers(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame): DataFrame = {
     val clusters = nearDupClusters(pairs)
     pairs.unpersist()
     val losers = clusters.filter(col("id") =!= col("cluster"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.GraftQuery
+import graft.GraftQuery.nz
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -212,16 +213,17 @@ object AnalyticsQueries {
         Tables.lineitem(s, d)
           .groupBy("l_linestatus")
           .agg(
-            round(skewness(col("l_extendedprice")), 4).as("skew"),
-            round(kurtosis(col("l_extendedprice")), 4).as("kurt"))
+            // nz: skew/excess-kurtosis are signed (hazard class 4)
+            nz(round(skewness(col("l_extendedprice")), 4)).as("skew"),
+            nz(round(kurtosis(col("l_extendedprice")), 4)).as("kurt"))
           .orderBy("l_linestatus"),
       Some("""WITH mu AS (SELECT l_linestatus AS g, avg(l_extendedprice) AS m
              |            FROM lineitem GROUP BY 1)
              |SELECT l_linestatus,
              |  ROUND(avg(pow(l_extendedprice - m, 3))
-             |        / pow(avg(pow(l_extendedprice - m, 2)), 1.5), 4) AS skew,
+             |        / pow(avg(pow(l_extendedprice - m, 2)), 1.5), 4) + 0.0 AS skew,
              |  ROUND(avg(pow(l_extendedprice - m, 4))
-             |        / pow(avg(pow(l_extendedprice - m, 2)), 2) - 3, 4) AS kurt
+             |        / pow(avg(pow(l_extendedprice - m, 2)), 2) - 3, 4) + 0.0 AS kurt
              |FROM lineitem JOIN mu ON l_linestatus = mu.g
              |GROUP BY 1 ORDER BY l_linestatus""".stripMargin)),
 
@@ -570,6 +572,7 @@ object AnalyticsQueries {
           valueCol = "value", slack = 5.0, threshold = 320.0,
           firstAlarmCol = "first_alarm_ts")
           .withColumnRenamed("first_alarm_ts", "first_alarm")
+          .withColumn("max_cusum", nz(col("max_cusum"))) // hazard class 4
           .orderBy("user_id"),
       Some("""WITH mu AS (SELECT user_id, ROUND(avg(value), 6) AS mu
              |            FROM events GROUP BY 1),
@@ -584,7 +587,7 @@ object AnalyticsQueries {
              |                           ROWS UNBOUNDED PRECEDING)) AS S
              |      FROM p)
              |SELECT user_id,
-             |       ROUND(max(S), 2) AS max_cusum,
+             |       ROUND(max(S), 2) + 0.0 AS max_cusum,
              |       CAST(SUM(CASE WHEN S > 320.0 THEN 1 ELSE 0 END) AS BIGINT)
              |         AS n_alarms,
              |       MIN(CASE WHEN S > 320.0 THEN ts END) AS first_alarm,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.GraftQuery
+import graft.GraftQuery.nz
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -77,16 +78,18 @@ object CoverageQueries {
         Tables.lineitem(s, d)
           .groupBy("l_linestatus")
           .agg(
-            round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
-            round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("icept"),
-            round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
-            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cv"))
+            // nz on all four: slope/intercept/covariance are signed, and
+            // r2's fp error can dip below zero (hazard class 4)
+            nz(round(expr("regr_slope(l_extendedprice, l_quantity)"), 4)).as("slope"),
+            nz(round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4)).as("icept"),
+            nz(round(expr("regr_r2(l_extendedprice, l_quantity)"), 6)).as("r2"),
+            nz(round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)).as("cv"))
           .orderBy("l_linestatus"),
       Some("""SELECT l_linestatus,
-             |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-             |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
-             |  ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-             |  ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cv
+             |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS slope,
+             |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0 AS icept,
+             |  ROUND(regr_r2(l_extendedprice, l_quantity), 6) + 0.0 AS r2,
+             |  ROUND(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS cv
              |FROM lineitem GROUP BY 1 ORDER BY l_linestatus""".stripMargin)),
 
     // first_value IGNORE NULLS / nth_value / full-frame last_value.
@@ -436,8 +439,7 @@ object CoverageQueries {
         val li = Tables.lineitem(s, d)
           .select("l_orderkey", "l_linenumber", "l_quantity",
             "l_returnflag", "l_shipdate")
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_avro_q").toString + "/t"
+        val dir = graft.GraftQuery.tempDir("graft_avro_q") + "/t"
         graft.sources.Avro.write(li, dir)
         graft.sources.Avro.read(s, dir)
           .groupBy("l_returnflag")

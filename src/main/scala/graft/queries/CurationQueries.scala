@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.GraftQuery
+import graft.GraftQuery.nz
 import graft.operators.{Chunker, Decontaminate}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
@@ -359,8 +360,7 @@ object CurationQueries {
     GraftQuery(
       "q_bm25_log",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_bm25lq")
-          .toString + "/idx"
+        val dir = graft.GraftQuery.tempDir("graft_bm25lq") + "/idx"
         val docs = Tables.documents(s, d)
         graft.operators.Bm25Index.buildAndSaveLog(
           docs.filter(col("doc_id") % 2 === 0), dir, "doc_id", "text",
@@ -410,8 +410,7 @@ object CurationQueries {
     GraftQuery(
       "q_bm25_index",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_bm25q")
-          .toString + "/idx"
+        val dir = graft.GraftQuery.tempDir("graft_bm25q") + "/idx"
         // 16 buckets: the fixture vocabulary is ~40 terms; the operator
         // default (64) is sized for real corpora
         graft.operators.Bm25Index
@@ -1283,7 +1282,11 @@ object CurationQueries {
         e.join(broadcast(stats), Seq("event_type"))
           .select(
             col("event_id"), col("event_type"),
-            round((col("value") - col("graft_mu")) / col("graft_sd"), 2).as("z"),
+            // nz: a tiny negative z rounds to IEEE -0.0 and DuckDB keeps
+            // the sign bit while Spark does not; -0.0+0.0 = +0.0 on both
+            // engines, making the byte hash deterministic (hazard class 4).
+            nz(round((col("value") - col("graft_mu")) / col("graft_sd"), 2))
+              .as("z"),
             round((col("value") - col("graft_mn")) /
               (col("graft_mx") - col("graft_mn")), 6).as("mm"))
           .orderBy("event_id")
@@ -1294,7 +1297,7 @@ object CurationQueries {
              |              min(value) AS mn, max(value) AS mx
              |            FROM events GROUP BY 1)
              |SELECT event_id, event_type,
-             |       ROUND((value - mu) / sd, 2) AS z,
+             |       ROUND((value - mu) / sd, 2) + 0.0 AS z,
              |       ROUND((value - mn) / (mx - mn), 6) AS mm
              |FROM events JOIN st USING (event_type)
              |ORDER BY event_id""".stripMargin)),
@@ -1319,8 +1322,8 @@ object CurationQueries {
           .withColumn("graft_iqr", col("graft_q3") - col("graft_q1"))
           .select(
             col("event_id"), col("event_type"),
-            round((col("value") - col("graft_med")) / col("graft_iqr"), 4)
-              .as("rs"),
+            nz(round((col("value") - col("graft_med")) / col("graft_iqr"), 4))
+              .as("rs"), // hazard class 4
             round(least(
               greatest(col("value"),
                 col("graft_q1") - lit(1.5) * col("graft_iqr")),
@@ -1334,7 +1337,7 @@ object CurationQueries {
              |    ROUND(quantile_cont(value, 0.75), 6) AS q3
              |  FROM events GROUP BY 1)
              |SELECT event_id, event_type,
-             |  ROUND((value - med) / (q3 - q1), 4) AS rs,
+             |  ROUND((value - med) / (q3 - q1), 4) + 0.0 AS rs,
              |  ROUND(LEAST(GREATEST(value, q1 - 1.5 * (q3 - q1)),
              |              q3 + 1.5 * (q3 - q1)), 6) AS winsor
              |FROM events JOIN st USING (event_type)
@@ -1364,9 +1367,9 @@ object CurationQueries {
         e.join(broadcast(g), Seq("event_type"))
           .crossJoin(broadcast(p))
           .select(col("event_id"),
-            round((col("graft_s") - col("value") +
+            nz(round((col("graft_s") - col("value") +
               expr("CAST(10 AS DOUBLE)") * col("graft_prior")) /
-              (col("graft_n") - lit(1) + lit(10)), 4).as("te"))
+              (col("graft_n") - lit(1) + lit(10)), 4)).as("te")) // hazard class 4
           .orderBy("event_id")
       },
       Some("""WITH g AS (SELECT event_type, ROUND(sum(value), 6) AS s,
@@ -1375,7 +1378,7 @@ object CurationQueries {
              |p AS (SELECT ROUND(avg(value), 6) AS prior FROM events)
              |SELECT event_id,
              |  ROUND((g.s - e.value + CAST(10 AS DOUBLE) * p.prior)
-             |        / (g.n - 1 + 10), 4) AS te
+             |        / (g.n - 1 + 10), 4) + 0.0 AS te
              |FROM events e JOIN g USING (event_type) CROSS JOIN p
              |ORDER BY event_id""".stripMargin)))
 }

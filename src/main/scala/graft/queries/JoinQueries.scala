@@ -301,17 +301,20 @@ object JoinQueries {
     GraftQuery(
       "q_join_bucketed",
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_bucket_q").toString
+        val dir = graft.GraftQuery.tempDir("graft_bucket_q")
+        // table names carry the per-run dir tag: concurrent executions
+        // (or overlapping bench iterations) never collide in the catalog
+        val tag = graft.GraftQuery.runTag(dir)
+        val (tblO, tblL) = (s"graft_q_bucket_o_$tag", s"graft_q_bucket_l_$tag")
         val orders = Tables.orders(s, d).select("o_orderkey", "o_custkey")
         val li = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
         graft.operators.Bucketing.writeBucketed(
-          orders, "graft_q_bucket_o", s"$dir/o", 8, Seq("o_orderkey"))
+          orders, tblO, s"$dir/o", 8, Seq("o_orderkey"))
         graft.operators.Bucketing.writeBucketed(
           li.withColumnRenamed("l_orderkey", "o_orderkey"),
-          "graft_q_bucket_l", s"$dir/l", 8, Seq("o_orderkey"))
+          tblL, s"$dir/l", 8, Seq("o_orderkey"))
         graft.operators.Bucketing.colocatedJoin(s,
-            "graft_q_bucket_o", "graft_q_bucket_l", Seq("o_orderkey"))
+            tblO, tblL, Seq("o_orderkey"))
           .groupBy("o_custkey")
           .agg(sum("l_quantity").as("qty"), count(lit(1)).as("n"))
           .orderBy("o_custkey")
@@ -333,8 +336,7 @@ object JoinQueries {
         // the sorted distinct keys, which is exactly what the oracle
         // states in SQL. The gate thus proves the distributed path ≡ the
         // SQL-declarative definition.
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_dimupq").toString + "/dim"
+        val tmp = graft.GraftQuery.tempDir("graft_dimupq") + "/dim"
         graft.operators.DimUpsert
           .upsert(s, tmp, Tables.part(s, d), "p_brand")
           .select("p_partkey", "sk")

@@ -119,7 +119,7 @@ object LateralMapQueries {
     GraftQuery(
       "q_merge",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
+        val tmp = graft.GraftQuery.tempDir("graft_merge") + "/t"
         val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
         graft.operators.Merge.into(s, tmp, cust, Seq("c_custkey"), log = Some(true))
         val updates = cust.filter(col("c_custkey") <= 100)

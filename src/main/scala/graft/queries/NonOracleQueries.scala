@@ -33,8 +33,7 @@ object NonOracleQueries {
     GraftQuery(
       "q_incr_distinct",
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_incrd").toString + "/agg"
+        val tmp = graft.GraftQuery.tempDir("graft_incrd") + "/agg"
         val li = Tables.lineitem(s, d)
         (0 until 3).foreach { i =>
           graft.operators.IncrementalAgg.update(s, tmp,
@@ -162,7 +161,7 @@ object NonOracleQueries {
         val e = Tables.embeddings(s, d)
         val p = e.filter(col("vec_id") === 0)
           .select("embedding").collect().head.getSeq[Float](0).toArray
-        val dir = java.nio.file.Files.createTempDirectory("graft_pqq").toString + "/idx"
+        val dir = graft.GraftQuery.tempDir("graft_pqq") + "/idx"
         val corpus = e.filter(col("vec_id") =!= 0)
         val idx = graft.operators.IvfPqIndex.buildAndSave(
           corpus, dir, "vec_id", "embedding", nlist = 8, m = 8, ksub = 32)
@@ -259,8 +258,14 @@ object NonOracleQueries {
           .orderBy("l_returnflag")),
 
     // End-to-end corpus curation (annotate → filter → exact dedup → near
-    // dedup). Language ID is a Spark-native heuristic → no DuckDB oracle;
-    // CorpusCurationSpec pins the per-stage semantics.
+    // dedup → decontaminate → split), ORACLE-GATED (promoted r12): with
+    // the exact-threshold near-dup path (dedupNearExact — no LSH recall
+    // term) every stage is a deterministic function of the corpus, so
+    // the oracle replays the WHOLE composed pipeline as chained CTEs,
+    // each taken verbatim from its already-green per-stage oracle
+    // (q_lang_id, q_token_count, q_dedup_exact, q_dup_clusters,
+    // q_decontaminate, q_train_split). CorpusCurationSpec still pins the
+    // per-stage semantics and the MinHash variant.
     GraftQuery(
       "q_corpus_curate",
       (s, d) => {
@@ -270,11 +275,90 @@ object NonOracleQueries {
           keepLangs = Set("en", "de", "fr", "es"),
           minTokens = 3,
           minUniqRatio = 0.1,
+          nearDupExact = true,
           benchmark = Some(docs.filter(col("doc_id") % 97 === 0)),
           splitCol = Some("split"))
           .select("doc_id", "lang", "n_tokens", "split")
           .orderBy("doc_id")
-      }),
+      },
+      Some("""WITH RECURSIVE
+             |m(lang, marker) AS (VALUES
+             |  ('de','der'), ('de','die'), ('de','das'), ('de','und'),
+             |  ('de','ist'), ('de','nicht'), ('de','ein'), ('de','zu'),
+             |  ('de','mit'), ('de','ich'),
+             |  ('en','the'), ('en','a'), ('en','of'), ('en','and'),
+             |  ('en','to'), ('en','in'), ('en','is'), ('en','that'),
+             |  ('en','it'), ('en','for'),
+             |  ('es','el'), ('es','la'), ('es','los'), ('es','las'),
+             |  ('es','y'), ('es','es'), ('es','un'), ('es','una'),
+             |  ('es','que'), ('es','por'),
+             |  ('fr','le'), ('fr','la'), ('fr','les'), ('fr','et'),
+             |  ('fr','est'), ('fr','un'), ('fr','une'), ('fr','que'),
+             |  ('fr','pour'), ('fr','dans')),
+             |tok AS (SELECT doc_id, text,
+             |          regexp_split_to_array(text, '\s+') AS w
+             |        FROM documents),
+             |hits AS (SELECT t.doc_id, m.lang, count(*) AS hits
+             |  FROM (SELECT doc_id,
+             |          regexp_replace(lower(unnest(w)), '[^\p{L}]', '', 'g')
+             |            AS tk
+             |        FROM tok) t
+             |  JOIN m ON t.tk = m.marker GROUP BY 1, 2),
+             |lang_best AS (SELECT doc_id, lang FROM (
+             |    SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY hits DESC, lang DESC) AS rk FROM hits)
+             |  WHERE rk = 1),
+             |ann AS (SELECT a.doc_id, a.text, a.w,
+             |          COALESCE(b.lang, 'und') AS lang,
+             |          CAST(LEN(regexp_extract_all(a.text,
+             |            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)
+             |            AS n_tokens,
+             |          CAST(len(list_distinct(a.w)) AS DOUBLE)
+             |            / greatest(len(a.w), 1) AS uniq_ratio
+             |        FROM tok a LEFT JOIN lang_best b USING (doc_id)),
+             |filt AS (SELECT * FROM ann
+             |  WHERE lang IN ('en', 'de', 'fr', 'es')
+             |    AND n_tokens BETWEEN 3 AND 1000000
+             |    AND uniq_ratio >= 0.1),
+             |ex AS (SELECT f.* FROM filt f
+             |  JOIN (SELECT text, min(doc_id) AS kid FROM filt GROUP BY text) k
+             |    ON f.doc_id = k.kid),
+             |sh AS (SELECT doc_id,
+             |    CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |         ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+             |                             FOR i IN range(1, len(w)-1)])
+             |    END AS s
+             |  FROM ex),
+             |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             |        len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+             |e AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
+             |reach(node, root) AS (
+             |  SELECT doc_id, doc_id FROM ex
+             |  UNION
+             |  SELECT e.v, r.root FROM reach r JOIN e ON e.u = r.node),
+             |cl AS (SELECT node AS doc_id, min(root) AS cluster
+             |       FROM reach GROUP BY node),
+             |surv AS (SELECT ex.* FROM ex JOIN cl USING (doc_id)
+             |         WHERE cl.cluster = ex.doc_id),
+             |bg AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS gram
+             |  FROM (SELECT regexp_split_to_array(text, '\s+') AS w
+             |        FROM documents WHERE doc_id % 97 = 0) b,
+             |       UNNEST(range(1, greatest(len(w) - 7, 1) + 1)) AS t(i)),
+             |sg AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+             |  FROM surv, UNNEST(range(1, greatest(len(w) - 7, 1) + 1)) AS t(i)),
+             |contam AS (SELECT DISTINCT doc_id FROM sg JOIN bg USING (gram))
+             |SELECT doc_id, lang, n_tokens,
+             |  CASE WHEN u < 0.9 THEN 'train'
+             |       WHEN u < 0.95 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (SELECT doc_id, lang, n_tokens,
+             |        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |          / 4294967296.0 AS u
+             |      FROM surv
+             |      WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+             |ORDER BY doc_id""".stripMargin)),
 
     // Z-order layout effectiveness: write lineitem z-ordered on
     // (l_orderkey, l_partkey), then report how many files an equality
@@ -284,7 +368,7 @@ object NonOracleQueries {
     GraftQuery(
       "q_zorder",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_zq").toString + "/z"
+        val tmp = graft.GraftQuery.tempDir("graft_zq") + "/z"
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
         graft.operators.Layout.writeZOrdered(li, Seq("l_orderkey", "l_partkey"), tmp, 16)
@@ -364,38 +448,64 @@ object NonOracleQueries {
              |  + ((x >> 7) & 1) * 16384 + ((y >> 7) & 1) * 32768 AS z
              |FROM cells ORDER BY x, y""".stripMargin)),
 
-    // Small-file compaction (table maintenance): a store trickle-written
-    // as 32 tiny files folds to ~1 per 128 MB, rows preserved exactly —
-    // the pass that keeps a 100 TB store's task count scan-bound instead
-    // of listing-bound. File-system-level → rows-only; the swap protocol
-    // and partition-scoped rewrite are CompactSpec-gated.
+    // Small-file compaction (table maintenance), ORACLE-GATED (promoted
+    // r12): a store trickle-written as 32 tiny files folds to ~1 per
+    // 128 MB through the REAL swap-protocol rewrite, then the COMPACTED
+    // files are read back and digested — count, keyed arithmetic
+    // checksum, quantity sum, distinct keys. The oracle computes the
+    // same digests over the original table, so a hash match proves the
+    // rewrite preserved content exactly. File-count behavior (32 → ~1,
+    // partition-scoped rewrites, crash posture) stays CompactSpec-gated
+    // — file counts are not SQL-expressible against the fixture.
     GraftQuery(
       "q_compact",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft_cq").toString + "/c"
+        val dir = graft.GraftQuery.tempDir("graft_cq") + "/c"
         Tables.lineitem(s, d)
           .select("l_orderkey", "l_partkey", "l_quantity")
           .repartition(32).write.parquet(dir)
         val st = graft.operators.Compact.compactDir(s, dir)
-        import s.implicits._
-        Seq((st.filesBefore, st.filesAfter, st.rows))
-          .toDF("files_before", "files_after", "rows")
-      }),
+        require(st.filesAfter < st.filesBefore,
+          s"compaction did not reduce files: $st")
+        s.read.parquet(dir).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey") * lit(131071L) + col("l_partkey") * lit(8191L))
+            .as("key_digest"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          countDistinct("l_orderkey").as("n_orders"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |  CAST(SUM(l_orderkey * 131071 + l_partkey * 8191) AS BIGINT)
+             |    AS key_digest,
+             |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+             |  count(DISTINCT l_orderkey) AS n_orders
+             |FROM lineitem""".stripMargin)),
 
     // Mergeable Datasketches HLL: sketch per group, union the sketches,
     // estimate the merged cardinality — the two-level pattern that scales
     // distinct-counting to 100 TB (each executor sketches its partition;
     // only fixed-size register arrays move). Estimate differs from
-    // DuckDB's HLL → rows-only.
+    // DuckDB's HLL → rows-only. PARTITION-STABILITY (r12): the final
+    // union folds the per-group sketches in SORTED group order via the
+    // scalar hll_union — hll_union_agg's merge order follows partition
+    // layout and lets the order-sensitive HIP accumulator leak into the
+    // estimate (the one unstable row in STABILITY_r11); a sorted
+    // deterministic fold over order-independent register sets makes the
+    // estimate a pure function of the data.
     GraftQuery(
       "q_hll_sketch",
       (s, d) =>
         Tables.documents(s, d)
           .groupBy("lang")
           .agg(expr("hll_sketch_agg(text, 12)").as("sk"))
-          .agg(
-            expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+          .agg(sort_array(collect_list(struct(col("lang"), col("sk"))))
+            .as("graft_sks"))
+          .select(
+            expr("""hll_sketch_estimate(
+                 |  aggregate(slice(graft_sks, 2, greatest(size(graft_sks) - 1, 0)),
+                 |            element_at(graft_sks, 1).sk,
+                 |            (acc, x) -> hll_union(acc, x.sk)))""".stripMargin)
               .as("merged_distinct_texts"),
-            count(lit(1)).as("n_groups"))),
+            size(col("graft_sks")).cast("bigint").as("n_groups"))),
   )
 }

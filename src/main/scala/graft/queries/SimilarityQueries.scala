@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.GraftQuery
+import graft.GraftQuery.nz
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -36,16 +37,18 @@ object SimilarityQueries {
           .crossJoin(broadcast(probe))
           .select(
             col("vec_id"),
-            round(
+            // nz: cosine is signed; a tiny negative sim rounding to zero
+            // must not hash as -0.0 (hazard class 4)
+            nz(round(
               graft.functions.VectorFunctions.cosineF(col("embedding"), col("probe_vec")),
-              4).as("sim"))
+              4)).as("sim"))
           .orderBy(col("sim").desc, col("vec_id").asc)
           .limit(10)
       },
       Some("""SELECT vec_id,
              |  ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]),
              |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)),
-             |    4) AS sim
+             |    4) + 0.0 AS sim
              |FROM embeddings WHERE vec_id <> 0
              |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)),
 
@@ -168,8 +171,9 @@ object SimilarityQueries {
           .select(col("vec_id"), col("embedding"), explode(probesLit).as("graft_q"))
           .filter(col("vec_id") =!= col("graft_q.qid"))
           .select(col("graft_q.qid").as("qid"), col("vec_id"),
-            round(graft.operators.Similarity.cosine(
-              col("embedding"), col("graft_q.p")), 4).as("sim"))
+            // nz: signed cosine, hazard class 4
+            nz(round(graft.operators.Similarity.cosine(
+              col("embedding"), col("graft_q.p")), 4)).as("sim"))
         graft.operators.TopK.perKey(
           scored.withColumn("graft_nid", -col("vec_id")),
           keys = Seq("qid"), ordering = Seq("sim", "graft_nid"), k = 5)
@@ -180,7 +184,7 @@ object SimilarityQueries {
              |           FROM embeddings WHERE vec_id < 3),
              |s AS (SELECT p.qid, e.vec_id,
              |        ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
-             |                                     p.pv), 4) AS sim
+             |                                     p.pv), 4) + 0.0 AS sim
              |      FROM embeddings e CROSS JOIN p WHERE e.vec_id <> p.qid),
              |r AS (SELECT qid, vec_id, sim,
              |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
@@ -204,6 +208,7 @@ object SimilarityQueries {
           .toSeq
         graft.operators.Similarity.hardNegatives(
             e, "vec_id", "embedding", "label", anchors, k = 5)
+          .withColumn("sim", nz(col("sim"))) // hazard class 4
           .orderBy("anchor_id", "vec_id")
       },
       Some("""WITH a AS (SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av,
@@ -212,7 +217,7 @@ object SimilarityQueries {
              |s AS (SELECT a.aid AS anchor_id, e.vec_id,
              |        CAST(e.label AS INT) AS label,
              |        ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
-             |                                     a.av), 4) AS sim
+             |                                     a.av), 4) + 0.0 AS sim
              |      FROM embeddings e CROSS JOIN a
              |      WHERE CAST(e.label AS INT) <> a.albl AND e.vec_id <> a.aid),
              |r AS (SELECT anchor_id, vec_id, label, sim,
@@ -236,6 +241,7 @@ object SimilarityQueries {
           .toSeq
         graft.operators.Similarity.positivePairs(
             e, "vec_id", "embedding", "label", anchors, k = 5)
+          .withColumn("sim", nz(col("sim"))) // hazard class 4
           .orderBy("anchor_id", "vec_id")
       },
       Some("""WITH a AS (SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av,
@@ -244,7 +250,7 @@ object SimilarityQueries {
              |s AS (SELECT a.aid AS anchor_id, e.vec_id,
              |        CAST(e.label AS INT) AS label,
              |        ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
-             |                                     a.av), 4) AS sim
+             |                                     a.av), 4) + 0.0 AS sim
              |      FROM embeddings e CROSS JOIN a
              |      WHERE CAST(e.label AS INT) = a.albl AND e.vec_id <> a.aid),
              |r AS (SELECT anchor_id, vec_id, label, sim,
@@ -283,9 +289,11 @@ object SimilarityQueries {
               .as("graft_other"))
           .groupBy("label")
           .agg(
-            round(avg("graft_own"), 4).as("tightness"),
-            round(avg("graft_other"), 4).as("confusion"),
-            round(avg(col("graft_own") - col("graft_other")), 4).as("margin"),
+            // nz on all three: averaged cosines / their difference are
+            // signed (hazard class 4)
+            nz(round(avg("graft_own"), 4)).as("tightness"),
+            nz(round(avg("graft_other"), 4)).as("confusion"),
+            nz(round(avg(col("graft_own") - col("graft_other")), 4)).as("margin"),
             count(lit(1)).as("n"))
           .orderBy("label")
       },
@@ -305,9 +313,9 @@ object SimilarityQueries {
              |         MAX(CASE WHEN l = label THEN s END) AS own,
              |         MAX(CASE WHEN l <> label THEN s END) AS other
              |  FROM scored GROUP BY 1, 2)
-             |SELECT label, ROUND(avg(own), 4) AS tightness,
-             |       ROUND(avg(other), 4) AS confusion,
-             |       ROUND(avg(own - other), 4) AS margin,
+             |SELECT label, ROUND(avg(own), 4) + 0.0 AS tightness,
+             |       ROUND(avg(other), 4) + 0.0 AS confusion,
+             |       ROUND(avg(own - other), 4) + 0.0 AS margin,
              |       count(*) AS n
              |FROM per_row GROUP BY 1 ORDER BY label""".stripMargin)),
 
@@ -331,6 +339,7 @@ object SimilarityQueries {
         graft.operators.Retrieval.mmrRerank(
           e.filter(col("vec_id") =!= 0), "vec_id", "embedding", probe,
           k = 5, lambda = 0.7, poolK = 20)
+          .withColumn("rel", nz(col("rel"))) // hazard class 4
       },
       Some("""WITH pool AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
@@ -371,7 +380,7 @@ object SimilarityQueries {
              |         FROM g4 s), 4) AS score
              |    FROM pool c WHERE c.vec_id NOT IN (SELECT vec_id FROM g4)) t
              |  ORDER BY score DESC, vec_id LIMIT 1)
-             |SELECT rank, vec_id, rel FROM (
+             |SELECT rank, vec_id, rel + 0.0 AS rel FROM (
              |  SELECT 1 AS rank, vec_id, rel FROM s1
              |  UNION ALL SELECT 2, vec_id, rel FROM s2
              |  UNION ALL SELECT 3, vec_id, rel FROM s3

@@ -24,7 +24,7 @@ object StoreQueries {
     GraftQuery(
       "q_scd2",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_scd2q").toString + "/dim"
+        val tmp = graft.GraftQuery.tempDir("graft_scd2q") + "/dim"
         val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
         Scd2.apply(s, tmp, sup, "s_suppkey", "2024-01-01 00:00:00", log = Some(true))
         val b2 = sup.filter(col("s_suppkey") <= 30)
@@ -128,7 +128,7 @@ object StoreQueries {
     GraftQuery(
       "q_incr_agg",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_incrq").toString + "/agg"
+        val tmp = graft.GraftQuery.tempDir("graft_incrq") + "/agg"
         val li = Tables.lineitem(s, d)
         (0 until 3).foreach { i =>
           IncrementalAgg.update(s, tmp,
@@ -159,7 +159,7 @@ object StoreQueries {
     GraftQuery(
       "q_delete_rows",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_delq").toString + "/t"
+        val tmp = graft.GraftQuery.tempDir("graft_delq") + "/t"
         val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
         graft.operators.Merge.into(s, tmp, cust, Seq("c_custkey"), log = Some(true))
         graft.operators.Delete.where(s, tmp, col("c_custkey") % 10 === 0)
@@ -176,7 +176,7 @@ object StoreQueries {
     GraftQuery(
       "q_change_feed",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_cfq").toString + "/t"
+        val tmp = graft.GraftQuery.tempDir("graft_cfq") + "/t"
         val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
         graft.operators.Merge.into(s, tmp, cust, Seq("c_custkey"), log = Some(true))
         val upd = cust.filter(col("c_custkey") % 7 === 0)
@@ -222,7 +222,7 @@ object StoreQueries {
     GraftQuery(
       "q_time_travel",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_ttq").toString + "/t"
+        val tmp = graft.GraftQuery.tempDir("graft_ttq") + "/t"
         val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
         graft.operators.Merge.into(s, tmp, cust, Seq("c_custkey"), log = Some(true))
         val updates = cust.filter(col("c_custkey") % 10 === 0)
@@ -252,7 +252,7 @@ object StoreQueries {
     GraftQuery(
       "q_optimize",
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_optq").toString + "/t"
+        val tmp = graft.GraftQuery.tempDir("graft_optq") + "/t"
         val cust = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_nationkey"), col("c_name"))
         graft.operators.Merge.into(s, tmp, cust, Seq("c_custkey"), log = Some(true))
@@ -279,7 +279,7 @@ object StoreQueries {
     GraftQuery(
       "q_incr_join",
       (s, d) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_ijq").toString
+        val base = graft.GraftQuery.tempDir("graft_ijq")
         val (left, right, view) = (base + "/L", base + "/R", base + "/V")
         val o = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -321,8 +321,7 @@ object StoreQueries {
     GraftQuery(
       "q_ttl_expire",
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_ttlq").toString + "/t"
+        val tmp = graft.GraftQuery.tempDir("graft_ttlq") + "/t"
         val ev = Tables.events(s, d).select(
           col("event_id"),
           expr("timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)")
@@ -349,8 +348,7 @@ object StoreQueries {
     GraftQuery(
       "q_bloom_lookup",
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_bfq").toString + "/t"
+        val tmp = graft.GraftQuery.tempDir("graft_bfq") + "/t"
         val ords = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         graft.operators.Merge.into(s, tmp, ords, Seq("o_orderkey"), log = Some(true))
@@ -375,8 +373,7 @@ object StoreQueries {
     GraftQuery(
       "q_apply_changes",
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_cdcq").toString + "/t"
+        val tmp = graft.GraftQuery.tempDir("graft_cdcq") + "/t"
         val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
         graft.operators.Merge.into(s, tmp, cust, Seq("c_custkey"), log = Some(true))
         val feed = cust.filter(col("c_custkey") % 7 === 0)
@@ -417,8 +414,7 @@ object StoreQueries {
       "q_wap_publish",
       (s, d) => {
         import graft.operators.Expectations._
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_wapq").toString + "/t"
+        val tmp = graft.GraftQuery.tempDir("graft_wapq") + "/t"
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("n_chars"))
         val checks = Seq(Unique("doc_id"), Complete("lang", 1.0))
@@ -447,8 +443,7 @@ object StoreQueries {
     GraftQuery(
       "q_clone_diverge",
       (s, d) => {
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_clq").toString
+        val base = graft.GraftQuery.tempDir("graft_clq")
         val src = base + "/src"
         val dst = base + "/clone"
         val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
@@ -485,8 +480,7 @@ object StoreQueries {
     GraftQuery(
       "q_restore",
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_rstq").toString + "/t"
+        val tmp = graft.GraftQuery.tempDir("graft_rstq") + "/t"
         val p = new org.apache.hadoop.fs.Path(tmp)
         val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
         graft.operators.Merge.into(s, tmp, cust, Seq("c_custkey"), log = Some(true))

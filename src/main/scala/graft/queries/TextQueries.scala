@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.GraftQuery
+import graft.GraftQuery.nz
 import graft.functions.TextFunctions
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
@@ -271,8 +272,10 @@ object TextQueries {
             round(sum(col("graft_c").cast("double") *
               log(col("graft_c").cast("double"))), 6).as("graft_clc"))
           .select(col("doc_id"), col("n_distinct"),
-            round(log(col("graft_n").cast("double")) -
-              col("graft_clc") / col("graft_n").cast("double"), 6)
+            // nz: entropy >= 0 mathematically but its ln(n) - clc/n fp
+            // difference can dip below zero (hazard class 4)
+            nz(round(log(col("graft_n").cast("double")) -
+              col("graft_clc") / col("graft_n").cast("double"), 6))
               .as("entropy"))
           .orderBy("doc_id")
       },
@@ -286,7 +289,7 @@ object TextQueries {
              |        FROM tf GROUP BY 1)
              |SELECT doc_id, n_distinct,
              |       ROUND(ln(CAST(n AS DOUBLE)) - clc / CAST(n AS DOUBLE), 6)
-             |         AS entropy
+             |         + 0.0 AS entropy
              |FROM agg ORDER BY doc_id""".stripMargin)),
   )
 }

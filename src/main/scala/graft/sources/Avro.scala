@@ -141,8 +141,11 @@ object Avro {
     case (i: java.lang.Integer, DateType) => java.time.LocalDate.ofEpochDay(i.longValue())
     case (l: java.lang.Long, TimestampType) =>
       // micros vs millis disambiguated by the reader schema's logical
-      // type at record level; readers below always normalize to micros
-      java.time.Instant.EPOCH.plusNanos(l * 1000L)
+      // type at record level; readers below always normalize to micros.
+      // Split into seconds+nanos — a single plusNanos(l * 1000L) would
+      // overflow Long for instants ~±292 years from epoch.
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000L)
     case (l: java.lang.Long, TimestampNTZType) =>
       java.time.LocalDateTime.ofEpochSecond(
         Math.floorDiv(l, 1000000L),
@@ -289,13 +292,18 @@ object Avro {
     * corrupt-record contract at Avro's natural granularity. Decodes one
     * file per task (no block splits), so use [[read]] on trusted data.
     *
-    * Two passes over the files (a cheap probe for the bad list, then the
-    * decode of the survivors) rather than one cached pass: no
-    * corpus-sized cache entry leaks past the call, and the probe pass
-    * stops at the first failure per file. Executors rebuild the
-    * SESSION's Hadoop conf from a broadcast key-value copy — a blank
-    * Configuration would drop s3a/HDFS credentials and quarantine every
-    * intact file as "corrupt". */
+    * Two passes over the files (a probe for the bad list, then the decode
+    * of the survivors) rather than one cached pass: quarantine is
+    * whole-file (a file that fails mid-way must contribute NO rows, so
+    * rows cannot stream out before its last record decodes clean) and a
+    * single-pass design would need a corpus-sized cache to avoid decoding
+    * twice anyway. The probe is the cheap half — it iterates raw Avro
+    * records without Row conversion and stops at the first failure; the
+    * survivor pass STREAMS rows (close-on-exhaustion iterator, no
+    * per-file buffering). Executors rebuild the SESSION's Hadoop conf
+    * from a broadcast key-value copy — a blank Configuration would drop
+    * s3a/HDFS credentials and quarantine every intact file as
+    * "corrupt". */
   def readPermissive(spark: SparkSession, path: String,
       avroSchemaJson: String): (DataFrame, Seq[String]) = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -317,36 +325,61 @@ object Avro {
     val fileRdd = spark.sparkContext.parallelize(files,
       math.max(1, math.min(files.size, 64)))
     val bad = fileRdd.flatMap { f =>
-      try { decodeWholeFile(f, confBc.value, schemaJson).foreach(_ => ()); None }
-      catch { case e: Exception => Some(f -> e.getClass.getName) }
+      // raw-record probe: full decode validation, no Row conversion
+      try {
+        val (reader, in) = openReader(f, confBc.value, schemaJson)
+        try { while (reader.hasNext) reader.next() }
+        finally { reader.close(); in.close() }
+        None
+      } catch { case e: Exception => Some(f -> e.getClass.getName) }
     }.collect().map(_._1).sorted.toSeq
     val badSet = bad.toSet
     val goodFiles = files.filterNot(badSet)
     val goodRdd = spark.sparkContext.parallelize(goodFiles,
       math.max(1, math.min(math.max(goodFiles.size, 1), 64)))
-      .flatMap(f => decodeWholeFile(f, confBc.value, schemaJson))
+      .flatMap(f => decodeStream(f, confBc.value, schemaJson))
     (spark.createDataFrame(goodRdd, sparkSchema), bad)
   }
 
-  /** Decode one container file fully (errors surface to the caller);
-    * static so task closures capture no driver-side state. */
-  private def decodeWholeFile(
+  private def openReader(
       f: String,
       confEntries: Array[(String, String)],
-      schemaJson: String): Iterator[Row] = {
+      schemaJson: String): (org.apache.avro.file.DataFileStream[GenericRecord],
+        org.apache.hadoop.fs.FSDataInputStream) = {
     val c = new org.apache.hadoop.conf.Configuration(false)
     confEntries.foreach { case (k, v) => c.set(k, v) }
     val path = new org.apache.hadoop.fs.Path(f)
-    val lfs = path.getFileSystem(c)
-    val st = schemaOfJson(schemaJson)
-    val in = lfs.open(path)
+    val in = path.getFileSystem(c).open(path)
     val reader = new org.apache.avro.file.DataFileStream[GenericRecord](
       in, new org.apache.avro.generic.GenericDatumReader[GenericRecord](
         new Schema.Parser().parse(schemaJson)))
-    try {
-      val rows = new scala.collection.mutable.ArrayBuffer[Row]()
-      while (reader.hasNext) rows += recordToRow(reader.next(), st)
-      rows.iterator
-    } finally { reader.close(); in.close() }
+    (reader, in)
+  }
+
+  /** Stream one probed-intact container file as Rows, closing the reader
+    * on exhaustion — plus a task-completion listener for the cases where
+    * the iterator is abandoned mid-stream (limit, task kill); static so
+    * task closures capture no driver-side state. */
+  private def decodeStream(
+      f: String,
+      confEntries: Array[(String, String)],
+      schemaJson: String): Iterator[Row] = {
+    val (reader, in) = openReader(f, confEntries, schemaJson)
+    val st = schemaOfJson(schemaJson)
+    var closed = false
+    def closeNow(): Unit =
+      if (!closed) { closed = true; reader.close(); in.close() }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeNow()))
+    new Iterator[Row] {
+      def hasNext: Boolean = {
+        if (closed) false
+        else if (reader.hasNext) true
+        else { closeNow(); false }
+      }
+      def next(): Row =
+        if (hasNext) recordToRow(reader.next(), st)
+        else throw new NoSuchElementException("exhausted: " + f)
+    }
   }
 }

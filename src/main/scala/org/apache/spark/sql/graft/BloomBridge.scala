@@ -56,9 +56,19 @@ object BloomBridge {
       if (lit.dataType == dt) lit.value
       else if (org.apache.spark.sql.catalyst.expressions.Cast
         .canCast(lit.dataType, dt))
-        org.apache.spark.sql.catalyst.expressions.Cast(
-          lit, dt, evalMode =
-            org.apache.spark.sql.catalyst.expressions.EvalMode.TRY).eval(null)
+        // Session timezone supplied (a timezone-dependent cast — e.g.
+        // string probe of a timestamp column — throws at eval when built
+        // with timeZoneId=None), and try/catch as the backstop: a failed
+        // probe must degrade to None (scan everything), not fail the
+        // lookup.
+        try {
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            lit, dt,
+            timeZoneId = Some(
+              org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone),
+            evalMode =
+              org.apache.spark.sql.catalyst.expressions.EvalMode.TRY).eval(null)
+        } catch { case scala.util.control.NonFatal(_) => null }
       else null
     Option(casted).map(c =>
       new XxHash64(Seq(Literal.create(c, dt))).eval(null).asInstanceOf[Long])
