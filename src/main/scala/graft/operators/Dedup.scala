@@ -511,20 +511,25 @@ object Dedup {
   }
 
   /** [[dedupNear]] with the EXACT-threshold pair graph
-    * ([[ngramJaccardNearDup]]: LSH blocking + exact Jaccard verify with
-    * complete candidate coverage) instead of MinHash candidates. Same
-    * cluster/survivor semantics, but the survivor set is a deterministic
-    * function of the corpus — no LSH recall term — which makes a
-    * composed pipeline over it SQL-replayable (q_corpus_curate's oracle
-    * relies on this). Costs the exact-verify blocking instead of the
-    * fused signature scan; both paths stay pair-bounded at 100 TB. */
+    * ([[prefixJaccardNearDup]]: PPJoin prefix filtering + exact Jaccard
+    * verify — fully deterministic, no hash-probability argument at all)
+    * instead of MinHash candidates. Same cluster/survivor semantics,
+    * but the survivor set is a deterministic function of the corpus,
+    * which makes a composed pipeline over it SQL-replayable
+    * (q_corpus_curate's oracle relies on this). Prefix filtering also
+    * gets CHEAPER as the threshold rises (prefix length
+    * |A| − ⌈t·|A|⌉ + 1 shrinks), so at dedup-grade thresholds (0.8+)
+    * this path undercuts the banded blocking; both stay pair-bounded
+    * at 100 TB. Run [[exact]] dedup first (the caller's contract here —
+    * CorpusCuration does) so identical-doc mass cannot trip the
+    * rare-prefix guard. */
   def dedupNearExact(
       df: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double = 0.8,
       shingleN: Int = 3): DataFrame = {
-    val pairs = ngramJaccardNearDup(df, idCol, textCol, shingleN, threshold)
+    val pairs = prefixJaccardNearDup(df, idCol, textCol, shingleN, threshold)
       .select(col("id_a"), col("id_b"))
       .persist()
     dropClusterLosers(df, idCol, pairs)
