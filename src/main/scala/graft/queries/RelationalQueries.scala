@@ -214,13 +214,18 @@ object RelationalQueries {
           .select(
             col("vec_id"),
             size(col("embedding")).as("dim"),
-            round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
-            round(element_at(col("embedding"), 64).cast("double"), 4).as("e64"))
+            // nz: embedding elements are signed — a tiny negative one
+            // rounds to -0.0 in DuckDB only (hazard class 4; the sf0.1
+            // bitwise sweep caught exactly one such cell per column)
+            graft.GraftQuery.nz(
+              round(element_at(col("embedding"), 1).cast("double"), 4)).as("e1"),
+            graft.GraftQuery.nz(
+              round(element_at(col("embedding"), 64).cast("double"), 4)).as("e64"))
           .orderBy("vec_id"),
       Some("""SELECT vec_id,
              |       CAST(LEN(embedding) AS INTEGER) AS dim,
-             |       ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e1,
-             |       ROUND(CAST(embedding[64] AS DOUBLE), 4) AS e64
+             |       ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS e1,
+             |       ROUND(CAST(embedding[64] AS DOUBLE), 4) + 0.0 AS e64
              |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
     // A26 JSON→object parity: extract a typed field from a JSON string
