@@ -32,7 +32,7 @@ object GraphQueries {
       "q_dup_clusters",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val pairs = graft.operators.Dedup.ngramJaccardNearDup(
+        val pairs = graft.operators.Dedup.prefixJaccardNearDup(
           docs, "doc_id", "text", shingleN = 3, threshold = 0.5)
           .select("id_a", "id_b")
         val labels = graft.operators.Dedup.nearDupClusters(pairs)
@@ -77,7 +77,7 @@ object GraphQueries {
       "q_split_dedup_safe",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val pairs = graft.operators.Dedup.ngramJaccardNearDup(
+        val pairs = graft.operators.Dedup.prefixJaccardNearDup(
           docs, "doc_id", "text", shingleN = 3, threshold = 0.5)
           .select("id_a", "id_b")
         val labels = graft.operators.Dedup.nearDupClusters(pairs)
@@ -243,7 +243,7 @@ object GraphQueries {
       "q_dedup_keep_best",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val pairs = graft.operators.Dedup.ngramJaccardNearDup(
+        val pairs = graft.operators.Dedup.prefixJaccardNearDup(
           docs, "doc_id", "text", shingleN = 3, threshold = 0.5)
           .select("id_a", "id_b")
         val labels = graft.operators.Dedup.nearDupClusters(pairs)

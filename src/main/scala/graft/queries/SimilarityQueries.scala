@@ -289,12 +289,24 @@ object SimilarityQueries {
               .as("graft_other"))
           .groupBy("label")
           .agg(
-            // nz on all three: averaged cosines / their difference are
-            // signed (hazard class 4)
-            nz(round(avg("graft_own"), 4)).as("tightness"),
-            nz(round(avg("graft_other"), 4)).as("confusion"),
-            nz(round(avg(col("graft_own") - col("graft_other")), 4)).as("margin"),
+            sum(round(col("graft_own") * 10000).cast("long")).as("graft_so"),
+            sum(round(col("graft_other") * 10000).cast("long")).as("graft_st"),
             count(lit(1)).as("n"))
+          // Averages of ROUND-4 values land exactly on round-4 midpoints
+          // (sums of 1e-4 multiples), so a plain avg+round flips with the
+          // ENGINE'S OWN accumulation order (DuckDB's parallel aggregate
+          // flipped margin run-to-run at sf0.01). Determinism by
+          // construction (hazard class 1): scale to exact integer sums,
+          // then one fixed double op sequence both engines share. nz for
+          // the signed outputs (hazard class 4).
+          .select(col("label"),
+            nz(round(col("graft_so").cast("double") / col("n") / 10000, 4))
+              .as("tightness"),
+            nz(round(col("graft_st").cast("double") / col("n") / 10000, 4))
+              .as("confusion"),
+            nz(round((col("graft_so") - col("graft_st")).cast("double")
+              / col("n") / 10000, 4)).as("margin"),
+            col("n"))
           .orderBy("label")
       },
       Some("""WITH comp AS (
@@ -312,12 +324,19 @@ object SimilarityQueries {
              |  SELECT vec_id, label,
              |         MAX(CASE WHEN l = label THEN s END) AS own,
              |         MAX(CASE WHEN l <> label THEN s END) AS other
-             |  FROM scored GROUP BY 1, 2)
-             |SELECT label, ROUND(avg(own), 4) + 0.0 AS tightness,
-             |       ROUND(avg(other), 4) + 0.0 AS confusion,
-             |       ROUND(avg(own - other), 4) + 0.0 AS margin,
-             |       count(*) AS n
-             |FROM per_row GROUP BY 1 ORDER BY label""".stripMargin)),
+             |  FROM scored GROUP BY 1, 2),
+             |sums AS (
+             |  SELECT label,
+             |         SUM(CAST(ROUND(own * 10000) AS BIGINT)) AS so,
+             |         SUM(CAST(ROUND(other * 10000) AS BIGINT)) AS st,
+             |         count(*) AS n
+             |  FROM per_row GROUP BY 1)
+             |SELECT label,
+             |  ROUND(CAST(so AS DOUBLE) / n / 10000, 4) + 0.0 AS tightness,
+             |  ROUND(CAST(st AS DOUBLE) / n / 10000, 4) + 0.0 AS confusion,
+             |  ROUND(CAST(so - st AS DOUBLE) / n / 10000, 4) + 0.0 AS margin,
+             |  n
+             |FROM sums ORDER BY label""".stripMargin)),
 
     // MMR diversified rerank (Retrieval.mmrRerank): greedy top-5 from a
     // 20-deep relevance pool, λ=0.7 — pick i maximizes
