@@ -116,6 +116,21 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Set(0L, 2L, 4L, 5L))
   }
 
+  test("dedupNearExact agrees with dedupNear's survivor set and carries " +
+    "no hash-probability term (PPJoin pair graph)") {
+    val exact = Dedup.dedupNearExact(corpus, "doc_id", "text",
+      threshold = 0.5, shingleN = 2)
+      .select("doc_id").as[Long].collect().toSet
+    // same clusters as the minhash path on this corpus: {0,1,3} → 0
+    assert(exact == Set(0L, 2L, 4L, 5L))
+    // exact-path determinism: survivors are a pure function of the data,
+    // so a second invocation is identical (no seed, no banding)
+    val again = Dedup.dedupNearExact(corpus, "doc_id", "text",
+      threshold = 0.5, shingleN = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == exact)
+  }
+
   test("embedding near-dup buckets similar vectors together and verifies cosine") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
