@@ -23,7 +23,17 @@ import pandas as pd
 
 def frames_equal_bitwise(da, db):
     """df.equals, except float64 columns compare BITWISE (NaN-masked):
-    the driver hashes raw bytes, so -0.0 vs 0.0 must count as a diff."""
+    the driver hashes raw bytes, so -0.0 vs 0.0 must count as a diff.
+
+    Caveat (round-12 ADVICE): frames arrive here AFTER sort_values,
+    which orders -0.0 and 0.0 as EQUAL — two runs emitting the same
+    multiset with -0.0/+0.0 swapped across tie rows can sort into
+    different row orders and be flagged DIFFER even though the row sets
+    are bitwise-identical as multisets. Conservative in the right
+    direction (the driver's sorted-bytes hash is equally
+    order-sensitive), but if a tie-heavy query ever reports DIFFER on a
+    signed-zero column, check for this before diagnosing real
+    instability — the fix is nz() at the query, not here."""
     if da.shape != db.shape or list(da.columns) != list(db.columns):
         return False
     for c in da.columns:

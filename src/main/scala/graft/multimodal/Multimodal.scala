@@ -128,6 +128,46 @@ object Multimodal {
       bits
     }
 
+    private def luminance(
+        img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Array[Double]] = {
+      val thumb = renderScaled(img, w, h)
+      Array.tabulate(h, w) { (y, x) =>
+        val rgb = thumb.getRGB(x, y)
+        0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+      }
+    }
+
+    /** 64-bit difference hash (dHash): grayscale 9×8 thumbnail; bit
+      * y·8+x set iff luminance strictly increases from column x to
+      * x+1 in row y — a horizontal-gradient sign map. Survives
+      * recompression/resizes (gradient DIRECTIONS are stable under
+      * smooth pixel noise) at a fraction of pHash's cost: no DCT, one
+      * tiny resample and 64 comparisons — the first-pass hash for
+      * billion-image dedup, with pHash as the precision follow-up.
+      * Feeds the same hamming-banded pair join as SimHash/pHash. */
+    def dHash(img: java.awt.image.BufferedImage): Long = {
+      val lum = luminance(img, 9, 8)
+      var bits = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (lum(y)(x + 1) > lum(y)(x)) bits |= (1L << (y * 8 + x))
+      bits
+    }
+
+    /** 64-bit average hash (aHash): 8×8 thumbnail, bit set iff the
+      * cell's luminance exceeds the 64-cell mean. The crudest member of
+      * the family — kept for its role as a cross-check hash (a pair
+      * within small hamming on BOTH aHash and dHash is a much stronger
+      * near-dup signal than either alone). */
+    def aHash(img: java.awt.image.BufferedImage): Long = {
+      val lum = luminance(img, 8, 8)
+      val mean = lum.map(_.sum).sum / 64.0
+      var bits = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (lum(y)(x) > mean) bits |= (1L << (y * 8 + x))
+      bits
+    }
+
     private def renderScaled(
         img: java.awt.image.BufferedImage, w: Int, h: Int): java.awt.image.BufferedImage = {
       val out = new java.awt.image.BufferedImage(
@@ -466,6 +506,24 @@ object Multimodal {
   }
 
   case class MediaHash(media_id: Long, phash: Long)
+  case class MediaDHash(media_id: Long, dhash: Long)
+
+  /** Per-image difference hashes ([[JdkCodec.dHash]]); same narrow
+    * scan shape and undecodable-stub totality as [[imagePhash]]. dHash
+    * is the cheap member of the perceptual-hash family (no DCT — one
+    * 9×8 thumbnail and 64 comparisons), the one you run over billions
+    * of crawl images before anything heavier. */
+  def imageDhash(ds: Dataset[MediaRow]): Dataset[MediaDHash] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(_.kind == "image").map { r =>
+      MediaDHash(r.media_id,
+        JdkCodec.decodeImage(r.bytes) match {
+          case Some(img) => JdkCodec.dHash(img)
+          case None => StubCodec.hash64(r.bytes)
+        })
+    }
+  }
 
   /** Per-image perceptual hashes (JdkCodec.pHash over real decoded
     * pixels; byte-identical undecodable blobs fall to the deterministic
@@ -526,6 +584,42 @@ object Multimodal {
           width = Some(w), height = Some(h))
       else r
     }
+  }
+
+  /** Deterministic synthetic image corpus derived from the documents
+    * fixture, with PLANTED near-duplicates: every selected doc renders a
+    * 96×96 block-mosaic scene whose pattern is a pure function of its
+    * GROUP id (id/10 — two selected docs per group); the even group
+    * member encodes PNG (lossless), the odd one JPEG (lossy — real
+    * recompression noise, the classic web near-dup), so each group is
+    * one planted near-dup pair while distinct groups are structurally
+    * unrelated mosaics. All real codecs end to end (ImageIO encode →
+    * decode → hash); generation is executor-side and narrow. */
+  def syntheticImageCorpus(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).filter(col("doc_id") % 5 === 0)
+      .as[Long]
+      .map { id =>
+        val group = id / 10
+        val jpeg = (id / 5) % 2 == 1
+        val img = new java.awt.image.BufferedImage(
+          96, 96, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until 96; x <- 0 until 96) {
+          // 8×8 mosaic of 12-px blocks; per-(group, block) brightness
+          // from an integer mix — big blocks survive the dHash 9×8
+          // downsample AND jpeg recompression, so the planted pair
+          // lands within a few bits while distinct groups differ in ~32
+          val h = group * 1315423911L + (x / 12) * 2654435761L + (y / 12) * 97L
+          val v = ((h ^ (h >>> 17)) % 256).toInt.abs
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, if (jpeg) "jpg" else "png", baos)
+        MediaRow(id, "image", baos.toByteArray,
+          if (jpeg) "image/jpeg" else "image/png",
+          Some(96), Some(96), None, None)
+      }
   }
 
   /** Build a demo media table from the documents fixture (bytes = utf8 of

@@ -221,14 +221,64 @@ object Clustering {
     val cents = kmeansFit(df, idCol, vecCol, k, seed, maxFitRows)
     val assigned = assign(df, vecCol, cents)
       .select(col("cluster"), col(idCol), col(vecCol))
+    dropDominated(df, assigned, idCol, vecCol, threshold, maxWitnesses,
+      roundedVerify = false)
+  }
+
+  /** [[semanticDedup]] with ORACLE-REPLAYABLE partitioning: clusters are
+    * md5-hyperplane LSH buckets
+    * ([[Similarity.replayableHyperplaneBucket]] — exact int64 plane
+    * dots, no RNG anywhere) instead of k-means cells, and the dominance
+    * verify applies the threshold to the ROUND-4 cosine (the
+    * q_sim_pairs-proven cross-engine parity point). Same SemDeDup
+    * semantics — drop every vector with a more-senior same-partition
+    * neighbor at cosine ≥ threshold — and the same broadcast-witness
+    * 100 TB shape, but the survivor set is a deterministic function of
+    * the corpus that DuckDB replays verbatim: this is what promotes
+    * q_semantic_dedup from rows-only to hash-gated (the k-means variant
+    * stays, spec-gated — its k-means++ init draws from a seeded JVM RNG
+    * no SQL can reproduce). Cross-BUCKET duplicates are the accepted
+    * approximation, exactly as cross-cluster ones are for k-means. */
+  def semanticDedupBuckets(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int,
+      threshold: Double,
+      maxWitnesses: Int = 10000): DataFrame = {
+    val dim = Similarity.vecDim(df, vecCol)
+    val assigned = df.select(
+      Similarity.replayableHyperplaneBucket(col(vecCol), planes, dim)
+        .cast("int").as("cluster"),
+      col(idCol), col(vecCol))
+    dropDominated(df, assigned, idCol, vecCol, threshold, maxWitnesses,
+      roundedVerify = true)
+  }
+
+  /** Shared tail of the semantic-dedup variants: broadcast the bounded
+    * witness side, drop every row with a more-senior same-cluster
+    * neighbor at cosine ≥ threshold (ROUND-4 cosine when
+    * `roundedVerify` — the SQL-replayable comparison; raw cosine for
+    * the spec-gated k-means path, preserving its historical
+    * semantics). */
+  private def dropDominated(
+      df: DataFrame,
+      assigned: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxWitnesses: Int,
+      roundedVerify: Boolean): DataFrame = {
     val witnesses = witnessSide(assigned, idCol, maxWitnesses)
       .select(col("cluster"), col(idCol).as("graft_id_a"),
         col(vecCol).as("graft_va"))
     val probes = assigned.select(col("cluster"), col(idCol).as("graft_id_b"),
       col(vecCol).as("graft_vb"))
+    val sim = Similarity.cosine(col("graft_va"), col("graft_vb"))
+    val verify = if (roundedVerify) round(sim, 4) >= threshold else sim >= threshold
     val dropped = probes.join(broadcast(witnesses), Seq("cluster"))
       .filter(col("graft_id_a") < col("graft_id_b"))
-      .filter(Similarity.cosine(col("graft_va"), col("graft_vb")) >= threshold)
+      .filter(verify)
       .select(col("graft_id_b").as(idCol))
       .distinct()
     df.join(dropped, Seq(idCol), "left_anti")

@@ -204,14 +204,27 @@ object Dedup {
 
   /** Hamming-near-dup pairs over ANY 64-bit hash column — SimHash, image
     * pHash, audio energy fingerprints (graft.multimodal) all feed this
-    * one join. Pigeonhole banding: hashes within Hamming distance
-    * `maxHamming` MUST agree on at least one of `chunks` equal-width bit
-    * chunks — guaranteed only while maxHamming < chunks (enforced; with
-    * fewer chunks the distance could spread one flipped bit into every
-    * chunk and the pair would silently never become a candidate). The
-    * candidate join is equi on (chunk index, chunk value) — short keys,
-    * never an all-pairs compare; exact hamming re-checked on candidates;
-    * pair dedup via distinct. */
+    * one join. MULTI-INDEX HASHING (Norouzi et al., CVPR 2012 —
+    * generalized pigeonhole): split the hash into `chunks` equal-width
+    * bit chunks; if two hashes are within Hamming distance `maxHamming`,
+    * SOME chunk pair is within per-chunk distance
+    * r = ⌊maxHamming / chunks⌋ (if every chunk differed by ≥ r+1 the
+    * total would exceed maxHamming). Candidates therefore come from an
+    * equi-join on (chunk index, chunk value) where ONE side expands each
+    * chunk value to its radius-r Hamming ball — short keys, never an
+    * all-pairs compare; exact hamming re-checked on candidates; pair
+    * dedup via distinct.
+    *
+    * Why the radius generalization matters at scale (measured, r13
+    * sf1 sweep): the r = 0 special case forces chunks > maxHamming, and
+    * at maxHamming = 7 that means 8-bit chunk keys — a 2048-value total
+    * key space that SATURATES around 10⁴ docs, after which candidate
+    * volume grows quadratically (28× time at 10× rows). With r = 1 the
+    * same contract runs on 16-bit keys (4 × 65536 buckets) at the price
+    * of a (width+1)-way key expansion on one join side — linear
+    * candidate growth until ~10⁷ docs per band value. Radius ≤ 1 is
+    * enforced: r = 2 would expand ×(1+w+w(w−1)/2) for marginal key
+    * width; split the hash differently instead. */
   def hammingNearDupPairs(
       hashes: DataFrame,
       idCol: String,
@@ -219,18 +232,36 @@ object Dedup {
       maxHamming: Int = 3,
       chunks: Int = 4): DataFrame = {
     require(64 % chunks == 0, s"chunks=$chunks must divide 64")
-    require(maxHamming < chunks,
-      s"pigeonhole soundness needs maxHamming < chunks (got $maxHamming >= $chunks)")
+    val radius = maxHamming / chunks
+    require(radius <= 1,
+      s"per-chunk radius ⌊$maxHamming/$chunks⌋ = $radius > 1 would expand " +
+        "each key to an intractable Hamming ball — raise chunks so that " +
+        "maxHamming < 2*chunks")
     val fp = hashes.select(col(idCol).as("graft_id"), col(hashCol).as("graft_sh"))
     val width = 64 / chunks
-    val chunked = fp.withColumn("graft_chunk", explode(array((0 until chunks).map { c =>
-      struct(lit(c).as("c"),
-        shiftrightunsigned(col("graft_sh"), c * width)
-          .bitwiseAND((1L << width) - 1).as("v"))
+    def chunkVal(c: Int) =
+      shiftrightunsigned(col("graft_sh"), c * width)
+        .bitwiseAND((1L << width) - 1)
+    // probe side: exact chunk values only
+    val base = fp.withColumn("graft_chunk", explode(array((0 until chunks).map { c =>
+      struct(lit(c).as("c"), chunkVal(c).as("v"))
     }: _*)))
+    // expanded side: each chunk value plus (for radius 1) its width
+    // 1-bit-flip neighbors — pair (a<b) with a chunk at per-chunk
+    // distance ≤ 1 matches either base=base (equal chunk) or
+    // a-flipped=base-of-b (one differing bit)
+    val expanded =
+      if (radius == 0) base
+      else fp.withColumn("graft_chunk", explode(array((0 until chunks).flatMap { c =>
+        struct(lit(c).as("c"), chunkVal(c).as("v")) +:
+          (0 until width).map { b =>
+            struct(lit(c).as("c"),
+              chunkVal(c).bitwiseXOR(1L << b).as("v"))
+          }
+      }: _*)))
 
-    chunked.as("l")
-      .join(chunked.as("r"),
+    expanded.as("l")
+      .join(base.as("r"),
         col("l.graft_chunk") === col("r.graft_chunk") &&
           col("l.graft_id") < col("r.graft_id"))
       .select(
@@ -285,7 +316,12 @@ object Dedup {
     * exceeds `maxTokenDf` THROWS (capping would silently break
     * exactness) — a corpus tripping it should run [[exact]] dedup
     * first, which removes the identical-doc mass that makes rare-token
-    * prefixes common. */
+    * prefixes common.
+    *
+    * Cache contract: returns a PERSISTED, already-materialized pair
+    * frame (pair-bounded, small by design); the corpus-sized internal
+    * caches are released before return. Unpersist the returned frame
+    * once consumed for a fully clean session cache. */
   def prefixJaccardNearDup(
       df: DataFrame,
       idCol: String,
@@ -355,7 +391,7 @@ object Dedup {
     // arrays are distinct), so only the intersection is materialized —
     // array_union would build a deduped 2×-size array per pair for a
     // number the sizes already determine.
-    candidates
+    val result = candidates
       .join(sh.select(col("graft_id").as("id_a"), col("graft_sh").as("sh_a")), "id_a")
       .join(sh.select(col("graft_id").as("id_b"), col("graft_sh").as("sh_b")), "id_b")
       .withColumn("graft_o", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
@@ -363,6 +399,17 @@ object Dedup {
         col("graft_o") / (size(col("sh_a")) + size(col("sh_b")) - col("graft_o")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .persist()
+    // Eagerly materialize the (pair-bounded, small by design) result so
+    // the corpus-sized intermediates can be RELEASED here — without
+    // this, every call site leaked sh/prefixes into the session cache
+    // for the life of the process (round-12 ADVICE). Callers that want
+    // a fully clean cache unpersist the RETURNED frame once consumed
+    // (dedupNearExact does).
+    result.count()
+    sh.unpersist()
+    prefixes.unpersist()
+    result
   }
 
   /** Collapse a near-dup pair graph into clusters: returns (id, cluster)
@@ -529,10 +576,15 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.8,
       shingleN: Int = 3): DataFrame = {
-    val pairs = prefixJaccardNearDup(df, idCol, textCol, shingleN, threshold)
-      .select(col("id_a"), col("id_b"))
-      .persist()
-    dropClusterLosers(df, idCol, pairs)
+    // prefixJaccardNearDup returns a persisted, already-materialized pair
+    // frame (its corpus-sized intermediates are released internally);
+    // clustering materializes its labels before returning, so the pair
+    // cache can be dropped here — this path leaves NOTHING in the
+    // session cache.
+    val raw = prefixJaccardNearDup(df, idCol, textCol, shingleN, threshold)
+    val out = dropClusterLosers(df, idCol, raw.select(col("id_a"), col("id_b")))
+    raw.unpersist()
+    out
   }
 
   /** Shared tail of the near-dup dedup paths: cluster the (persisted)
@@ -575,5 +627,39 @@ object Dedup {
         Similarity.cosine(col("l.graft_vec"), col("r.graft_vec")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** [[embeddingNearDup]] with the ORACLE-REPLAYABLE bucket function
+    * ([[Similarity.replayableHyperplaneBucket]]: md5-derived integer
+    * planes, exact int64 plane dots) and the threshold applied to the
+    * ROUND-4 cosine (the [[Similarity.exactPairs]] contract whose
+    * cross-engine parity the q_sim_pairs gate proves). Every stage —
+    * bucket assignment, candidate generation, verify — is a
+    * deterministic function of the corpus that DuckDB SQL replays
+    * verbatim, which is what promotes q_embedding_near_dup from
+    * rows-only to hash-gated. Same 100 TB shape as the xxhash64 path:
+    * the self-join carries (bucket, id) keys, pairs exist only within
+    * buckets. */
+  def embeddingNearDupReplayable(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      planes: Int = 8): DataFrame = {
+    val dim = Similarity.vecDim(df, vecCol)
+    val bucketed = df.select(
+      col(idCol).as("graft_id"),
+      col(vecCol).as("graft_vec"),
+      Similarity.replayableHyperplaneBucket(col(vecCol), planes, dim)
+        .as("graft_bucket"))
+    bucketed.as("l")
+      .join(bucketed.as("r"),
+        col("l.graft_bucket") === col("r.graft_bucket") &&
+          col("l.graft_id") < col("r.graft_id"))
+      .select(
+        col("l.graft_id").as("id_a"), col("r.graft_id").as("id_b"),
+        round(Similarity.cosine(col("l.graft_vec"), col("r.graft_vec")), 4)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 }

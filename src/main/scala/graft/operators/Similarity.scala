@@ -71,6 +71,54 @@ object Similarity {
   def hyperplaneBucket(vec: Column, planes: Int, seed: Long = 42L): Column =
     org.apache.spark.sql.graft.HashExpressions.hyperplaneSig(vec, planes, seed)
 
+  /** Plane component for the ORACLE-REPLAYABLE hyperplane signature
+    * ([[replayableHyperplaneBucket]]): a zero-mean integer in
+    * [−10⁶, 10⁶] derived from the md5 of `"gp:p:j"` — the one hash both
+    * this JVM and DuckDB SQL compute identically
+    * (`('0x' || substring(md5('gp:p:j'), 1, 8))::BIGINT % 2000001 −
+    * 1000000`), which is what lets an oracle replay the bucket
+    * assignment exactly. */
+  def md5PlaneComponent(p: Int, j: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"gp:$p:$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2000001L - 1000000L
+  }
+
+  /** DETERMINISM-BY-CONSTRUCTION hyperplane bucket, SQL-replayable in
+    * DuckDB (the q_embedding_near_dup / q_semantic_dedup oracle path —
+    * the xxhash64 planes of [[hyperplaneBucket]] have no DuckDB
+    * equivalent):
+    *
+    *  - elements quantize to integers q_j = round(x_j · 10⁶) — both
+    *    engines do one IEEE double multiply then half-away-from-zero
+    *    rounding, so q_j is bit-identical cross-engine;
+    *  - plane components are md5-derived integers
+    *    ([[md5PlaneComponent]]) precomputed driver-side into literal
+    *    arrays (planes × dim longs — bounded metadata, codegen-friendly);
+    *  - the plane dot is an EXACT int64 sum (|q| ≤ 10⁷ · max|x|,
+    *    |c| ≤ 10⁶, so dim ≤ 1024 stays far under 2⁶³ for any
+    *    normalized-ish embedding) — no float accumulation order anywhere,
+    *    so the SIGN (= the bucket bit) is a pure function of the data on
+    *    both engines. Bit p sits at position planes−1−p, matching
+    *    [[hyperplaneBucketHof]]'s fold order. */
+  def replayableHyperplaneBucket(vec: Column, planes: Int, dim: Int): Column = {
+    require(planes >= 1 && planes <= 30, s"planes=$planes out of range")
+    val qv = transform(vec, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
+    (0 until planes).foldLeft(lit(0L)) { (acc, p) =>
+      val comps = (0 until dim).map(j => md5PlaneComponent(p, j))
+      val dt = aggregate(
+        zip_with(qv, typedLit(comps), (a, b) => a * b), lit(0L), _ + _)
+      shiftleft(acc, 1).bitwiseOR(when(dt >= 0, 1L).otherwise(0L))
+    }
+  }
+
+  /** Vector width for [[replayableHyperplaneBucket]]'s literal component
+    * table — one scalar aggregate, the same bounded-metadata class as
+    * q_ann_topk's probe fetch. */
+  def vecDim(df: DataFrame, vecCol: String): Int =
+    df.agg(max(size(col(vecCol)))).head.getInt(0)
+
   /** Exact all-pairs cosine above a threshold — the ground truth the LSH
     * near-dup path approximates. Inherently O(n²): guarded by `maxRows`
     * so the declared engine surface never carries an unbounded quadratic

@@ -44,7 +44,7 @@ object GraphQueries {
             (col("cluster") === col("doc_id")).cast("int"))
           .orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
              |           FROM documents),
              |g AS (SELECT doc_id,
              |        CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
@@ -52,11 +52,13 @@ object GraphQueries {
              |                                 FOR i IN range(1, len(w)-1)])
              |        END AS sh
              |      FROM t),
-             |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-             |      FROM g a JOIN g b ON a.doc_id < b.doc_id
-             |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-             |e AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
+             |${PpjoinOracle.pairCtes("g", "sh", "0.5")},
+             |p AS (SELECT ia, ib
+             |      FROM ppj_cand JOIN g ga ON ga.doc_id = ppj_cand.ia
+             |                    JOIN g gb ON gb.doc_id = ppj_cand.ib
+             |      WHERE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) /
+             |            len(list_distinct(list_concat(ga.sh, gb.sh))) >= 0.5),
+             |e AS MATERIALIZED (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
              |reach(node, root) AS (
              |  SELECT doc_id, doc_id FROM documents
              |  UNION
@@ -87,7 +89,7 @@ object GraphQueries {
           .withColumn("split", graft.operators.Splits.split(col("cluster")))
           .orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
              |           FROM documents),
              |g AS (SELECT doc_id,
              |        CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
@@ -95,11 +97,13 @@ object GraphQueries {
              |                                 FOR i IN range(1, len(w)-1)])
              |        END AS sh
              |      FROM t),
-             |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-             |      FROM g a JOIN g b ON a.doc_id < b.doc_id
-             |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-             |e AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
+             |${PpjoinOracle.pairCtes("g", "sh", "0.5")},
+             |p AS (SELECT ia, ib
+             |      FROM ppj_cand JOIN g ga ON ga.doc_id = ppj_cand.ia
+             |                    JOIN g gb ON gb.doc_id = ppj_cand.ib
+             |      WHERE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) /
+             |            len(list_distinct(list_concat(ga.sh, gb.sh))) >= 0.5),
+             |e AS MATERIALIZED (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
              |reach(node, root) AS (
              |  SELECT doc_id, doc_id FROM documents
              |  UNION
@@ -261,7 +265,7 @@ object GraphQueries {
             (col("doc_id") === col("graft_keep")).cast("int").as("kept"))
           .orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
              |           FROM documents),
              |g AS (SELECT doc_id,
              |        CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
@@ -269,11 +273,13 @@ object GraphQueries {
              |                                 FOR i IN range(1, len(w)-1)])
              |        END AS sh
              |      FROM t),
-             |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-             |      FROM g a JOIN g b ON a.doc_id < b.doc_id
-             |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
-             |e AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
+             |${PpjoinOracle.pairCtes("g", "sh", "0.5")},
+             |p AS (SELECT ia, ib
+             |      FROM ppj_cand JOIN g ga ON ga.doc_id = ppj_cand.ia
+             |                    JOIN g gb ON gb.doc_id = ppj_cand.ib
+             |      WHERE CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) /
+             |            len(list_distinct(list_concat(ga.sh, gb.sh))) >= 0.5),
+             |e AS MATERIALIZED (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
              |reach(node, root) AS (
              |  SELECT doc_id, doc_id FROM documents
              |  UNION

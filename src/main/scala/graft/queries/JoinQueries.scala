@@ -313,11 +313,21 @@ object JoinQueries {
         graft.operators.Bucketing.writeBucketed(
           li.withColumnRenamed("l_orderkey", "o_orderkey"),
           tblL, s"$dir/l", 8, Seq("o_orderkey"))
-        graft.operators.Bucketing.colocatedJoin(s,
+        val joined = graft.operators.Bucketing.colocatedJoin(s,
             tblO, tblL, Seq("o_orderkey"))
           .groupBy("o_custkey")
           .agg(sum("l_quantity").as("qty"), count(lit(1)).as("n"))
           .orderBy("o_custkey")
+          // Eager materialization (lineage truncated to the computed
+          // partitions) so the run-tagged catalog tables can be DROPPED
+          // here instead of accumulating over a long-lived session
+          // (round-12 ADVICE) — a lazy return would read the tables
+          // after the drop. The exchange-free plan contract stays
+          // BucketingSpec-gated on the operator itself.
+          .localCheckpoint(true)
+        s.sql(s"DROP TABLE IF EXISTS $tblO")
+        s.sql(s"DROP TABLE IF EXISTS $tblL")
+        joined
       },
       Some("""SELECT o_custkey, sum(l_quantity) AS qty, count(*) AS n
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey

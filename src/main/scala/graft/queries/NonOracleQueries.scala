@@ -105,24 +105,63 @@ object NonOracleQueries {
           numHashes = 128, bands = 16, shingleN = 3, threshold = 0.8)
           .orderBy("id_a", "id_b")),
 
-    // SimHash near-duplicate pairs (64-bit fingerprints, hamming ≤ 7 with
-    // 8 chunks so the pigeonhole candidate generation is sound).
+    // SimHash near-duplicate pairs (64-bit fingerprints, hamming ≤ 7).
+    // chunks = 4 → radius-1 multi-index keys (Norouzi et al.): 16-bit
+    // chunk values instead of the 8-bit keys chunks = 8 would force —
+    // the r13 sf1 sweep measured the 8-bit key space saturating at
+    // ~10⁴ docs (quadratic candidate growth); 16-bit keys keep the
+    // candidate join linear to ~10⁷ docs. Same exact hamming ≤ 7
+    // output either way (generalized pigeonhole, spec-gated).
     GraftQuery(
       "q_simhash_pairs",
       (s, d) =>
         Dedup.simhashNearDup(Tables.documents(s, d), "doc_id", "text",
-          maxHamming = 7, chunks = 8)
+          maxHamming = 7, chunks = 4)
           .orderBy("id_a", "id_b")),
 
-    // Embedding near-dup pairs via hyperplane LSH + exact cosine verify.
-    // Fixture embeddings are near-orthogonal (max pairwise cosine ≈ 0.51),
-    // so the demo threshold is low; production corpus dedup runs ≥ 0.95.
+    // Embedding near-dup pairs via hyperplane LSH + exact cosine verify,
+    // ORACLE-GATED (promoted r13): the replayable variant derives its
+    // planes from md5 (computable in DuckDB SQL) and takes plane dots as
+    // EXACT int64 sums over 10⁶-quantized elements, so the bucket
+    // assignment — and therefore the candidate set — is a deterministic
+    // function of the corpus both engines compute identically; the
+    // verify applies the threshold to the ROUND-4 cosine (the
+    // q_sim_pairs-proven parity point). Bucketing-as-contract: pairs =
+    // {same bucket} ∩ {cosine ≥ t}, replayed verbatim below. Fixture
+    // embeddings are near-orthogonal (max pairwise cosine ≈ 0.51), so
+    // the demo threshold is low; production corpus dedup runs ≥ 0.95.
     GraftQuery(
       "q_embedding_near_dup",
       (s, d) =>
-        Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+        Dedup.embeddingNearDupReplayable(
+          Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.3, planes = 2)
-          .orderBy("id_a", "id_b")),
+          .orderBy("id_a", "id_b"),
+      Some("""WITH q AS (SELECT vec_id,
+             |        [CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT)
+             |         FOR x IN embedding] AS qv
+             |      FROM embeddings),
+             |comp AS (SELECT p, j,
+             |        ((('0x' || substring(md5('gp:' || CAST(p AS VARCHAR) || ':'
+             |            || CAST(j AS VARCHAR)), 1, 8))::BIGINT) % 2000001)
+             |          - 1000000 AS c
+             |      FROM range(0, 2) tp(p), range(0, 4096) tj(j)),
+             |dots AS (SELECT vec_id, p, SUM(qv[CAST(j AS INT)+1] * c) AS dt
+             |      FROM q JOIN comp ON j < len(qv) GROUP BY 1, 2),
+             |bk AS (SELECT vec_id,
+             |        CAST(SUM(CASE WHEN dt >= 0 THEN 1 ELSE 0 END
+             |          * (1 << CAST(1 - p AS INT))) AS BIGINT) AS bucket
+             |      FROM dots GROUP BY 1)
+             |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  ROUND(LIST_COSINE_SIMILARITY(CAST(ea.embedding AS DOUBLE[]),
+             |                               CAST(eb.embedding AS DOUBLE[])), 4)
+             |    AS cosine
+             |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             |JOIN embeddings ea ON ea.vec_id = a.vec_id
+             |JOIN embeddings eb ON eb.vec_id = b.vec_id
+             |WHERE ROUND(LIST_COSINE_SIMILARITY(CAST(ea.embedding AS DOUBLE[]),
+             |            CAST(eb.embedding AS DOUBLE[])), 4) >= 0.3
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // Approximate nearest neighbors: LSH buckets + multi-probe rerank.
     GraftQuery(
@@ -224,17 +263,48 @@ object NonOracleQueries {
           .orderBy("vec_id")
       }),
 
-    // SemDeDup semantic dedup: cluster, then drop any vector with a
-    // lower-id within-cluster neighbor at cosine ≥ threshold. The
-    // clustering bound (pairs only within clusters) is the approximation
-    // → rows-only; ClusteringSpec pins k=1 ≡ exact brute force and the
-    // no-surviving-same-cluster-pair property.
+    // SemDeDup semantic dedup: partition the embeddings, then drop any
+    // vector with a lower-id within-partition neighbor at cosine ≥
+    // threshold. ORACLE-GATED (promoted r13) via the replayable-bucket
+    // variant: partitions are md5-hyperplane LSH buckets (planes = 3 →
+    // 8 cells, the same granularity as the k-means k = 8 it replaces
+    // here) with EXACT int64 plane dots, and dominance applies the
+    // threshold to the ROUND-4 cosine — every stage a deterministic
+    // function of the corpus, replayed verbatim below. The k-means
+    // variant stays in the library, ClusteringSpec-gated (its seeded
+    // JVM-RNG k-means++ init is not SQL-reproducible — the same reason
+    // q_kmeans stays rows-only).
     GraftQuery(
       "q_semantic_dedup",
       (s, d) =>
-        graft.operators.Clustering.semanticDedup(
-          Tables.embeddings(s, d), "vec_id", "embedding", k = 8, threshold = 0.3)
-          .select("vec_id", "label").orderBy("vec_id")),
+        graft.operators.Clustering.semanticDedupBuckets(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          planes = 3, threshold = 0.3)
+          .select("vec_id", "label").orderBy("vec_id"),
+      Some("""WITH q AS (SELECT vec_id,
+             |        [CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT)
+             |         FOR x IN embedding] AS qv
+             |      FROM embeddings),
+             |comp AS (SELECT p, j,
+             |        ((('0x' || substring(md5('gp:' || CAST(p AS VARCHAR) || ':'
+             |            || CAST(j AS VARCHAR)), 1, 8))::BIGINT) % 2000001)
+             |          - 1000000 AS c
+             |      FROM range(0, 3) tp(p), range(0, 4096) tj(j)),
+             |dots AS (SELECT vec_id, p, SUM(qv[CAST(j AS INT)+1] * c) AS dt
+             |      FROM q JOIN comp ON j < len(qv) GROUP BY 1, 2),
+             |bk AS (SELECT vec_id,
+             |        CAST(SUM(CASE WHEN dt >= 0 THEN 1 ELSE 0 END
+             |          * (1 << CAST(2 - p AS INT))) AS BIGINT) AS bucket
+             |      FROM dots GROUP BY 1),
+             |dropped AS (SELECT DISTINCT b.vec_id AS vec_id
+             |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+             |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+             |  WHERE ROUND(LIST_COSINE_SIMILARITY(CAST(ea.embedding AS DOUBLE[]),
+             |              CAST(eb.embedding AS DOUBLE[])), 4) >= 0.3)
+             |SELECT vec_id, label FROM embeddings
+             |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+             |ORDER BY vec_id""".stripMargin)),
 
     // Approximate percentile sketch (KLL/GK-style) — the form users reach
     // for at 100 TB where exact percentile's full sort is off the table.
@@ -281,7 +351,7 @@ object NonOracleQueries {
           .select("doc_id", "lang", "n_tokens", "split")
           .orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE
+      Some(s"""WITH RECURSIVE
              |m(lang, marker) AS (VALUES
              |  ('de','der'), ('de','die'), ('de','das'), ('de','und'),
              |  ('de','ist'), ('de','nicht'), ('de','ein'), ('de','zu'),
@@ -296,11 +366,11 @@ object NonOracleQueries {
              |  ('fr','est'), ('fr','un'), ('fr','une'), ('fr','que'),
              |  ('fr','pour'), ('fr','dans')),
              |tok AS (SELECT doc_id, text,
-             |          regexp_split_to_array(text, '\s+') AS w
+             |          regexp_split_to_array(text, '\\s+') AS w
              |        FROM documents),
              |hits AS (SELECT t.doc_id, m.lang, count(*) AS hits
              |  FROM (SELECT doc_id,
-             |          regexp_replace(lower(unnest(w)), '[^\p{L}]', '', 'g')
+             |          regexp_replace(lower(unnest(w)), '[^\\p{L}]', '', 'g')
              |            AS tk
              |        FROM tok) t
              |  JOIN m ON t.tk = m.marker GROUP BY 1, 2),
@@ -311,7 +381,7 @@ object NonOracleQueries {
              |ann AS (SELECT a.doc_id, a.text, a.w,
              |          COALESCE(b.lang, 'und') AS lang,
              |          CAST(LEN(regexp_extract_all(a.text,
-             |            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)
+             |            '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)
              |            AS n_tokens,
              |          CAST(len(list_distinct(a.w)) AS DOUBLE)
              |            / greatest(len(a.w), 1) AS uniq_ratio
@@ -329,11 +399,13 @@ object NonOracleQueries {
              |                             FOR i IN range(1, len(w)-1)])
              |    END AS s
              |  FROM ex),
-             |p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-             |        len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
-             |e AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
+             |${PpjoinOracle.pairCtes("sh", "s", "0.8")},
+             |p AS (SELECT ia, ib
+             |  FROM ppj_cand JOIN sh sa ON sa.doc_id = ppj_cand.ia
+             |                JOIN sh sb ON sb.doc_id = ppj_cand.ib
+             |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+             |        len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8),
+             |e AS MATERIALIZED (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
              |reach(node, root) AS (
              |  SELECT doc_id, doc_id FROM ex
              |  UNION
@@ -343,7 +415,7 @@ object NonOracleQueries {
              |surv AS (SELECT ex.* FROM ex JOIN cl USING (doc_id)
              |         WHERE cl.cluster = ex.doc_id),
              |bg AS (SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS gram
-             |  FROM (SELECT regexp_split_to_array(text, '\s+') AS w
+             |  FROM (SELECT regexp_split_to_array(text, '\\s+') AS w
              |        FROM documents WHERE doc_id % 97 = 0) b,
              |       UNNEST(range(1, greatest(len(w) - 7, 1) + 1)) AS t(i)),
              |sg AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
@@ -359,6 +431,25 @@ object NonOracleQueries {
              |      FROM surv
              |      WHERE doc_id NOT IN (SELECT doc_id FROM contam))
              |ORDER BY doc_id""".stripMargin)),
+
+    // Image near-duplicate pairs (the multimodal dedup pipeline): a
+    // deterministic synthetic image corpus with PLANTED near-dups (per
+    // group: one PNG + one lossy JPEG re-encode of the same mosaic
+    // scene — real ImageIO codecs end to end), dHash perceptual
+    // fingerprints (9×8 gradient-sign map, the cheap first-pass hash
+    // for billion-image dedup), and the SAME radius-1 multi-index
+    // hamming pair join text SimHash uses. Image bytes are not
+    // SQL-replayable → rows-only; ImageNearDupSpec pins that exactly
+    // the planted pairs surface (JPEG twin found, distinct scenes not).
+    GraftQuery(
+      "q_image_near_dup",
+      (s, d) => {
+        val corpus = graft.multimodal.Multimodal.syntheticImageCorpus(s, d)
+        val hashes = graft.multimodal.Multimodal.imageDhash(corpus).toDF()
+        graft.multimodal.Multimodal.hammingNearDupPairs(
+          hashes, "media_id", "dhash", maxHamming = 6, chunks = 4)
+          .orderBy("id_a", "id_b")
+      }),
 
     // Z-order layout effectiveness: write lineitem z-ordered on
     // (l_orderkey, l_partkey), then report how many files an equality

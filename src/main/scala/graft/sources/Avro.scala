@@ -298,9 +298,17 @@ object Avro {
     * rows cannot stream out before its last record decodes clean) and a
     * single-pass design would need a corpus-sized cache to avoid decoding
     * twice anyway. The probe is the cheap half — it iterates raw Avro
-    * records without Row conversion and stops at the first failure; the
-    * survivor pass STREAMS rows (close-on-exhaustion iterator, no
-    * per-file buffering). Executors rebuild the SESSION's Hadoop conf
+    * records without Row conversion, PLUS one representative
+    * record-to-Row conversion per file so schema-shaped conversion
+    * failures (an unmapped type combo hits every record identically)
+    * quarantine the file rather than crashing the survivor pass. The
+    * narrowed residual: a DATA-dependent conversion failure that first
+    * appears beyond record one fails the survivor job loudly instead of
+    * quarantining — conversion is type-driven, so no such failure class
+    * has been observed; the loud crash is preferred over probing every
+    * record twice. The survivor pass STREAMS rows (close-on-exhaustion
+    * iterator, no per-file buffering). Executors rebuild the SESSION's
+    * Hadoop conf
     * from a broadcast key-value copy — a blank Configuration would drop
     * s3a/HDFS credentials and quarantine every intact file as
     * "corrupt". */
@@ -325,10 +333,19 @@ object Avro {
     val fileRdd = spark.sparkContext.parallelize(files,
       math.max(1, math.min(files.size, 64)))
     val bad = fileRdd.flatMap { f =>
-      // raw-record probe: full decode validation, no Row conversion
+      // raw-record probe (full decode validation, no Row conversion) +
+      // ONE representative Row conversion so schema-shaped conversion
+      // failures quarantine here instead of crashing the survivor pass
       try {
         val (reader, in) = openReader(f, confBc.value, schemaJson)
-        try { while (reader.hasNext) reader.next() }
+        try {
+          val st = schemaOfJson(schemaJson)
+          var first = true
+          while (reader.hasNext) {
+            val rec = reader.next()
+            if (first) { recordToRow(rec, st); first = false }
+          }
+        }
         finally { reader.close(); in.close() }
         None
       } catch { case e: Exception => Some(f -> e.getClass.getName) }

@@ -78,10 +78,21 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L, 3)))
   }
 
-  test("hammingNearDupPairs enforces pigeonhole soundness") {
+  test("hammingNearDupPairs radius-1 multi-index: distance 4 over 4 chunks " +
+    "(one bit in each chunk — impossible for radius-0 banding) is found") {
+    val base = 0x0f0f0f0f12345678L
+    val spread4 = base ^ (1L << 2) ^ (1L << 17) ^ (1L << 40) ^ (1L << 60)
+    val hashes = Seq((1L, base), (2L, spread4), (3L, ~base)).toDF("id", "h")
+    val pairs = hammingNearDupPairs(hashes, "id", "h", maxHamming = 4, chunks = 4)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 4)))
+  }
+
+  test("hammingNearDupPairs enforces pigeonhole soundness (radius > 1 refused)") {
     val hashes = Seq((1L, 0L)).toDF("id", "h")
     intercept[IllegalArgumentException] {
-      hammingNearDupPairs(hashes, "id", "h", maxHamming = 4, chunks = 4)
+      hammingNearDupPairs(hashes, "id", "h", maxHamming = 8, chunks = 4)
     }
   }
 
