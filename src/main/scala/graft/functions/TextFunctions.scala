@@ -115,6 +115,85 @@ object TextFunctions {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // --------------------------------------------------------------------
+  // ORACLE-REPLAYABLE hash family (r13): md5 is the one hash this JVM and
+  // DuckDB SQL compute identically, so signatures built from md5 + exact
+  // int64 arithmetic are deterministic functions of the corpus BOTH
+  // engines can evaluate — the same determinism-by-construction move that
+  // promoted q_embedding_near_dup (Similarity.replayableHyperplaneBucket).
+  // The xxhash64 kernels above stay the production hot path.
+  // --------------------------------------------------------------------
+
+  /** Mersenne prime 2³¹−1: the universal-hash modulus. Bases and
+    * coefficients stay < 2³¹, so a·x + b < 2⁶² — exact in int64, no
+    * overflow, no float anywhere. */
+  val ReplayP = 2147483647L
+
+  /** 32-bit integer from hex chars [off, off+8) of md5(s) — the per-row
+    * replayable base hash. DuckDB spelling:
+    * `('0x' || substring(md5(s), off+1, 8))::BIGINT`. */
+  def md5Base32(s: Column, off: Int = 0): Column =
+    conv(substring(md5(s), off + 1, 8), 16, 10).cast("long")
+
+  /** Driver-side md5-derived constant in [0, mod): seeds the replayable
+    * permutation coefficients. Deriving them from md5("tag:i") rather
+    * than picking numbers keeps the family auditable (nothing tuned to a
+    * fixture) while letting the oracle SQL splice the same literals. */
+  def md5Coef(tag: String, i: Int, mod: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$tag:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % mod
+  }
+
+  /** Replayable MinHash permutation coefficients: h_i(x) = (a_i·x + b_i)
+    * mod p over the md5 base — the classic Carter–Wegman universal hash
+    * family (Broder 1997 uses exactly this construction for MinHash). */
+  def replayCoefs(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      (md5Coef("mha", i, ReplayP - 1) + 1, md5Coef("mhb", i, ReplayP))
+    }
+
+  /** ORACLE-REPLAYABLE MinHash signature: same contract as
+    * [[minhashSignature]] (signature[i] = min over shingles of a seeded
+    * permutation hash) but every stage is exact integer arithmetic over
+    * md5 bases, so DuckDB replays the values bit-identically. The base
+    * md5 is computed ONCE per shingle (the intermediate array is a
+    * separate projection the optimizer keeps — referenced numHashes
+    * times, so CollapseProject cannot inline it); each permutation is a
+    * multiply-add-mod min-fold over that array. */
+  def minhashSignatureReplayable(shinglesCol: Column, numHashes: Int): Column = {
+    val coefs = replayCoefs(numHashes)
+    val xs = transform(shinglesCol, s => md5Base32(s) % ReplayP)
+    array(coefs.map { case (a, b) =>
+      array_min(transform(xs, x => (x * a + b) % ReplayP))
+    }: _*)
+  }
+
+  /** ORACLE-REPLAYABLE 64-bit SimHash: [[simhash64]]'s vote fold with the
+    * per-token hash replaced by the two 32-bit md5 halves (bits 0–31 from
+    * hex chars [8,16), bits 32–63 from [0,8)), so DuckDB can rebuild the
+    * fingerprint from the same per-token md5 values. Exact integer sums
+    * throughout — the bit is a pure function of the token multiset. */
+  def simhash64Replayable(tokensCol: Column): Column = {
+    val hs = transform(tokensCol, t => struct(
+      md5Base32(t, 0).as("hi"),
+      md5Base32(t, 8).as("lo")))
+    def bitVotes(h: Column): Column =
+      array((0 until 64).map { j =>
+        val half = if (j < 32) h.getField("lo") else h.getField("hi")
+        when(half.bitwiseAND(lit(1L << (j % 32))) =!= 0, 1).otherwise(-1)
+      }: _*)
+    val votes = aggregate(
+      hs,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, bitVotes(h), (a, v) => a + v))
+    def foldBits(half: Column): Column =
+      aggregate(reverse(half), lit(0L), (acc, v) => acc * 2 + when(v > 0, 1L).otherwise(0L))
+    val lo = foldBits(slice(votes, 1, 32))
+    val hi = foldBits(slice(votes, 33, 32))
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
   /** Polynomial rolling-hash fingerprint of the character stream
     * (order-sensitive, unlike a bag-of-words hash). Modular arithmetic
     * keeps it overflow-free and engine-portable. */

@@ -13,6 +13,110 @@ import org.apache.spark.sql.functions._
   */
 object NonOracleQueries {
 
+  /** DuckDB replay of Dedup.minhashNearDupReplayable (q_minhash_pairs):
+    * shingle CTE verbatim from the q_ngram_jaccard oracle, md5 base per
+    * shingle, the 32 permutation mins as one grouped pass (coefficients
+    * spliced as the SAME md5-derived literals the engine uses), band
+    * keys as value-slice lists, capped buckets, exact Jaccard verify.
+    * Generated, not hand-written, so numHashes/bands stay in lockstep
+    * with the query's parameters. */
+  private val minhashOracleSql: String = {
+    val numHashes = 32
+    val bands = 8
+    val rows = numHashes / bands
+    val p = TextFunctions.ReplayP
+    val coefs = TextFunctions.replayCoefs(numHashes)
+    val mins = coefs.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a*x + $b) % $p) AS h$i"
+    }.mkString(",\n        ")
+    val bandCases = (0 until bands).map { bnd =>
+      val key = (bnd * rows until (bnd + 1) * rows).map(i => s"h$i").mkString(", ")
+      s"WHEN $bnd THEN [$key]"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+       |           FROM documents),
+       |g AS (SELECT doc_id,
+       |        CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+       |             ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+       |                                 FOR i IN range(1, len(w)-1)])
+       |        END AS sh
+       |      FROM t),
+       |xs AS (SELECT doc_id,
+       |        (('0x' || substring(md5(tok), 1, 8))::BIGINT % $p) AS x
+       |       FROM (SELECT doc_id, unnest(sh) AS tok FROM g)),
+       |sigs AS (SELECT doc_id,
+       |        $mins
+       |       FROM xs GROUP BY 1),
+       |bands AS (SELECT doc_id, b,
+       |        CASE b $bandCases END AS key
+       |       FROM sigs CROSS JOIN range(0, $bands) rb(b)),
+       |ok AS (SELECT b, key FROM bands
+       |       GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 1000),
+       |pr AS (SELECT bands.doc_id, bands.b, bands.key
+       |       FROM bands JOIN ok USING (b, key)),
+       |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |         FROM pr a JOIN pr b
+       |           ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, ROUND(jc, 4) AS jaccard FROM (
+       |  SELECT ia AS id_a, ib AS id_b,
+       |         CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) /
+       |           len(list_distinct(list_concat(ga.sh, gb.sh))) AS jc
+       |  FROM cand JOIN g ga ON ga.doc_id = cand.ia
+       |            JOIN g gb ON gb.doc_id = cand.ib) p
+       |WHERE jc >= 0.8 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB replay of Dedup.simhashNearDupReplayable (q_simhash_pairs):
+    * per-token md5 halves, the 64 vote sums as one grouped pass (64
+    * generated SUM CASE columns — linear, no tokens×64 row explosion),
+    * fingerprint halves rebuilt from the vote signs, then the
+    * multi-index candidate algebra (16-bit chunks from the halves,
+    * radius-1 Hamming-ball expansion on one side) and the exact
+    * hamming ≤ 7 filter — the same relational algebra as
+    * Dedup.hammingNearDupPairs, pair-bounded at sweep scale. */
+  private val simhashOracleSql: String = {
+    val votes = (0 until 64).map { j =>
+      val half = if (j < 32) "lo" else "hi"
+      s"SUM(CASE WHEN (($half >> ${j % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS v$j"
+    }.mkString(",\n        ")
+    def fold(name: String, from: Int): String =
+      (from until from + 32).map { j =>
+        s"(CASE WHEN v$j > 0 THEN (1::BIGINT << ${j - from}) ELSE 0 END)"
+      }.mkString(" + ") + s" AS $name"
+    s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+       |              FROM documents),
+       |h AS (SELECT doc_id,
+       |        ('0x' || substring(md5(tok), 1, 8))::BIGINT AS hi,
+       |        ('0x' || substring(md5(tok), 9, 8))::BIGINT AS lo
+       |      FROM toks),
+       |v AS (SELECT doc_id,
+       |        $votes
+       |      FROM h GROUP BY 1),
+       |fp AS (SELECT doc_id,
+       |        ${fold("flo", 0)},
+       |        ${fold("fhi", 32)}
+       |       FROM v),
+       |ch AS (SELECT doc_id, flo, fhi, c,
+       |        CASE c WHEN 0 THEN flo & 65535 WHEN 1 THEN (flo >> 16) & 65535
+       |               WHEN 2 THEN fhi & 65535 ELSE (fhi >> 16) & 65535
+       |        END AS cv
+       |       FROM fp CROSS JOIN range(0, 4) rc(c)),
+       |ex AS (SELECT doc_id, flo, fhi, c,
+       |        CASE WHEN f < 0 THEN cv
+       |             ELSE xor(cv, (1::BIGINT << CAST(f AS INT))) END AS cv
+       |       FROM ch CROSS JOIN range(-1, 16) rf(f)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |               a.flo AS alo, a.fhi AS ahi, b.flo AS blo, b.fhi AS bhi
+       |         FROM ex a JOIN ch b
+       |           ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       |       CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS INT)
+       |         AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 7
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // HLL sketch distinct (approximation — differs from DuckDB's sketch).
@@ -94,30 +198,46 @@ object NonOracleQueries {
              |SELECT user_id, MIN(ts) AS ss, COUNT(*) AS n_events
              |FROM s GROUP BY user_id, sid ORDER BY user_id, ss""".stripMargin)),
 
-    // MinHash LSH near-duplicate pairs over documents (seeded). 8 rows per
-    // band → LSH match threshold ≈ (1/16)^(1/8) ≈ 0.71: catches the
-    // fixture's planted jaccard≥0.9 near-dups while chance collisions
-    // between unrelated docs stay ~zero (the candidate join stays linear).
+    // MinHash LSH near-duplicate pairs over documents, ORACLE-GATED
+    // (promoted r13, the md5-replayable pattern): base hash = 32-bit md5
+    // prefix per shingle, permutations = (a·x+b) mod (2³¹−1) with
+    // md5-derived literal coefficients (exact int64 — both engines
+    // compute the identical signature), band key = the signature value
+    // slice itself, hot-bucket cap replayed as HAVING. 4 rows per band ×
+    // 8 bands → LSH match threshold ≈ 0.54, verify at exact Jaccard ≥
+    // 0.8: catches the fixture's planted jaccard≥0.9 near-dups (miss
+    // probability (1−0.9⁴)⁸ ≈ 2·10⁻⁶) while the candidate join stays
+    // linear. The fused xxhash64 kernel (Dedup.minhashNearDup) remains
+    // the production throughput path, DedupSpec-gated.
     GraftQuery(
       "q_minhash_pairs",
       (s, d) =>
-        Dedup.minhashNearDup(Tables.documents(s, d), "doc_id", "text",
-          numHashes = 128, bands = 16, shingleN = 3, threshold = 0.8)
-          .orderBy("id_a", "id_b")),
+        Dedup.minhashNearDupReplayable(Tables.documents(s, d), "doc_id", "text",
+          numHashes = 32, bands = 8, shingleN = 3, threshold = 0.8)
+          .orderBy("id_a", "id_b"),
+      Some(minhashOracleSql)),
 
-    // SimHash near-duplicate pairs (64-bit fingerprints, hamming ≤ 7).
-    // chunks = 4 → radius-1 multi-index keys (Norouzi et al.): 16-bit
-    // chunk values instead of the 8-bit keys chunks = 8 would force —
-    // the r13 sf1 sweep measured the 8-bit key space saturating at
-    // ~10⁴ docs (quadratic candidate growth); 16-bit keys keep the
-    // candidate join linear to ~10⁷ docs. Same exact hamming ≤ 7
-    // output either way (generalized pigeonhole, spec-gated).
+    // SimHash near-duplicate pairs (64-bit fingerprints, hamming ≤ 7),
+    // ORACLE-GATED (promoted r13): the pair contract is EXACT — the
+    // multi-index join is a complete cover of hamming ≤ 7 (generalized
+    // pigeonhole, no recall term) — so replaying the fingerprint makes
+    // the whole output a pure function of the corpus. Fingerprints from
+    // per-token md5 halves + exact integer vote sums
+    // (TextFunctions.simhash64Replayable); the oracle rebuilds the same
+    // 64 bits and replays the multi-index candidate algebra (16-bit
+    // chunks, radius-1 Hamming balls) rather than the O(n²) all-pairs
+    // form, so the sf0.1 sweep stays pair-bounded. chunks = 4 → radius-1
+    // multi-index keys (Norouzi et al.): the r13 sf1 sweep measured the
+    // 8-bit key space chunks = 8 would force saturating at ~10⁴ docs;
+    // 16-bit keys keep the candidate join linear to ~10⁷ docs. xxhash64
+    // Dedup.simhashNearDup remains the throughput path, spec-gated.
     GraftQuery(
       "q_simhash_pairs",
       (s, d) =>
-        Dedup.simhashNearDup(Tables.documents(s, d), "doc_id", "text",
+        Dedup.simhashNearDupReplayable(Tables.documents(s, d), "doc_id", "text",
           maxHamming = 7, chunks = 4)
-          .orderBy("id_a", "id_b")),
+          .orderBy("id_a", "id_b"),
+      Some(simhashOracleSql)),
 
     // Embedding near-dup pairs via hyperplane LSH + exact cosine verify,
     // ORACLE-GATED (promoted r13): the replayable variant derives its

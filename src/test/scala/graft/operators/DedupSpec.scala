@@ -235,4 +235,90 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("exact dedup first"))
   }
+
+  // ------------------------------------------------------------------
+  // r13 oracle-replayable variants: the JVM reference implementations
+  // below are the same arithmetic the DuckDB oracle SQL spells out, so
+  // agreement here is direct evidence of cross-engine replayability.
+  // ------------------------------------------------------------------
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def refTokens(t: String): Seq[String] = t.split("\\s+").toSeq
+
+  private def refShingles(t: String, n: Int): Seq[String] = {
+    val w = refTokens(t)
+    if (w.length <= n) Seq(w.mkString(" "))
+    else w.sliding(n).map(_.mkString(" ")).toSeq
+  }
+
+  test("replayable minhash signature matches the driver-side md5 reference " +
+    "(the arithmetic the DuckDB oracle replays)") {
+    val p = TextFunctions.ReplayP
+    val coefs = TextFunctions.replayCoefs(8)
+    def refSig(t: String): Seq[Long] = {
+      val xs = refShingles(t, 3)
+        .map(s => java.lang.Long.parseLong(md5Hex(s).substring(0, 8), 16) % p)
+      coefs.map { case (a, b) => xs.map(x => (x * a + b) % p).min }
+    }
+    val got = corpus.select(col("doc_id"),
+      TextFunctions.minhashSignatureReplayable(
+        TextFunctions.shingles(col("text"), 3), 8).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val want = corpus.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> refSig(t) }.toMap
+    assert(got == want)
+  }
+
+  test("replayable simhash fingerprint matches the driver-side md5 reference") {
+    def refFp(t: String): Long = {
+      val votes = Array.fill(64)(0)
+      refTokens(t).foreach { tok =>
+        val hex = md5Hex(tok)
+        val hi = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+        val lo = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+        for (j <- 0 until 64) {
+          val half = if (j < 32) lo else hi
+          votes(j) += (if (((half >> (j % 32)) & 1L) != 0) 1 else -1)
+        }
+      }
+      (0 until 64).foldLeft(0L) { (acc, j) =>
+        if (votes(j) > 0) acc | (1L << j) else acc
+      }
+    }
+    val got = corpus.select(col("doc_id"),
+      TextFunctions.simhash64Replayable(TextFunctions.tokens(col("text"))).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val want = corpus.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> refFp(t) }.toMap
+    assert(got == want)
+  }
+
+  test("minhashNearDupReplayable finds planted near-dup and exact dup, " +
+    "not unrelated docs") {
+    val pairs = Dedup.minhashNearDupReplayable(corpus, "doc_id", "text",
+      numHashes = 32, bands = 8, shingleN = 2, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhashNearDupReplayable equals brute-force hamming over replayable " +
+    "fingerprints (the EXACT pair contract the oracle checks)") {
+    val fp = corpus.select(col("doc_id"),
+      TextFunctions.simhash64Replayable(TextFunctions.tokens(col("text"))).as("fp"))
+    val brute = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        TextFunctions.hamming64(col("a.fp"), col("b.fp")).as("h"))
+      .filter(col("h") <= 7)
+      .as[(Long, Long, Int)].collect().toSet
+    val got = Dedup.simhashNearDupReplayable(corpus, "doc_id", "text",
+      maxHamming = 7, chunks = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == brute)
+    assert(got.exists(p => Set(p._1, p._2) == Set(0L, 3L))) // exact dup at hamming 0
+  }
 }
