@@ -238,17 +238,26 @@ object Clustering {
     * q_semantic_dedup from rows-only to hash-gated (the k-means variant
     * stays, spec-gated — its k-means++ init draws from a seeded JVM RNG
     * no SQL can reproduce). Cross-BUCKET duplicates are the accepted
-    * approximation, exactly as cross-cluster ones are for k-means. */
+    * approximation, exactly as cross-cluster ones are for k-means.
+    * `planes ≤ 0` (the default) self-tunes the cell count to the corpus
+    * via [[Similarity.autoPlanes]] (min 3 → ≥ 8 cells, the SemDeDup
+    * granularity this query has always used at fixture scale): cells ∝
+    * n/128 keeps the within-cell quadratic pair mass flat as the corpus
+    * grows — the knob the r13 sf1 sweep identified as the 7.4× slope —
+    * and an oracle replays the same choice from COUNT(*). */
   def semanticDedupBuckets(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      planes: Int,
       threshold: Double,
+      planes: Int = -1,
       maxWitnesses: Int = 10000): DataFrame = {
+    val chosenPlanes =
+      if (planes > 0) planes
+      else Similarity.autoPlanes(df.count(), minPlanes = 3)
     val dim = Similarity.vecDim(df, vecCol)
     val assigned = df.select(
-      Similarity.replayableHyperplaneBucket(col(vecCol), planes, dim)
+      Similarity.replayableHyperplaneBucket(col(vecCol), chosenPlanes, dim)
         .cast("int").as("cluster"),
       col(idCol), col(vecCol))
     dropDominated(df, assigned, idCol, vecCol, threshold, maxWitnesses,

@@ -764,18 +764,24 @@ object Dedup {
     * verbatim, which is what promotes q_embedding_near_dup from
     * rows-only to hash-gated. Same 100 TB shape as the xxhash64 path:
     * the self-join carries (bucket, id) keys, pairs exist only within
-    * buckets. */
+    * buckets. `planes ≤ 0` (the default) self-tunes the bucket count to
+    * the corpus via [[Similarity.autoPlanes]] (planes ∝ log n), so the
+    * within-bucket pair mass stays flat as the corpus grows — an oracle
+    * replays the same choice from COUNT(*) with the identical integer
+    * formula. */
   def embeddingNearDupReplayable(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double = 0.95,
-      planes: Int = 8): DataFrame = {
+      planes: Int = -1): DataFrame = {
+    val chosenPlanes =
+      if (planes > 0) planes else Similarity.autoPlanes(df.count())
     val dim = Similarity.vecDim(df, vecCol)
     val bucketed = df.select(
       col(idCol).as("graft_id"),
       col(vecCol).as("graft_vec"),
-      Similarity.replayableHyperplaneBucket(col(vecCol), planes, dim)
+      Similarity.replayableHyperplaneBucket(col(vecCol), chosenPlanes, dim)
         .as("graft_bucket"))
     bucketed.as("l")
       .join(bucketed.as("r"),

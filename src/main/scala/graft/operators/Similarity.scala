@@ -119,6 +119,23 @@ object Similarity {
   def vecDim(df: DataFrame, vecCol: String): Int =
     df.agg(max(size(col(vecCol)))).head.getInt(0)
 
+  /** Scale-adaptive hyperplane count: the smallest k (clamped to
+    * [minPlanes, 16]) with targetBucket·2ᵏ ≥ n, i.e. planes ∝ log n —
+    * the published hyperplane-LSH operating point that keeps the
+    * EXPECTED per-bucket population (and therefore the within-bucket
+    * quadratic pair mass) flat as the corpus grows. The r13 sf1 sweep
+    * measured exactly this: fixed planes=2 scaled 15.7× for a 10×
+    * corpus (4 buckets saturate), while planes=8 — what this formula
+    * picks at n=20 000 — costs 1.27× (PlanesProbe). Pure integer
+    * arithmetic (no float log2) so a SQL oracle computes the identical
+    * count from COUNT(*): `MIN(k) FROM range(0,17) WHERE (128 << k) >= n`.
+    * The n it consumes is one `df.count()` — a scalar driver action,
+    * same class as [[exactPairs]]'s guard. */
+  def autoPlanes(n: Long, targetBucket: Long = 128L, minPlanes: Int = 2): Int = {
+    val k = (0 to 16).find(k => (targetBucket << k) >= n).getOrElse(16)
+    math.max(minPlanes, k)
+  }
+
   /** Exact all-pairs cosine above a threshold — the ground truth the LSH
     * near-dup path approximates. Inherently O(n²): guarded by `maxRows`
     * so the declared engine surface never carries an unbounded quadratic

@@ -247,17 +247,27 @@ object NonOracleQueries {
     // function of the corpus both engines compute identically; the
     // verify applies the threshold to the ROUND-4 cosine (the
     // q_sim_pairs-proven parity point). Bucketing-as-contract: pairs =
-    // {same bucket} ∩ {cosine ≥ t}, replayed verbatim below. Fixture
-    // embeddings are near-orthogonal (max pairwise cosine ≈ 0.51), so
-    // the demo threshold is low; production corpus dedup runs ≥ 0.95.
+    // {same bucket} ∩ {cosine ≥ t}, replayed verbatim below. The plane
+    // COUNT is scale-adaptive (Similarity.autoPlanes: planes ∝ log n,
+    // the knob the r13 sf1 sweep measured as the difference between a
+    // 15.7× and a 1.27× slope) and the oracle recomputes the identical
+    // integer formula from COUNT(*) — the pl CTE — so the adaptivity
+    // itself is replayed, not spliced. Fixture embeddings are
+    // near-orthogonal (max pairwise cosine ≈ 0.51), so the demo
+    // threshold is low; production corpus dedup runs ≥ 0.95.
     GraftQuery(
       "q_embedding_near_dup",
       (s, d) =>
         Dedup.embeddingNearDupReplayable(
           Tables.embeddings(s, d), "vec_id", "embedding",
-          threshold = 0.3, planes = 2)
+          threshold = 0.3)
           .orderBy("id_a", "id_b"),
-      Some("""WITH q AS (SELECT vec_id,
+      Some("""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+             |pl AS (SELECT GREATEST(2, (SELECT MIN(k)
+             |          FROM range(0, 17) t(k), nn
+             |          WHERE (128::BIGINT << CAST(k AS INT)) >= nn.n
+             |             OR k = 16)) AS planes),
+             |q AS (SELECT vec_id,
              |        [CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT)
              |         FOR x IN embedding] AS qv
              |      FROM embeddings),
@@ -265,12 +275,14 @@ object NonOracleQueries {
              |        ((('0x' || substring(md5('gp:' || CAST(p AS VARCHAR) || ':'
              |            || CAST(j AS VARCHAR)), 1, 8))::BIGINT) % 2000001)
              |          - 1000000 AS c
-             |      FROM range(0, 2) tp(p), range(0, 4096) tj(j)),
+             |      FROM range(0, 16) tp(p), range(0, 4096) tj(j)
+             |      WHERE p < (SELECT planes FROM pl)),
              |dots AS (SELECT vec_id, p, SUM(qv[CAST(j AS INT)+1] * c) AS dt
              |      FROM q JOIN comp ON j < len(qv) GROUP BY 1, 2),
              |bk AS (SELECT vec_id,
              |        CAST(SUM(CASE WHEN dt >= 0 THEN 1 ELSE 0 END
-             |          * (1 << CAST(1 - p AS INT))) AS BIGINT) AS bucket
+             |          * (1::BIGINT << CAST((SELECT planes FROM pl) - 1 - p
+             |                               AS INT))) AS BIGINT) AS bucket
              |      FROM dots GROUP BY 1)
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |  ROUND(LIST_COSINE_SIMILARITY(CAST(ea.embedding AS DOUBLE[]),
@@ -386,22 +398,31 @@ object NonOracleQueries {
     // SemDeDup semantic dedup: partition the embeddings, then drop any
     // vector with a lower-id within-partition neighbor at cosine ≥
     // threshold. ORACLE-GATED (promoted r13) via the replayable-bucket
-    // variant: partitions are md5-hyperplane LSH buckets (planes = 3 →
-    // 8 cells, the same granularity as the k-means k = 8 it replaces
-    // here) with EXACT int64 plane dots, and dominance applies the
-    // threshold to the ROUND-4 cosine — every stage a deterministic
-    // function of the corpus, replayed verbatim below. The k-means
-    // variant stays in the library, ClusteringSpec-gated (its seeded
-    // JVM-RNG k-means++ init is not SQL-reproducible — the same reason
-    // q_kmeans stays rows-only).
+    // variant: partitions are md5-hyperplane LSH buckets with EXACT
+    // int64 plane dots, and dominance applies the threshold to the
+    // ROUND-4 cosine — every stage a deterministic function of the
+    // corpus, replayed verbatim below. The cell count is scale-adaptive
+    // (Similarity.autoPlanes, min 3 → the ≥ 8-cell SemDeDup granularity
+    // this query has always used at fixture scale; cells ∝ n/128 at
+    // corpus scale — the knob behind the r13 sf1 sweep's 7.4× slope)
+    // and the oracle recomputes the identical integer formula from
+    // COUNT(*) in the pl CTE, so the adaptivity is replayed, not
+    // spliced. The k-means variant stays in the library,
+    // ClusteringSpec-gated (its seeded JVM-RNG k-means++ init is not
+    // SQL-reproducible — the same reason q_kmeans stays rows-only).
     GraftQuery(
       "q_semantic_dedup",
       (s, d) =>
         graft.operators.Clustering.semanticDedupBuckets(
           Tables.embeddings(s, d), "vec_id", "embedding",
-          planes = 3, threshold = 0.3)
+          threshold = 0.3)
           .select("vec_id", "label").orderBy("vec_id"),
-      Some("""WITH q AS (SELECT vec_id,
+      Some("""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+             |pl AS (SELECT GREATEST(3, (SELECT MIN(k)
+             |          FROM range(0, 17) t(k), nn
+             |          WHERE (128::BIGINT << CAST(k AS INT)) >= nn.n
+             |             OR k = 16)) AS planes),
+             |q AS (SELECT vec_id,
              |        [CAST(ROUND(CAST(x AS DOUBLE)*1000000) AS BIGINT)
              |         FOR x IN embedding] AS qv
              |      FROM embeddings),
@@ -409,12 +430,14 @@ object NonOracleQueries {
              |        ((('0x' || substring(md5('gp:' || CAST(p AS VARCHAR) || ':'
              |            || CAST(j AS VARCHAR)), 1, 8))::BIGINT) % 2000001)
              |          - 1000000 AS c
-             |      FROM range(0, 3) tp(p), range(0, 4096) tj(j)),
+             |      FROM range(0, 16) tp(p), range(0, 4096) tj(j)
+             |      WHERE p < (SELECT planes FROM pl)),
              |dots AS (SELECT vec_id, p, SUM(qv[CAST(j AS INT)+1] * c) AS dt
              |      FROM q JOIN comp ON j < len(qv) GROUP BY 1, 2),
              |bk AS (SELECT vec_id,
              |        CAST(SUM(CASE WHEN dt >= 0 THEN 1 ELSE 0 END
-             |          * (1 << CAST(2 - p AS INT))) AS BIGINT) AS bucket
+             |          * (1::BIGINT << CAST((SELECT planes FROM pl) - 1 - p
+             |                               AS INT))) AS BIGINT) AS bucket
              |      FROM dots GROUP BY 1),
              |dropped AS (SELECT DISTINCT b.vec_id AS vec_id
              |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id

@@ -60,6 +60,35 @@ class SimilaritySpec extends AnyFunSuite {
       poolK = 10).count() == 10)
   }
 
+  test("autoPlanes tracks log n with the exact integer boundaries the oracle " +
+    "SQL recomputes from COUNT(*)") {
+    // smallest k with 128·2^k ≥ n, clamped to [2, 16]
+    assert(Similarity.autoPlanes(1L) == 2)
+    assert(Similarity.autoPlanes(128L) == 2)   // k=0, clamped up
+    assert(Similarity.autoPlanes(500L) == 2)   // 512 ≥ 500 (the sf0.01 fixture)
+    assert(Similarity.autoPlanes(513L) == 3)
+    assert(Similarity.autoPlanes(2000L) == 4)  // the sf0.1 fixture
+    assert(Similarity.autoPlanes(20000L) == 8) // the sf1 scale fixture
+    assert(Similarity.autoPlanes(Long.MaxValue) == 16) // clamp, no overflow loop
+    // boundary exactness: n = 128·2^k picks k; n = 128·2^k + 1 picks k+1
+    for (k <- 2 to 15) {
+      assert(Similarity.autoPlanes(128L << k) == k)
+      assert(Similarity.autoPlanes((128L << k) + 1) == k + 1)
+    }
+  }
+
+  test("embeddingNearDupReplayable auto-planes path equals the explicit-planes " +
+    "path at the count autoPlanes picks") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    val auto = Dedup.embeddingNearDupReplayable(e, "vec_id", "embedding",
+      threshold = 0.3).as[(Long, Long, Double)].collect().toSet
+    val explicit = Dedup.embeddingNearDupReplayable(e, "vec_id", "embedding",
+      threshold = 0.3, planes = Similarity.autoPlanes(e.count()))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(auto == explicit)
+    assert(auto.nonEmpty)
+  }
+
   test("hyperplane buckets are deterministic and assign similar vectors together") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.2f, 0.1f)),
