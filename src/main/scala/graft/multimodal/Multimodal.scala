@@ -622,6 +622,77 @@ object Multimodal {
       }
   }
 
+  /** Deterministic synthetic audio corpus derived from the documents
+    * fixture, with PLANTED near-duplicates: every selected doc renders a
+    * 0.8 s WAV whose 64-segment loud/quiet energy envelope is a pure
+    * function of its GROUP id (id/10 — two selected docs per group).
+    * The even group member is mastered at 8 kHz full gain; the odd one
+    * at 11.025 kHz, re-levelled to 45 % gain, with an independent noise
+    * phase — the classic "same recording, different master" audio
+    * near-dup. [[JdkCodec.audioFingerprint]]'s median threshold makes
+    * the hash gain-invariant, and exactly 32 of 64 segments are loud
+    * per group (top-32 by per-segment hash), so the median always lands
+    * between the quiet and loud energy clusters (ratio ≈ 336×) and both
+    * masters fingerprint to the group's loud MASK exactly, while
+    * distinct groups differ in ~32 bits. Real WAV bytes end to end
+    * (AudioSystem encode → decode → fingerprint); generation is
+    * executor-side and narrow. */
+  def syntheticAudioCorpus(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).filter(col("doc_id") % 5 === 0)
+      .as[Long]
+      .map { id =>
+        val group = id / 10
+        val twin = (id / 5) % 2 == 1
+        val rate = if (twin) 11025 else 8000
+        val bytes = renderEnvelopeWav(
+          group, rate,
+          gain = if (twin) 0.45 else 1.0,
+          noiseSalt = if (twin) 0x5bd1e995L else 0x9e3779b9L)
+        MediaRow(id, "audio", bytes, "audio/wav",
+          None, None, Some(rate), Some(800L))
+      }
+  }
+
+  private def mix64(x: Long): Long = {
+    // splitmix64 finalizer — deterministic across JVMs, no RNG state
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Render the group's envelope as mono 16-bit PCM WAV: segment s of 64
+    * is loud iff s is in the group's top-32-by-hash set; sample i belongs
+    * to segment i*64/n — the SAME integral windowing audioFingerprint
+    * cuts, so segment boundaries align exactly at any sample rate. */
+  private def renderEnvelopeWav(
+      group: Long, rate: Int, gain: Double, noiseSalt: Long): Array[Byte] = {
+    val loud: Set[Int] = (0 until 64)
+      .sortBy(s => (-mix64(group * 0x100000001b3L + s), s)).take(32).toSet
+    val n = (rate * 4) / 5 // 0.8 s
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val seg = (i.toLong * 64 / n).toInt
+      val amp = (if (loud(seg)) 0.55 else 0.03) * gain
+      // deterministic pseudo-noise carrier in [-1, 1)
+      val r = mix64(noiseSalt * 0x27d4eb2f165667c5L + i).toDouble / Long.MaxValue
+      val s = math.max(-32767, math.min(32767, (amp * r * 32767.0).toInt))
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
   /** Build a demo media table from the documents fixture (bytes = utf8 of
     * text) — exercises the binary-column plumbing against real parquet. */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {

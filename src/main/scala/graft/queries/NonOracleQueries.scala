@@ -594,6 +594,59 @@ object NonOracleQueries {
           .orderBy("id_a", "id_b")
       }),
 
+    // Audio near-duplicate pairs (completes the multimodal dedup
+    // family: text SimHash / image dHash / audio energy envelope, all
+    // through the ONE verified radius-1 multi-index hamming join): a
+    // deterministic synthetic WAV corpus with PLANTED near-dups — per
+    // group, the same 64-segment energy envelope mastered twice (8 kHz
+    // full gain vs 11.025 kHz at 45 % gain with an independent noise
+    // phase; real AudioSystem encode → decode end to end). The
+    // median-threshold fingerprint is gain-invariant, so planted pairs
+    // land at hamming ~0 while distinct envelopes differ in ~32 bits.
+    // Audio bytes are not SQL-replayable → rows-only; AudioNearDupSpec
+    // pins that exactly the planted pairs surface.
+    GraftQuery(
+      "q_audio_near_dup",
+      (s, d) => {
+        val corpus = graft.multimodal.Multimodal.syntheticAudioCorpus(s, d)
+        val hashes = graft.multimodal.Multimodal.audioFingerprints(corpus).toDF()
+        graft.multimodal.Multimodal.hammingNearDupPairs(
+          hashes, "media_id", "afp", maxHamming = 6, chunks = 4)
+          .orderBy("id_a", "id_b")
+      }),
+
+    // BPE tokenizer TRAINING (graft.operators.Bpe): learn 160 merges
+    // from the documents corpus. The corpus-sized work is one word-count
+    // shuffle; the merge loop runs on the capped word-frequency table
+    // (the published Sennrich/industrial trainer shape — vocabulary-
+    // sized, never corpus-sized). Deterministic by construction (count
+    // DESC / lexicographic tie-break, no RNG), but the iterative
+    // data-dependent fit is not SQL-expressible (same class as
+    // q_kmeans/q_pca) → rows-only; BpeSpec pins the merge sequence
+    // against an independent reference implementation and across
+    // partitionings.
+    GraftQuery(
+      "q_bpe_train",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Bpe.train(Tables.documents(s, d), "text", numMerges = 160)
+          .toDF().orderBy("rank")
+      }),
+
+    // BPE encode under an in-query-trained vocabulary: per-doc word and
+    // BPE-token counts (broadcast merge ranks, per-partition word memo
+    // — the Zipf head encodes once per partition). Depends on the
+    // learned merges → rows-only like the trainer; BpeSpec proves the
+    // distributed encode equals the per-word reference loop.
+    GraftQuery(
+      "q_bpe_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = graft.operators.Bpe.train(docs, "text", numMerges = 120)
+        graft.operators.Bpe.encodeCounts(docs, "doc_id", "text", merges)
+          .orderBy("doc_id")
+      }),
+
     // Z-order layout effectiveness: write lineitem z-ordered on
     // (l_orderkey, l_partkey), then report how many files an equality
     // filter on EACH dimension touches vs the file count — the scan-
