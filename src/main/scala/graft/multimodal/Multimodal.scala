@@ -271,6 +271,53 @@ object Multimodal {
           frames.toIndexedSeq))
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** Encode per-frame JPEG bytes into a minimal MJPEG AVI — the exact
+      * inverse of [[decodeMjpegAvi]]'s RIFF walk: RIFF('AVI ') →
+      * LIST(hdrl){avih: µs/frame @0, totalFrames @16, width @32,
+      * height @36} → LIST(movi){one `00dc` chunk per frame, odd sizes
+      * padded}. Enough container for any MJPEG-capable player and for
+      * round-tripping the library's own decode path. */
+    def encodeMjpegAvi(
+        jpegFrames: Seq[Array[Byte]], w: Int, h: Int,
+        microSecPerFrame: Int): Array[Byte] = {
+      def le32(v: Int): Array[Byte] = Array(
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val pad: Array[Byte] =
+          if (body.length % 2 == 1) Array(0.toByte) else Array.empty
+        id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+      }
+      def list(kind: String, body: Array[Byte]): Array[Byte] =
+        chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+      val avih = new Array[Byte](56) // MainAVIHeader: 14 dwords
+      le32(microSecPerFrame).copyToArray(avih, 0)
+      le32(jpegFrames.length).copyToArray(avih, 16)
+      le32(w).copyToArray(avih, 32)
+      le32(h).copyToArray(avih, 36)
+      val hdrl = list("hdrl", chunk("avih", avih))
+      val movi = list("movi", jpegFrames.flatMap(chunk("00dc", _)).toArray)
+      val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+
+    /** JPEG-encode with an EXPLICIT compression quality in (0, 1] —
+      * ImageIO.write's default is fixed, but the re-encode near-dup
+      * class needs a genuinely lossier second master. */
+    def encodeJpeg(img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      } finally { ios.close(); writer.dispose() }
+      baos.toByteArray
+    }
+
     case class WavInfo(
         sampleRate: Int, channels: Int, durationMs: Long, rms: Double, peak: Double)
 
@@ -691,6 +738,114 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(
       ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
     baos.toByteArray
+  }
+
+  case class VideoFrameHash(media_id: Long, frame_idx: Int, fhash: Long)
+
+  /** Per-sampled-frame dHashes for videos: decode the MJPEG AVI, dHash
+    * every sampled frame. Frame-LEVEL hashes (not folded into one
+    * per-video code) because any 64-bit fold of many frames collapses
+    * entropy — a majority vote over k frames was measured to collide
+    * unrelated mosaics at hamming ≤ 6 — whereas temporally-aligned
+    * frame agreement keeps each frame's full 64 bits. Videos no JVM
+    * codec opens are dropped (a stub hash would manufacture fake
+    * near-dups between unrelated broken files). */
+  def videoFrameDhash(
+      ds: Dataset[MediaRow], everyMs: Long = 200L): Dataset[VideoFrameHash] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(_.kind == "video").flatMap { r =>
+      JdkCodec.decodeMjpegAvi(r.bytes).toSeq.flatMap { avi =>
+        avi.sampleIndices(everyMs).zipWithIndex.flatMap { case ((fi, _), outIdx) =>
+          JdkCodec.decodeImage(avi.frames(fi)).map(img =>
+            VideoFrameHash(r.media_id, outIdx, JdkCodec.dHash(img)))
+        }
+      }
+    }
+  }
+
+  /** Video near-dup pairs by temporally-ALIGNED frame agreement: two
+    * videos pair iff ≥ `minMatchedFrames` of their same-index sampled
+    * frames are within `maxHamming` bits. Rides the ONE verified
+    * multi-index hamming join by keying each frame as
+    * media_id·64 + frame_idx (≤ 64 sampled frames enforced), then
+    * keeping aligned-frame candidate pairs and counting agreements per
+    * video pair. A false video pair needs `minMatchedFrames`
+    * INDEPENDENT 64-bit frame collisions — vanishing where any
+    * single-code fold measurably collides. */
+  def videoNearDupPairs(
+      ds: Dataset[MediaRow],
+      everyMs: Long = 200L,
+      maxHamming: Int = 6,
+      minMatchedFrames: Int = 4): DataFrame = {
+    val frames = videoFrameDhash(ds, everyMs)
+      .filter(_.frame_idx < 64)
+      .toDF()
+      .select(
+        (col("media_id") * 64 + col("frame_idx")).as("fid"),
+        col("fhash"))
+    graft.operators.Dedup.hammingNearDupPairs(
+        frames, "fid", "fhash", maxHamming, chunks = 4)
+      .filter(
+        col("id_a") % 64 === col("id_b") % 64 && // same frame index
+          floor(col("id_a") / 64) < floor(col("id_b") / 64)) // distinct videos
+      .groupBy(
+        floor(col("id_a") / 64).cast("long").as("id_a"),
+        floor(col("id_b") / 64).cast("long").as("id_b"))
+      .agg(count(lit(1)).as("matched_frames"))
+      .filter(col("matched_frames") >= minMatchedFrames)
+  }
+
+  /** Deterministic synthetic MJPEG-AVI corpus derived from the documents
+    * fixture, with PLANTED near-duplicates: every selected doc renders
+    * the same 4-frame 64×64 block-mosaic SEQUENCE for its GROUP id
+    * (per-frame patterns mix the frame index into the per-block hash;
+    * 8×8 grid of 8-px blocks — the same block-survives-recompression
+    * geometry as the image corpus), and the two group members master it
+    * at different JPEG qualities (0.9 vs 0.4 — real generational
+    * recompression loss, the classic re-upload near-dup). Real codecs
+    * end to end: ImageIO JPEG encode → RIFF container build → RIFF walk
+    * decode → per-frame ImageIO decode → dHash. 5 fps container
+    * (200 ms/frame), 0.8 s of video. */
+  def syntheticVideoCorpus(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"))
+      // every other GROUP (both members kept — groups stay complete);
+      // video synthesis is 4 real JPEG encodes per row, the costliest
+      // of the synthetic media corpora, and half the groups exercise
+      // the pipeline identically at half the fixture cost
+      .filter(col("doc_id") % 5 === 0 && floor(col("doc_id") / 10) % 2 === 0)
+      .as[Long]
+      .map { id =>
+        val group = id / 10
+        val quality = if ((id / 5) % 2 == 1) 0.4f else 0.9f
+        val px = new Array[Int](64 * 64)
+        val frames = (0 until 4).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 64) {
+            var x = 0
+            while (x < 64) {
+              // the image-corpus mosaic family with the frame index
+              // mixed in: frames differ within a video, match across
+              // the pair
+              val h = group * 1315423911L + f * 2246822519L +
+                (x / 8) * 2654435761L + (y / 8) * 97L
+              val v = ((h ^ (h >>> 17)) % 256).toInt.abs
+              px(y * 64 + x) = (v << 16) | (v << 8) | v
+              x += 1
+            }
+            y += 1
+          }
+          img.setRGB(0, 0, 64, 64, px, 0, 64)
+          JdkCodec.encodeJpeg(img, quality)
+        }
+        MediaRow(id, "video",
+          JdkCodec.encodeMjpegAvi(frames, 64, 64, microSecPerFrame = 200000),
+          "video/x-msvideo", Some(64), Some(64), None, Some(800L))
+      }
   }
 
   /** Build a demo media table from the documents fixture (bytes = utf8 of

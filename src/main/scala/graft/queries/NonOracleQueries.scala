@@ -615,6 +615,27 @@ object NonOracleQueries {
           .orderBy("id_a", "id_b")
       }),
 
+    // Video near-duplicate pairs (the fourth and last modality of the
+    // shared dedup family — text SimHash / image dHash / audio envelope
+    // / video aligned-frame dHash, one verified hamming join for all):
+    // a deterministic synthetic MJPEG-AVI corpus with PLANTED near-dups
+    // — per group the same 4-frame mosaic sequence mastered at JPEG
+    // quality 0.9 vs 0.4 (real generational recompression), real codecs
+    // end to end (ImageIO encode → RIFF build → RIFF walk → ImageIO
+    // decode → per-frame dHash). Pairing is temporally-ALIGNED frame
+    // agreement (≥3 of 4 same-index frames within hamming 6) — a
+    // single-code fold measurably collides unrelated footage. Video
+    // bytes are not SQL-replayable → rows-only; VideoNearDupSpec pins
+    // that exactly the planted pairs surface.
+    GraftQuery(
+      "q_video_near_dup",
+      (s, d) => {
+        val corpus = graft.multimodal.Multimodal.syntheticVideoCorpus(s, d)
+        graft.multimodal.Multimodal.videoNearDupPairs(
+          corpus, everyMs = 200L, maxHamming = 6, minMatchedFrames = 3)
+          .orderBy("id_a", "id_b")
+      }),
+
     // BPE tokenizer TRAINING (graft.operators.Bpe): learn 160 merges
     // from the documents corpus. The corpus-sized work is one word-count
     // shuffle; the merge loop runs on the capped word-frequency table
