@@ -112,6 +112,34 @@ class BpeSpec extends AnyFunSuite {
     got.values.foreach { case (nw, nb) => assert(nb >= nw) }
   }
 
+  test("incremental trainer matches the naive reference at a REALISTIC " +
+    "vocabulary (3000 distinct synthetic words, 150 merges)") {
+    // the fixture corpus has ~31 distinct words — too small to exercise
+    // the pair->words inverted index, stale-entry re-scan, and count
+    // bookkeeping under churn. Synthesize a Zipf-ish vocabulary from a
+    // deterministic hash (no RNG): words of length 3-10 over a 12-letter
+    // alphabet, frequency ~ 1/(rank+3).
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val counts = (0 until 3000).map { r =>
+      val len = 3 + (mix(r * 7L + 1).abs % 8).toInt
+      val w = (0 until len).map(i =>
+        ('a' + (mix(r * 31L + i).abs % 12).toInt).toChar).mkString
+      w -> (30000L / (r + 3) + 1L)
+    }.groupBy(_._1).map { case (w, g) => w -> g.map(_._2).sum }.toSeq
+      .sortBy { case (w, f) => (-f, w) }
+    val inc = Bpe.trainFromCounts(counts, 150).map(m => (m.left, m.right))
+    assert(inc == referenceTrain(counts, 150))
+    assert(inc.size == 150)
+    // merged tokens must strictly grow: each rank's pair concatenation
+    // is a NEW symbol, never a repeat
+    assert(inc.map { case (l, r) => l + r }.distinct.size == 150)
+  }
+
   test("vocabulary cap keeps top words deterministically and still trains") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val full = Bpe.wordCounts(docs, "text").collect()
