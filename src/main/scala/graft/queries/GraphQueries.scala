@@ -16,6 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object GraphQueries {
 
+  /** Adaptive md5 edge-keep threshold for the clique-family part graph
+    * (q_triangles / q_label_prop): keep an edge iff its first 5 md5 hex
+    * digits, read as an integer, fall below this. 393216 = 6·16⁴ ⇔ the
+    * original 37.5 % (first digit < '6'); above 20k parts the keep
+    * probability scales 1/n so clique densification (wedges ∝ n·(c·p)²
+    * with c ∝ n) stays ~linear. Pure IEEE-double arithmetic from a row
+    * count, recomputed identically by the oracle's thr CTE. */
+  private[queries] def edgeKeepThreshold(nParts: Long): Long =
+    math.floor(393216.0 * math.min(1.0, 20000.0 / nParts)).toLong
+
+  /** The thr CTE fragment the graph oracles share (DuckDB side of
+    * [[edgeKeepThreshold]] — same formula from COUNT(*)). */
+  private val thrCte: String =
+    """thr AS (SELECT CAST(FLOOR(393216.0 * LEAST(1.0, 20000.0 / COUNT(*)))
+      |                    AS BIGINT) AS t FROM part)""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
 
     // Transitive near-dup clustering — the step document-PAIR detection
@@ -139,14 +155,22 @@ object GraphQueries {
     // Triangle census over an overlapping-clique part graph (edges =
     // same (brand, size) ∪ same (type, size) — two clique families that
     // intersect, so triangles mix family edges and the count is not a
-    // closed form), thinned by a deterministic md5 edge filter (keep
-    // hex-prefix < '6' ≈ 37.5%) that breaks the cliques into a sparse
-    // organic-looking graph AND bounds the wedge join at bench scale
-    // (raw sf0.1 cliques of ~67 nodes produce ~15M wedges; thinned,
-    // ~0.12× of that). The engine enumerates degree-ordered (out-degree
-    // O(√m) per node — hub-proof); the oracle enumerates id-ordered;
-    // the counts must be identical because triangle count is
-    // orientation-invariant.
+    // closed form), thinned by a deterministic md5 edge filter that
+    // breaks the cliques into a sparse organic-looking graph AND bounds
+    // the wedge join. The keep probability is ADAPTIVE (the autoPlanes
+    // pattern, forced by a measured r13 sf1 slope of 604×): attribute
+    // domains are fixed, so clique size c grows ∝ rows and wedge volume
+    // grows ∝ n·(c·p)² — a CONSTANT p densifies cubically no matter how
+    // optimal the enumeration. p = 0.375·min(1, 20000/n) keeps expected
+    // wedge volume ~linear in n (the DOULION/Tsourakakis KDD'09 edge-
+    // sparsification operating point); below 20k parts the min() leaves
+    // p = 0.375, and the 5-hex-digit threshold 393216 = 6·16⁴ is BIT-
+    // IDENTICAL to the old first-digit < '6' filter, so all small-SF
+    // oracle results are unchanged. The oracle recomputes the SAME
+    // threshold from COUNT(*) (the thr CTE) — adaptivity replayed, not
+    // spliced. Engine enumerates degree-ordered (out-degree O(√m) per
+    // node — hub-proof); the oracle enumerates id-ordered; counts must
+    // match because triangle count is orientation-invariant.
     GraftQuery(
       "q_triangles",
       (s, d) => {
@@ -157,11 +181,13 @@ object GraphQueries {
               col("x.p_partkey") < col("y.p_partkey"))
           .select(col("x.p_partkey").as("src"), col("y.p_partkey").as("dst"))
         val thinned = fam("p_brand", "p_size").unionByName(fam("p_type", "p_size"))
-          .filter(substring(md5(concat(col("src").cast("string"), lit("#"),
-            col("dst").cast("string"))), 1, 1) < "6")
+          .filter(conv(substring(md5(concat(col("src").cast("string"), lit("#"),
+            col("dst").cast("string"))), 1, 5), 16, 10).cast("long")
+            < lit(edgeKeepThreshold(p.count())))
         graft.operators.Graph.triangleStats(thinned, "src", "dst")
       },
-      Some("""WITH e0 AS (
+      Some(s"""WITH $thrCte,
+             |e0 AS (
              |  SELECT a.p_partkey AS u, b.p_partkey AS v FROM part a JOIN part b
              |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
              |   AND a.p_partkey < b.p_partkey
@@ -170,8 +196,9 @@ object GraphQueries {
              |    ON a.p_type = b.p_type AND a.p_size = b.p_size
              |   AND a.p_partkey < b.p_partkey),
              |e AS (SELECT u, v FROM e0
-             |      WHERE substring(md5(CAST(u AS VARCHAR) || '#' ||
-             |                          CAST(v AS VARCHAR)), 1, 1) < '6'),
+             |      WHERE ('0x' || substring(md5(CAST(u AS VARCHAR) || '#' ||
+             |              CAST(v AS VARCHAR)), 1, 5))::BIGINT
+             |            < (SELECT t FROM thr)),
              |deg AS (SELECT node, COUNT(*) AS d FROM
              |          (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
              |        GROUP BY 1),
@@ -205,14 +232,18 @@ object GraphQueries {
           .select(col("x.p_partkey").as("src"), col("y.p_partkey").as("dst"))
         val edges = fam("p_brand", "p_size").unionByName(fam("p_type", "p_size"))
           .distinct() // both families can produce the same pair; one vote
-          .filter(substring(md5(concat(col("src").cast("string"), lit("#"),
-            col("dst").cast("string"))), 1, 1) < "6")
+          // same adaptive keep threshold as q_triangles (clique edges
+          // grow ∝ n·c with c ∝ n; p ∝ 1/n keeps the edge set ~linear)
+          .filter(conv(substring(md5(concat(col("src").cast("string"), lit("#"),
+            col("dst").cast("string"))), 1, 5), 16, 10).cast("long")
+            < lit(edgeKeepThreshold(p.count())))
           .withColumn("w", lit(1L))
         graft.operators.Graph
           .labelPropagation(edges, "src", "dst", "w", iterations = 3)
           .orderBy("node")
       },
-      Some("""WITH e0 AS (
+      Some(s"""WITH $thrCte,
+             |e0 AS (
              |  SELECT a.p_partkey AS u, b.p_partkey AS v FROM part a JOIN part b
              |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
              |   AND a.p_partkey < b.p_partkey
@@ -221,8 +252,9 @@ object GraphQueries {
              |    ON a.p_type = b.p_type AND a.p_size = b.p_size
              |   AND a.p_partkey < b.p_partkey),
              |e AS (SELECT u, v FROM e0
-             |      WHERE substring(md5(CAST(u AS VARCHAR) || '#' ||
-             |                          CAST(v AS VARCHAR)), 1, 1) < '6'),
+             |      WHERE ('0x' || substring(md5(CAST(u AS VARCHAR) || '#' ||
+             |              CAST(v AS VARCHAR)), 1, 5))::BIGINT
+             |            < (SELECT t FROM thr)),
              |und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
              |n AS (SELECT DISTINCT u AS node FROM und),
              |l0 AS (SELECT node, node AS label FROM n),
