@@ -49,6 +49,28 @@ class VideoNearDupSpec extends AnyFunSuite {
     assert(far >= 2, s"distinct footage should not align on most frames (far=$far)")
   }
 
+  test("videoFrameDhash drops undecodable videos and undecodable frames " +
+    "instead of poisoning the partition") {
+    val spark0 = spark
+    import spark0.implicits._
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val goodFrame = JdkCodec.encodeJpeg(img, 0.8f)
+    def row(id: Long, bytes: Array[Byte]) = MediaRow(
+      id, "video", bytes, "video/x-msvideo", None, None, None, None)
+    val rows = Seq(
+      row(1L, JdkCodec.encodeMjpegAvi(Seq(goodFrame, goodFrame), 16, 16, 100000)),
+      row(2L, Array[Byte](9, 9, 9)), // not RIFF at all
+      // valid container, but one frame is garbage JPEG bytes — the
+      // bad frame drops, the good one still hashes
+      row(3L, JdkCodec.encodeMjpegAvi(
+        Seq(goodFrame, Array[Byte](1, 2, 3)), 16, 16, 100000))).toDS()
+    val got = Multimodal.videoFrameDhash(rows, everyMs = 50L).collect()
+    assert(got.map(_.media_id).distinct.sorted.toSeq == Seq(1L, 3L))
+    assert(got.count(_.media_id == 1L) == 2)
+    assert(got.count(_.media_id == 3L) == 1)
+  }
+
   test("q_video_near_dup pipeline finds exactly the planted re-master " +
     "pairs at sf0.001 — no cross-footage false pairs") {
     val corpus = Multimodal.syntheticVideoCorpus(spark, "/root/testdata/sf0.001")
