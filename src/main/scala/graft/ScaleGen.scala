@@ -94,9 +94,18 @@ object ScaleGen {
       off("c_custkey"), col("c_name"), col("c_nationkey"),
       col("c_acctbal"), col("c_mktsegment")), "customer")
 
+    // supplier names get a per-replica 2-char suffix (rep digit doubled):
+    // names replicated VERBATIM made q_edit_join's deletion-neighborhood
+    // buckets grow x10 (45k cross-replica dist-0 pairs at factor 10 — a
+    // replication artifact, measured 11.8x in the r13 sweep). A 2-char
+    // distinct suffix keeps cross-replica names at edit distance 2 > the
+    // query's maxDist 1, while within-replica distances are unchanged —
+    // the same bijective-renaming principle the documents table uses.
     write(read("supplier").crossJoin(rep).select(
-      off("s_suppkey"), col("s_name"), col("s_nationkey"),
-      col("s_acctbal")), "supplier")
+      off("s_suppkey"),
+      concat(col("s_name"), lit("-"), col("graft_rep").cast("string"),
+        col("graft_rep").cast("string")).as("s_name"),
+      col("s_nationkey"), col("s_acctbal")), "supplier")
 
     write(read("part").crossJoin(rep).select(
       off("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
