@@ -252,10 +252,10 @@ object Clustering {
       threshold: Double,
       planes: Int = -1,
       maxWitnesses: Int = 10000): DataFrame = {
+    val (n, dim) = Similarity.countAndDim(df, vecCol)
     val chosenPlanes =
       if (planes > 0) planes
-      else Similarity.autoPlanes(df.count(), minPlanes = 3)
-    val dim = Similarity.vecDim(df, vecCol)
+      else Similarity.autoPlanes(n, minPlanes = 3)
     val assigned = df.select(
       Similarity.replayableHyperplaneBucket(col(vecCol), chosenPlanes, dim)
         .cast("int").as("cluster"),

@@ -148,10 +148,15 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val rows = numHashes / bands
+    // Engine-side evaluation is the fused native kernel (one md5 per
+    // shingle + k multiply-add-mods, whole-stage codegen) — bit-identical
+    // to the composed minhashSignatureReplayable(shingles(...)) form the
+    // oracle SQL replays; parity pinned in Md5KernelParitySpec.
     val sig = df
       .select(
         col(idCol).as("graft_id"),
-        minhashSignatureReplayable(shingles(col(textCol), shingleN), numHashes)
+        org.apache.spark.sql.graft.Md5Expressions
+          .md5MinhashText(col(textCol), shingleN, numHashes)
           .as("graft_sig"))
       .persist()
     val banded = sig
@@ -160,11 +165,16 @@ object Dedup {
           slice(col("graft_sig"), b * rows + 1, rows).as("bucket"))
       }: _*)).as("graft_band"))
       .select(col("graft_id"), col("graft_band.band"), col("graft_band.bucket"))
-    val smallBuckets = banded
-      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
-      .filter(col("n") <= maxBucket && col("n") >= 2)
-      .select("band", "bucket")
-    val pruned = banded.join(smallBuckets, Seq("band", "bucket"), "left_semi")
+    // Bucket cap as a WINDOW count rather than groupBy + semi-join-back:
+    // one exchange on (band, bucket) instead of three, and the self-join
+    // below joins on the same keys so it reuses that exchange's
+    // partitioning (ReusedExchange on the second side). Same set algebra
+    // the oracle replays as HAVING COUNT(*) BETWEEN 2 AND maxBucket.
+    val bucketWin = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val pruned = banded
+      .withColumn("graft_n", count(lit(1)).over(bucketWin))
+      .filter(col("graft_n") <= maxBucket && col("graft_n") >= 2)
+      .drop("graft_n")
     val candidates = pruned.as("l")
       .join(pruned.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
@@ -775,14 +785,16 @@ object Dedup {
       vecCol: String,
       threshold: Double = 0.95,
       planes: Int = -1): DataFrame = {
-    val chosenPlanes =
-      if (planes > 0) planes else Similarity.autoPlanes(df.count())
-    val dim = Similarity.vecDim(df, vecCol)
+    val (n, dim) = Similarity.countAndDim(df, vecCol)
+    val chosenPlanes = if (planes > 0) planes else Similarity.autoPlanes(n)
+    // Persisted: the self-join would otherwise run the parquet scan and
+    // the bucket kernel once per side.
     val bucketed = df.select(
       col(idCol).as("graft_id"),
       col(vecCol).as("graft_vec"),
       Similarity.replayableHyperplaneBucket(col(vecCol), chosenPlanes, dim)
         .as("graft_bucket"))
+      .persist()
     bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.graft_bucket") === col("r.graft_bucket") &&

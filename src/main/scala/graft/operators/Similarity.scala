@@ -102,7 +102,17 @@ object Similarity {
     *    so the SIGN (= the bucket bit) is a pure function of the data on
     *    both engines. Bit p sits at position planes−1−p, matching
     *    [[hyperplaneBucketHof]]'s fold order. */
-  def replayableHyperplaneBucket(vec: Column, planes: Int, dim: Int): Column = {
+  def replayableHyperplaneBucket(vec: Column, planes: Int, dim: Int): Column =
+    org.apache.spark.sql.graft.Md5Expressions.md5PlaneSig(vec, planes, dim)
+
+  /** The composed higher-order-function spelling of
+    * [[replayableHyperplaneBucket]] — the literal algebra the DuckDB
+    * oracle replays (quantize → zip_with literal plane components →
+    * exact int64 aggregate → sign-bit fold). Kept as the parity witness:
+    * Md5KernelParitySpec pins the native kernel bit-equal to this form,
+    * which is what lets the fused expression carry the oracle contract.
+    * Interpreted (CodegenFallback) per element — never the scan path. */
+  def replayableHyperplaneBucketHof(vec: Column, planes: Int, dim: Int): Column = {
     require(planes >= 1 && planes <= 30, s"planes=$planes out of range")
     val qv = transform(vec, x => round(x.cast("double") * lit(1000000.0)).cast("long"))
     (0 until planes).foldLeft(lit(0L)) { (acc, p) =>
@@ -118,6 +128,17 @@ object Similarity {
     * q_ann_topk's probe fetch. */
   def vecDim(df: DataFrame, vecCol: String): Int =
     df.agg(max(size(col(vecCol)))).head.getInt(0)
+
+  /** COUNT(*) and vector width in ONE scalar-aggregate job — the two
+    * driver-side scalars the adaptive replayable paths need
+    * ([[autoPlanes]]'s n, [[replayableHyperplaneBucket]]'s dim). Fused
+    * because each was its own Spark action: at bench scale the second
+    * job's fixed cost (~150 ms) was a measurable slice of
+    * q_embedding_near_dup / q_semantic_dedup. */
+  def countAndDim(df: DataFrame, vecCol: String): (Long, Int) = {
+    val r = df.agg(count(lit(1)), max(size(col(vecCol)))).head
+    (r.getLong(0), r.getInt(1))
+  }
 
   /** Scale-adaptive hyperplane count: the smallest k (clamped to
     * [minPlanes, 16]) with targetBucket·2ᵏ ≥ n, i.e. planes ∝ log n —

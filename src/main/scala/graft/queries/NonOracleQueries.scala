@@ -214,6 +214,7 @@ object NonOracleQueries {
       (s, d) =>
         Dedup.minhashNearDupReplayable(Tables.documents(s, d), "doc_id", "text",
           numHashes = 32, bands = 8, shingleN = 3, threshold = 0.8)
+          .persist() // sort-sample pass must not re-run the verify joins
           .orderBy("id_a", "id_b"),
       Some(minhashOracleSql)),
 
@@ -236,6 +237,7 @@ object NonOracleQueries {
       (s, d) =>
         Dedup.simhashNearDupReplayable(Tables.documents(s, d), "doc_id", "text",
           maxHamming = 7, chunks = 4)
+          .persist() // sort-sample pass must not re-run the candidate join
           .orderBy("id_a", "id_b"),
       Some(simhashOracleSql)),
 
@@ -258,9 +260,13 @@ object NonOracleQueries {
     GraftQuery(
       "q_embedding_near_dup",
       (s, d) =>
+        // persist() before the global sort: orderBy's range-partitioning
+        // SAMPLE pass would otherwise re-execute the bucket self-join +
+        // cosine verify a second time just to pick sort boundaries.
         Dedup.embeddingNearDupReplayable(
           Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.3)
+          .persist()
           .orderBy("id_a", "id_b"),
       Some("""WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
              |pl AS (SELECT GREATEST(2, (SELECT MIN(k)

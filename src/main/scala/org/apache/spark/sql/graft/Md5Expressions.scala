@@ -1,0 +1,265 @@
+package org.apache.spark.sql.graft
+
+import java.math.RoundingMode
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernels for the ORACLE-REPLAYABLE md5 hash family (SURVEY §4.3,
+  * r13 promotion pattern).
+  *
+  * The replayable dedup paths (`Dedup.minhashNearDupReplayable`,
+  * `Dedup.embeddingNearDupReplayable`, `Clustering.semanticDedupBuckets`)
+  * were first written as composed SQL expressions so that DuckDB could
+  * replay every stage bit-identically — which bought four oracle
+  * promotions but priced the corpus scan at interpreted higher-order-
+  * function speed: `transform`/`aggregate`/`zip_with` are CodegenFallback
+  * (a lambda frame per element per row), and the MinHash form evaluated
+  * `md5 → hex → substring → conv` per shingle plus k separate
+  * `array_min(transform(...))` folds over the materialized base array.
+  * The r13 bench priced that at 2.8× (minhash) / 2.2× (embedding) the
+  * fused-kernel variants.
+  *
+  * These expressions compute the IDENTICAL values — the md5 is the same
+  * digest, the quantization replicates `round()`'s BigDecimal.valueOf
+  * HALF_UP semantics exactly, the Carter–Wegman multiply-add-mod and the
+  * int64 plane dots are the same exact integer arithmetic — in one fused
+  * per-row loop: one MessageDigest call per shingle (no hex string round
+  * trip), one quantization pass per vector, k multiply-adds per base.
+  * Parity with the composed forms is pinned per expression in
+  * Md5KernelParitySpec, and the DuckDB oracle SQL is UNCHANGED: the
+  * oracle replays the same algebra it always did; only the engine-side
+  * evaluation strategy moved.
+  */
+object Md5Expressions {
+
+  /** Mersenne prime 2³¹−1 — must match TextFunctions.ReplayP. */
+  val P: Long = 2147483647L
+
+  private val digestTL = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 4 digest bytes as the unsigned 32-bit int the SQL spelling
+    * `('0x' || substring(md5(s), 1, 8))::BIGINT` produces. */
+  def md5Base32(bytes: Array[Byte]): Long = {
+    val d = digestTL.get()
+    d.reset()
+    val h = d.digest(bytes)
+    ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+  }
+
+  def md5MinhashText(text: Column, shingleN: Int, numHashes: Int): Column =
+    ExpressionUtils.column(
+      Md5MinHashTextSig(ExpressionUtils.expression(text), shingleN, numHashes))
+
+  def md5PlaneSig(vec: Column, planes: Int, dim: Int): Column =
+    ExpressionUtils.column(Md5PlaneSig(ExpressionUtils.expression(vec), planes, dim))
+}
+
+/** Fused text → word-`shingleN`-gram → md5-base → Carter–Wegman MinHash
+  * signature; bit-identical to
+  * `TextFunctions.minhashSignatureReplayable(shingles(text, n), k)` with
+  * the same shingle walk as [[MinHashTextSig]] (≤ n tokens → one
+  * whole-text shingle; `split("\\s+")` artifacts reproduced exactly).
+  * NULL text yields NULL (standard null-intolerant expression) where the
+  * composed form yields an all-NULL array — filter null text upstream,
+  * as every registered caller does. */
+case class Md5MinHashTextSig(child: Expression, shingleN: Int, numHashes: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(shingleN > 0 && numHashes > 0)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val (as, bs): (Array[Long], Array[Long]) =
+    Md5MinHashTextSig.coefs(numHashes)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      Md5MinHashTextSig.compute(input.asInstanceOf[UTF8String], shingleN, as, bs))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("md5mhA", as, "long[]")
+    val bRef = ctx.addReferenceObj("md5mhB", bs, "long[]")
+    val cls = "org.apache.spark.sql.graft.Md5MinHashTextSig"
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  $cls.compute($c, $shingleN, $aRef, $bRef));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5MinHashTextSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_md5_minhash_text"
+}
+
+object Md5MinHashTextSig {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** Same derivation as TextFunctions.replayCoefs (md5("mha:i")/("mhb:i")
+    * prefixes) — computed here so the expression is self-contained; the
+    * two are pinned equal in Md5KernelParitySpec. */
+  def coefs(numHashes: Int): (Array[Long], Array[Long]) = {
+    def c(tag: String, i: Int, mod: Long): Long = {
+      val md = MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$tag:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % mod
+    }
+    val as = Array.tabulate(numHashes)(i => c("mha", i, Md5Expressions.P - 1) + 1)
+    val bs = Array.tabulate(numHashes)(i => c("mhb", i, Md5Expressions.P))
+    (as, bs)
+  }
+
+  /** One-pass tokenize → shingle → md5 base → k-permutation min fold.
+    * Static forwarder shared by interpreted eval and generated code. */
+  def compute(
+      text: UTF8String,
+      shingleN: Int,
+      as: Array[Long],
+      bs: Array[Long]): Array[Long] = {
+    // limit -1 matches Spark's split(text, "\\s+"): trailing empties kept,
+    // leading whitespace yields an empty first token
+    val toks = ws.split(text.toString, -1)
+    val mins = Array.fill(as.length)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder(64)
+
+    def fold(): Unit = {
+      val x = Md5Expressions.md5Base32(
+        sb.toString.getBytes(StandardCharsets.UTF_8)) % Md5Expressions.P
+      var j = 0
+      while (j < as.length) {
+        val v = (x * as(j) + bs(j)) % Md5Expressions.P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+    }
+
+    if (toks.length <= shingleN) {
+      var i = 0
+      while (i < toks.length) {
+        if (i > 0) sb.append(' ')
+        sb.append(toks(i)); i += 1
+      }
+      fold()
+    } else {
+      var start = 0
+      val last = toks.length - shingleN
+      while (start <= last) {
+        sb.setLength(0)
+        var i = 0
+        while (i < shingleN) {
+          if (i > 0) sb.append(' ')
+          sb.append(toks(start + i)); i += 1
+        }
+        fold()
+        start += 1
+      }
+    }
+    mins
+  }
+}
+
+/** Fused md5-hyperplane bucket over an `array<float>` vector;
+  * bit-identical to `Similarity.replayableHyperplaneBucket(vec, planes,
+  * dim)`: elements quantize via the same `round()` semantics
+  * (BigDecimal.valueOf → HALF_UP — NOT Math.round, which rounds
+  * negative halves toward +∞), plane dots are the same exact int64
+  * sums over the md5-derived component table, bit p sits at position
+  * planes−1−p. Degenerate inputs reproduce the composed form's algebra:
+  * any NULL element, or a vector whose length ≠ dim (zip_with pads with
+  * NULL), nulls every plane dot → every bit 0 → bucket 0. */
+case class Md5PlaneSig(child: Expression, planes: Int, dim: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(planes >= 1 && planes <= 30, s"planes=$planes out of range")
+  require(dim >= 1, s"dim=$dim out of range")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+
+  // planes × dim component table, flattened row-major — bounded metadata
+  // (≤ 30 × dim longs), same values as Similarity.md5PlaneComponent.
+  @transient private lazy val comps: Array[Long] = Md5PlaneSig.components(planes, dim)
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      Md5PlaneSig.compute(input.asInstanceOf[ArrayData], planes, dim, comps))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val compsRef = ctx.addReferenceObj("md5planes", comps, "long[]")
+    val cls = "org.apache.spark.sql.graft.Md5PlaneSig"
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = $cls.compute($c, $planes, $dim, $compsRef);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5PlaneSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_md5_plane_sig"
+}
+
+object Md5PlaneSig {
+
+  def components(planes: Int, dim: Int): Array[Long] = {
+    val md = MessageDigest.getInstance("MD5")
+    val out = new Array[Long](planes * dim)
+    var p = 0
+    while (p < planes) {
+      var j = 0
+      while (j < dim) {
+        md.reset()
+        val hex = md.digest(s"gp:$p:$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        out(p * dim + j) = java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2000001L - 1000000L
+        j += 1
+      }
+      p += 1
+    }
+    out
+  }
+
+  /** `round(x·10⁶)` with Spark's DoubleType Round semantics:
+    * BigDecimal.valueOf (decimal-string value, not exact binary) then
+    * HALF_UP, then the double→long cast. */
+  def quantize(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * 1000000.0)
+      .setScale(0, RoundingMode.HALF_UP).doubleValue().toLong
+
+  def compute(arr: ArrayData, planes: Int, dim: Int, comps: Array[Long]): Long = {
+    val n = arr.numElements()
+    if (n != dim) return 0L
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return 0L
+      q(i) = quantize(arr.getFloat(i).toDouble)
+      i += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0L
+      val base = p * dim
+      var j = 0
+      while (j < n) {
+        dot += q(j) * comps(base + j)
+        j += 1
+      }
+      bucket = (bucket << 1) | (if (dot >= 0L) 1L else 0L)
+      p += 1
+    }
+    bucket
+  }
+}
