@@ -51,13 +51,50 @@ object Bench {
     // when chasing a specific regression's variance.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2)
+    // Stall-rescreen floors (VERDICT r13 item 2): this VM shows random
+    // multi-second noisy-neighbor stalls (r9: driver 203.6 s re-baselined
+    // at 74.5 s; r13: q_join_broadcast 7.06 s driver vs 0.35 s local on
+    // identical code). Per query, if the min over the normal reps still
+    // exceeds 3x the newest committed local floor, re-run up to 3 extra
+    // reps; queries that stay above the bar after that are listed in the
+    // artifact's "stalls" map (raw timings + floor) so a hot driver run
+    // self-annotates instead of reading as a plan regression.
+    val floors: Map[String, Double] = {
+      try {
+        val files = new java.io.File(".").listFiles()
+          .filter(f => f.getName.matches("BENCH_r\\d+_final_local\\.json"))
+        if (files == null || files.isEmpty) Map.empty
+        else {
+          val latest = files.maxBy(_.getName)
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(latest.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+          // minimal parse of the flat "queries":{"name":sec,...} map
+          val m = """"(q_[a-z0-9_]+)":([0-9.]+)""".r
+          m.findAllMatchIn(txt).map(x => x.group(1) -> x.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    }
+    val stallFactor = 3.0
+    val stalls = scala.collection.mutable.LinkedHashMap[String, (Double, Seq[Double])]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val times = (1 to reps).map { _ =>
+        def run(): Double = {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
+        }
+        var times = (1 to reps).map(_ => run())
+        floors.get(name).foreach { floor =>
+          var extra = 0
+          while (times.min > stallFactor * floor && extra < 3) {
+            times = times :+ run()
+            extra += 1
+          }
+          if (times.min > stallFactor * floor) stalls(name) = (floor, times)
+          else if (extra > 0) System.err.println(
+            s"[bench] $name rescreen cleared a stall: ${times.map(fmt).mkString(", ")} (floor ${fmt(floor)})")
         }
         if (only.isDefined) System.err.println(
           s"[bench] $name raw: ${times.map(fmt).mkString(", ")}")
@@ -66,8 +103,12 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val stallsJson = stalls.map { case (k, (floor, raw)) =>
+      "\"" + k + "\":{\"floor\":" + fmt(floor) +
+        ",\"raw\":[" + raw.map(fmt).mkString(",") + "]}"
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"stalls":$stallsJson,"sf":"$sfDir"}"""
     // Full map: a file plus an early (clippable) stdout line.
     try {
       val dir = java.nio.file.Paths.get("target")
@@ -82,8 +123,16 @@ object Bench {
     val headQs = headline.filter(present.contains)
       .map(k => "\"" + k + "\":" + fmt(present(k)))
       .mkString("{", ",", "}")
+    // n_stalled + the worst offender (name only) fit the 2000-char stdout
+    // budget; per-stall raw timings live in the full line / bench_full.json.
+    val stallNote =
+      if (stalls.isEmpty) "0"
+      else {
+        val worst = stalls.maxBy { case (_, (f, raw)) => raw.min / f }._1
+        s"""${stalls.size},"worst_stall":"$worst""""
+      }
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$headQs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$headQs,"n_stalled":$stallNote,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
