@@ -275,8 +275,10 @@ object Multimodal {
       * inverse of [[decodeMjpegAvi]]'s RIFF walk: RIFF('AVI ') →
       * LIST(hdrl){avih: µs/frame @0, totalFrames @16, width @32,
       * height @36} → LIST(movi){one `00dc` chunk per frame, odd sizes
-      * padded}. Enough container for any MJPEG-capable player and for
-      * round-tripping the library's own decode path. */
+      * padded}. Deliberately minimal: it round-trips the library's own
+      * decode path (the tested contract); external players that require
+      * strl/strh/strf stream headers will not accept it — add a strl
+      * LIST if interchange with standard players is ever needed. */
     def encodeMjpegAvi(
         jpegFrames: Seq[Array[Byte]], w: Int, h: Int,
         microSecPerFrame: Int): Array[Byte] = {
@@ -357,7 +359,6 @@ object Multimodal {
           new java.io.ByteArrayInputStream(bytes))
         try {
           val fmt = in.getFormat
-          val durationMs = (in.getFrameLength * 1000.0 / fmt.getFrameRate).round
           val target = new javax.sound.sampled.AudioFormat(
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
             fmt.getSampleRate, 16, fmt.getChannels, 2 * fmt.getChannels,
@@ -367,8 +368,17 @@ object Multimodal {
           val chunk = new Array[Byte](8192)
           var n = pcm.read(chunk)
           while (n > 0) { buf.write(chunk, 0, n); n = pcm.read(chunk) }
-          Some((fmt.getSampleRate.toInt, fmt.getChannels, durationMs,
-            buf.toByteArray))
+          val decoded = buf.toByteArray
+          // getFrameLength is -1 when the container doesn't declare it
+          // (streamed AU, some AIFF-C) — fall back to the decoded PCM
+          // length rather than emitting a negative duration.
+          val durationMs =
+            if (in.getFrameLength >= 0)
+              (in.getFrameLength * 1000.0 / fmt.getFrameRate).round
+            else
+              (decoded.length.toDouble / (2 * fmt.getChannels) * 1000.0 /
+                fmt.getSampleRate).round
+          Some((fmt.getSampleRate.toInt, fmt.getChannels, durationMs, decoded))
         } finally in.close()
       } catch {
         case scala.util.control.NonFatal(_) => None
@@ -784,14 +794,19 @@ object Multimodal {
       .select(
         (col("media_id") * 64 + col("frame_idx")).as("fid"),
         col("fhash"))
+    // Integer decomposition of fid = media_id·64 + frame_idx: shiftright
+    // is floor division by 64 and pmod a non-negative remainder, so the
+    // split stays EXACT for any long fid (floor(col/64) was double
+    // division — exact only below 2^53 — and % would mispair negative
+    // media_ids).
     graft.operators.Dedup.hammingNearDupPairs(
         frames, "fid", "fhash", maxHamming, chunks = 4)
       .filter(
-        col("id_a") % 64 === col("id_b") % 64 && // same frame index
-          floor(col("id_a") / 64) < floor(col("id_b") / 64)) // distinct videos
+        pmod(col("id_a"), lit(64)) === pmod(col("id_b"), lit(64)) && // same frame index
+          shiftright(col("id_a"), 6) < shiftright(col("id_b"), 6)) // distinct videos
       .groupBy(
-        floor(col("id_a") / 64).cast("long").as("id_a"),
-        floor(col("id_b") / 64).cast("long").as("id_b"))
+        shiftright(col("id_a"), 6).as("id_a"),
+        shiftright(col("id_b"), 6).as("id_b"))
       .agg(count(lit(1)).as("matched_frames"))
       .filter(col("matched_frames") >= minMatchedFrames)
   }

@@ -198,6 +198,12 @@ object Bpe {
       .mapPartitions { rows =>
         val ranks = ranksB.value
         val memo = new java.util.HashMap[String, Int]()
+        // Per-partition distinct-word memo, bounded: natural-language
+        // corpora plateau around 10⁵–10⁶ distinct words per partition,
+        // but adversarial input (random strings) would grow it without
+        // limit — reset at the cap rather than evicting (the common case
+        // never reaches it, and a reset keeps the hot loop branch-cheap).
+        val memoCap = 1 << 20
         val rx = java.util.regex.Pattern.compile(pat)
         rows.map { case (id, t) =>
           val m = rx.matcher(if (t == null) "" else t)
@@ -206,10 +212,12 @@ object Bpe {
           while (m.find()) {
             val w = m.group()
             nWords += 1
-            // null unboxes to 0 and real token counts are >= 1, so 0 = miss
-            var k: Int = memo.get(w)
-            if (k == 0) {
+            // explicit miss sentinel (encodeWord always returns >= 1
+            // tokens, but -1 does not rely on that invariant)
+            var k: Int = memo.getOrDefault(w, -1)
+            if (k < 0) {
               k = encodeWord(w, ranks).length
+              if (memo.size >= memoCap) memo.clear()
               memo.put(w, k)
             }
             nBpe += k
