@@ -47,6 +47,51 @@ object ExtendedQueries {
              |  ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 4) AS q25
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
+    // Approximate percentile sketch (GK-style) — the form users reach
+    // for at 100 TB where exact percentile's full sort is off the table.
+    // ORACLE-GATED (promoted r14, the adaptive-knob pattern): accuracy
+    // is derived from COUNT(*) as 2N+1, which makes the GK summaries
+    // RANK-EXACT — targetError = N/(2N+1) < 0.5, so no two samples can
+    // merge and the returned value is precisely the element at rank
+    // ceil(q·n) — and the oracle replays that rank convention with an
+    // explicit ROW_NUMBER window (both engines compute ceil(q·n) with
+    // the same IEEE double multiply). ONE sketch serves all three
+    // quantiles, projected to SCALAR columns (the driver's pandas
+    // compare cannot sort array cells — the r02 failure). Fixed-accuracy
+    // production configs stay approximate by design;
+    // ApproxPercentileSpec pins the ε-bound for accuracy=1000 AND that
+    // the adaptive config equals exact rank selection. The accuracy
+    // parameter is an Int — beyond ~10⁹ rows the adaptive config
+    // saturates and the contract reverts to approximate, which is why
+    // the oracle gate is declared for fixture scales (≤ sf10).
+    GraftQuery(
+      "q_approx_percentile",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val acc = math.min(2L * li.count() + 1L, Int.MaxValue.toLong)
+        li.groupBy("l_returnflag")
+          .agg(expr(
+            s"approx_percentile(CAST(l_extendedprice AS DOUBLE), array(0.1, 0.5, 0.9), $acc)")
+            .as("qs"))
+          .select(
+            col("l_returnflag"),
+            expr("element_at(qs, 1)").as("p10_approx"),
+            expr("element_at(qs, 2)").as("p50_approx"),
+            expr("element_at(qs, 3)").as("p90_approx"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH v AS (SELECT l_returnflag,
+             |            CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+             |r AS (SELECT l_returnflag, x,
+             |        ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY x) AS rn,
+             |        COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+             |      FROM v)
+             |SELECT l_returnflag,
+             |  MAX(CASE WHEN rn = CEIL(0.1*n) THEN x END) AS p10_approx,
+             |  MAX(CASE WHEN rn = CEIL(0.5*n) THEN x END) AS p50_approx,
+             |  MAX(CASE WHEN rn = CEIL(0.9*n) THEN x END) AS p90_approx
+             |FROM r GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
     // String aggregation with deterministic order (sorted before join).
     GraftQuery(
       "q_string_agg",

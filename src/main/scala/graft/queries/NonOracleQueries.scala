@@ -455,27 +455,6 @@ object NonOracleQueries {
              |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
              |ORDER BY vec_id""".stripMargin)),
 
-    // Approximate percentile sketch (KLL/GK-style) — the form users reach
-    // for at 100 TB where exact percentile's full sort is off the table.
-    // Approximation differs from DuckDB's sketch → rows-only here;
-    // ApproxPercentileSpec asserts the ε-bound against exact percentile.
-    GraftQuery(
-      "q_approx_percentile",
-      (s, d) =>
-        Tables.lineitem(s, d)
-          .groupBy("l_returnflag")
-          // ONE sketch serves all three quantiles (the shape you'd run at
-          // 100 TB), projected to SCALAR columns: the driver's compare
-          // sorts result columns with pandas, which cannot handle array
-          // cells (the r02 failure for this query).
-          .agg(expr("approx_percentile(l_extendedprice, array(0.1, 0.5, 0.9), 1000)").as("qs"))
-          .select(
-            col("l_returnflag"),
-            expr("element_at(qs, 1)").as("p10_approx"),
-            expr("element_at(qs, 2)").as("p50_approx"),
-            expr("element_at(qs, 3)").as("p90_approx"))
-          .orderBy("l_returnflag")),
-
     // End-to-end corpus curation (annotate → filter → exact dedup → near
     // dedup → decontaminate → split), ORACLE-GATED (promoted r12): with
     // the exact-threshold near-dup path (dedupNearExact — no LSH recall

@@ -10,6 +10,40 @@ import org.apache.spark.sql.functions._
   */
 object ProfileQueries {
 
+  /** DuckDB replay of the replayable count-min sketch (q_freq_sketch):
+    * md5 base per term, the depth row hashes as spliced Carter–Wegman
+    * literals (the SAME md5-derived coefficients CmSketch.coefs
+    * derives), cell counts grouped by (row, col), estimates as the min
+    * over rows of the probed cells. Generated so depth/width/coefs stay
+    * in lockstep with the query's parameters. */
+  private val freqSketchOracleSql: String = {
+    val depth = 5
+    val width = 2048
+    val p = graft.functions.TextFunctions.ReplayP
+    val cs = graft.operators.CmSketch.coefs(depth)
+    def colCase(x: String, r: String = "r"): String =
+      s"CASE $r " + cs.zipWithIndex.map { case ((a, b), i) =>
+        s"WHEN $i THEN (($a*$x + $b) % $p) % $width"
+      }.mkString(" ") + " END"
+    s"""WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term
+       |               FROM documents),
+       |xs AS (SELECT (('0x' || substring(md5(term), 1, 8))::BIGINT % $p) AS x
+       |       FROM terms),
+       |cells AS (SELECT r, ${colCase("x")} AS c, COUNT(*) AS n
+       |          FROM xs CROSS JOIN range(0, $depth) rr(r)
+       |          GROUP BY 1, 2),
+       |top AS (SELECT term, COUNT(*) AS n_exact FROM terms
+       |        GROUP BY 1 ORDER BY n_exact DESC, term LIMIT 20),
+       |tx AS (SELECT term, n_exact,
+       |         (('0x' || substring(md5(term), 1, 8))::BIGINT % $p) AS x
+       |       FROM top)
+       |SELECT tx.term, tx.n_exact, MIN(cells.n) AS n_est
+       |FROM tx CROSS JOIN range(0, $depth) rr(r)
+       |JOIN cells ON cells.r = rr.r AND cells.c = ${colCase("tx.x", "rr.r")}
+       |GROUP BY 1, 2
+       |ORDER BY term""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     // Per-column profile (null count, exact distinct, min, max) in ONE
@@ -63,32 +97,31 @@ object ProfileQueries {
              |       ROUND(CAST(MAX(l_tax_nz) AS DOUBLE), 4) FROM li
              |ORDER BY col_name""".stripMargin)),
 
-    // Count-min-sketch term frequencies validated against exact counts:
-    // the sketch is the 100 TB path (fixed-size, mergeable, built in one
-    // partial-aggregated pass — only sketch arrays cross the shuffle);
-    // here it is probed at the exact top-20 so FreqSketchSpec can pin the
-    // CMS guarantee (est ≥ exact, est ≤ exact + ε·N). The two driver
-    // materializations are bounded: one sketch blob and 20 rows.
-    // Estimates are sketch-specific → rows-only, no DuckDB oracle.
+    // Count-min-sketch term frequencies probed at the exact top-20,
+    // ORACLE-GATED (promoted r14): the sketch is the md5-Carter-Wegman
+    // replayable CMS (graft.operators.CmSketch) — row hashes both
+    // engines compute identically, so every counter AND every estimate
+    // is a deterministic pure function of the corpus that DuckDB
+    // replays. Same 100 TB shape as a builtin sketch: the build's
+    // partial aggregation collapses each partition to <= depth*width
+    // cells before the shuffle; the probe joins 20x5 keys against the
+    // bounded cell table. FreqSketchSpec still pins the CMS guarantee
+    // (est >= exact; bounded overestimate) on both this and the builtin
+    // count_min_sketch path.
     GraftQuery(
       "q_freq_sketch",
       (s, d) => {
+        import graft.operators.CmSketch
         val terms = Tables.documents(s, d)
           .select(explode(split(col("text"), " ")).as("term"))
-        val skBytes = terms
-          .agg(expr("count_min_sketch(term, 0.001d, 0.99d, 42)").as("sk"))
-          .head().getAs[Array[Byte]](0)
-        val cms = org.apache.spark.util.sketch.CountMinSketch
-          .readFrom(new java.io.ByteArrayInputStream(skBytes))
+        val sketch = CmSketch.build(terms, "term", depth = 5, width = 2048)
         val top = terms.groupBy("term").agg(count(lit(1)).as("n_exact"))
           .orderBy(col("n_exact").desc, col("term")).limit(20)
-          .collect()
-          .map(r => (r.getString(0), r.getLong(1),
-            cms.estimateCount(r.getString(0))))
-        import s.implicits._
-        top.toSeq.toDF("term", "n_exact", "n_est").orderBy("term")
+        CmSketch.estimate(sketch, top, "term", depth = 5, width = 2048)
+          .select("term", "n_exact", "n_est")
+          .orderBy("term")
       },
-      None),
+      Some(freqSketchOracleSql)),
 
     // Declarative data-quality expectations (Expectations.evaluate): the
     // admission gate a pipeline runs before trusting a batch. Seven
