@@ -27,6 +27,7 @@ object SparkEntry {
       CurationQueries.all ++
       StoreQueries.all ++
       ProfileQueries.all ++
+      MediaCurateQueries.all ++
       NonOracleQueries.all
 
   require(

@@ -863,6 +863,27 @@ object Multimodal {
       }
   }
 
+  /** Membership (media_id only) of [[syntheticImageCorpus]] and
+    * [[syntheticAudioCorpus]] without rendering any bytes: curation
+    * manifests need only which items EXIST, and re-running the codec map
+    * to read ids back would double the corpus cost. Kept adjacent to the
+    * corpus definitions so the filters cannot drift silently
+    * (MediaCurateSpec cross-checks manifest coverage against the real
+    * corpus). */
+  def syntheticImageAudioCorpusIds(
+      spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("media_id"))
+
+  /** Membership of [[syntheticVideoCorpus]] — see
+    * [[syntheticImageAudioCorpusIds]]. */
+  def syntheticVideoCorpusIds(
+      spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0 && floor(col("doc_id") / 10) % 2 === 0)
+      .select(col("doc_id").as("media_id"))
+
   /** Build a demo media table from the documents fixture (bytes = utf8 of
     * text) — exercises the binary-column plumbing against real parquet. */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {

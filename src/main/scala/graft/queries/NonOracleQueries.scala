@@ -66,15 +66,11 @@ object NonOracleQueries {
        |WHERE jc >= 0.8 ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** DuckDB replay of Dedup.simhashNearDupReplayable (q_simhash_pairs):
-    * per-token md5 halves, the 64 vote sums as one grouped pass (64
-    * generated SUM CASE columns — linear, no tokens×64 row explosion),
-    * fingerprint halves rebuilt from the vote signs, then the
-    * multi-index candidate algebra (16-bit chunks from the halves,
-    * radius-1 Hamming-ball expansion on one side) and the exact
-    * hamming ≤ 7 filter — the same relational algebra as
-    * Dedup.hammingNearDupPairs, pair-bounded at sweep scale. */
-  private val simhashOracleSql: String = {
+  /** CTE body (through `cand`) of the q_simhash_pairs oracle, exposed so
+    * composites that extend the replayable simhash pair graph (the
+    * q_media_curate_text clustering stage) replay the IDENTICAL
+    * fingerprint + multi-index algebra rather than a drifting copy. */
+  private[queries] val simhashPairCtes: String = {
     val votes = (0 until 64).map { j =>
       val half = if (j < 32) "lo" else "hi"
       s"SUM(CASE WHEN (($half >> ${j % 32}) & 1) = 1 THEN 1 ELSE -1 END) AS v$j"
@@ -83,8 +79,8 @@ object NonOracleQueries {
       (from until from + 32).map { j =>
         s"(CASE WHEN v$j > 0 THEN (1::BIGINT << ${j - from}) ELSE 0 END)"
       }.mkString(" + ") + s" AS $name"
-    s"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
-       |              FROM documents),
+    s"""toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+       |         FROM documents),
        |h AS (SELECT doc_id,
        |        ('0x' || substring(md5(tok), 1, 8))::BIGINT AS hi,
        |        ('0x' || substring(md5(tok), 9, 8))::BIGINT AS lo
@@ -108,14 +104,25 @@ object NonOracleQueries {
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |               a.flo AS alo, a.fhi AS ahi, b.flo AS blo, b.fhi AS bhi
        |         FROM ex a JOIN ch b
-       |           ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |           ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** DuckDB replay of Dedup.simhashNearDupReplayable (q_simhash_pairs):
+    * per-token md5 halves, the 64 vote sums as one grouped pass (64
+    * generated SUM CASE columns — linear, no tokens×64 row explosion),
+    * fingerprint halves rebuilt from the vote signs, then the
+    * multi-index candidate algebra (16-bit chunks from the halves,
+    * radius-1 Hamming-ball expansion on one side) and the exact
+    * hamming ≤ 7 filter — the same relational algebra as
+    * Dedup.hammingNearDupPairs, pair-bounded at sweep scale. */
+  private val simhashOracleSql: String =
+    s"""WITH $simhashPairCtes
        |SELECT id_a, id_b,
        |       CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS INT)
        |         AS hamming
        |FROM cand
        |WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 7
        |ORDER BY id_a, id_b""".stripMargin
-  }
 
   val all: Seq[GraftQuery] = Seq(
 
