@@ -309,6 +309,13 @@ object NonOracleQueries {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // Approximate nearest neighbors: LSH buckets + multi-probe rerank.
+    // Plane count is scale-adaptive (Similarity.autoPlanes — planes ∝
+    // log n keeps the expected bucket population ~targetBucket as the
+    // corpus grows); r14's RECALL artifact measured the fixed planes=8
+    // default at recall@10 0.11 isotropic / 0.84 clustered on the sf0.1
+    // panels (8-row buckets under-populate the multi-probe candidate
+    // set) vs 0.49 / 0.96 with the adaptive count (the isotropic panel
+    // is the documented worst case — sim_ratio there is 0.92).
     GraftQuery(
       "q_ann_topk",
       (s, d) => {
@@ -317,7 +324,10 @@ object NonOracleQueries {
         // only driver materialization in this query.
         val p = e.filter(col("vec_id") === 0)
           .select("embedding").collect().head.getSeq[Float](0).toArray
-        Similarity.lshTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding", p, 10)
+        val corpus = e.filter(col("vec_id") =!= 0)
+        val (n, _) = Similarity.countAndDim(corpus, "embedding")
+        Similarity.lshTopK(corpus, "vec_id", "embedding", p, 10,
+          planes = Similarity.autoPlanes(n))
       }),
 
     // Quantized-scan ANN: int8 coarse scoring over the quarter-size
