@@ -28,9 +28,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitions default to the thread count (right at bench SF,
+    // where per-partition state is small and fewer partitions means less
+    // fixed overhead) but are overridable for scale sweeps: at sf10 the
+    // PPJoin verify join's candidate partitions carry ~2 GB of shingle
+    // arrays at 8 partitions and SPILL — the classic partitions-must-
+    // scale-with-data sizing the prompt's spill-aware rule describes.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -69,9 +76,20 @@ object Bench {
           val txt = new String(
             java.nio.file.Files.readAllBytes(latest.toPath),
             java.nio.charset.StandardCharsets.UTF_8)
-          // minimal parse of the flat "queries":{"name":sec,...} map
-          val m = """"(q_[a-z0-9_]+)":([0-9.]+)""".r
-          m.findAllMatchIn(txt).map(x => x.group(1) -> x.group(2).toDouble).toMap
+          // Floors are per-SCALE: a floor recorded at sf0.1 says nothing
+          // about a run at target/scale/sf1, where every query is
+          // legitimately many times slower — applying it would flag the
+          // whole scale sweep as stalled and burn rescreen reps. Only
+          // use the floor file when it was measured on this sfDir (the
+          // common case: driver and builder both default to sf0.1).
+          val sfRe = """"sf":"([^"]+)"""".r
+          val floorSf = sfRe.findFirstMatchIn(txt).map(_.group(1))
+          if (!floorSf.contains(sfDir)) Map.empty
+          else {
+            // minimal parse of the flat "queries":{"name":sec,...} map
+            val m = """"(q_[a-z0-9_]+)":([0-9.]+)""".r
+            m.findAllMatchIn(txt).map(x => x.group(1) -> x.group(2).toDouble).toMap
+          }
         }
       } catch { case _: Throwable => Map.empty }
     }
