@@ -17,7 +17,7 @@ object Bench {
     "q_sessionize", "q_topk", "q_pivot", "q_lateral", "q_tumble",
     "q_dedup_exact", "q_minhash_pairs", "q_simhash_pairs", "q_sim_topk",
     "q_ann_topk", "q_text_quality", "q_token_count", "q_merge",
-    "q_corpus_curate")
+    "q_corpus_curate", "q_media_curate")
 
   // Locale.ROOT pins the decimal separator: under e.g. de_DE the default-
   // locale f-interpolator renders "1,234" and the driver-facing line (and
@@ -68,11 +68,17 @@ object Bench {
     // self-annotates instead of reading as a plan regression.
     val floors: Map[String, Double] = {
       try {
-        val files = new java.io.File(".").listFiles()
-          .filter(f => f.getName.matches("BENCH_r\\d+_final_local\\.json"))
-        if (files == null || files.isEmpty) Map.empty
+        val nameRe = """BENCH_r(\d+)_final_local\.json""".r
+        val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .flatMap(f => f.getName match {
+            case nameRe(round) => Some((round.toInt, f))
+            case _ => None
+          })
+        if (files.isEmpty) Map.empty
         else {
-          val latest = files.maxBy(_.getName)
+          // numeric round compare: lexicographic maxBy would rank r99
+          // above r100 once round numbers change digit width
+          val latest = files.maxBy(_._1)._2
           val txt = new String(
             java.nio.file.Files.readAllBytes(latest.toPath),
             java.nio.charset.StandardCharsets.UTF_8)
@@ -82,12 +88,16 @@ object Bench {
           // whole scale sweep as stalled and burn rescreen reps. Only
           // use the floor file when it was measured on this sfDir (the
           // common case: driver and builder both default to sf0.1).
-          val sfRe = """"sf":"([^"]+)"""".r
+          // Both regexes tolerate whitespace after ':' — floor files are
+          // written by more than one producer (Bench's own compact line,
+          // a pretty-printing json.dump) and a strict pattern silently
+          // no-ops the whole stall feature on the space-formatted kind.
+          val sfRe = """"sf"\s*:\s*"([^"]+)"""".r
           val floorSf = sfRe.findFirstMatchIn(txt).map(_.group(1))
           if (!floorSf.contains(sfDir)) Map.empty
           else {
             // minimal parse of the flat "queries":{"name":sec,...} map
-            val m = """"(q_[a-z0-9_]+)":([0-9.]+)""".r
+            val m = """"(q_[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
             m.findAllMatchIn(txt).map(x => x.group(1) -> x.group(2).toDouble).toMap
           }
         }

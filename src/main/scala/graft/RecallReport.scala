@@ -50,9 +50,10 @@ object RecallReport {
 
   /** Deterministic clustered panel with the geometry real embedding
     * corpora have: `nClusters` unit centers from a splitmix-style integer
-    * mix, each vector = its cluster center + bounded deterministic noise,
-    * renormalized. Same n/dim as the fixture so the two panels differ
-    * only in geometry. */
+    * mix, each vector = its cluster center + bounded deterministic noise
+    * (norms vary by the noise term; every measured metric is cosine-based
+    * and therefore scale-invariant). Same n/dim as the fixture so the two
+    * panels differ only in geometry. */
   private def clusteredPanel(
       spark: SparkSession, n: Int, dim: Int, nClusters: Int): DataFrame = {
     import spark.implicits._

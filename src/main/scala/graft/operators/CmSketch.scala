@@ -57,7 +57,18 @@ object CmSketch {
 
   /** Point-query estimates for `probes` (any frame with `termCol`):
     * est(t) = min over rows of cell(i, hᵢ(t)). Preserves all probe
-    * columns, adds `n_est`. */
+    * columns, adds `n_est`; duplicate probe rows collapse to one output
+    * row per distinct probe (a point query is per-term).
+    *
+    * The cell lookup is a LEFT join with absent cells read as 0: the
+    * sketch table stores only nonzero cells (the groupBy count), so an
+    * out-of-corpus term usually hits no stored cell at all — an inner
+    * join would silently DROP it from the output (and, when only some
+    * of its cells collide with real terms, min over the surviving
+    * subset would overestimate a count the true CMS reads as 0). With
+    * the 0-fill, est(t)=0 exactly when any of t's cells is untouched —
+    * the textbook CMS answer. In-corpus probes are unaffected: a
+    * counted term touched all `depth` of its cells, so none is absent. */
   def estimate(
       sketch: DataFrame,
       probes: DataFrame,
@@ -75,8 +86,8 @@ object CmSketch {
       .drop("graft_cell", "graft_x")
     val probeCols = probes.columns
     keyed
-      .join(sketch, Seq("row", "col"))
+      .join(sketch, Seq("row", "col"), "left")
       .groupBy(probeCols.map(col): _*)
-      .agg(min(col("n")).as("n_est"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("n_est"))
   }
 }

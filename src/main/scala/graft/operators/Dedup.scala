@@ -145,7 +145,27 @@ object Dedup {
       bands: Int = 8,
       shingleN: Int = 3,
       threshold: Double = 0.8,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    minhashNearDupReplayableReleasable(
+      df, idCol, textCol, numHashes, bands, shingleN, threshold, maxBucket)._1
+
+  /** [[minhashNearDupReplayable]] plus an explicit release handle for its
+    * two internal caches (signatures, candidate shingles) — same contract
+    * as [[prefixJaccardNearDupReleasable]]: retention is the right
+    * default for repeated queries over ONE corpus; a long-lived session
+    * churning many corpora must release per corpus or storage memory
+    * grows without bound (DedupCacheReleaseSpec measures the return to
+    * baseline). Call release() only after every derived plan has
+    * materialized. */
+  def minhashNearDupReplayableReleasable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      maxBucket: Int = 1000): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val rows = numHashes / bands
     // Engine-side evaluation is the fused native kernel (one md5 per
@@ -188,12 +208,13 @@ object Dedup {
       .join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol).as("graft_id"), shingles(col(textCol), shingleN).as("graft_sh"))
       .persist()
-    candidates
+    val result = candidates
       .join(candShingles.select(col("graft_id").as("id_a"), col("graft_sh").as("sh_a")), "id_a")
       .join(candShingles.select(col("graft_id").as("id_b"), col("graft_sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    (result, () => { sig.unpersist(); candShingles.unpersist(); () })
   }
 
   /** Cross-corpus near-dup filter: the rows of `corpus` with NO
@@ -298,12 +319,24 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      chunks: Int = 4): DataFrame = {
+      chunks: Int = 4): DataFrame =
+    simhashNearDupReplayableReleasable(df, idCol, textCol, maxHamming, chunks)._1
+
+  /** [[simhashNearDupReplayable]] plus an explicit release handle for the
+    * fingerprint cache — the multi-corpus-session contract of
+    * [[prefixJaccardNearDupReleasable]]. */
+  def simhashNearDupReplayableReleasable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      chunks: Int = 4): (DataFrame, () => Unit) = {
     val fp = df.select(
       col(idCol).as("graft_id"),
       simhash64Replayable(tokens(col(textCol))).as("graft_sh"))
       .persist()
-    hammingNearDupPairs(fp, "graft_id", "graft_sh", maxHamming, chunks)
+    (hammingNearDupPairs(fp, "graft_id", "graft_sh", maxHamming, chunks),
+      () => { fp.unpersist(); () })
   }
 
   /** Hamming-near-dup pairs over ANY 64-bit hash column — SimHash, image
@@ -784,7 +817,18 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double = 0.95,
-      planes: Int = -1): DataFrame = {
+      planes: Int = -1): DataFrame =
+    embeddingNearDupReplayableReleasable(df, idCol, vecCol, threshold, planes)._1
+
+  /** [[embeddingNearDupReplayable]] plus an explicit release handle for
+    * the bucketed-vector cache — the multi-corpus-session contract of
+    * [[prefixJaccardNearDupReleasable]]. */
+  def embeddingNearDupReplayableReleasable(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      planes: Int = -1): (DataFrame, () => Unit) = {
     val (n, dim) = Similarity.countAndDim(df, vecCol)
     val chosenPlanes = if (planes > 0) planes else Similarity.autoPlanes(n)
     // Persisted: the self-join would otherwise run the parquet scan and
@@ -795,7 +839,7 @@ object Dedup {
       Similarity.replayableHyperplaneBucket(col(vecCol), chosenPlanes, dim)
         .as("graft_bucket"))
       .persist()
-    bucketed.as("l")
+    val result = bucketed.as("l")
       .join(bucketed.as("r"),
         col("l.graft_bucket") === col("r.graft_bucket") &&
           col("l.graft_id") < col("r.graft_id"))
@@ -804,5 +848,6 @@ object Dedup {
         round(Similarity.cosine(col("l.graft_vec"), col("r.graft_vec")), 4)
           .as("cosine"))
       .filter(col("cosine") >= threshold)
+    (result, () => { bucketed.unpersist(); () })
   }
 }

@@ -171,23 +171,33 @@ object Md5MinHashTextSig {
   }
 }
 
-/** Fused md5-hyperplane bucket over an `array<float>` vector;
-  * bit-identical to `Similarity.replayableHyperplaneBucket(vec, planes,
-  * dim)`: elements quantize via the same `round()` semantics
+/** Fused md5-hyperplane bucket over an `array<float>` or `array<double>`
+  * vector; bit-identical to `Similarity.replayableHyperplaneBucket(vec,
+  * planes, dim)`: elements quantize via the same `round()` semantics
   * (BigDecimal.valueOf → HALF_UP — NOT Math.round, which rounds
   * negative halves toward +∞), plane dots are the same exact int64
   * sums over the md5-derived component table, bit p sits at position
-  * planes−1−p. Degenerate inputs reproduce the composed form's algebra:
-  * any NULL element, or a vector whose length ≠ dim (zip_with pads with
-  * NULL), nulls every plane dot → every bit 0 → bucket 0. */
+  * planes−1−p. Both element types are accepted because the composed
+  * higher-order-function form cast per element (`x.cast("double")`) and
+  * so took any numeric array — a float-only signature would reject
+  * callers the public operator API used to accept. Degenerate inputs
+  * reproduce the composed form's algebra: any NULL element, or a vector
+  * whose length ≠ dim (zip_with pads with NULL), nulls every plane dot
+  * → every bit 0 → bucket 0. */
 case class Md5PlaneSig(child: Expression, planes: Int, dim: Int)
   extends UnaryExpression with ExpectsInputTypes {
 
   require(planes >= 1 && planes <= 30, s"planes=$planes out of range")
   require(dim >= 1, s"dim=$dim out of range")
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = LongType
+
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
 
   // planes × dim component table, flattened row-major — bounded metadata
   // (≤ 30 × dim longs), same values as Similarity.md5PlaneComponent.
@@ -195,13 +205,13 @@ case class Md5PlaneSig(child: Expression, planes: Int, dim: Int)
 
   override def nullSafeEval(input: Any): Any =
     java.lang.Long.valueOf(
-      Md5PlaneSig.compute(input.asInstanceOf[ArrayData], planes, dim, comps))
+      Md5PlaneSig.compute(input.asInstanceOf[ArrayData], planes, dim, comps, isDouble))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val compsRef = ctx.addReferenceObj("md5planes", comps, "long[]")
     val cls = "org.apache.spark.sql.graft.Md5PlaneSig"
     nullSafeCodeGen(ctx, ev, c => {
-      s"${ev.value} = $cls.compute($c, $planes, $dim, $compsRef);"
+      s"${ev.value} = $cls.compute($c, $planes, $dim, $compsRef, $isDouble);"
     })
   }
 
@@ -237,14 +247,16 @@ object Md5PlaneSig {
     java.math.BigDecimal.valueOf(x * 1000000.0)
       .setScale(0, RoundingMode.HALF_UP).doubleValue().toLong
 
-  def compute(arr: ArrayData, planes: Int, dim: Int, comps: Array[Long]): Long = {
+  def compute(
+      arr: ArrayData, planes: Int, dim: Int, comps: Array[Long],
+      isDouble: Boolean): Long = {
     val n = arr.numElements()
     if (n != dim) return 0L
     val q = new Array[Long](n)
     var i = 0
     while (i < n) {
       if (arr.isNullAt(i)) return 0L
-      q(i) = quantize(arr.getFloat(i).toDouble)
+      q(i) = quantize(if (isDouble) arr.getDouble(i) else arr.getFloat(i).toDouble)
       i += 1
     }
     var bucket = 0L

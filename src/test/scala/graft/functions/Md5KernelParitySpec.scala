@@ -87,6 +87,29 @@ class Md5KernelParitySpec extends AnyFunSuite {
     }
   }
 
+  test("array<double> input buckets identically to its float spelling — " +
+    "the composed HOF form accepted any numeric array, so the fused " +
+    "kernel must not narrow the public operator API") {
+    val dim = 6
+    val vecs = Seq(
+      Array(0.1f, -0.2f, 0.3f, -0.4f, 0.5f, -0.6f),
+      Array(0.0000005f, -0.0000005f, 0.0000015f, -0.0000015f, 0f, 0f),
+      Array(0.9999995f, -0.9999995f, 0.1234567f, -0.7654321f, 0.5f, -0.5f)
+    ).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val planes = 4
+    val fl = vecs.toDF("id", "vec")
+      .select(col("id"),
+        Similarity.replayableHyperplaneBucket(col("vec"), planes, dim).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // float→double per element is exact, so the double spelling of the
+    // same vectors must land in the same buckets
+    val db = vecs.map { case (i, v) => (i, v.map(_.toDouble)) }.toDF("id", "vec")
+      .select(col("id"),
+        Similarity.replayableHyperplaneBucket(col("vec"), planes, dim).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fl == db, s"float=$fl double=$db")
+  }
+
   test("quantize replicates Spark round()'s BigDecimal HALF_UP, not Math.round") {
     // -0.5 must round away from zero: Spark round(-0.5) = -1
     assert(Md5PlaneSig.quantize(-0.0000005d) == -1L)

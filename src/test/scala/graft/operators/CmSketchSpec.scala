@@ -38,6 +38,22 @@ class CmSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("out-of-corpus probes estimate 0, not vanish: absent cells read " +
+    "as 0 through the left join") {
+    val t = terms
+    val width = 256
+    val sketch = CmSketch.build(t, "term", depth = 5, width = width)
+    val probes = Seq("term_1", "never_seen_a", "never_seen_b").toDF("term")
+    val est = CmSketch.estimate(sketch, probes, "term", depth = 5, width = width)
+      .select("term", "n_est").as[(String, Long)].collect().toMap
+    assert(est.size == 3, s"every probe must appear in the output: $est")
+    assert(est("term_1") >= 200)
+    // an unseen term's cells are (with this corpus/width) untouched, so
+    // the true CMS answer is the zero min — an inner join used to DROP
+    // these rows entirely
+    assert(est("never_seen_a") == 0 && est("never_seen_b") == 0, s"$est")
+  }
+
   test("sketch build is deterministic and mergeable: union of halves == whole") {
     val t = terms.withColumn("half", (crc32(col("term")) % 2).cast("int"))
     val whole = CmSketch.build(t, "term", 5, 256)

@@ -51,4 +51,30 @@ class PpjoinReleaseSpec extends AnyFunSuite {
     info(s"storage memory: baseline=$baselineBytes peak=$peakBytes " +
       s"after-release=$cachedBytes")
   }
+
+  test("the replayable LSH family's releasable variants return their " +
+    "internal caches to baseline too") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def cachedIds: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val baseline = cachedIds
+
+    val runs: Seq[(String, () => (org.apache.spark.sql.DataFrame, () => Unit))] = Seq(
+      ("minhash", () => Dedup.minhashNearDupReplayableReleasable(
+        docs, "doc_id", "text", numHashes = 32, bands = 8, shingleN = 3, threshold = 0.8)),
+      ("simhash", () => Dedup.simhashNearDupReplayableReleasable(
+        docs, "doc_id", "text", maxHamming = 7, chunks = 4)),
+      ("embedding", () => Dedup.embeddingNearDupReplayableReleasable(
+        embs, "vec_id", "embedding", threshold = 0.3)))
+    for ((name, mk) <- runs) {
+      val (pairs, release) = mk()
+      pairs.count() // materialize every derived plan
+      assert(cachedIds.size > baseline.size,
+        s"$name: internal caches should be live while querying")
+      release()
+      assert(cachedIds == baseline,
+        s"$name: release() must return the persisted-RDD set to baseline " +
+          s"(leftover=${cachedIds -- baseline})")
+    }
+  }
 }
