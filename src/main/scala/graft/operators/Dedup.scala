@@ -488,12 +488,72 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.5,
-      maxTokenDf: Long = 100000L): (DataFrame, () => Unit) = {
-    require(threshold > 0 && threshold <= 1, s"threshold=$threshold outside (0,1]")
-    val sh = df.select(
+      maxTokenDf: Long = 100000L): (DataFrame, () => Unit) =
+    prefixJaccardOnSetsReleasable(
+      df.select(
         col(idCol).as("graft_id"),
-        array_distinct(shingles(col(textCol), shingleN)).as("graft_sh"))
-      .persist()
+        array_distinct(shingles(col(textCol), shingleN)).as("graft_sh")),
+      threshold, maxTokenDf)
+
+  /** Capped WEIGHTED shingle Jaccard near-dup (w-shingling with
+    * multiplicity): pairs (a < b) with
+    *   J_w(A,B) = Σₛ min(wA(s), wB(s)) / Σₛ max(wA(s), wB(s)) ≥ threshold
+    * over n-gram shingles s with w(s) = min(occurrences(s), cap).
+    * Unweighted shingle Jaccard ([[prefixJaccardNearDup]]) reads a doc
+    * as a SET, so a boilerplate phrase repeated 50 times and repeated
+    * once look identical; weighted Jaccard scores repetition mass — the
+    * template-spam / boilerplate near-dup axis. (Shingles, not unigram
+    * tokens: unigram multisets overlap heavily across UNRELATED
+    * documents — measured 37k qualifying pairs over 500 fixture docs at
+    * t=0.5, a quadratic-pair degeneracy — while n-gram multisets keep
+    * cross-doc noise near zero, the same reason the whole family
+    * shingles.)
+    *
+    * Mechanism (and why it is EXACT, not approximate): expand every
+    * shingle into min(occurrences, cap) distinct elements (s,1)…(s,w).
+    * Plain Jaccard over the expanded sets equals capped-weight Jaccard —
+    * |A∩B| counts (s, i ≤ min(wA, wB)) and |A∪B| counts
+    * (s, i ≤ max(wA, wB)) — so the verified PPJoin prefix-filter
+    * machinery runs UNCHANGED on the expanded sets, inheriting its
+    * exactness proof, hot-token guard and scale shape (expansion
+    * multiplies set sizes by ≤ cap — a constant — and candidate volume
+    * stays df-bounded). The oracle replays the same expansion in SQL,
+    * so the whole operator is hash-gated. Elements are separated from
+    * their repeat index by U+0001; shingles containing that control
+    * char would collide (not a natural-text concern). */
+  def weightedJaccardNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      cap: Int = 3,
+      threshold: Double = 0.5,
+      maxTokenDf: Long = 100000L): DataFrame = {
+    require(cap >= 1, s"cap=$cap must be >= 1")
+    val counts = df
+      .select(col(idCol).as("graft_id"),
+        explode(shingles(col(textCol), shingleN)).as("graft_tok"))
+      .groupBy("graft_id", "graft_tok")
+      .agg(count(lit(1)).as("graft_c"))
+    val sets = counts
+      .select(col("graft_id"), explode(transform(
+        sequence(lit(1), least(col("graft_c"), lit(cap.toLong)).cast("int")),
+        i => concat_ws("\u0001", col("graft_tok"), i.cast("string")))).as("graft_el"))
+      .groupBy("graft_id")
+      .agg(collect_list("graft_el").as("graft_sh"))
+    prefixJaccardOnSetsReleasable(sets, threshold, maxTokenDf)._1
+  }
+
+  /** The PPJoin prefix-filter core over ANY per-row element-set frame
+    * `(graft_id, graft_sh: array<string>)` — elements must be distinct
+    * within a row. [[prefixJaccardNearDupReleasable]] feeds it shingle
+    * sets; [[weightedJaccardNearDup]] feeds capped-tf expanded sets. */
+  def prefixJaccardOnSetsReleasable(
+      sets: DataFrame,
+      threshold: Double,
+      maxTokenDf: Long): (DataFrame, () => Unit) = {
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold outside (0,1]")
+    val sh = sets.persist()
     val docTok = sh.select(col("graft_id"), explode(col("graft_sh")).as("graft_tok"))
     val dfs = docTok.groupBy("graft_tok").agg(count(lit(1)).as("graft_df"))
     val ordered = docTok.join(dfs, "graft_tok")

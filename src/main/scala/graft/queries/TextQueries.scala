@@ -183,6 +183,47 @@ object TextQueries {
              |                JOIN g gb ON gb.doc_id = ppj_cand.ib) p
              |WHERE jc >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Capped WEIGHTED shingle Jaccard pairs (r14, w-shingling with
+    // multiplicity): unweighted shingle Jaccard reads a doc as a SET,
+    // so repetition mass is invisible — the template-spam axis.
+    // J_w = Σmin(w_a,w_b)/Σmax(...) with w = min(occurrences, 3) over
+    // 3-gram shingles, computed EXACTLY by expanding each shingle into
+    // w distinct (shingle, i) elements and running the verified PPJoin
+    // prefix filter on the expanded sets (expanded-set Jaccard ≡
+    // capped-weight Jaccard — see Dedup.weightedJaccardNearDup). The
+    // oracle replays the identical expansion (shingle || chr(1) || i)
+    // and the same PPJoin candidate algebra, so the whole operator is
+    // hash-gated at every SF like the rest of the Jaccard family.
+    GraftQuery(
+      "q_weighted_jaccard",
+      (s, d) =>
+        graft.operators.Dedup.weightedJaccardNearDup(
+          Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, cap = 3, threshold = 0.5)
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+             |           FROM documents),
+             |sl AS (SELECT doc_id,
+             |        CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |             ELSE [array_to_string(w[i:i+2], ' ')
+             |                   FOR i IN range(1, len(w)-1)]
+             |        END AS shl
+             |       FROM t),
+             |c AS (SELECT doc_id, tok, count(*) AS c
+             |      FROM (SELECT doc_id, unnest(shl) AS tok FROM sl) q
+             |      GROUP BY 1, 2),
+             |g AS (SELECT doc_id, list(tok || chr(1) || CAST(i AS VARCHAR)) AS sh
+             |      FROM c, UNNEST(range(1, least(c, 3) + 1)) AS r(i)
+             |      GROUP BY doc_id),
+             |${PpjoinOracle.pairCtes("g", "sh", "0.5")}
+             |SELECT id_a, id_b, ROUND(jc, 4) AS jaccard FROM (
+             |  SELECT ia AS id_a, ib AS id_b,
+             |         CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) /
+             |           len(list_distinct(list_concat(ga.sh, gb.sh))) AS jc
+             |  FROM ppj_cand JOIN g ga ON ga.doc_id = ppj_cand.ia
+             |                JOIN g gb ON gb.doc_id = ppj_cand.ib) p
+             |WHERE jc >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
     // Exact edit-distance pair join WITHOUT the O(n²) theta join
     // (EditDistanceJoin.editPairs — FastSS/SymSpell deletion-neighborhood
     // blocking): every pair within levenshtein 1 shares a ≤1-deletion

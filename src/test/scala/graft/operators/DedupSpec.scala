@@ -143,6 +143,35 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("weightedJaccardNearDup scores repetition mass the set-semantic " +
+    "family is blind to, and equals it when every shingle is unique") {
+    val phrase = "free prize click here now"
+    val docs = Seq(
+      // 0 and 1: the SAME template phrase, repeated 8x vs 1x + enough
+      // distinct filler that set-Jaccard still sees most shingles shared
+      (0L, Seq.fill(8)(phrase).mkString(" ")),
+      (1L, phrase + " with unrelated trailing filler words"),
+      // 2 and 3: a genuinely near-identical pair with unique shingles
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+      .toDF("doc_id", "text")
+    def pairs(f: => org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      f.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val set = pairs(Dedup.prefixJaccardNearDup(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.1))
+    val wtd = pairs(Dedup.weightedJaccardNearDup(docs, "doc_id", "text",
+      shingleN = 3, cap = 3, threshold = 0.1))
+    // the repeated-template pair: set-semantic similarity is high (the
+    // repeats add no new shingles), weighted similarity is much lower
+    // (doc 0's repetition mass has no counterpart in doc 1)
+    assert(!set.contains((0L, 2L))) // sanity: no cross-noise pair
+    assert(set((0L, 1L)) >= 2 * wtd((0L, 1L)),
+      s"set=${set((0L, 1L))} weighted=${wtd((0L, 1L))}")
+    // every shingle unique (tf == 1 everywhere) → the two measures agree
+    assert(math.abs(set((2L, 3L)) - wtd((2L, 3L))) < 1e-9)
+  }
+
   test("nearDupClusters self-persists an uncached pair plan and leaves " +
     "a caller-persisted one alone") {
     import org.apache.spark.storage.StorageLevel
