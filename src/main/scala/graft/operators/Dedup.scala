@@ -544,6 +544,80 @@ object Dedup {
     prefixJaccardOnSetsReleasable(sets, threshold, maxTokenDf)._1
   }
 
+  /** Directional CONTAINMENT near-dup: pairs (a, b), a ≠ b, with
+    *   C(A→B) = |A∩B| / |A| ≥ threshold
+    * over n-gram shingle sets — "document a is (mostly) contained in
+    * document b": quotation, excerpting, a post embedded in a longer
+    * page. The symmetric Jaccard family MISSES these by construction
+    * (a short doc inside a long one has |A∩B|/|A∪B| ≈ |A|/|B| → 0), and
+    * PPJoin's size-ratio filter explicitly prunes them; containment has
+    * no size constraint between the sides, which is exactly its point.
+    *
+    * Exact asymmetric prefix filter: order every doc's shingles by
+    * ascending global document frequency (rarest first — any fixed
+    * total order is sound; df order minimizes candidate volume). If
+    * C(A→B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so A's first
+    * |A| − ⌈t·|A|⌉ + 1 ordered shingles must contain a shared one
+    * (pigeonhole) — candidates come from joining A-prefixes against the
+    * FULL posting list of the other side (no B-prefix exists: a huge B
+    * can contain a tiny A, so only the probe side shrinks). Exactness
+    * guard as in PPJoin: a prefix shingle hotter than `maxTokenDf`
+    * fails loudly rather than silently exploding the posting join.
+    * Candidate volume = Σ_prefix-shingles df(s) — df-bounded, never
+    * all-pairs. Exact verify |A∩B|/|A| on candidates. */
+  def containmentNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      maxTokenDf: Long = 100000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold outside (0,1]")
+    val sh = df.select(
+        col(idCol).as("graft_id"),
+        array_distinct(shingles(col(textCol), shingleN)).as("graft_sh"))
+      .persist()
+    val docTok = sh.select(col("graft_id"), explode(col("graft_sh")).as("graft_tok"))
+    val dfs = docTok.groupBy("graft_tok").agg(count(lit(1)).as("graft_df"))
+    val ordered = docTok.join(dfs, "graft_tok")
+      .groupBy("graft_id")
+      .agg(sort_array(collect_list(struct(col("graft_df"), col("graft_tok"))))
+        .as("graft_ord"))
+    // prefix length |A| − ⌈t·|A|⌉ + 1 (PPJoin's ceil spelling, proven
+    // cross-engine)
+    val plen = (size(col("graft_ord")) -
+      ceil(lit(threshold) * size(col("graft_ord")) - lit(1e-9)).cast("int") + 1)
+    val prefixes = ordered
+      .select(col("graft_id"),
+        explode(slice(col("graft_ord"), lit(1), plen)).as("graft_e"))
+      .select(col("graft_id"),
+        col("graft_e.graft_tok").as("graft_tok"),
+        col("graft_e.graft_df").as("graft_df"))
+      .persist()
+    val hot = prefixes.filter(col("graft_df") > maxTokenDf).count()
+    require(hot == 0L,
+      s"containmentNearDup: $hot prefix shingles exceed maxTokenDf=$maxTokenDf " +
+        "— run exact dedup first, or raise the bound knowingly")
+    // a prefix shingle with global df 1 occurs only in its own doc —
+    // it cannot produce an a ≠ b candidate; dropping the df-1 tail
+    // (the bulk of a rarity-ordered prefix) is exactness-neutral
+    val candidates = prefixes.filter(col("graft_df") >= 2).as("a")
+      .join(docTok.as("b"),
+        col("a.graft_tok") === col("b.graft_tok") &&
+          col("a.graft_id") =!= col("b.graft_id"))
+      .select(col("a.graft_id").as("id_a"), col("b.graft_id").as("id_b"))
+      .distinct()
+    val result = candidates
+      .join(sh.select(col("graft_id").as("id_a"), col("graft_sh").as("sh_a")), "id_a")
+      .join(sh.select(col("graft_id").as("id_b"), col("graft_sh").as("sh_b")), "id_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
+    result
+  }
+
   /** The PPJoin prefix-filter core over ANY per-row element-set frame
     * `(graft_id, graft_sh: array<string>)` — elements must be distinct
     * within a row. [[prefixJaccardNearDupReleasable]] feeds it shingle

@@ -224,6 +224,51 @@ object TextQueries {
              |                JOIN g gb ON gb.doc_id = ppj_cand.ib) p
              |WHERE jc >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Directional CONTAINMENT pairs (r14): C(A→B) = |A∩B|/|A| ≥ 0.8 over
+    // 3-gram shingle sets — "doc a is mostly contained in doc b", the
+    // quotation/excerpt axis the symmetric Jaccard family structurally
+    // misses (a short doc inside a long one has Jaccard ≈ |A|/|B| → 0,
+    // and PPJoin's size-ratio filter prunes exactly those pairs). Exact
+    // asymmetric prefix filter: rarity-ordered probe prefixes joined
+    // against FULL posting lists (no candidate-side prefix exists — a
+    // huge container can hold a tiny probe); candidate volume is
+    // df-bounded, never all-pairs. The oracle replays the identical
+    // prefix algebra and verify.
+    GraftQuery(
+      "q_containment",
+      (s, d) =>
+        graft.operators.Dedup.containmentNearDup(
+          Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, threshold = 0.8)
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+             |           FROM documents),
+             |g AS (SELECT doc_id,
+             |        CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |             ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+             |                                 FOR i IN range(1, len(w)-1)])
+             |        END AS sh
+             |      FROM t),
+             |tok AS (SELECT doc_id, unnest(sh) AS tok FROM g),
+             |dfs AS (SELECT tok, count(*) AS df FROM tok GROUP BY 1),
+             |ord AS (SELECT tk.doc_id, tk.tok, d.df,
+             |          row_number() OVER (PARTITION BY tk.doc_id
+             |            ORDER BY d.df, tk.tok) AS pos,
+             |          count(*) OVER (PARTITION BY tk.doc_id) AS sz
+             |        FROM tok tk JOIN dfs d USING (tok)),
+             |pr AS (SELECT * FROM ord
+             |       WHERE pos <= sz - CEIL(0.8*sz - 1e-9) + 1 AND df >= 2),
+             |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+             |         FROM pr a JOIN tok b
+             |           ON a.tok = b.tok AND a.doc_id <> b.doc_id)
+             |SELECT id_a, id_b, ROUND(cm, 4) AS containment FROM (
+             |  SELECT ia AS id_a, ib AS id_b,
+             |         CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE) /
+             |           len(ga.sh) AS cm
+             |  FROM cand JOIN g ga ON ga.doc_id = cand.ia
+             |            JOIN g gb ON gb.doc_id = cand.ib) p
+             |WHERE cm >= 0.8 ORDER BY id_a, id_b""".stripMargin)),
+
     // Exact edit-distance pair join WITHOUT the O(n²) theta join
     // (EditDistanceJoin.editPairs — FastSS/SymSpell deletion-neighborhood
     // blocking): every pair within levenshtein 1 shares a ≤1-deletion

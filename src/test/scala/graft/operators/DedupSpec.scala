@@ -172,6 +172,33 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(set((2L, 3L)) - wtd((2L, 3L))) < 1e-9)
   }
 
+  test("containmentNearDup finds the short-doc-inside-long-doc pairs the " +
+    "symmetric Jaccard family structurally misses, directionally") {
+    val quote = "to be or not to be that is the question"
+    val page = ("a long page of framing commentary that quotes the bard "
+      + quote + " and then discusses the passage at length with many more words "
+      + "about elizabethan drama and the human condition in general terms")
+    val docs = Seq(
+      (0L, quote),                                // contained in 1
+      (1L, page),                                 // the container
+      (2L, "completely unrelated text about spark shuffle partitioning"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentNearDup(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.8)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    // direction matters: the quote is contained in the page (C = 1.0),
+    // the page is NOT contained in the quote
+    assert(cont.keySet == Set((0L, 1L)), s"got $cont")
+    assert(cont((0L, 1L)) == 1.0)
+    // the same pair is invisible to symmetric Jaccard at any useful
+    // threshold (|A∩B|/|A∪B| = |A|/|B| here)
+    val jac = Dedup.prefixJaccardNearDup(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((0L, 1L)))
+  }
+
   test("nearDupClusters self-persists an uncached pair plan and leaves " +
     "a caller-persisted one alone") {
     import org.apache.spark.storage.StorageLevel
