@@ -571,7 +571,20 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.8,
-      maxTokenDf: Long = 100000L): DataFrame = {
+      maxTokenDf: Long = 100000L): DataFrame =
+    containmentNearDupReleasable(
+      df, idCol, textCol, shingleN, threshold, maxTokenDf)._1
+
+  /** [[containmentNearDup]] plus an explicit release handle for its two
+    * internal caches — the multi-corpus-session contract of
+    * [[prefixJaccardNearDupReleasable]]. */
+  def containmentNearDupReleasable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      maxTokenDf: Long = 100000L): (DataFrame, () => Unit) = {
     require(threshold > 0 && threshold <= 1, s"threshold=$threshold outside (0,1]")
     val sh = df.select(
         col(idCol).as("graft_id"),
@@ -615,7 +628,7 @@ object Dedup {
           size(col("sh_a")))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
-    result
+    (result, () => { sh.unpersist(); prefixes.unpersist(); () })
   }
 
   /** The PPJoin prefix-filter core over ANY per-row element-set frame

@@ -65,7 +65,9 @@ class PpjoinReleaseSpec extends AnyFunSuite {
       ("simhash", () => Dedup.simhashNearDupReplayableReleasable(
         docs, "doc_id", "text", maxHamming = 7, chunks = 4)),
       ("embedding", () => Dedup.embeddingNearDupReplayableReleasable(
-        embs, "vec_id", "embedding", threshold = 0.3)))
+        embs, "vec_id", "embedding", threshold = 0.3)),
+      ("containment", () => Dedup.containmentNearDupReleasable(
+        docs, "doc_id", "text", shingleN = 3, threshold = 0.8)))
     for ((name, mk) <- runs) {
       val (pairs, release) = mk()
       pairs.count() // materialize every derived plan
