@@ -94,7 +94,15 @@ object Bench {
           // no-ops the whole stall feature on the space-formatted kind.
           val sfRe = """"sf"\s*:\s*"([^"]+)"""".r
           val floorSf = sfRe.findFirstMatchIn(txt).map(_.group(1))
-          if (!floorSf.contains(sfDir)) Map.empty
+          if (!floorSf.contains(sfDir)) {
+            // loud no-op (r14 ADVICE): floor files written before the
+            // sf key existed, or a scale sweep at a different sfDir,
+            // silently disabled the stall check — say so once
+            System.err.println(
+              s"[bench] stall floors DISABLED: floor file ${latest.getName} " +
+                s"has sf=${floorSf.getOrElse("<absent>")}, run is sf=$sfDir")
+            Map.empty
+          }
           else {
             // minimal parse of the flat "queries":{"name":sec,...} map
             val m = """"(q_[a-z0-9_]+)"\s*:\s*([0-9.]+)""".r
@@ -104,36 +112,63 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     }
     val stallFactor = 3.0
-    val stalls = scala.collection.mutable.LinkedHashMap[String, (Double, Seq[Double])]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // name -> (floor, raw timings, retry timings) — retry filled by the
+    // end-of-run pass below
+    val stalls = scala.collection.mutable
+      .LinkedHashMap[String, (Double, Seq[Double], Seq[Double])]()
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-        def run(): Double = {
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
-        }
-        var times = (1 to reps).map(_ => run())
+      .foreach { case (name, fn) =>
+        var times = (1 to reps).map(_ => timeOne(fn))
         floors.get(name).foreach { floor =>
           var extra = 0
           while (times.min > stallFactor * floor && extra < 3) {
-            times = times :+ run()
+            times = times :+ timeOne(fn)
             extra += 1
           }
-          if (times.min > stallFactor * floor) stalls(name) = (floor, times)
+          if (times.min > stallFactor * floor) stalls(name) = (floor, times, Nil)
           else if (extra > 0) System.err.println(
             s"[bench] $name rescreen cleared a stall: ${times.map(fmt).mkString(", ")} (floor ${fmt(floor)})")
         }
         if (only.isDefined) System.err.println(
           s"[bench] $name raw: ${times.map(fmt).mkString(", ")}")
-        name -> times.min
+        results(name) = times.min
       }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // End-of-run stall RETRY pass (VERDICT r14 item 3): this VM's
+    // noisy-neighbor stalls are transient — minutes, not the length of
+    // a full bench run — so a query that stalled through its in-place
+    // rescreens usually runs clean once the rest of the suite has
+    // played out. Re-run each stalled query twice more now and REPORT
+    // the improved min; the stall annotation stays either way (a
+    // cleared retry proves the early value was environmental, a
+    // still-hot retry is annotated twice-stalled for the round notes).
+    stalls.keys.toSeq.foreach { name =>
+      val (floor, raw, _) = stalls(name)
+      val retry = (1 to 2).map(_ => timeOne(SparkEntry.queries(name)))
+      stalls(name) = (floor, raw, retry)
+      val newMin = math.min(results(name), retry.min)
+      System.err.println(
+        if (retry.min <= stallFactor * floor)
+          s"[bench] $name retry cleared the stall: ${retry.map(fmt).mkString(", ")} (floor ${fmt(floor)})"
+        else
+          s"[bench] $name stalled TWICE: retry ${retry.map(fmt).mkString(", ")} (floor ${fmt(floor)})")
+      results(name) = newMin
+    }
+    val total = if (results.nonEmpty) results.values.sum else 0.0
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val stallsJson = stalls.map { case (k, (floor, raw)) =>
+    val stallsJson = stalls.map { case (k, (floor, raw, retry)) =>
       "\"" + k + "\":{\"floor\":" + fmt(floor) +
-        ",\"raw\":[" + raw.map(fmt).mkString(",") + "]}"
+        ",\"raw\":[" + raw.map(fmt).mkString(",") + "]" +
+        ",\"retry\":[" + retry.map(fmt).mkString(",") + "]" +
+        ",\"cleared_on_retry\":" +
+        (retry.nonEmpty && retry.min <= stallFactor * floor) + "}"
     }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"stalls":$stallsJson,"sf":"$sfDir"}"""
@@ -156,7 +191,8 @@ object Bench {
     val stallNote =
       if (stalls.isEmpty) "0"
       else {
-        val worst = stalls.maxBy { case (_, (f, raw)) => raw.min / f }._1
+        val worst = stalls.maxBy { case (_, (f, raw, retry)) =>
+          (raw ++ retry).min / f }._1
         s"""${stalls.size},"worst_stall":"$worst""""
       }
     println(

@@ -84,7 +84,7 @@ object RecallReport {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val outFile = args.lift(1).getOrElse("RECALL_r14.json")
+    val outFile = args.lift(1).getOrElse("RECALL_r15.json")
     val nProbes = args.lift(2).map(_.toInt).getOrElse(20)
     val k = 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -105,21 +105,27 @@ object RecallReport {
     /** Run every variant over one corpus panel; returns the per-variant
       * JSON rows. Builds each persistent index once per panel. */
     def runPanel(corpus: DataFrame, label: String): Seq[String] = {
-      val pqDir = GraftQuery.tempDir("graft_recall_pq") + "/idx"
+      val pqBase = GraftQuery.tempDir("graft_recall_pq")
+      val pqDir = pqBase + "/idx"
       val pq = IvfPqIndex.buildAndSave(
         corpus, pqDir, "vec_id", "embedding", nlist = 8, m = 8, ksub = 32)
-      val ivfDir = GraftQuery.tempDir("graft_recall_ivf") + "/idx"
+      val ivfBase = GraftQuery.tempDir("graft_recall_ivf")
+      val ivfDir = ivfBase + "/idx"
       val ivf = IvfIndex.build(corpus, "vec_id", "embedding", nlist = 8)
       ivf.save(ivfDir)
       val pca = Pca.fit(corpus, "embedding", k = 16)
+      try {
 
       val autoPlanes = Similarity.autoPlanes(n)
+      val autoProbes = Similarity.autoProbes(n, autoPlanes)
       val variants = Seq(
         Variant("lsh_multiprobe", "q_ann_topk",
-          s""""planes":$autoPlanes,"planes_rule":"autoPlanes(n)"""",
+          s""""planes":$autoPlanes,"planes_rule":"autoPlanes(n)",""" +
+            s""""probes":$autoProbes,"probes_rule":"autoProbes(n, planes)"""",
           _ => 0L,
           (c, _, p, kk) =>
-            Similarity.lshTopK(c, "vec_id", "embedding", p, kk, planes = autoPlanes)),
+            Similarity.lshTopK(c, "vec_id", "embedding", p, kk,
+              planes = autoPlanes, numProbes = autoProbes)),
         Variant("int8_scan", "q_ann_topk_q8", "\"poolK\":50",
           c => n * (dim + 8L), // int8 codes + per-row scale the coarse scan reads
           (c, _, p, kk) => Similarity.quantizedTopK(c, "vec_id", "embedding", p, kk)),
@@ -169,8 +175,24 @@ object RecallReport {
           s""""min_recall":${fmt(minRecall)},"sim_ratio":${fmt(simRatio)},""" +
           s""""params":{${v.params}},"index_bytes":$bytes}"""
       }
-      ivf.assigned.unpersist()
       out
+      // per-panel cleanup (r14 ADVICE): two panels per run each built
+      // fresh on-disk indexes and caches — release them here or they
+      // live for the JVM/filesystem lifetime of the tool
+      } finally {
+        ivf.assigned.unpersist()
+        pq.codes.unpersist()
+        def rmTree(p: String): Unit = {
+          val f = new java.io.File(p)
+          def walk(x: java.io.File): Unit = {
+            Option(x.listFiles()).foreach(_.foreach(walk))
+            x.delete(); ()
+          }
+          if (f.exists) walk(f)
+        }
+        rmTree(pqBase)
+        rmTree(ivfBase)
+      }
     }
 
     val fixtureRows = runPanel(fixture, "fixture")

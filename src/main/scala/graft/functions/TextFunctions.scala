@@ -25,8 +25,19 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(bpeishTokens(text)).cast("long")
 
   /** Word n-gram shingles: ["a","b","c"] with n=2 → ["a b", "b c"].
-    * Documents shorter than n shingle to the whole document. */
-  def shingles(text: Column, n: Int): Column = {
+    * Documents shorter than n shingle to the whole document. Native
+    * fused expression (one regex split + one builder pass per shingle;
+    * see org.apache.spark.sql.graft.WordShingles) — bit-identical to the
+    * composed [[shinglesHof]] form the oracle SQL replays, parity pinned
+    * in ShinglesParitySpec. */
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.WordShingles.shingles(text, n)
+
+  /** The composed higher-order-function spelling of [[shingles]] — the
+    * literal algebra the DuckDB oracles replay (split → sequence →
+    * slice/array_join per position). Kept as the parity witness; never
+    * the scan path. */
+  def shinglesHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) <= n, array(array_join(toks, " ")))
       .otherwise(

@@ -652,10 +652,25 @@ object Multimodal {
     * one planted near-dup pair while distinct groups are structurally
     * unrelated mosaics. All real codecs end to end (ImageIO encode →
     * decode → hash); generation is executor-side and narrow. */
+  /** Membership predicates of the synthetic media corpora — ONE
+    * definition shared by the corpus builders and the id-only helpers
+    * below (r14 ADVICE: the duplicated filter literals could drift with
+    * only a sf0.001 spec to catch it). Image/audio select every 5th
+    * doc (two per group of 10 — each group is one planted near-dup
+    * pair); video additionally keeps every other GROUP (both members —
+    * groups stay complete) because video synthesis is 4 real JPEG
+    * encodes per row. */
+  private def imageAudioMember(
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    id % 5 === 0
+  private def videoMember(
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    imageAudioMember(id) && floor(id / 10) % 2 === 0
+
   def syntheticImageCorpus(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.sources.Tables.documents(spark, sfDir)
-      .select(col("doc_id")).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id")).filter(imageAudioMember(col("doc_id")))
       .as[Long]
       .map { id =>
         val group = id / 10
@@ -697,7 +712,7 @@ object Multimodal {
   def syntheticAudioCorpus(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.sources.Tables.documents(spark, sfDir)
-      .select(col("doc_id")).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id")).filter(imageAudioMember(col("doc_id")))
       .as[Long]
       .map { id =>
         val group = id / 10
@@ -826,11 +841,10 @@ object Multimodal {
     import spark.implicits._
     graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"))
-      // every other GROUP (both members kept — groups stay complete);
-      // video synthesis is 4 real JPEG encodes per row, the costliest
-      // of the synthetic media corpora, and half the groups exercise
-      // the pipeline identically at half the fixture cost
-      .filter(col("doc_id") % 5 === 0 && floor(col("doc_id") / 10) % 2 === 0)
+      // videoMember: every other GROUP (both members kept — groups stay
+      // complete); half the groups exercise the costly 4-JPEG-encode
+      // pipeline identically at half the fixture cost
+      .filter(videoMember(col("doc_id")))
       .as[Long]
       .map { id =>
         val group = id / 10
@@ -873,7 +887,7 @@ object Multimodal {
   def syntheticImageAudioCorpusIds(
       spark: SparkSession, sfDir: String): DataFrame =
     graft.sources.Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % 5 === 0)
+      .filter(imageAudioMember(col("doc_id")))
       .select(col("doc_id").as("media_id"))
 
   /** Membership of [[syntheticVideoCorpus]] — see
@@ -881,7 +895,7 @@ object Multimodal {
   def syntheticVideoCorpusIds(
       spark: SparkSession, sfDir: String): DataFrame =
     graft.sources.Tables.documents(spark, sfDir)
-      .filter(col("doc_id") % 5 === 0 && floor(col("doc_id") / 10) % 2 === 0)
+      .filter(videoMember(col("doc_id")))
       .select(col("doc_id").as("media_id"))
 
   /** Build a demo media table from the documents fixture (bytes = utf8 of

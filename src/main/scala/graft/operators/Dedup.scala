@@ -528,7 +528,23 @@ object Dedup {
       shingleN: Int = 3,
       cap: Int = 3,
       threshold: Double = 0.5,
-      maxTokenDf: Long = 100000L): DataFrame = {
+      maxTokenDf: Long = 100000L): DataFrame =
+    weightedJaccardNearDupReleasable(
+      df, idCol, textCol, shingleN, cap, threshold, maxTokenDf)._1
+
+  /** [[weightedJaccardNearDup]] plus the explicit cache-release handle —
+    * the multi-corpus-session contract every other near-dup operator in
+    * this family carries ([[prefixJaccardNearDupReleasable]]): without
+    * it, a long-lived session churning through corpora cannot return
+    * the PPJoin core's two persisted caches. */
+  def weightedJaccardNearDupReleasable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      cap: Int = 3,
+      threshold: Double = 0.5,
+      maxTokenDf: Long = 100000L): (DataFrame, () => Unit) = {
     require(cap >= 1, s"cap=$cap must be >= 1")
     val counts = df
       .select(col(idCol).as("graft_id"),
@@ -541,7 +557,7 @@ object Dedup {
         i => concat_ws("\u0001", col("graft_tok"), i.cast("string")))).as("graft_el"))
       .groupBy("graft_id")
       .agg(collect_list("graft_el").as("graft_sh"))
-    prefixJaccardOnSetsReleasable(sets, threshold, maxTokenDf)._1
+    prefixJaccardOnSetsReleasable(sets, threshold, maxTokenDf)
   }
 
   /** Directional CONTAINMENT near-dup: pairs (a, b), a ≠ b, with
@@ -575,8 +591,8 @@ object Dedup {
     containmentNearDupReleasable(
       df, idCol, textCol, shingleN, threshold, maxTokenDf)._1
 
-  /** [[containmentNearDup]] plus an explicit release handle for its two
-    * internal caches — the multi-corpus-session contract of
+  /** [[containmentNearDup]] plus an explicit release handle for its
+    * internal shingle-set cache — the multi-corpus-session contract of
     * [[prefixJaccardNearDupReleasable]]. */
   def containmentNearDupReleasable(
       df: DataFrame,
@@ -591,13 +607,24 @@ object Dedup {
         array_distinct(shingles(col(textCol), shingleN)).as("graft_sh"))
       .persist()
     val docTok = sh.select(col("graft_id"), explode(col("graft_sh")).as("graft_tok"))
-    val dfs = docTok.groupBy("graft_tok").agg(count(lit(1)).as("graft_df"))
-    val ordered = docTok.join(dfs, "graft_tok")
+    // Document frequency as a WINDOW count over partitionBy(tok) rather
+    // than groupBy + join-back: ONE exchange of the token table instead
+    // of three (the groupBy, the join's re-shuffle of docTok, and the
+    // dfs side), and the windowed frame is hash-partitioned AND sorted
+    // by token — exactly the layout the posting-list side of the
+    // candidate join below needs, so that side adds no exchange at all
+    // (the minhash path's bucket-cap window plays the same trick).
+    val tokWin = org.apache.spark.sql.expressions.Window.partitionBy("graft_tok")
+    val withDf = docTok.withColumn("graft_df", count(lit(1)).over(tokWin))
+    val ordered = withDf
       .groupBy("graft_id")
       .agg(sort_array(collect_list(struct(col("graft_df"), col("graft_tok"))))
         .as("graft_ord"))
     // prefix length |A| − ⌈t·|A|⌉ + 1 (PPJoin's ceil spelling, proven
-    // cross-engine)
+    // cross-engine). (A row_number/count window spelling of this stage
+    // was measured ~0.5 s SLOWER at sf0.1 — two WindowExec passes over
+    // the full token table lose to one ObjectHashAggregate whose
+    // per-doc arrays are small.)
     val plen = (size(col("graft_ord")) -
       ceil(lit(threshold) * size(col("graft_ord")) - lit(1e-9)).cast("int") + 1)
     val prefixes = ordered
@@ -606,29 +633,52 @@ object Dedup {
       .select(col("graft_id"),
         col("graft_e.graft_tok").as("graft_tok"),
         col("graft_e.graft_df").as("graft_df"))
-      .persist()
-    val hot = prefixes.filter(col("graft_df") > maxTokenDf).count()
-    require(hot == 0L,
-      s"containmentNearDup: $hot prefix shingles exceed maxTokenDf=$maxTokenDf " +
-        "— run exact dedup first, or raise the bound knowingly")
-    // a prefix shingle with global df 1 occurs only in its own doc —
-    // it cannot produce an a ≠ b candidate; dropping the df-1 tail
-    // (the bulk of a rarity-ordered prefix) is exactness-neutral
-    val candidates = prefixes.filter(col("graft_df") >= 2).as("a")
-      .join(docTok.as("b"),
+    // Loud exactness guard FUSED into the candidate pass (it was an
+    // eager count() — a second full run of the sh→dfs→ordered pipeline
+    // per call, measured as ~half of q_containment's bench cost): every
+    // prefix row flows through this filter exactly once per
+    // materialization, and a hot shingle raises before it can reach the
+    // posting join. The df-1 tail drop rides the same predicate — a
+    // prefix shingle with global df 1 occurs only in its own doc, so it
+    // cannot produce an a ≠ b candidate (exactness-neutral). With the
+    // guard lazy, `prefixes` is consumed exactly once → no persist.
+    val candidates = prefixes.filter(
+        when(col("graft_df") > maxTokenDf,
+          raise_error(concat(
+            lit("containmentNearDup: prefix shingle '"), col("graft_tok"),
+            lit(s"' has document frequency above maxTokenDf=$maxTokenDf " +
+              "— run exact dedup first, or raise the bound knowingly")))
+            .cast("boolean"))
+          .otherwise(col("graft_df") >= 2)).as("a")
+      .join(withDf.select("graft_id", "graft_tok").as("b"),
         col("a.graft_tok") === col("b.graft_tok") &&
           col("a.graft_id") =!= col("b.graft_id"))
       .select(col("a.graft_id").as("id_a"), col("b.graft_id").as("id_b"))
-      .distinct()
+    // NO mid-pipeline distinct: measured at sf0.1, the candidate join
+    // emits 308k pairs of which 300k are already unique (a pair repeats
+    // only when it shares SEVERAL prefix shingles — rare by
+    // construction, since one shared prefix shingle suffices), so a
+    // distinct here pays a full exchange+aggregate of the candidate set
+    // to trim 3%. Verify instead processes the few duplicates and the
+    // final distinct runs on the SURVIVORS (dup-rate-sized — 512 rows
+    // where candidates were 308k). Duplicate candidates verify to
+    // byte-identical rows, so the result SET is unchanged.
     val result = candidates
       .join(sh.select(col("graft_id").as("id_a"), col("graft_sh").as("sh_a")), "id_a")
       .join(sh.select(col("graft_id").as("id_b"), col("graft_sh").as("sh_b")), "id_b")
+      // exactness-safe LENGTH filter before the intersect:
+      // |A∩B| ≤ |B|, so C(A→B) ≥ t forces |B| ≥ t·|A| — a row-local
+      // integer compare that skips the per-pair set intersection for
+      // every candidate whose container is too small to qualify
+      .filter(size(col("sh_b")).cast("double") >=
+        lit(threshold) * size(col("sh_a")) - lit(1e-9))
       .withColumn("containment",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(col("sh_a")))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
-    (result, () => { sh.unpersist(); prefixes.unpersist(); () })
+      .distinct()
+    (result, () => { sh.unpersist(); () })
   }
 
   /** The PPJoin prefix-filter core over ANY per-row element-set frame
@@ -659,16 +709,24 @@ object Dedup {
         col("col.graft_tok").as("graft_tok"),
         col("col.graft_df").as("graft_df"))
       .persist()
-    // Loud exactness guard (eager, one cheap filter over the prefix set).
-    val hot = prefixes.filter(col("graft_df") > maxTokenDf).count()
-    require(hot == 0L,
-      s"prefixJaccardNearDup: $hot prefix shingles exceed maxTokenDf=$maxTokenDf " +
-        "— run exact dedup first (identical-doc mass makes rare prefixes hot), " +
-        "or raise the bound knowingly")
-    // A shared prefix shingle has df >= 2 by definition, so the df-1
-    // tail — the BULK of a rarity-ordered prefix — can never produce a
-    // candidate and is dropped from the join (exactness untouched).
-    val joinable = prefixes.filter(col("graft_df") >= 2)
+    // Loud exactness guard FUSED into the candidate pass (was an eager
+    // count() — one extra job per call whose only purpose was the
+    // guard; the persist above already pays the materialization, so the
+    // guard rides the first read for free): every prefix row passes
+    // this filter before it can reach the self-join, and a hot shingle
+    // raises instead of silently exploding candidates. The df-1 tail
+    // drop shares the predicate — a shared prefix shingle has df >= 2
+    // by definition, so the df-1 tail (the BULK of a rarity-ordered
+    // prefix) can never produce a candidate (exactness untouched).
+    val joinable = prefixes.filter(
+      when(col("graft_df") > maxTokenDf,
+        raise_error(concat(
+          lit("prefixJaccardNearDup: prefix shingle '"), col("graft_tok"),
+          lit(s"' has document frequency above maxTokenDf=$maxTokenDf " +
+            "— run exact dedup first (identical-doc mass makes rare " +
+            "prefixes hot), or raise the bound knowingly")))
+          .cast("boolean"))
+        .otherwise(col("graft_df") >= 2))
     // Candidate join with the PPJoin LENGTH and POSITION filters:
     //  - length: J >= t forces t·|B| <= |A| (sizes within factor t);
     //  - position: matching token at 1-based positions (i, j) bounds the

@@ -309,13 +309,14 @@ object NonOracleQueries {
              |ORDER BY id_a, id_b""".stripMargin)),
 
     // Approximate nearest neighbors: LSH buckets + multi-probe rerank.
-    // Plane count is scale-adaptive (Similarity.autoPlanes — planes ∝
-    // log n keeps the expected bucket population ~targetBucket as the
-    // corpus grows); r14's RECALL artifact measured the fixed planes=8
-    // default at recall@10 0.11 isotropic / 0.84 clustered on the sf0.1
-    // panels (8-row buckets under-populate the multi-probe candidate
-    // set) vs 0.49 / 0.96 with the adaptive count (the isotropic panel
-    // is the documented worst case — sim_ratio there is 0.92).
+    // BOTH knobs are scale-adaptive: plane count via Similarity
+    // .autoPlanes (planes ∝ log n keeps the expected bucket population
+    // ~targetBucket as the corpus grows; r14 measured fixed planes=8 at
+    // recall@10 0.11 isotropic / 0.84 clustered vs 0.49 / 0.96
+    // adaptive) and probe count via Similarity.autoProbes (hamming-
+    // nearest buckets until the expected candidate pool reaches
+    // ~2048 — r14's artifact showed the fixed 1-bit schedule starving
+    // the pool at 0.96 clustered where every other variant hit 1.00).
     GraftQuery(
       "q_ann_topk",
       (s, d) => {
@@ -326,8 +327,10 @@ object NonOracleQueries {
           .select("embedding").collect().head.getSeq[Float](0).toArray
         val corpus = e.filter(col("vec_id") =!= 0)
         val (n, _) = Similarity.countAndDim(corpus, "embedding")
+        val planes = Similarity.autoPlanes(n)
         Similarity.lshTopK(corpus, "vec_id", "embedding", p, 10,
-          planes = Similarity.autoPlanes(n))
+          planes = planes,
+          numProbes = Similarity.autoProbes(n, planes))
       }),
 
     // Quantized-scan ANN: int8 coarse scoring over the quarter-size

@@ -285,11 +285,32 @@ class DedupSpec extends AnyFunSuite {
   test("prefixJaccardNearDup throws loudly on a hot prefix shingle instead of capping") {
     val clones = (1L to 40L).map(i => (i, "the same exact boilerplate text everywhere"))
       .toDF("doc_id", "text")
-    val e = intercept[IllegalArgumentException] {
+    // The guard is fused into the candidate pass (raise_error in the
+    // prefix filter — r14 it was an eager count() job), so it surfaces
+    // when the plan RUNS, wrapped in Spark's task-failure chain.
+    val e = intercept[Throwable] {
       Dedup.prefixJaccardNearDup(clones, "doc_id", "text",
         shingleN = 3, threshold = 0.5, maxTokenDf = 10L).collect()
     }
-    assert(e.getMessage.contains("exact dedup first"))
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("exact dedup first")),
+      s"guard message missing from ${chain(e)}")
+  }
+
+  test("containmentNearDup throws loudly on a hot prefix shingle too") {
+    val clones = (1L to 40L).map(i => (i, "the same exact boilerplate text everywhere"))
+      .toDF("doc_id", "text")
+    val e = intercept[Throwable] {
+      Dedup.containmentNearDup(clones, "doc_id", "text",
+        shingleN = 3, threshold = 0.8, maxTokenDf = 10L).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("exact dedup first")),
+      s"guard message missing from ${chain(e)}")
   }
 
   // ------------------------------------------------------------------

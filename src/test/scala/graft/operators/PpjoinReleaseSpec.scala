@@ -54,7 +54,12 @@ class PpjoinReleaseSpec extends AnyFunSuite {
 
   test("the replayable LSH family's releasable variants return their " +
     "internal caches to baseline too") {
+    // plan-distinct corpus (appended token): another suite in the same
+    // session may have cached the IDENTICAL shingle-set plan via a
+    // non-releasable variant, and Spark's CacheManager dedupes persists
+    // by plan — this test must observe ITS OWN caches appear and go
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("text", concat(col("text"), lit(" relspec")))
     val embs = Tables.embeddings(spark, "/root/testdata/sf0.001")
     def cachedIds: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val baseline = cachedIds
@@ -67,7 +72,9 @@ class PpjoinReleaseSpec extends AnyFunSuite {
       ("embedding", () => Dedup.embeddingNearDupReplayableReleasable(
         embs, "vec_id", "embedding", threshold = 0.3)),
       ("containment", () => Dedup.containmentNearDupReleasable(
-        docs, "doc_id", "text", shingleN = 3, threshold = 0.8)))
+        docs, "doc_id", "text", shingleN = 3, threshold = 0.8)),
+      ("weighted_jaccard", () => Dedup.weightedJaccardNearDupReleasable(
+        docs, "doc_id", "text", shingleN = 3, cap = 3, threshold = 0.5)))
     for ((name, mk) <- runs) {
       val (pairs, release) = mk()
       pairs.count() // materialize every derived plan
