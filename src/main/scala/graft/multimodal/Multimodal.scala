@@ -898,6 +898,76 @@ object Multimodal {
       .filter(videoMember(col("doc_id")))
       .select(col("doc_id").as("media_id"))
 
+  // ---- on-disk corpus memo (VERDICT r14 item 5) ----------------------
+  //
+  // The three synthetic corpora are pure functions of (sfDir, the builder
+  // version), yet four registered queries re-ran the codec ENCODE half
+  // per bench rep. The memo caches the encoded container BYTES as parquet
+  // under a content-addressed directory; decode → fingerprint (the half
+  // that IS the measured operator) still runs per query, so planted-pair
+  // semantics and the "real codecs end to end" contract are untouched —
+  // MediaMemoSpec pins memoized ≡ freshly-built byte equality.
+
+  /** Bump whenever any synthetic corpus definition changes: the key
+    * carries it, so a stale memo can never be read back. */
+  private val corpusMemoVersion = 1
+
+  private val memoLock = new Object
+
+  private def memoRoot: java.io.File = {
+    // target/ when running from the repo (bench, tests); tmpdir otherwise
+    val t = new java.io.File("target")
+    val root =
+      if (t.isDirectory) new java.io.File(t, "media_memo")
+      else new java.io.File(sys.props("java.io.tmpdir"), "graft_media_memo")
+    root.mkdirs()
+    root
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
+  /** Memoize one corpus build to parquet, publish-by-rename so concurrent
+    * builders (parallel suites, bench + tests) race benignly: whoever
+    * renames first wins, the loser deletes its temp build and reads the
+    * winner's — both read identical bytes because the build is
+    * deterministic. */
+  private def memoizedCorpus(
+      spark: SparkSession, sfDir: String, kind: String)(
+      build: => Dataset[MediaRow]): Dataset[MediaRow] = {
+    import spark.implicits._
+    if (sys.env.get("SPARK_GRAFT_MEDIA_MEMO").contains("off")) return build
+    val canon = new java.io.File(sfDir).getCanonicalPath
+    val keyHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$kind|$canon|v$corpusMemoVersion".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val dir = new java.io.File(memoRoot, s"${kind}_$keyHash")
+    if (!new java.io.File(dir, "_SUCCESS").exists()) memoLock.synchronized {
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        val tmp = new java.io.File(
+          memoRoot, dir.getName + ".tmp." + ProcessHandle.current().pid())
+        build.write.mode("overwrite").parquet(tmp.toString)
+        if (!tmp.renameTo(dir)) rmTree(tmp) // another process published first
+      }
+    }
+    spark.read.parquet(dir.toString).as[MediaRow]
+  }
+
+  /** Memoized [[syntheticImageCorpus]] — identical rows, encode ran once
+    * per (sfDir, version) on this machine instead of once per query rep. */
+  def syntheticImageCorpusMemo(spark: SparkSession, sfDir: String): Dataset[MediaRow] =
+    memoizedCorpus(spark, sfDir, "image")(syntheticImageCorpus(spark, sfDir))
+
+  /** Memoized [[syntheticAudioCorpus]]. */
+  def syntheticAudioCorpusMemo(spark: SparkSession, sfDir: String): Dataset[MediaRow] =
+    memoizedCorpus(spark, sfDir, "audio")(syntheticAudioCorpus(spark, sfDir))
+
+  /** Memoized [[syntheticVideoCorpus]]. */
+  def syntheticVideoCorpusMemo(spark: SparkSession, sfDir: String): Dataset[MediaRow] =
+    memoizedCorpus(spark, sfDir, "video")(syntheticVideoCorpus(spark, sfDir))
+
   /** Build a demo media table from the documents fixture (bytes = utf8 of
     * text) — exercises the binary-column plumbing against real parquet. */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {

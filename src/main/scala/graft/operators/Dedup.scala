@@ -281,6 +281,108 @@ object Dedup {
     corpus.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Frozen-reference handle for streaming/incremental [[dedupAgainst]]:
+    * the reference corpus' capped LSH band keys, fingerprinted ONCE and
+    * persisted, plus the reference frame itself for the exact-verify
+    * fetch. `release()` drops the one persisted cache — the ONLY state
+    * the incremental path holds, fixed at reference size (never grows
+    * with the stream; the StreamingDedupAgainstSpec state gate). */
+  final case class FrozenReference private[operators] (
+      reference: DataFrame,
+      refBands: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numHashes: Int,
+      bands: Int,
+      seed: Long,
+      release: () => Unit)
+
+  /** Fingerprint and band a FROZEN reference corpus for incremental
+    * cross-corpus dedup (VERDICT r14 item 7 — "gate the new crawl
+    * against last month's corpus", arriving as a stream). Bands are
+    * capped at `maxBucket` per (band, bucket) exactly like
+    * [[dedupAgainst]]'s reference side, then persisted and materialized
+    * eagerly so every micro-batch reuses one cache instead of
+    * re-shingling the reference per trigger. */
+  def freezeReference(
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 64,
+      seed: Long = 42L,
+      maxBucket: Int = 1000): FrozenReference = {
+    val banded = reference
+      .select(
+        col(idCol).as("ref_id"),
+        minhashTextSignature(col(textCol), shingleN, numHashes, seed).as("graft_sig"))
+      .select(col("ref_id"),
+        explode(bandKeys(col("graft_sig"), bands, numHashes)).as("graft_band"))
+      .select(col("ref_id"), col("graft_band.band"), col("graft_band.bucket"))
+    val capped = banded.join(
+        banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+          .filter(col("n") <= maxBucket).select("band", "bucket"),
+        Seq("band", "bucket"), "left_semi")
+      .persist()
+    capped.count()
+    FrozenReference(reference, capped, idCol, textCol, shingleN, numHashes,
+      bands, seed, () => { capped.unpersist(); () })
+  }
+
+  /** One batch of corpus docs gated against a [[FrozenReference]]:
+    * band-join candidates against the frozen bands, exact-verify 3-gram
+    * Jaccard against only the candidate reference docs, anti-join. Each
+    * doc's decision depends ONLY on (doc, reference) — no corpus-side
+    * bucket cap here, on purpose: that cap is a whole-corpus skew guard
+    * that would make admissions depend on batch boundaries, and the
+    * micro-batch size already bounds the corpus side. Batches therefore
+    * decompose EXACTLY: the union of per-batch outputs equals
+    * [[dedupAgainst]] on the union whenever no union-side bucket
+    * overflows the batch operator's corpus cap (the spec pins it).
+    *
+    * Returns a PERSISTED, materialized frame (internal candidate cache
+    * already released) — callers unpersist it after their sink, the
+    * [[graft.streaming.StreamOps.nearDupStream]] lifecycle shape. */
+  def dedupAgainstFrozen(
+      batch: DataFrame,
+      frozen: FrozenReference,
+      threshold: Double = 0.5): DataFrame = {
+    import frozen.{idCol, textCol}
+    val bandB = batch
+      .select(
+        col(idCol).as("cand_id"),
+        minhashTextSignature(
+          col(textCol), frozen.shingleN, frozen.numHashes, frozen.seed)
+          .as("graft_sig"))
+      .select(col("cand_id"),
+        explode(bandKeys(col("graft_sig"), frozen.bands, frozen.numHashes))
+          .as("graft_band"))
+      .select(col("cand_id"), col("graft_band.band"), col("graft_band.bucket"))
+    val candidates = bandB.join(frozen.refBands, Seq("band", "bucket"))
+      .select(col("cand_id"), col("ref_id")).distinct()
+      .persist()
+    val candC = batch
+      .join(candidates.select(col("cand_id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("cand_id"), shingles(col(textCol), frozen.shingleN).as("sh_c"))
+    val candR = frozen.reference
+      .join(candidates.select(col("ref_id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("ref_id"), shingles(col(textCol), frozen.shingleN).as("sh_r"))
+    val dupIds = candidates
+      .join(candC, "cand_id")
+      .join(candR, "ref_id")
+      .withColumn("graft_j", jaccard(col("sh_c"), col("sh_r")))
+      .filter(col("graft_j") >= threshold)
+      .select(col("cand_id").as(idCol)).distinct()
+    val admitted = batch.join(dupIds, Seq(idCol), "left_anti").persist()
+    admitted.count()
+    candidates.unpersist()
+    admitted
+  }
+
   /** Near-dup pairs via 64-bit SimHash: fingerprint, then the generic
     * hamming-banded pair join ([[hammingNearDupPairs]]).
     *
@@ -602,11 +704,15 @@ object Dedup {
       threshold: Double = 0.8,
       maxTokenDf: Long = 100000L): (DataFrame, () => Unit) = {
     require(threshold > 0 && threshold <= 1, s"threshold=$threshold outside (0,1]")
+    // sorted at build (once, cached) so the verify below is the
+    // zero-allocation SortedIntersectSize merge walk instead of
+    // array_intersect's hash-set + materialized-array per candidate pair
     val sh = df.select(
         col(idCol).as("graft_id"),
-        array_distinct(shingles(col(textCol), shingleN)).as("graft_sh"))
+        sort_array(array_distinct(shingles(col(textCol), shingleN))).as("graft_sh"))
       .persist()
-    val docTok = sh.select(col("graft_id"), explode(col("graft_sh")).as("graft_tok"))
+    val docTok = sh.select(col("graft_id"), size(col("graft_sh")).as("graft_sz"),
+      explode(col("graft_sh")).as("graft_tok"))
     // Document frequency as a WINDOW count over partitionBy(tok) rather
     // than groupBy + join-back: ONE exchange of the token table instead
     // of three (the groupBy, the join's re-shuffle of docTok, and the
@@ -615,7 +721,13 @@ object Dedup {
     // candidate join below needs, so that side adds no exchange at all
     // (the minhash path's bucket-cap window plays the same trick).
     val tokWin = org.apache.spark.sql.expressions.Window.partitionBy("graft_tok")
+    // persisted + materialized: the frame feeds BOTH the probe-prefix
+    // branch and the posting-list side of the candidate join — left to
+    // join-time cache population, the two concurrent scans each run the
+    // explode+window pipeline (the same 2× the sets-core exhibited)
     val withDf = docTok.withColumn("graft_df", count(lit(1)).over(tokWin))
+      .persist()
+    withDf.count()
     val ordered = withDf
       .groupBy("graft_id")
       .agg(sort_array(collect_list(struct(col("graft_df"), col("graft_tok"))))
@@ -628,9 +740,9 @@ object Dedup {
     val plen = (size(col("graft_ord")) -
       ceil(lit(threshold) * size(col("graft_ord")) - lit(1e-9)).cast("int") + 1)
     val prefixes = ordered
-      .select(col("graft_id"),
+      .select(col("graft_id"), size(col("graft_ord")).as("graft_sz"),
         explode(slice(col("graft_ord"), lit(1), plen)).as("graft_e"))
-      .select(col("graft_id"),
+      .select(col("graft_id"), col("graft_sz"),
         col("graft_e.graft_tok").as("graft_tok"),
         col("graft_e.graft_df").as("graft_df"))
     // Loud exactness guard FUSED into the candidate pass (it was an
@@ -650,9 +762,15 @@ object Dedup {
               "— run exact dedup first, or raise the bound knowingly")))
             .cast("boolean"))
           .otherwise(col("graft_df") >= 2)).as("a")
-      .join(withDf.select("graft_id", "graft_tok").as("b"),
+      // the LENGTH filter lives in the join predicate (row-local): both
+      // sides carry their doc's set size, so |A∩B| ≤ |B| ⇒ the container
+      // must satisfy |B| ≥ t·|A| — pruned pairs never reach the verify
+      // join, i.e. their shingle ARRAYS are never shuffled at all
+      .join(withDf.select("graft_id", "graft_tok", "graft_sz").as("b"),
         col("a.graft_tok") === col("b.graft_tok") &&
-          col("a.graft_id") =!= col("b.graft_id"))
+          col("a.graft_id") =!= col("b.graft_id") &&
+          col("b.graft_sz").cast("double") >=
+            lit(threshold) * col("a.graft_sz") - lit(1e-9))
       .select(col("a.graft_id").as("id_a"), col("b.graft_id").as("id_b"))
     // NO mid-pipeline distinct: measured at sf0.1, the candidate join
     // emits 308k pairs of which 300k are already unique (a pair repeats
@@ -666,19 +784,16 @@ object Dedup {
     val result = candidates
       .join(sh.select(col("graft_id").as("id_a"), col("graft_sh").as("sh_a")), "id_a")
       .join(sh.select(col("graft_id").as("id_b"), col("graft_sh").as("sh_b")), "id_b")
-      // exactness-safe LENGTH filter before the intersect:
-      // |A∩B| ≤ |B|, so C(A→B) ≥ t forces |B| ≥ t·|A| — a row-local
-      // integer compare that skips the per-pair set intersection for
-      // every candidate whose container is too small to qualify
-      .filter(size(col("sh_b")).cast("double") >=
-        lit(threshold) * size(col("sh_a")) - lit(1e-9))
+      // sh arrays are sorted at build → the verify intersect is the
+      // zero-allocation merge-walk kernel (parity: IntersectSizeSpec)
       .withColumn("containment",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        org.apache.spark.sql.graft.SortedIntersectSize
+          .sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double") /
           size(col("sh_a")))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
       .distinct()
-    (result, () => { sh.unpersist(); () })
+    (result, () => { sh.unpersist(); withDf.unpersist(); () })
   }
 
   /** The PPJoin prefix-filter core over ANY per-row element-set frame
@@ -690,7 +805,10 @@ object Dedup {
       threshold: Double,
       maxTokenDf: Long): (DataFrame, () => Unit) = {
     require(threshold > 0 && threshold <= 1, s"threshold=$threshold outside (0,1]")
-    val sh = sets.persist()
+    // element order inside a set is semantically free — sort at cache
+    // build (once) so the verify runs the zero-allocation
+    // SortedIntersectSize merge walk instead of array_intersect
+    val sh = sets.withColumn("graft_sh", sort_array(col("graft_sh"))).persist()
     val docTok = sh.select(col("graft_id"), explode(col("graft_sh")).as("graft_tok"))
     val dfs = docTok.groupBy("graft_tok").agg(count(lit(1)).as("graft_df"))
     val ordered = docTok.join(dfs, "graft_tok")
@@ -708,16 +826,19 @@ object Dedup {
         (col("pos") + 1).as("graft_pos"),
         col("col.graft_tok").as("graft_tok"),
         col("col.graft_df").as("graft_df"))
-      .persist()
-    // Loud exactness guard FUSED into the candidate pass (was an eager
-    // count() — one extra job per call whose only purpose was the
-    // guard; the persist above already pays the materialization, so the
-    // guard rides the first read for free): every prefix row passes
-    // this filter before it can reach the self-join, and a hot shingle
-    // raises instead of silently exploding candidates. The df-1 tail
-    // drop shares the predicate — a shared prefix shingle has df >= 2
-    // by definition, so the df-1 tail (the BULK of a rarity-ordered
-    // prefix) can never produce a candidate (exactness untouched).
+    // Loud exactness guard FUSED into the prefix filter (not a separate
+    // guard-only job): a hot shingle raises before it can reach the
+    // self-join, and the df-1 tail drop rides the same predicate — a
+    // shared prefix shingle has df >= 2 by definition, so the df-1 tail
+    // (the BULK of a rarity-ordered prefix) can never produce a
+    // candidate (exactness untouched). The POST-filter frame is what
+    // persists: it is a fraction of the raw prefix set, and the
+    // self-join below reads it twice. The count() is NOT a guard relic —
+    // it materializes the cache before the join kicks off, because two
+    // concurrent scans of a cold cache each compute the full
+    // sh→dfs→ordered pipeline (measured 2× on q_jaccard_prefix when the
+    // eager step was dropped in favor of join-time population) — and it
+    // fires the guard loudly BEFORE any join work as a side effect.
     val joinable = prefixes.filter(
       when(col("graft_df") > maxTokenDf,
         raise_error(concat(
@@ -727,6 +848,8 @@ object Dedup {
             "prefixes hot), or raise the bound knowingly")))
           .cast("boolean"))
         .otherwise(col("graft_df") >= 2))
+      .persist()
+    joinable.count()
     // Candidate join with the PPJoin LENGTH and POSITION filters:
     //  - length: J >= t forces t·|B| <= |A| (sizes within factor t);
     //  - position: matching token at 1-based positions (i, j) bounds the
@@ -759,12 +882,15 @@ object Dedup {
     val result = candidates
       .join(sh.select(col("graft_id").as("id_a"), col("graft_sh").as("sh_a")), "id_a")
       .join(sh.select(col("graft_id").as("id_b"), col("graft_sh").as("sh_b")), "id_b")
-      .withColumn("graft_o", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      // sh arrays sorted at build → merge-walk kernel (IntersectSizeSpec)
+      .withColumn("graft_o",
+        org.apache.spark.sql.graft.SortedIntersectSize
+          .sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard",
         col("graft_o") / (size(col("sh_a")) + size(col("sh_b")) - col("graft_o")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-    (result, () => { sh.unpersist(); prefixes.unpersist(); () })
+    (result, () => { sh.unpersist(); joinable.unpersist(); () })
   }
 
   /** Collapse a near-dup pair graph into clusters: returns (id, cluster)

@@ -451,5 +451,36 @@ object CoverageQueries {
       Some("""SELECT l_returnflag, sum(l_quantity) AS sum_qty,
              |       count(*) AS n, max(l_shipdate) AS last_ship
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Avro decimal logicalType, oracle-gated (VERDICT r14 item 4): money
+    // math survives parquet → DECIMAL(12,2) cast → avro bytes-decimal
+    // container files → avro read → exact decimal SUM. The oracle
+    // aggregates the ORIGINAL parquet in DuckDB decimal arithmetic, so a
+    // hash match proves the two's-complement unscaled round-trip is
+    // bit-exact — the one §2.4b cut that was implementable offline.
+    GraftQuery(
+      "q_avro_decimal",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(
+            col("l_returnflag"),
+            col("l_extendedprice").cast("decimal(12,2)").as("price_dec"))
+        val dir = graft.GraftQuery.tempDir("graft_avro_dec_q") + "/t"
+        graft.sources.Avro.write(li, dir)
+        graft.sources.Avro.read(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            sum(col("price_dec")).cast("decimal(18,2)").as("sum_dec"),
+            min(col("price_dec")).cast("decimal(12,2)").as("min_dec"),
+            max(col("price_dec")).cast("decimal(12,2)").as("max_dec"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_dec,
+             |  CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS min_dec,
+             |  CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS max_dec,
+             |  count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -102,15 +102,15 @@ object MediaCurateQueries {
         // fingerprints render each corpus exactly once
         val images = mm.syntheticImageAudioCorpusIds(s, d)
         val imagePairs = mm.hammingNearDupPairs(
-          mm.imageDhash(mm.syntheticImageCorpus(s, d)).toDF(),
+          mm.imageDhash(mm.syntheticImageCorpusMemo(s, d)).toDF(),
           "media_id", "dhash", maxHamming = 6, chunks = 4)
         val audios = mm.syntheticImageAudioCorpusIds(s, d)
         val audioPairs = mm.hammingNearDupPairs(
-          mm.audioFingerprints(mm.syntheticAudioCorpus(s, d)).toDF(),
+          mm.audioFingerprints(mm.syntheticAudioCorpusMemo(s, d)).toDF(),
           "media_id", "afp", maxHamming = 6, chunks = 4)
         val videos = mm.syntheticVideoCorpusIds(s, d)
         val videoPairs = mm.videoNearDupPairs(
-          mm.syntheticVideoCorpus(s, d),
+          mm.syntheticVideoCorpusMemo(s, d),
           everyMs = 200L, maxHamming = 6, minMatchedFrames = 3)
         manifest(docs, "doc_id", textPairs, "text")
           .unionAll(manifest(images, "media_id", imagePairs, "image"))

@@ -592,7 +592,7 @@ object NonOracleQueries {
     GraftQuery(
       "q_image_near_dup",
       (s, d) => {
-        val corpus = graft.multimodal.Multimodal.syntheticImageCorpus(s, d)
+        val corpus = graft.multimodal.Multimodal.syntheticImageCorpusMemo(s, d)
         val hashes = graft.multimodal.Multimodal.imageDhash(corpus).toDF()
         graft.multimodal.Multimodal.hammingNearDupPairs(
           hashes, "media_id", "dhash", maxHamming = 6, chunks = 4)
@@ -613,7 +613,7 @@ object NonOracleQueries {
     GraftQuery(
       "q_audio_near_dup",
       (s, d) => {
-        val corpus = graft.multimodal.Multimodal.syntheticAudioCorpus(s, d)
+        val corpus = graft.multimodal.Multimodal.syntheticAudioCorpusMemo(s, d)
         val hashes = graft.multimodal.Multimodal.audioFingerprints(corpus).toDF()
         graft.multimodal.Multimodal.hammingNearDupPairs(
           hashes, "media_id", "afp", maxHamming = 6, chunks = 4)
@@ -635,7 +635,7 @@ object NonOracleQueries {
     GraftQuery(
       "q_video_near_dup",
       (s, d) => {
-        val corpus = graft.multimodal.Multimodal.syntheticVideoCorpus(s, d)
+        val corpus = graft.multimodal.Multimodal.syntheticVideoCorpusMemo(s, d)
         graft.multimodal.Multimodal.videoNearDupPairs(
           corpus, everyMs = 200L, maxHamming = 6, minMatchedFrames = 3)
           .orderBy("id_a", "id_b")
@@ -670,6 +670,43 @@ object NonOracleQueries {
         val docs = Tables.documents(s, d)
         val merges = graft.operators.Bpe.train(docs, "text", numMerges = 120)
         graft.operators.Bpe.encodeCounts(docs, "doc_id", "text", merges)
+          .orderBy("doc_id")
+      }),
+
+    // Unigram-LM tokenizer TRAINING (graft.operators.Unigram — the
+    // SentencePiece-class second tokenizer family, Kudo ACL 2018): learn
+    // a 192-piece vocabulary from the documents corpus via EM over each
+    // word's full segmentation lattice + likelihood-loss pruning. The
+    // corpus-sized work is the SAME one word-count shuffle as BPE; EM
+    // and prune rounds run on the capped word-frequency table. No RNG,
+    // fixed summation order, lexicographic tie-breaks → deterministic
+    // and partition-invariant — but the EM fixpoint is an iterative
+    // data-dependent fit (the q_kmeans/q_bpe_train terminal class,
+    // SURVEY §2.4a) → rows-only; UnigramSpec pins expected counts
+    // against an enumerate-all-segmentations reference and trains
+    // 1-vs-8-partition identical. Logprobs rounded for display only —
+    // ordering happens on the full-precision values first.
+    GraftQuery(
+      "q_unigram_train",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Unigram.train(
+            Tables.documents(s, d), "text", vocabSize = 192)
+          .toDF()
+          .select(col("piece"), round(col("logprob"), 6).as("logprob"))
+      }),
+
+    // Unigram-LM encode under an in-query-trained vocabulary: per-doc
+    // word and Viterbi-piece counts (broadcast vocab, per-partition word
+    // memo — the Bpe.encodeCounts shape). Depends on the learned
+    // vocabulary → rows-only like the trainer; UnigramSpec proves the
+    // distributed encode equals the per-word reference Viterbi.
+    GraftQuery(
+      "q_unigram_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = graft.operators.Unigram.train(docs, "text", vocabSize = 160)
+        graft.operators.Unigram.encodeCounts(docs, "doc_id", "text", vocab)
           .orderBy("doc_id")
       }),
 

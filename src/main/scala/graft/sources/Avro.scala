@@ -33,9 +33,13 @@ import scala.jdk.CollectionConverters._
   * string/bytes/fixed ⇄ the obvious Spark types; enum → string;
   * union(null, T) ⇄ nullable T; record ⇄ struct; array ⇄ array;
   * map ⇄ map(string, _); logical date ⇄ DateType; logical
-  * timestamp-micros/millis ⇄ TimestampType. Anything else (multi-branch
-  * unions, decimal, duration) refuses loudly at schema-conversion time —
-  * a silent coercion would corrupt data at scale.
+  * timestamp-micros/millis ⇄ TimestampType; logical decimal on
+  * bytes/fixed ⇄ DecimalType(precision, scale) — the unscaled value is
+  * Avro's two's-complement big-endian integer, re-scaled exactly (writes
+  * refuse with RoundingMode.UNNECESSARY if a value can't carry the
+  * schema's scale losslessly). Anything else (multi-branch unions,
+  * duration) refuses loudly at schema-conversion time — a silent
+  * coercion would corrupt data at scale.
   *
   * Avro `Schema` is not serializable; closures carry the schema JSON and
   * re-parse per partition.
@@ -66,7 +70,12 @@ object Avro {
     case Schema.Type.FLOAT => (FloatType, false)
     case Schema.Type.DOUBLE => (DoubleType, false)
     case Schema.Type.STRING | Schema.Type.ENUM => (StringType, false)
-    case Schema.Type.BYTES | Schema.Type.FIXED => (BinaryType, false)
+    case Schema.Type.BYTES | Schema.Type.FIXED =>
+      s.getLogicalType match {
+        case d: org.apache.avro.LogicalTypes.Decimal =>
+          (DecimalType(d.getPrecision, d.getScale), false)
+        case _ => (BinaryType, false)
+      }
     case Schema.Type.RECORD =>
       (StructType(s.getFields.asScala.toSeq.map { f =>
         val (dt, nullable) = toSparkType(f.schema())
@@ -96,6 +105,9 @@ object Avro {
       case DoubleType => Schema.create(Schema.Type.DOUBLE)
       case StringType => Schema.create(Schema.Type.STRING)
       case BinaryType => Schema.create(Schema.Type.BYTES)
+      case dt: DecimalType =>
+        org.apache.avro.LogicalTypes.decimal(dt.precision, dt.scale)
+          .addToSchema(Schema.create(Schema.Type.BYTES))
       case DateType =>
         org.apache.avro.LogicalTypes.date()
           .addToSchema(Schema.create(Schema.Type.INT))
@@ -138,6 +150,11 @@ object Avro {
     case (b: java.nio.ByteBuffer, BinaryType) =>
       val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
     case (f: GenericData.Fixed, BinaryType) => f.bytes().clone()
+    case (b: java.nio.ByteBuffer, dt: DecimalType) =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a)
+      decimalOfUnscaled(a, dt)
+    case (f: GenericData.Fixed, dt: DecimalType) =>
+      decimalOfUnscaled(f.bytes(), dt)
     case (i: java.lang.Integer, DateType) => java.time.LocalDate.ofEpochDay(i.longValue())
     case (l: java.lang.Long, TimestampType) =>
       // micros vs millis disambiguated by the reader schema's logical
@@ -175,6 +192,17 @@ object Avro {
       }
     })
 
+  /** Avro decimal payload → BigDecimal: the bytes are the unscaled value
+    * as a two's-complement big-endian integer (Avro spec §logical types);
+    * an empty payload is unscaled zero. Scale comes from the Spark-side
+    * DecimalType, which [[toSparkType]] derived from the SAME schema's
+    * logical type, so writer and reader scales agree by construction. */
+  private def decimalOfUnscaled(a: Array[Byte], dt: DecimalType): java.math.BigDecimal = {
+    val unscaled =
+      if (a.isEmpty) java.math.BigInteger.ZERO else new java.math.BigInteger(a)
+    new java.math.BigDecimal(unscaled, dt.scale)
+  }
+
   private def unwrap(s: Schema): Option[Schema] = s.getType match {
     case Schema.Type.UNION =>
       s.getTypes.asScala.find(_.getType != Schema.Type.NULL)
@@ -198,6 +226,28 @@ object Avro {
         val i = t.toInstant(java.time.ZoneOffset.UTC)
         i.getEpochSecond * 1000000L + i.getNano / 1000
       case (b: Array[Byte], Schema.Type.BYTES) => java.nio.ByteBuffer.wrap(b)
+      case (d: java.math.BigDecimal, Schema.Type.BYTES | Schema.Type.FIXED) =>
+        val lt = sch.getLogicalType match {
+          case dec: org.apache.avro.LogicalTypes.Decimal => dec
+          case other => throw new IllegalArgumentException(
+            s"BigDecimal written to non-decimal avro schema $sch (logical $other)")
+        }
+        // UNNECESSARY: refuse loudly if the value can't carry the schema's
+        // scale exactly — a silent round would corrupt money math at scale
+        val scaled = d.setScale(lt.getScale, java.math.RoundingMode.UNNECESSARY)
+        val raw = scaled.unscaledValue().toByteArray
+        if (sch.getType == Schema.Type.BYTES) java.nio.ByteBuffer.wrap(raw)
+        else {
+          // FIXED: sign-extend the two's-complement value to the fixed width
+          val w = sch.getFixedSize
+          require(raw.length <= w,
+            s"decimal $scaled needs ${raw.length} bytes, fixed($w) too narrow")
+          val padded = Array.fill[Byte](w)(if (scaled.signum() < 0) -1 else 0)
+          System.arraycopy(raw, 0, padded, w - raw.length, raw.length)
+          new GenericData.Fixed(sch, padded)
+        }
+      case (d: scala.math.BigDecimal, Schema.Type.BYTES | Schema.Type.FIXED) =>
+        toAvroValue(d.bigDecimal, s)
       case (r: Row, Schema.Type.RECORD) => rowToRecord(r, sch)
       case (a: scala.collection.Seq[_], Schema.Type.ARRAY) =>
         a.map(toAvroValue(_, sch.getElementType)).asJava

@@ -748,6 +748,54 @@ object StreamOps {
     }
   }
 
+  /** Streaming cross-corpus dedup-against (VERDICT r14 item 7): gate an
+    * INCREMENTAL document feed against a FROZEN reference corpus — "drop
+    * anything in the new crawl that near-dups last month's corpus". The
+    * reference's capped LSH bands are fingerprinted once up front
+    * ([[graft.operators.Dedup.freezeReference]]) and reused by every
+    * micro-batch; each trigger runs band-join + exact 3-gram-Jaccard
+    * verify against only the candidate reference docs
+    * ([[graft.operators.Dedup.dedupAgainstFrozen]]) and hands the
+    * admitted rows to `sink`. Per-doc decisions depend only on
+    * (doc, reference), so batches decompose exactly — the union of
+    * per-batch admissions equals the batch [[graft.operators.Dedup.dedupAgainst]]
+    * on the union (StreamingDedupAgainstSpec) — and the ONLY cross-batch
+    * state is the fixed-size frozen band cache (no growth with the
+    * stream; unlike [[nearDupStream]] there is nothing to admit into).
+    *
+    * Returns (query, release): call `release()` after stopping the query
+    * to drop the frozen cache — the near-dup family's Releasable
+    * discipline (PpjoinReleaseSpec class). */
+  def dedupAgainstStream(
+      docs: DataFrame,
+      reference: DataFrame,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      numHashes: Int = 128,
+      bands: Int = 64,
+      maxBucket: Int = 1000)(
+      sink: (DataFrame, Long) => Unit)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => Unit) = {
+    val frozen = graft.operators.Dedup.freezeReference(
+      reference, idCol, textCol, shingleN, numHashes, bands,
+      seed = 42L, maxBucket = maxBucket)
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val admitted = graft.operators.Dedup.dedupAgainstFrozen(
+          batch, frozen, threshold)
+        // admitted is persisted+materialized by the core; the sink reads
+        // it, then it must not outlive the trigger (nearDupStream shape)
+        try sink(admitted, batchId)
+        finally admitted.unpersist()
+      }
+      .start()
+    (q, frozen.release)
+  }
+
   /** Incremental corpus near-dup dedup: each micro-batch of documents is
     * checked against a persistent MinHash-signature store of everything
     * ever admitted; near-dups of history (and within the batch) are

@@ -170,10 +170,73 @@ class AvroSpec extends AnyFunSuite {
     assert(rt.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sorted)
   }
 
+  test("decimal logicalType round-trips exactly on bytes and decodes fixed") {
+    val dir = tmp("graft_avro_dec") + "/t"
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("amount", DecimalType(12, 2), nullable = true),
+      StructField("rate", DecimalType(38, 10), nullable = false)))
+    val rows = Seq(
+      Row(1L, new java.math.BigDecimal("12345.67"),
+        new java.math.BigDecimal("0.0000000001")),
+      Row(2L, new java.math.BigDecimal("-0.01"),
+        new java.math.BigDecimal("9999999999999999999999999999.9999999999")),
+      Row(3L, null, new java.math.BigDecimal("0.0000000000")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    Avro.write(df, dir)
+    val back = Avro.read(spark, dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val got = back.orderBy("id").collect()
+    assert(got.map(r => Option(r.getDecimal(1)).map(_.toPlainString).orNull).toSeq ==
+      Seq("12345.67", "-0.01", null))
+    assert(got.map(_.getDecimal(2).toPlainString).toSeq ==
+      Seq("0.0000000001", "9999999999999999999999999999.9999999999",
+        "0.0000000000"))
+
+    // decimal-on-FIXED decode path (some writers pad to a fixed width):
+    // hand-build a record and convert — the unscaled two's-complement
+    // bytes right-aligned in the fixed width must decode to the same value
+    val fixedSchema = org.apache.avro.LogicalTypes.decimal(10, 3).addToSchema(
+      org.apache.avro.Schema.createFixed("amt", null, "graft", 6))
+    val rec = org.apache.avro.SchemaBuilder.record("r").fields()
+      .name("v").`type`(fixedSchema).noDefault().endRecord()
+    val unscaled = new java.math.BigInteger("-1234567") // -1234.567
+    val raw = unscaled.toByteArray
+    val padded = Array.fill[Byte](6)(if (unscaled.signum() < 0) -1 else 0)
+    System.arraycopy(raw, 0, padded, 6 - raw.length, raw.length)
+    val gr = new org.apache.avro.generic.GenericRecordBuilder(rec)
+      .set("v", new org.apache.avro.generic.GenericData.Fixed(fixedSchema, padded))
+      .build()
+    val st = Avro.toSparkSchema(rec)
+    assert(st.fields.head.dataType == DecimalType(10, 3))
+    assert(Avro.recordToRow(gr, st).getDecimal(0).toPlainString == "-1234.567")
+    // and the write side sign-extends into the fixed width identically
+    val wrote = Avro.rowToRecord(
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array(new java.math.BigDecimal("-1234.567")), st), rec)
+    assert(wrote.get("v").asInstanceOf[
+      org.apache.avro.generic.GenericData.Fixed].bytes().toSeq == padded.toSeq)
+  }
+
+  test("writing a decimal that cannot carry the schema scale refuses loudly") {
+    // Row claims DecimalType(12,2) but carries scale-4 precision — the
+    // write must refuse (RoundingMode.UNNECESSARY), never silently round
+    val st = StructType(Seq(
+      StructField("amount", DecimalType(12, 2), nullable = false)))
+    val avroSchema = Avro.toAvroSchema(st)
+    intercept[ArithmeticException] {
+      Avro.rowToRecord(
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array(new java.math.BigDecimal("1.005")), st), avroSchema)
+    }
+  }
+
   test("unsupported shapes refuse loudly at schema conversion") {
     intercept[IllegalArgumentException] {
       Avro.toAvroSchema(StructType(Seq(
-        StructField("d", DecimalType(10, 2), nullable = true))))
+        StructField("iv", CalendarIntervalType, nullable = true))))
     }
     val multi = org.apache.avro.SchemaBuilder.unionOf()
       .intType().and().stringType().endUnion()
