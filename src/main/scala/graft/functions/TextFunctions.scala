@@ -255,10 +255,26 @@ object TextFunctions {
   def normalize(text: Column, form: String = "NFC"): Column =
     org.apache.spark.sql.graft.NormalizeString(text, form)
 
-  /** Exact Jaccard similarity of two shingle arrays (set semantics). */
+  /** Exact Jaccard similarity of two shingle arrays (set semantics —
+    * array_intersect/array_union dedup internally, so raw shingle
+    * arrays with repeats are fine). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(1.0)).otherwise(inter / uni)
+  }
+
+  /** [[jaccard]] for arrays already SORTED ascending with DISTINCT
+    * elements (`sort_array(array_distinct(...))`): one zero-allocation
+    * merge-walk kernel call per pair replaces array_intersect's hash set
+    * AND array_union's materialized union — |A∪B| = |A|+|B|−|A∩B| on
+    * distinct arrays. Bit-equal to [[jaccard]] on the same sets
+    * (IntersectSizeSpec + DedupSpec parity); used by every near-dup
+    * verify join, where per-PAIR cost is the budget. */
+  def jaccardSortedDistinct(a: Column, b: Column): Column = {
+    val inter = org.apache.spark.sql.graft.SortedIntersectSize
+      .sortedIntersectSize(a, b).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
     when(uni === 0, lit(1.0)).otherwise(inter / uni)
   }
 

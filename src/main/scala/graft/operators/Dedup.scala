@@ -106,13 +106,14 @@ object Dedup {
       .distinct()
     val candShingles = df.select(col(idCol), col(textCol))
       .join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol).as("graft_id"), shingles(col(textCol), shingleN).as("graft_sh"))
+      .select(col(idCol).as("graft_id"), sort_array(array_distinct(shingles(col(textCol), shingleN))).as("graft_sh"))
       .persist()
     candidates
       .join(candShingles.select(col("graft_id").as("id_a"), col("graft_sh").as("sh_a")), "id_a")
       .join(candShingles.select(col("graft_id").as("id_b"), col("graft_sh").as("sh_b")), "id_b")
-      // jaccard() is set-semantic already (array_intersect/union dedup)
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      // sorted-distinct arrays -> merge-walk jaccard (bit-equal to the
+      // set-semantic jaccard(); IntersectSizeSpec + DedupSpec parity)
+      .withColumn("jaccard", jaccardSortedDistinct(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -206,12 +207,12 @@ object Dedup {
       .distinct()
     val candShingles = df.select(col(idCol), col(textCol))
       .join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol).as("graft_id"), shingles(col(textCol), shingleN).as("graft_sh"))
+      .select(col(idCol).as("graft_id"), sort_array(array_distinct(shingles(col(textCol), shingleN))).as("graft_sh"))
       .persist()
     val result = candidates
       .join(candShingles.select(col("graft_id").as("id_a"), col("graft_sh").as("sh_a")), "id_a")
       .join(candShingles.select(col("graft_id").as("id_b"), col("graft_sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardSortedDistinct(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     (result, () => { sig.unpersist(); candShingles.unpersist(); () })
@@ -267,15 +268,15 @@ object Dedup {
     val candC = corpus
       .join(candidates.select(col("cand_id").as(idCol)).distinct(),
         Seq(idCol), "left_semi")
-      .select(col(idCol).as("cand_id"), shingles(col(textCol), shingleN).as("sh_c"))
+      .select(col(idCol).as("cand_id"), sort_array(array_distinct(shingles(col(textCol), shingleN))).as("sh_c"))
     val candR = reference
       .join(candidates.select(col("ref_id").as(idCol)).distinct(),
         Seq(idCol), "left_semi")
-      .select(col(idCol).as("ref_id"), shingles(col(textCol), shingleN).as("sh_r"))
+      .select(col(idCol).as("ref_id"), sort_array(array_distinct(shingles(col(textCol), shingleN))).as("sh_r"))
     val dupIds = candidates
       .join(candC, "cand_id")
       .join(candR, "ref_id")
-      .withColumn("graft_j", jaccard(col("sh_c"), col("sh_r")))
+      .withColumn("graft_j", jaccardSortedDistinct(col("sh_c"), col("sh_r")))
       .filter(col("graft_j") >= threshold)
       .select(col("cand_id").as(idCol)).distinct()
     corpus.join(dupIds, Seq(idCol), "left_anti")
@@ -366,15 +367,15 @@ object Dedup {
     val candC = batch
       .join(candidates.select(col("cand_id").as(idCol)).distinct(),
         Seq(idCol), "left_semi")
-      .select(col(idCol).as("cand_id"), shingles(col(textCol), frozen.shingleN).as("sh_c"))
+      .select(col(idCol).as("cand_id"), sort_array(array_distinct(shingles(col(textCol), frozen.shingleN))).as("sh_c"))
     val candR = frozen.reference
       .join(candidates.select(col("ref_id").as(idCol)).distinct(),
         Seq(idCol), "left_semi")
-      .select(col(idCol).as("ref_id"), shingles(col(textCol), frozen.shingleN).as("sh_r"))
+      .select(col(idCol).as("ref_id"), sort_array(array_distinct(shingles(col(textCol), frozen.shingleN))).as("sh_r"))
     val dupIds = candidates
       .join(candC, "cand_id")
       .join(candR, "ref_id")
-      .withColumn("graft_j", jaccard(col("sh_c"), col("sh_r")))
+      .withColumn("graft_j", jaccardSortedDistinct(col("sh_c"), col("sh_r")))
       .filter(col("graft_j") >= threshold)
       .select(col("cand_id").as(idCol)).distinct()
     val admitted = batch.join(dupIds, Seq(idCol), "left_anti").persist()
