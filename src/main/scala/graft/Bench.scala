@@ -23,7 +23,8 @@ object Bench {
   // locale f-interpolator renders "1,234" and the driver-facing line (and
   // target/bench_full.json) stop being JSON.
   private def fmt(v: Double): String =
-    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    if (!java.lang.Double.isFinite(v)) "-1" // failure marker, keeps JSON valid
+    else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -116,10 +117,19 @@ object Bench {
     // end-of-run pass below
     val stalls = scala.collection.mutable
       .LinkedHashMap[String, (Double, Seq[Double], Seq[Double])]()
+    // A FAILED run must never masquerade as a timing: a query that
+    // throws (broken temp dir, disk full mid-suite) returns +Inf so it
+    // can never win a min — in particular the end-of-run stall retry
+    // must not report a fast FAILURE as "stall cleared" (review r15).
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] query FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          false
+        }
+      if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
     }
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1)
@@ -160,7 +170,14 @@ object Bench {
           s"[bench] $name stalled TWICE: retry ${retry.map(fmt).mkString(", ")} (floor ${fmt(floor)})")
       results(name) = newMin
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // a query whose EVERY rep failed carries +Inf: surface it as an
+    // explicit failure marker (-1) instead of corrupting totals/JSON
+    val failedQueries = results.collect { case (k, v) if v.isInfinite => k }.toSeq
+    failedQueries.foreach { k =>
+      System.err.println(s"[bench] $k FAILED every rep — reported as -1, NOT a timing")
+      results(k) = -1.0
+    }
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val stallsJson = stalls.map { case (k, (floor, raw, retry)) =>

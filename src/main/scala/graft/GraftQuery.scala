@@ -42,7 +42,10 @@ object GraftQuery {
       }))
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  /** Recursive best-effort tree delete — THE shared helper (review r15:
+    * three private copies had grown; Multimodal's memo publisher and
+    * RecallReport's panel cleanup now call this one). */
+  def deleteRecursively(f: java.io.File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
     f.delete(): Unit

@@ -182,16 +182,8 @@ object RecallReport {
       } finally {
         ivf.assigned.unpersist()
         pq.codes.unpersist()
-        def rmTree(p: String): Unit = {
-          val f = new java.io.File(p)
-          def walk(x: java.io.File): Unit = {
-            Option(x.listFiles()).foreach(_.foreach(walk))
-            x.delete(); ()
-          }
-          if (f.exists) walk(f)
-        }
-        rmTree(pqBase)
-        rmTree(ivfBase)
+        GraftQuery.deleteRecursively(new java.io.File(pqBase))
+        GraftQuery.deleteRecursively(new java.io.File(ivfBase))
       }
     }
 

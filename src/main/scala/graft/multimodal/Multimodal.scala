@@ -924,9 +924,20 @@ object Multimodal {
     root
   }
 
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rmTree))
-    f.delete(); ()
+  /** Fingerprint of the SOURCE fixture the corpora derive from: sorted
+    * (name, length, mtime) of the documents.parquet files. Keying the
+    * memo by path alone would serve STALE corpora after the fixture is
+    * regenerated in place (review r15) — the id-only membership helpers
+    * recompute from the new table while the memo served the old rows,
+    * a silent manifest mismatch. FS metadata is a cheap, deterministic
+    * proxy for content: any regeneration rewrites the files. */
+  private def fixtureFingerprint(sfDir: String): String = {
+    val docs = new java.io.File(sfDir, "documents.parquet")
+    val files = Option(docs.listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    (if (docs.isFile) s"${docs.length}:${docs.lastModified}"
+     else files.mkString("|"))
   }
 
   /** Memoize one corpus build to parquet, publish-by-rename so concurrent
@@ -941,7 +952,8 @@ object Multimodal {
     if (sys.env.get("SPARK_GRAFT_MEDIA_MEMO").contains("off")) return build
     val canon = new java.io.File(sfDir).getCanonicalPath
     val keyHash = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$kind|$canon|v$corpusMemoVersion".getBytes("UTF-8"))
+      .digest(s"$kind|$canon|${fixtureFingerprint(sfDir)}|v$corpusMemoVersion"
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val dir = new java.io.File(memoRoot, s"${kind}_$keyHash")
     if (!new java.io.File(dir, "_SUCCESS").exists()) memoLock.synchronized {
@@ -949,7 +961,8 @@ object Multimodal {
         val tmp = new java.io.File(
           memoRoot, dir.getName + ".tmp." + ProcessHandle.current().pid())
         build.write.mode("overwrite").parquet(tmp.toString)
-        if (!tmp.renameTo(dir)) rmTree(tmp) // another process published first
+        // another process published first → drop the losing build
+        if (!tmp.renameTo(dir)) graft.GraftQuery.deleteRecursively(tmp)
       }
     }
     spark.read.parquet(dir.toString).as[MediaRow]

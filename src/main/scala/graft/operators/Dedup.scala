@@ -322,10 +322,17 @@ object Dedup {
       .select(col("ref_id"),
         explode(bandKeys(col("graft_sig"), bands, numHashes)).as("graft_band"))
       .select(col("ref_id"), col("graft_band.band"), col("graft_band.bucket"))
-    val capped = banded.join(
-        banded.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
-          .filter(col("n") <= maxBucket).select("band", "bucket"),
-        Seq("band", "bucket"), "left_semi")
+    // bucket cap as a WINDOW count, not groupBy + self-semi-join: the
+    // semi-join spelling reads `banded` twice, re-running the full
+    // reference minhash scan on each side before the cache exists —
+    // exactly the "fingerprinted ONCE" promise this freeze makes
+    // (review r15). One exchange, one scan.
+    val bucketWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bucket")
+    val capped = banded
+      .withColumn("graft_n", count(lit(1)).over(bucketWin))
+      .filter(col("graft_n") <= maxBucket)
+      .drop("graft_n")
       .persist()
     capped.count()
     FrozenReference(reference, capped, idCol, textCol, shingleN, numHashes,
@@ -755,6 +762,11 @@ object Dedup {
     // prefix shingle with global df 1 occurs only in its own doc, so it
     // cannot produce an a ≠ b candidate (exactness-neutral). With the
     // guard lazy, `prefixes` is consumed exactly once → no persist.
+    // CAVEAT (deliberate trade, VERDICT r14 item 1): the lazy guard
+    // fires per-PARTITION at materialization — a partial action
+    // (take/limit) that stops before the hot partition executes can
+    // return rows unguarded. Full materializations (the registered
+    // query, Verify, collect, write) always evaluate every partition.
     val candidates = prefixes.filter(
         when(col("graft_df") > maxTokenDf,
           raise_error(concat(

@@ -191,11 +191,21 @@ object Unigram {
     pieces.indices.map(i => UnigramPiece(pieces(i), logp(i)))
       .sortBy(p => (-p.logprob, p.piece))
 
+  private def logSumExp(a: Double, b: Double): Double =
+    if (a == Double.NegativeInfinity) b
+    else if (b == Double.NegativeInfinity) a
+    else { val m = math.max(a, b); m + math.log1p(math.exp(-math.abs(a - b))) }
+
   /** Lattice forward–backward over every word: expected usage count per
     * piece (freq-weighted posterior over ALL segmentations, not just the
-    * best path) plus the total corpus log-likelihood. Package-visible so
-    * UnigramSpec can pin it against an enumerate-all-segmentations
-    * reference — the independent-gate discipline BpeSpec set. */
+    * best path) plus the total corpus log-likelihood. Runs ENTIRELY in
+    * log space (log-sum-exp accumulation): linear-space alphas underflow
+    * around ~140 pieces at typical logprobs of −5 (long identifier runs,
+    * hash-like strings), which would silently drop those words from EM —
+    * the reason the reference SentencePiece trainer is log-domain too
+    * (review r15). Package-visible so UnigramSpec can pin it against an
+    * enumerate-all-segmentations reference — the independent-gate
+    * discipline BpeSpec set. */
   private[operators] def expectedCounts(
       words: Array[String],
       freqs: Array[Double],
@@ -207,14 +217,14 @@ object Unigram {
     var k = 0
     while (k < words.length) {
       val w = words(k); val f = freqs(k); val L = w.length
-      val alpha = new Array[Double](L + 1); alpha(0) = 1.0
+      val la = Array.fill(L + 1)(Double.NegativeInfinity); la(0) = 0.0
       var i = 0
       while (i < L) {
-        if (alpha(i) > 0) {
+        if (la(i) > Double.NegativeInfinity) {
           var j = i + 1
           while (j <= math.min(L, i + maxPieceLen)) {
             idx.get(w.substring(i, j)) match {
-              case Some(pi) => alpha(j) += alpha(i) * math.exp(logp(pi))
+              case Some(pi) => la(j) = logSumExp(la(j), la(i) + logp(pi))
               case None =>
             }
             j += 1
@@ -222,20 +232,21 @@ object Unigram {
         }
         i += 1
       }
-      val z = alpha(L)
-      if (z > 0) {
-        ll += f * math.log(z)
-        val beta = new Array[Double](L + 1); beta(L) = 1.0
+      val lz = la(L)
+      if (lz > Double.NegativeInfinity) {
+        ll += f * lz
+        val lb = Array.fill(L + 1)(Double.NegativeInfinity); lb(L) = 0.0
         i = L - 1
         while (i >= 0) {
-          if (alpha(i) > 0) {
+          if (la(i) > Double.NegativeInfinity) {
             var j = i + 1
             while (j <= math.min(L, i + maxPieceLen)) {
               idx.get(w.substring(i, j)) match {
                 case Some(pi) =>
-                  val p = math.exp(logp(pi))
-                  beta(i) += p * beta(j)
-                  exp(pi) += f * alpha(i) * p * beta(j) / z
+                  if (lb(j) > Double.NegativeInfinity) {
+                    lb(i) = logSumExp(lb(i), logp(pi) + lb(j))
+                    exp(pi) += f * math.exp(la(i) + logp(pi) + lb(j) - lz)
+                  }
                 case None =>
               }
               j += 1

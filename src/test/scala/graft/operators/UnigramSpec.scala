@@ -79,6 +79,22 @@ class UnigramSpec extends AnyFunSuite {
     assert(math.abs(without - altWant) < 1e-12)
   }
 
+  test("log-space E-step: a 300-char word (where linear-space alphas " +
+    "underflow to zero) still contributes expected counts and LL") {
+    val pieces = Array("a", "b")
+    val logp = Array(math.log(0.004), math.log(0.996)) // tiny 'a' prob
+    val idx = pieces.zipWithIndex.toMap
+    val w = "ab" * 150 // 300 chars, best path ~150·log(0.004) ≈ -828
+    val (exp, ll) = Unigram.expectedCounts(
+      Array(w), Array(2.0), idx, logp, maxPieceLen = 1)
+    // single segmentation (only chars in vocab at maxPieceLen=1):
+    // exact counts 150·f each, LL = f·(150·log .004 + 150·log .996)
+    assert(math.abs(exp(0) - 300.0) < 1e-6, s"a-count ${exp(0)}")
+    assert(math.abs(exp(1) - 300.0) < 1e-6, s"b-count ${exp(1)}")
+    val want = 2.0 * 150 * (math.log(0.004) + math.log(0.996))
+    assert(math.abs(ll - want) < 1e-6, s"ll $ll want $want")
+  }
+
   test("trainFromCounts: target size hit, full char coverage, probs " +
     "normalize, frequent whole words survive pruning") {
     val counts = Seq(
