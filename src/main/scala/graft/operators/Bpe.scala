@@ -151,6 +151,25 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Persist learned merges as parquet (rank, left, right) — train once,
+    * encode everywhere (the [[Unigram.saveVocab]] operational shape);
+    * round-trip pinned in TokenizerStoreSpec. */
+  def saveMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[BpeMerge],
+      path: String): Unit = {
+    import spark.implicits._
+    merges.toDF().repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load merges written by [[saveMerges]], restored to rank order. */
+  def loadMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[BpeMerge] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[BpeMerge].collect().toSeq.sortBy(_.rank)
+  }
+
   /** Greedy BPE encode of one pre-tokenized word: start from characters
     * + [[EndOfWord]], repeatedly apply the LOWEST-rank applicable merge
     * (leftmost occurrence first) until none applies — the standard

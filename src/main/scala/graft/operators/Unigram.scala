@@ -329,6 +329,172 @@ object Unigram {
     out
   }
 
+  /** Persist a trained vocabulary as parquet (piece, logprob) — train
+    * once, encode everywhere: the operational shape of a tokenizer in a
+    * 100 TB pipeline (the trainer runs once per corpus snapshot; every
+    * downstream encode job loads the table). Round-trip exactness is
+    * pinned in TokenizerStoreSpec. */
+  def saveVocab(
+      spark: org.apache.spark.sql.SparkSession,
+      vocab: Seq[UnigramPiece],
+      path: String): Unit = {
+    import spark.implicits._
+    vocab.toDF().repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a vocabulary written by [[saveVocab]], restored to the
+    * trainer's deterministic (logprob DESC, piece ASC) order. */
+  def loadVocab(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[UnigramPiece] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[UnigramPiece].collect().toSeq
+      .sortBy(p => (-p.logprob, p.piece))
+  }
+
+  /** SAMPLE one segmentation of a word from the unigram posterior
+    * P(seg | w) ∝ Π p(piece)^alpha — Kudo's subword regularization
+    * (ACL 2018 §3), the training-time encode real LLM pipelines use so
+    * each epoch sees different tokenizations of the same text. Exact
+    * forward-filtering / backward-sampling on the lattice (alphas with
+    * α-tempered probabilities, then walk backward drawing each incoming
+    * edge with its exact posterior weight) — not an n-best
+    * approximation. alpha → ∞ degenerates to Viterbi; alpha = 0 is
+    * uniform over segmentations.
+    *
+    * DETERMINISTIC sampling: draws come from a counter-based splitmix64
+    * stream seeded by (seed, the word's own bytes) — a pure function of
+    * (word, seed), so results are identical across partitionings, JVMs
+    * and re-runs (the SURVEY §7.4 discipline; pass a different seed per
+    * epoch for fresh samples). Unknown characters fall back like
+    * [[encodeWord]]. */
+  def sampleWord(
+      word: String,
+      ranks: Map[String, Double],
+      alpha: Double,
+      seed: Long,
+      maxPieceLen: Int = 8): List[String] = {
+    val L = word.length
+    if (L == 0) return Nil
+    val unkPenalty = -20.0
+    def lp(i: Int, j: Int): Double = ranks.get(word.substring(i, j)) match {
+      case Some(v) => alpha * v
+      case None if j - i == 1 => alpha * unkPenalty
+      case None => Double.NegativeInfinity
+    }
+    // forward: log alpha over tempered probs
+    val la = Array.fill(L + 1)(Double.NegativeInfinity); la(0) = 0.0
+    var i = 0
+    while (i < L) {
+      if (la(i) > Double.NegativeInfinity) {
+        var j = i + 1
+        while (j <= math.min(L, i + maxPieceLen)) {
+          val w = lp(i, j)
+          if (w > Double.NegativeInfinity)
+            la(j) = logSumExp(la(j), la(i) + w)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    // counter-based deterministic uniform stream: mix(seed, wordHash, k)
+    var wordHash = 0xcbf29ce484222325L
+    word.foreach { c => wordHash = (wordHash ^ c) * 0x100000001b3L }
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    var draw = 0
+    def uniform(): Double = {
+      draw += 1
+      val bits = mix(seed ^ mix(wordHash + draw * 0x632be59bd9b4e019L))
+      ((bits >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+    }
+    // backward sampling: at j, draw incoming edge i with posterior
+    // exp(la(i) + w(i,j) − la(j))
+    var at = L
+    var out: List[String] = Nil
+    while (at > 0) {
+      val lo = math.max(0, at - maxPieceLen)
+      var u = uniform()
+      var chosen = -1
+      var i2 = lo
+      while (i2 < at && chosen < 0) {
+        val w = lp(i2, at)
+        if (w > Double.NegativeInfinity && la(i2) > Double.NegativeInfinity) {
+          val p = math.exp(la(i2) + w - la(at))
+          if (u < p) chosen = i2 else u -= p
+        }
+        i2 += 1
+      }
+      // float-tail guard: residual mass from rounding lands on the last
+      // feasible edge (deterministic, bias ~1e-15)
+      if (chosen < 0) {
+        var k = at - 1
+        while (k >= lo && chosen < 0) {
+          if (lp(k, at) > Double.NegativeInfinity &&
+            la(k) > Double.NegativeInfinity) chosen = k
+          k -= 1
+        }
+      }
+      out = word.substring(chosen, at) :: out
+      at = chosen
+    }
+    out
+  }
+
+  /** Distributed SAMPLED encode (the [[encodeCounts]] shape, training-
+    * time variant): per doc, (n_words, n_sampled_tokens) under
+    * α-tempered lattice sampling. Sampling is seeded per WORD (a pure
+    * function of (word, seed)), so within one epoch repeated
+    * occurrences of a word tokenize identically — which keeps the
+    * per-partition memo valid AND the result partition-invariant; vary
+    * `seed` per epoch for fresh samples, exactly how subword
+    * regularization is driven in practice. */
+  def sampledCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: Seq[UnigramPiece],
+      alpha: Double = 0.2,
+      seed: Long = 1L,
+      maxPieceLen: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranksB = spark.sparkContext.broadcast(
+      vocab.map(p => p.piece -> p.logprob).toMap)
+    val pat = graft.functions.TextFunctions.bpeishPattern
+    docs
+      .select(col(idCol).cast("long").as("id"), lower(col(textCol)).as("t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val ranks = ranksB.value
+        val memo = new java.util.HashMap[String, Int]()
+        val memoCap = 1 << 20
+        val rx = java.util.regex.Pattern.compile(pat)
+        rows.map { case (id, t) =>
+          val m = rx.matcher(if (t == null) "" else t)
+          var nWords = 0L
+          var nTok = 0L
+          while (m.find()) {
+            val w = m.group()
+            nWords += 1
+            var k: Int = memo.getOrDefault(w, -1)
+            if (k < 0) {
+              k = sampleWord(w, ranks, alpha, seed, maxPieceLen).length
+              if (memo.size >= memoCap) memo.clear()
+              memo.put(w, k)
+            }
+            nTok += k
+          }
+          (id, nWords, nTok)
+        }
+      }
+      .toDF(idCol, "n_words", "n_sampled_tokens")
+  }
+
   /** Distributed encode, the [[Bpe.encodeCounts]] shape: pre-tokenize
     * exactly as training did, Viterbi-encode each word under the
     * broadcast vocabulary (per-partition word→count memo), emit

@@ -710,6 +710,25 @@ object NonOracleQueries {
           .orderBy("doc_id")
       }),
 
+    // Subword-REGULARIZED encode (Kudo ACL 2018 §3 — the training-time
+    // tokenization real LLM pipelines run so each epoch sees different
+    // segmentations): exact forward-filtering / backward-sampling from
+    // the α-tempered lattice posterior, deterministically seeded per
+    // (word, seed) so the result is partition-invariant and replayable
+    // per epoch. Inherits the trained vocabulary → rows-only like the
+    // trainer; TokenizerStoreSpec pins sample-vs-enumerated-posterior
+    // distribution, Viterbi degeneration at large α, and distributed ==
+    // per-word parity.
+    GraftQuery(
+      "q_unigram_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = graft.operators.Unigram.train(docs, "text", vocabSize = 160)
+        graft.operators.Unigram.sampledCounts(
+            docs, "doc_id", "text", vocab, alpha = 0.2, seed = 1L)
+          .orderBy("doc_id")
+      }),
+
     // Z-order layout effectiveness: write lineitem z-ordered on
     // (l_orderkey, l_partkey), then report how many files an equality
     // filter on EACH dimension touches vs the file count — the scan-
