@@ -104,4 +104,44 @@ object Decontaminate {
     corpus.join(
       contaminatedIds(corpus, idCol, textCol, benchmark, benchTextCol, n),
       Seq(idCol), "left_anti")
+
+  /** Frozen-benchmark handle for streaming decontamination (the
+    * [[Dedup.FrozenReference]] pattern): the benchmark's distinct n-gram
+    * hash set, computed ONCE and persisted — the only cross-batch state
+    * the incremental gate holds, benchmark-sized (eval sets are tiny
+    * next to a training stream) and fixed for the stream's lifetime. */
+  final case class FrozenBenchmark private[operators] (
+      hashes: DataFrame, n: Int, release: () => Unit)
+
+  /** Hash the benchmark once for incremental decontamination. */
+  def freezeBenchmark(
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 13): FrozenBenchmark = {
+    val h = benchmark
+      .select(explode(ngramHashes(col(benchTextCol), n)).as("graft_h"))
+      .distinct()
+      .persist()
+    h.count()
+    FrozenBenchmark(h, n, () => { h.unpersist(); () })
+  }
+
+  /** One batch of corpus docs gated against a [[FrozenBenchmark]]: the
+    * same broadcast semi-join as [[clean]], reading the pre-hashed
+    * benchmark cache instead of re-hashing the benchmark per trigger.
+    * Per-doc decisions depend ONLY on (doc, benchmark), so batches
+    * decompose exactly — the union of per-batch outputs equals [[clean]]
+    * on the union (DecontaminateStreamSpec). */
+  def cleanAgainstFrozen(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      frozen: FrozenBenchmark): DataFrame = {
+    val contaminated = batch
+      .select(col(idCol), explode(ngramHashes(col(textCol), frozen.n)).as("graft_h"))
+      .join(broadcast(frozen.hashes), Seq("graft_h"), "left_semi")
+      .select(idCol)
+      .distinct()
+    batch.join(contaminated, Seq(idCol), "left_anti")
+  }
 }

@@ -796,6 +796,38 @@ object StreamOps {
     (q, frozen.release)
   }
 
+  /** Streaming benchmark decontamination (the [[dedupAgainstStream]]
+    * sibling for test-set leakage): gate an incremental document feed
+    * against a FROZEN evaluation/benchmark set — any doc sharing ≥1
+    * word n-gram with the benchmark is dropped before it can reach a
+    * training corpus. The benchmark's distinct n-gram hashes are
+    * computed once ([[graft.operators.Decontaminate.freezeBenchmark]])
+    * and broadcast into every micro-batch's semi-join. Per-doc
+    * decisions depend only on (doc, benchmark) → exact cross-batch
+    * decomposition (DecontaminateStreamSpec); the only state is the
+    * fixed benchmark-sized hash cache. Returns (query, release). */
+  def decontaminateStream(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      benchTextCol: String = "text",
+      n: Int = 13)(
+      sink: (DataFrame, Long) => Unit)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => Unit) = {
+    val frozen = graft.operators.Decontaminate.freezeBenchmark(
+      benchmark, benchTextCol, n)
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Decontaminate.cleanAgainstFrozen(
+          batch, idCol, textCol, frozen), batchId)
+      }
+      .start()
+    (q, frozen.release)
+  }
+
   /** Incremental corpus near-dup dedup: each micro-batch of documents is
     * checked against a persistent MinHash-signature store of everything
     * ever admitted; near-dups of history (and within the batch) are
