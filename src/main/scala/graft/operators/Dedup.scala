@@ -719,27 +719,30 @@ object Dedup {
         col(idCol).as("graft_id"),
         sort_array(array_distinct(shingles(col(textCol), shingleN))).as("graft_sh"))
       .persist()
-    val docTok = sh.select(col("graft_id"), size(col("graft_sh")).as("graft_sz"),
-      explode(col("graft_sh")).as("graft_tok"))
+    val docTok = sh.select(col("graft_id"), explode(col("graft_sh")).as("graft_tok"))
     // Document frequency as a WINDOW count over partitionBy(tok) rather
     // than groupBy + join-back: ONE exchange of the token table instead
     // of three (the groupBy, the join's re-shuffle of docTok, and the
-    // dfs side), and the windowed frame is hash-partitioned AND sorted
-    // by token — exactly the layout the posting-list side of the
-    // candidate join below needs, so that side adds no exchange at all
-    // (the minhash path's bucket-cap window plays the same trick).
+    // dfs side — the minhash path's bucket-cap window plays the same
+    // trick).
     val tokWin = org.apache.spark.sql.expressions.Window.partitionBy("graft_tok")
-    // persisted + materialized: the frame feeds BOTH the probe-prefix
-    // branch and the posting-list side of the candidate join — left to
-    // join-time cache population, the two concurrent scans each run the
-    // explode+window pipeline (the same 2× the sets-core exhibited)
     val withDf = docTok.withColumn("graft_df", count(lit(1)).over(tokWin))
-      .persist()
-    withDf.count()
+    // What PERSISTS is `ordered` — the doc-packed (df, tok) arrays —
+    // not the raw windowed token table: both the probe-prefix branch
+    // and the posting side below derive from it, the window pipeline
+    // runs exactly once (its output is consumed only here), and the
+    // cache holds corpus-tokens bytes in ~n_docs array rows instead of
+    // ~n_tokens row objects. That row-count difference is what decides
+    // the second scale decade: at sf10 the token-table cache exceeded
+    // the heap's storage share and thrashed (123 s wall on exactly-10×
+    // work); the array-packed cache holds the same bytes in 1/100th
+    // the rows.
     val ordered = withDf
       .groupBy("graft_id")
       .agg(sort_array(collect_list(struct(col("graft_df"), col("graft_tok"))))
         .as("graft_ord"))
+      .persist()
+    ordered.count()
     // prefix length |A| − ⌈t·|A|⌉ + 1 (PPJoin's ceil spelling, proven
     // cross-engine). (A row_number/count window spelling of this stage
     // was measured ~0.5 s SLOWER at sf0.1 — two WindowExec passes over
@@ -779,7 +782,11 @@ object Dedup {
       // sides carry their doc's set size, so |A∩B| ≤ |B| ⇒ the container
       // must satisfy |B| ≥ t·|A| — pruned pairs never reach the verify
       // join, i.e. their shingle ARRAYS are never shuffled at all
-      .join(withDf.select("graft_id", "graft_tok", "graft_sz").as("b"),
+      .join(
+        // posting side: the FULL token list, re-derived from the same
+        // persisted doc-packed cache the prefix side reads
+        ordered.select(col("graft_id"), size(col("graft_ord")).as("graft_sz"),
+            explode(col("graft_ord.graft_tok")).as("graft_tok")).as("b"),
         col("a.graft_tok") === col("b.graft_tok") &&
           col("a.graft_id") =!= col("b.graft_id") &&
           col("b.graft_sz").cast("double") >=
@@ -806,7 +813,7 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
       .distinct()
-    (result, () => { sh.unpersist(); withDf.unpersist(); () })
+    (result, () => { sh.unpersist(); ordered.unpersist(); () })
   }
 
   /** The PPJoin prefix-filter core over ANY per-row element-set frame
