@@ -136,7 +136,11 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
         var times = (1 to reps).map(_ => timeOne(fn))
-        floors.get(name).foreach { floor =>
+        // a FAILING query (min +Inf) must not enter the stall machinery:
+        // rescreens would burn up to 5 more failing reps and the stalls
+        // artifact would present a failure as an environmental stall
+        // (review r15 wave 2)
+        floors.get(name).filter(_ => !times.min.isInfinite).foreach { floor =>
           var extra = 0
           while (times.min > stallFactor * floor && extra < 3) {
             times = times :+ timeOne(fn)
@@ -171,6 +175,12 @@ object Bench {
     // still-hot retry is annotated twice-stalled for the round notes).
     stalls.keys.toSeq.foreach { name =>
       val (floor, raw, _) = stalls(name)
+      // same per-query cache isolation as the main loop: without this, a
+      // retried query freeloads on the previous retry's retained caches
+      // (the exact non-self-contained timing the main loop bans) and
+      // many retried cache-retaining queries re-accumulate storage
+      // toward the sf10 failure mode (review r15 wave 2)
+      spark.catalog.clearCache()
       val retry = (1 to 2).map(_ => timeOne(SparkEntry.queries(name)))
       stalls(name) = (floor, raw, retry)
       val newMin = math.min(results(name), retry.min)
@@ -189,6 +199,13 @@ object Bench {
       results(k) = -1.0
     }
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    // failures must be UNMISSABLE in both output lines: the total only
+    // sums successes, so without an explicit count a failed query would
+    // read as a suite SPEEDUP to any consumer of the headline value
+    val failedJson =
+      if (failedQueries.isEmpty) ""
+      else s""","n_failed":${failedQueries.size},"failed":[""" +
+        failedQueries.map("\"" + _ + "\"").mkString(",") + "]"
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val stallsJson = stalls.map { case (k, (floor, raw, retry)) =>
@@ -199,7 +216,7 @@ object Bench {
         (retry.nonEmpty && retry.min <= stallFactor * floor) + "}"
     }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"stalls":$stallsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size}$failedJson,"queries":$fullQs,"stalls":$stallsJson,"sf":"$sfDir"}"""
     // Full map: a file plus an early (clippable) stdout line.
     try {
       val dir = java.nio.file.Paths.get("target")
@@ -224,7 +241,7 @@ object Bench {
         s"""${stalls.size},"worst_stall":"$worst""""
       }
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$headQs,"n_stalled":$stallNote,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size}$failedJson,"queries":$headQs,"n_stalled":$stallNote,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

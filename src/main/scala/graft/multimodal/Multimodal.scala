@@ -950,12 +950,17 @@ object Multimodal {
       build: => Dataset[MediaRow]): Dataset[MediaRow] = {
     import spark.implicits._
     if (sys.env.get("SPARK_GRAFT_MEDIA_MEMO").contains("off")) return build
+    def md5(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val canon = new java.io.File(sfDir).getCanonicalPath
-    val keyHash = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$kind|$canon|${fixtureFingerprint(sfDir)}|v$corpusMemoVersion"
-        .getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val dir = new java.io.File(memoRoot, s"${kind}_$keyHash")
+    // two-part name: (kind, fixture PATH) identifies the corpus, the
+    // fingerprint identifies its current CONTENT — so when the fixture
+    // is regenerated in place, the stale same-corpus dirs are
+    // recognizable and garbage-collected below instead of stranding GBs
+    // of encoded container bytes per regeneration (review r15 wave 2)
+    val corpusKey = s"${kind}_${md5(s"$canon|v$corpusMemoVersion")}"
+    val dir = new java.io.File(
+      memoRoot, s"${corpusKey}_${md5(fixtureFingerprint(sfDir))}")
     if (!new java.io.File(dir, "_SUCCESS").exists()) memoLock.synchronized {
       if (!new java.io.File(dir, "_SUCCESS").exists()) {
         val tmp = new java.io.File(
@@ -963,6 +968,16 @@ object Multimodal {
         build.write.mode("overwrite").parquet(tmp.toString)
         // another process published first → drop the losing build
         if (!tmp.renameTo(dir)) graft.GraftQuery.deleteRecursively(tmp)
+        // GC stale fingerprints of the SAME corpus now that the fresh
+        // memo is published. Live ".tmp.<pid>" builds of a concurrent
+        // process are left alone (they self-delete on rename failure);
+        // only aged-out tmp leftovers of crashed builders go.
+        val hourAgo = System.currentTimeMillis() - 3600_000L
+        Option(memoRoot.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(corpusKey + "_") &&
+            f.getName != dir.getName &&
+            (!f.getName.contains(".tmp.") || f.lastModified < hourAgo))
+          .foreach(graft.GraftQuery.deleteRecursively)
       }
     }
     spark.read.parquet(dir.toString).as[MediaRow]

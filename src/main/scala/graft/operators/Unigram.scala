@@ -445,66 +445,21 @@ object Unigram {
     out
   }
 
-  /** Distributed SAMPLED encode (the [[encodeCounts]] shape, training-
-    * time variant): per doc, (n_words, n_sampled_tokens) under
-    * α-tempered lattice sampling. Sampling is seeded per WORD (a pure
-    * function of (word, seed)), so within one epoch repeated
-    * occurrences of a word tokenize identically — which keeps the
-    * per-partition memo valid AND the result partition-invariant; vary
-    * `seed` per epoch for fresh samples, exactly how subword
-    * regularization is driven in practice. */
-  def sampledCounts(
+  /** Shared distributed-encode scaffold (the [[Bpe.encodeCounts]]
+    * shape): pre-tokenize exactly as training did, apply `perWord`
+    * under the broadcast vocabulary with a bounded per-partition
+    * word→count memo, emit (idCol, n_words, `outCol`). One place for
+    * the id-cast/lower/pattern/memo policy so the Viterbi and sampled
+    * variants cannot drift (review r15 wave 2). `perWord` must be a
+    * pure function of (word, ranks) — that is what keeps the memo
+    * valid and the result partition-invariant. */
+  private def encodeCountsWith(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       vocab: Seq[UnigramPiece],
-      alpha: Double = 0.2,
-      seed: Long = 1L,
-      maxPieceLen: Int = 8): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val ranksB = spark.sparkContext.broadcast(
-      vocab.map(p => p.piece -> p.logprob).toMap)
-    val pat = graft.functions.TextFunctions.bpeishPattern
-    docs
-      .select(col(idCol).cast("long").as("id"), lower(col(textCol)).as("t"))
-      .as[(Long, String)]
-      .mapPartitions { rows =>
-        val ranks = ranksB.value
-        val memo = new java.util.HashMap[String, Int]()
-        val memoCap = 1 << 20
-        val rx = java.util.regex.Pattern.compile(pat)
-        rows.map { case (id, t) =>
-          val m = rx.matcher(if (t == null) "" else t)
-          var nWords = 0L
-          var nTok = 0L
-          while (m.find()) {
-            val w = m.group()
-            nWords += 1
-            var k: Int = memo.getOrDefault(w, -1)
-            if (k < 0) {
-              k = sampleWord(w, ranks, alpha, seed, maxPieceLen).length
-              if (memo.size >= memoCap) memo.clear()
-              memo.put(w, k)
-            }
-            nTok += k
-          }
-          (id, nWords, nTok)
-        }
-      }
-      .toDF(idCol, "n_words", "n_sampled_tokens")
-  }
-
-  /** Distributed encode, the [[Bpe.encodeCounts]] shape: pre-tokenize
-    * exactly as training did, Viterbi-encode each word under the
-    * broadcast vocabulary (per-partition word→count memo), emit
-    * (idCol, n_words, n_unigram_tokens) — narrow at corpus scale. */
-  def encodeCounts(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      vocab: Seq[UnigramPiece],
-      maxPieceLen: Int = 8): DataFrame = {
+      outCol: String)(
+      perWord: (String, Map[String, Double]) => Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ranksB = spark.sparkContext.broadcast(
@@ -527,7 +482,7 @@ object Unigram {
             nWords += 1
             var k: Int = memo.getOrDefault(w, -1)
             if (k < 0) {
-              k = encodeWord(w, ranks, maxPieceLen).length
+              k = perWord(w, ranks)
               if (memo.size >= memoCap) memo.clear()
               memo.put(w, k)
             }
@@ -536,6 +491,36 @@ object Unigram {
           (id, nWords, nTok)
         }
       }
-      .toDF(idCol, "n_words", "n_unigram_tokens")
+      .toDF(idCol, "n_words", outCol)
   }
+
+  /** Distributed SAMPLED encode (training-time variant): per doc,
+    * (n_words, n_sampled_tokens) under α-tempered lattice sampling.
+    * Sampling is seeded per WORD (a pure function of (word, seed)), so
+    * within one epoch repeated occurrences of a word tokenize
+    * identically — which keeps the per-partition memo valid AND the
+    * result partition-invariant; vary `seed` per epoch for fresh
+    * samples, exactly how subword regularization is driven in
+    * practice. */
+  def sampledCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: Seq[UnigramPiece],
+      alpha: Double = 0.2,
+      seed: Long = 1L,
+      maxPieceLen: Int = 8): DataFrame =
+    encodeCountsWith(docs, idCol, textCol, vocab, "n_sampled_tokens")(
+      (w, ranks) => sampleWord(w, ranks, alpha, seed, maxPieceLen).length)
+
+  /** Distributed Viterbi encode: per doc, (n_words, n_unigram_tokens)
+    * — narrow at corpus scale. */
+  def encodeCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: Seq[UnigramPiece],
+      maxPieceLen: Int = 8): DataFrame =
+    encodeCountsWith(docs, idCol, textCol, vocab, "n_unigram_tokens")(
+      (w, ranks) => encodeWord(w, ranks, maxPieceLen).length)
 }

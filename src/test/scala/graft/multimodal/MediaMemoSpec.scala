@@ -37,6 +37,32 @@ class MediaMemoSpec extends AnyFunSuite {
     }
   }
 
+  test("a rebuilt memo garbage-collects stale same-corpus fingerprints " +
+    "instead of stranding them on disk") {
+    // publish (or find) the current image memo dir for this fixture
+    Multimodal.syntheticImageCorpusMemo(spark, sfDir).count()
+    val root = new java.io.File("target/media_memo")
+    // current naming: image_<corpusKeyHash>_<fingerprintHash> — skip any
+    // leftover dirs of older memo naming schemes in a reused target/
+    val named = "image_[0-9a-f]{32}_[0-9a-f]{32}".r
+    def dirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && named.matches(f.getName))
+    val cur = dirs.find(d => new java.io.File(d, "_SUCCESS").exists()).get
+    // fake a STALE sibling: same corpus key (name minus the trailing
+    // fingerprint hash), different fingerprint
+    val corpusKey = cur.getName.substring(0, cur.getName.lastIndexOf('_'))
+    val stale = new java.io.File(root, corpusKey + "_" + "0" * 32)
+    stale.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(stale, "_SUCCESS")).close()
+    // force a rebuild of the current fingerprint: removing the published
+    // dir simulates "fixture content changed, new fingerprint builds"
+    graft.GraftQuery.deleteRecursively(cur)
+    Multimodal.syntheticImageCorpusMemo(spark, sfDir).count()
+    assert(new java.io.File(cur, "_SUCCESS").exists(), "memo republished")
+    assert(!stale.exists(),
+      s"stale same-corpus memo ${stale.getName} must be GC'd on publish")
+  }
+
   test("memo preserves the sparse meta columns exactly") {
     val fresh = Multimodal.syntheticVideoCorpus(spark, sfDir).collect()
       .map(r => r.media_id -> ((r.width, r.height, r.sample_rate, r.duration_ms)))
