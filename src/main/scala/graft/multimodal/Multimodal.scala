@@ -966,8 +966,16 @@ object Multimodal {
         val tmp = new java.io.File(
           memoRoot, dir.getName + ".tmp." + ProcessHandle.current().pid())
         build.write.mode("overwrite").parquet(tmp.toString)
-        // another process published first → drop the losing build
-        if (!tmp.renameTo(dir)) graft.GraftQuery.deleteRecursively(tmp)
+        if (!tmp.renameTo(dir)) {
+          // rename refused: either another process published first (its
+          // _SUCCESS is in place — drop the losing build) or the target
+          // is a half-deleted/leftover dir — refuse LOUDLY rather than
+          // silently reading whatever partial content sits there
+          graft.GraftQuery.deleteRecursively(tmp)
+          require(new java.io.File(dir, "_SUCCESS").exists(),
+            s"media memo publish failed: $dir exists without _SUCCESS " +
+              "(half-deleted leftover?) — remove it and rerun")
+        }
         // GC stale fingerprints of the SAME corpus now that the fresh
         // memo is published. Live ".tmp.<pid>" builds of a concurrent
         // process are left alone (they self-delete on rename failure);

@@ -39,15 +39,22 @@ class MediaMemoSpec extends AnyFunSuite {
 
   test("a rebuilt memo garbage-collects stale same-corpus fingerprints " +
     "instead of stranding them on disk") {
-    // publish (or find) the current image memo dir for this fixture
-    Multimodal.syntheticImageCorpusMemo(spark, sfDir).count()
     val root = new java.io.File("target/media_memo")
     // current naming: image_<corpusKeyHash>_<fingerprintHash> — skip any
     // leftover dirs of older memo naming schemes in a reused target/
     val named = "image_[0-9a-f]{32}_[0-9a-f]{32}".r
     def dirs = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && named.matches(f.getName))
-    val cur = dirs.find(d => new java.io.File(d, "_SUCCESS").exists()).get
+    // identify THIS fixture's dir deterministically: clear every
+    // new-format image memo (bench runs at other SFs leave theirs —
+    // picking one by listing order grabbed the wrong corpus and made
+    // this test order-dependent), rebuild, take the single dir that
+    // appears
+    dirs.foreach(graft.GraftQuery.deleteRecursively)
+    Multimodal.syntheticImageCorpusMemo(spark, sfDir).count()
+    val after = dirs.filter(d => new java.io.File(d, "_SUCCESS").exists())
+    assert(after.length == 1, s"expected exactly one fresh memo, got ${after.toSeq}")
+    val cur = after.head
     // fake a STALE sibling: same corpus key (name minus the trailing
     // fingerprint hash), different fingerprint
     val corpusKey = cur.getName.substring(0, cur.getName.lastIndexOf('_'))
