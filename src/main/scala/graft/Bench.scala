@@ -117,11 +117,70 @@ object Bench {
     // end-of-run pass below
     val stalls = scala.collection.mutable
       .LinkedHashMap[String, (Double, Seq[Double], Seq[Double])]()
+    // Per-query resource attribution (VERDICT r15 item 8): shuffle
+    // read/write bytes, spill, peak execution memory and peak SAMPLED
+    // storage memory ride the artifact so a future superlinear wall row
+    // arrives pre-attributed (cache pressure vs candidate blow-up)
+    // instead of needing a ScaleWorkProbe session. peak_exec is the max
+    // over stages of the stage's SUMMED task peaks (Spark aggregates the
+    // accumulator across tasks) — an upper bound on concurrent execution
+    // memory; peak_store samples cached-RDD bytes at stage boundaries,
+    // where persisted frames materialize.
+    final case class QMetrics(
+        shuffleRead: Long, shuffleWrite: Long, spill: Long,
+        peakExec: Long, peakStore: Long)
+    object qListener extends org.apache.spark.scheduler.SparkListener {
+      import java.util.concurrent.atomic.AtomicLong
+      val shr = new AtomicLong; val shw = new AtomicLong
+      val spill = new AtomicLong; val pexec = new AtomicLong
+      val pstore = new AtomicLong; val events = new AtomicLong
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val info = e.stageInfo
+        // failed attempts skipped so retries don't double-count (the
+        // Monitor.scala discipline)
+        if (info.failureReason.isEmpty) Option(info.taskMetrics).foreach { m =>
+          shr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          pexec.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        }
+        val cached =
+          try spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+          catch { case _: Throwable => 0L }
+        pstore.getAndUpdate(p => math.max(p, cached))
+        events.incrementAndGet()
+      }
+      def reset(): Unit = {
+        shr.set(0); shw.set(0); spill.set(0); pexec.set(0); pstore.set(0)
+        events.set(0)
+      }
+      /** Stage-completed events arrive on the async listener bus — poll
+        * until the count is stable (two 10 ms ticks), bounded. Runs AFTER
+        * the timed action, so timings are unaffected. */
+      def quiesce(): Unit = {
+        val deadline = System.currentTimeMillis() + 2000
+        var prev = -1L; var stable = 0
+        while (stable < 2 && System.currentTimeMillis() < deadline) {
+          val now = events.get()
+          if (now == prev) stable += 1 else { stable = 0; prev = now }
+          if (stable < 2) Thread.sleep(10)
+        }
+      }
+      def snapshot(): QMetrics =
+        QMetrics(shr.get(), shw.get(), spill.get(), pexec.get(), pstore.get())
+    }
+    spark.sparkContext.addSparkListener(qListener)
+    // metrics of the rep that won the reported min, per query
+    val resultBytes = scala.collection.mutable.LinkedHashMap[String, QMetrics]()
+    val bestTime = scala.collection.mutable.HashMap[String, Double]()
     // A FAILED run must never masquerade as a timing: a query that
     // throws (broken temp dir, disk full mid-suite) returns +Inf so it
     // can never win a min — in particular the end-of-run stall retry
     // must not report a fast FAILURE as "stall cleared" (review r15).
-    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      qListener.reset()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -129,13 +188,21 @@ object Bench {
           System.err.println(s"[bench] query FAILED: ${e.getClass.getName}: ${e.getMessage}")
           false
         }
-      if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
+      val t = if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
+      qListener.quiesce()
+      // keep the metrics of whichever rep wins the reported min — across
+      // normal reps, stall rescreens AND the end-of-run retry pass
+      if (ok && t < bestTime.getOrElse(name, Double.PositiveInfinity)) {
+        bestTime(name) = t
+        resultBytes(name) = qListener.snapshot()
+      }
+      t
     }
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        var times = (1 to reps).map(_ => timeOne(fn))
+        var times = (1 to reps).map(_ => timeOne(name, fn))
         // a FAILING query (min +Inf) must not enter the stall machinery:
         // rescreens would burn up to 5 more failing reps and the stalls
         // artifact would present a failure as an environmental stall
@@ -143,7 +210,7 @@ object Bench {
         floors.get(name).filter(_ => !times.min.isInfinite).foreach { floor =>
           var extra = 0
           while (times.min > stallFactor * floor && extra < 3) {
-            times = times :+ timeOne(fn)
+            times = times :+ timeOne(name, fn)
             extra += 1
           }
           if (times.min > stallFactor * floor) stalls(name) = (floor, times, Nil)
@@ -181,7 +248,7 @@ object Bench {
       // many retried cache-retaining queries re-accumulate storage
       // toward the sf10 failure mode (review r15 wave 2)
       spark.catalog.clearCache()
-      val retry = (1 to 2).map(_ => timeOne(SparkEntry.queries(name)))
+      val retry = (1 to 2).map(_ => timeOne(name, SparkEntry.queries(name)))
       stalls(name) = (floor, raw, retry)
       val newMin = math.min(results(name), retry.min)
       System.err.println(
@@ -191,14 +258,18 @@ object Bench {
           s"[bench] $name stalled TWICE: retry ${retry.map(fmt).mkString(", ")} (floor ${fmt(floor)})")
       results(name) = newMin
     }
-    // a query whose EVERY rep failed carries +Inf: surface it as an
-    // explicit failure marker (-1) instead of corrupting totals/JSON
+    // a query whose EVERY rep failed carries +Inf: surface it ONLY in
+    // the n_failed/"failed" fields and OMIT it from the "queries" maps —
+    // an in-map -1 marker skewed any consumer that sums the per-query
+    // map itself (cross-round diff tooling) by -1 per failure, silently
+    // disagreeing with the headline value (advice r15)
     val failedQueries = results.collect { case (k, v) if v.isInfinite => k }.toSeq
     failedQueries.foreach { k =>
-      System.err.println(s"[bench] $k FAILED every rep — reported as -1, NOT a timing")
-      results(k) = -1.0
+      System.err.println(s"[bench] $k FAILED every rep — listed under \"failed\", NOT a timing")
+      results.remove(k)
     }
-    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    val nAttempted = results.size + failedQueries.size
+    val total = if (results.nonEmpty) results.values.sum else 0.0
     // failures must be UNMISSABLE in both output lines: the total only
     // sums successes, so without an explicit count a failed query would
     // read as a suite SPEEDUP to any consumer of the headline value
@@ -208,6 +279,15 @@ object Bench {
         failedQueries.map("\"" + _ + "\"").mkString(",") + "]"
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // per-query resource columns (full line + bench_full.json only — the
+    // driver-facing compact line must stay under its stdout budget)
+    val bytesJson = results.keys.flatMap { k =>
+      resultBytes.get(k).map { m =>
+        "\"" + k + "\":{\"shr\":" + m.shuffleRead + ",\"shw\":" + m.shuffleWrite +
+          ",\"spill\":" + m.spill + ",\"peak_exec\":" + m.peakExec +
+          ",\"peak_store\":" + m.peakStore + "}"
+      }
+    }.mkString("{", ",", "}")
     val stallsJson = stalls.map { case (k, (floor, raw, retry)) =>
       "\"" + k + "\":{\"floor\":" + fmt(floor) +
         ",\"raw\":[" + raw.map(fmt).mkString(",") + "]" +
@@ -215,8 +295,11 @@ object Bench {
         ",\"cleared_on_retry\":" +
         (retry.nonEmpty && retry.min <= stallFactor * floor) + "}"
     }.mkString("{", ",", "}")
+    // n_queries counts ATTEMPTED queries (stable across rounds even when
+    // something fails); the queries map holds only successes, so its size
+    // is n_queries - n_failed
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size}$failedJson,"queries":$fullQs,"stalls":$stallsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nAttempted$failedJson,"queries":$fullQs,"bytes":$bytesJson,"stalls":$stallsJson,"sf":"$sfDir"}"""
     // Full map: a file plus an early (clippable) stdout line.
     try {
       val dir = java.nio.file.Paths.get("target")
@@ -241,7 +324,7 @@ object Bench {
         s"""${stalls.size},"worst_stall":"$worst""""
       }
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size}$failedJson,"queries":$headQs,"n_stalled":$stallNote,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":$nAttempted$failedJson,"queries":$headQs,"n_stalled":$stallNote,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

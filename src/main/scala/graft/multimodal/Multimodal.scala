@@ -915,12 +915,27 @@ object Multimodal {
   private val memoLock = new Object
 
   private def memoRoot: java.io.File = {
-    // target/ when running from the repo (bench, tests); tmpdir otherwise
+    // target/ when running from the repo (bench, tests); tmpdir otherwise.
+    // The tmpdir fallback is scoped PER USER and created owner-only: a
+    // world-shared fixed path would let another local user pre-plant a
+    // directory with a matching deterministic key + _SUCCESS and inject
+    // arbitrary corpus bytes into query results (advice r15).
     val t = new java.io.File("target")
     val root =
       if (t.isDirectory) new java.io.File(t, "media_memo")
-      else new java.io.File(sys.props("java.io.tmpdir"), "graft_media_memo")
+      else {
+        val user = sys.props.getOrElse("user.name", "anon")
+          .replaceAll("[^A-Za-z0-9_.-]", "_")
+        new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_media_memo_$user")
+      }
     root.mkdirs()
+    if (!t.isDirectory) {
+      // owner-only on the shared-tmpdir path (no-ops on non-POSIX FS)
+      root.setReadable(false, false); root.setReadable(true, true)
+      root.setWritable(false, false); root.setWritable(true, true)
+      root.setExecutable(false, false); root.setExecutable(true, true)
+    }
     root
   }
 
@@ -932,12 +947,36 @@ object Multimodal {
     * a silent manifest mismatch. FS metadata is a cheap, deterministic
     * proxy for content: any regeneration rewrites the files. */
   private def fixtureFingerprint(sfDir: String): String = {
+    // (name, length, full-resolution mtime, edge checksum) per file. The
+    // corpora are deterministic, so a regenerated fixture has IDENTICAL
+    // lengths by design; File.lastModified is second-granular on some
+    // filesystems, so a same-second in-place regeneration could silently
+    // serve the stale memo (advice r15). Full-resolution FileTime plus a
+    // cheap first/last-4KB content checksum closes both holes.
+    def edgeCrc(f: java.io.File): Long = {
+      val crc = new java.util.zip.CRC32
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        val head = new Array[Byte](math.min(4096L, raf.length()).toInt)
+        raf.readFully(head); crc.update(head)
+        if (raf.length() > 4096) {
+          val tail = new Array[Byte](math.min(4096L, raf.length() - 4096).toInt)
+          raf.seek(raf.length() - tail.length)
+          raf.readFully(tail); crc.update(tail)
+        }
+        crc.getValue
+      } finally raf.close()
+    }
+    def stamp(f: java.io.File): String = {
+      val mtime = java.nio.file.Files
+        .getLastModifiedTime(f.toPath).toInstant.toString
+      s"${f.getName}:${f.length}:$mtime:${edgeCrc(f)}"
+    }
     val docs = new java.io.File(sfDir, "documents.parquet")
-    val files = Option(docs.listFiles()).getOrElse(Array.empty)
+    if (docs.isFile) stamp(docs)
+    else Option(docs.listFiles()).getOrElse(Array.empty)
       .filter(_.isFile).sortBy(_.getName)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-    (if (docs.isFile) s"${docs.length}:${docs.lastModified}"
-     else files.mkString("|"))
+      .map(stamp).mkString("|")
   }
 
   /** Memoize one corpus build to parquet, publish-by-rename so concurrent
@@ -976,15 +1015,17 @@ object Multimodal {
             s"media memo publish failed: $dir exists without _SUCCESS " +
               "(half-deleted leftover?) — remove it and rerun")
         }
-        // GC stale fingerprints of the SAME corpus now that the fresh
-        // memo is published. Live ".tmp.<pid>" builds of a concurrent
-        // process are left alone (they self-delete on rename failure);
-        // only aged-out tmp leftovers of crashed builders go.
+        // GC stale builds of the SAME corpus now that the fresh memo is
+        // published — but only once they are an hour old. spark.read
+        // .parquet is lazy: a concurrent process holding a Dataset over
+        // an old-fingerprint memo would see its files deleted mid-scan
+        // if stale dirs went immediately (advice r15); the same grace
+        // period already protects live ".tmp.<pid>" builds of crashed
+        // builders.
         val hourAgo = System.currentTimeMillis() - 3600_000L
         Option(memoRoot.listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.startsWith(corpusKey + "_") &&
-            f.getName != dir.getName &&
-            (!f.getName.contains(".tmp.") || f.lastModified < hourAgo))
+            f.getName != dir.getName && f.lastModified < hourAgo)
           .foreach(graft.GraftQuery.deleteRecursively)
       }
     }

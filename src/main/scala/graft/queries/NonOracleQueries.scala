@@ -729,6 +729,43 @@ object NonOracleQueries {
           .orderBy("doc_id")
       }),
 
+    // WordPiece tokenizer TRAINING (graft.operators.WordPiece — the
+    // third major subword family next to BPE and Unigram-LM): learn a
+    // 192-token vocabulary from the documents corpus by merging the
+    // symbol pair maximizing the LIKELIHOOD score count(ab)/(count(a)·
+    // count(b)) (the BERT-family trainer), not raw pair frequency. The
+    // corpus-sized work is the SAME one word-count shuffle as BPE; the
+    // merge loop runs on the capped word-frequency table. Deterministic
+    // (exact BigInt score compare, lexicographic ties, no RNG) but the
+    // iterative data-dependent fit is not SQL-expressible (the
+    // q_kmeans/q_bpe_train terminal class, SURVEY §2.4a) → rows-only;
+    // WordPieceSpec pins the merge sequence against an independent naive
+    // reference, proves the likelihood-vs-frequency argmax property, and
+    // trains 1-vs-7-partition identical.
+    GraftQuery(
+      "q_wordpiece_train",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.WordPiece.train(
+            Tables.documents(s, d), "text", vocabSize = 192)
+          .toDF().orderBy("rank")
+      }),
+
+    // WordPiece encode under an in-query-trained vocabulary: per-doc
+    // word / piece / [UNK] counts via BERT's greedy longest-match walk
+    // (broadcast vocab set, per-partition word memo — the
+    // Bpe.encodeCounts shape). Depends on the learned vocabulary →
+    // rows-only like the trainer; WordPieceSpec proves the distributed
+    // encode equals the per-word reference walk.
+    GraftQuery(
+      "q_wordpiece_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = graft.operators.WordPiece.train(docs, "text", vocabSize = 160)
+        graft.operators.WordPiece.encodeCounts(docs, "doc_id", "text", vocab)
+          .orderBy("doc_id")
+      }),
+
     // Z-order layout effectiveness: write lineitem z-ordered on
     // (l_orderkey, l_partkey), then report how many files an equality
     // filter on EACH dimension touches vs the file count — the scan-

@@ -269,6 +269,41 @@ object TextQueries {
              |            JOIN g gb ON gb.doc_id = cand.ib) p
              |WHERE cm >= 0.8 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Cross-corpus directional containment (Dedup.containmentAgainst —
+    // the frozen-reference batch ground truth behind
+    // StreamOps.containmentAgainstStream): admit probe docs NOT mostly
+    // contained in any reference doc. Same exact asymmetric prefix
+    // algebra as q_containment, but ordered by REFERENCE df (unseen
+    // probe shingles sort first and prune: no postings, no candidates).
+    // The oracle replays it brute-force (the q_dedup_against precedent)
+    // — the quadratic plan this operator exists to avoid at scale.
+    GraftQuery(
+      "q_containment_against",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Dedup.containmentAgainst(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", shingleN = 3, threshold = 0.8)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+             |           FROM documents),
+             |g AS (SELECT doc_id,
+             |        CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |             ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+             |                                 FOR i IN range(1, len(w)-1)])
+             |        END AS sh
+             |      FROM t),
+             |c AS (SELECT * FROM g WHERE doc_id % 3 <> 0),
+             |r AS (SELECT * FROM g WHERE doc_id % 3 = 0),
+             |dup AS (SELECT DISTINCT c.doc_id FROM c JOIN r ON
+             |  CAST(len(list_intersect(c.sh, r.sh)) AS DOUBLE) /
+             |    len(c.sh) >= 0.8)
+             |SELECT * FROM documents
+             |WHERE doc_id % 3 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dup)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Exact edit-distance pair join WITHOUT the O(n²) theta join
     // (EditDistanceJoin.editPairs — FastSS/SymSpell deletion-neighborhood
     // blocking): every pair within levenshtein 1 shares a ≤1-deletion

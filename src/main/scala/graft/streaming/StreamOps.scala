@@ -796,6 +796,49 @@ object StreamOps {
     (q, frozen.release)
   }
 
+  /** Streaming directional-containment gate (completes the streaming
+    * near-dup family: [[dedupAgainstStream]] = symmetric Jaccard,
+    * [[decontaminateStream]] = n-gram overlap, this = containment): drop
+    * any incoming doc MOSTLY CONTAINED (|A∩B|/|A| ≥ threshold) in a
+    * FROZEN reference corpus — quotation/excerpt leakage the symmetric
+    * axis misses (a short probe inside a long reference doc has Jaccard
+    * ≈ |A|/|B| → 0). The reference's doc-packed sorted shingle arrays
+    * and document frequencies are fingerprinted once
+    * ([[graft.operators.Dedup.freezeContainmentReference]]); each
+    * trigger runs the exact asymmetric prefix filter + merge-walk verify
+    * against only candidate reference docs
+    * ([[graft.operators.Dedup.containmentAgainstFrozen]]). Per-doc
+    * decisions depend only on (doc, reference) → EXACT cross-batch
+    * decomposition with no cap caveat (ContainmentStreamSpec); the only
+    * state is the fixed reference-sized cache pair. Returns
+    * (query, release) — the Releasable discipline. */
+  def containmentAgainstStream(
+      docs: DataFrame,
+      reference: DataFrame,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      maxTokenDf: Long = 100000L)(
+      sink: (DataFrame, Long) => Unit)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => Unit) = {
+    val frozen = graft.operators.Dedup.freezeContainmentReference(
+      reference, idCol, textCol, shingleN, maxTokenDf)
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val admitted = graft.operators.Dedup.containmentAgainstFrozen(
+          batch, frozen, threshold)
+        // persisted+materialized by the core; must not outlive the
+        // trigger (the dedupAgainstStream shape)
+        try sink(admitted, batchId)
+        finally admitted.unpersist()
+      }
+      .start()
+    (q, frozen.release)
+  }
+
   /** Streaming benchmark decontamination (the [[dedupAgainstStream]]
     * sibling for test-set leakage): gate an incremental document feed
     * against a FROZEN evaluation/benchmark set — any doc sharing ≥1

@@ -37,8 +37,8 @@ class MediaMemoSpec extends AnyFunSuite {
     }
   }
 
-  test("a rebuilt memo garbage-collects stale same-corpus fingerprints " +
-    "instead of stranding them on disk") {
+  test("a rebuilt memo garbage-collects AGED stale same-corpus " +
+    "fingerprints but leaves recent ones for concurrent readers") {
     val root = new java.io.File("target/media_memo")
     // current naming: image_<corpusKeyHash>_<fingerprintHash> — skip any
     // leftover dirs of older memo naming schemes in a reused target/
@@ -55,19 +55,33 @@ class MediaMemoSpec extends AnyFunSuite {
     val after = dirs.filter(d => new java.io.File(d, "_SUCCESS").exists())
     assert(after.length == 1, s"expected exactly one fresh memo, got ${after.toSeq}")
     val cur = after.head
-    // fake a STALE sibling: same corpus key (name minus the trailing
-    // fingerprint hash), different fingerprint
+    // fake TWO stale siblings: same corpus key (name minus the trailing
+    // fingerprint hash), different fingerprints. One aged past the GC
+    // grace period, one freshly written — parquet reads are lazy, so a
+    // concurrent process can still hold a Dataset over a recent stale
+    // memo; deleting it at publish time failed that reader mid-scan
+    // (advice r15). Only the AGED one may go.
     val corpusKey = cur.getName.substring(0, cur.getName.lastIndexOf('_'))
-    val stale = new java.io.File(root, corpusKey + "_" + "0" * 32)
-    stale.mkdirs()
-    new java.io.FileOutputStream(new java.io.File(stale, "_SUCCESS")).close()
+    def mkStale(fp: String): java.io.File = {
+      val d = new java.io.File(root, corpusKey + "_" + fp)
+      d.mkdirs()
+      new java.io.FileOutputStream(new java.io.File(d, "_SUCCESS")).close()
+      d
+    }
+    val aged = mkStale("0" * 32)
+    assert(aged.setLastModified(System.currentTimeMillis() - 2 * 3600_000L))
+    val recent = mkStale("1" * 32)
     // force a rebuild of the current fingerprint: removing the published
     // dir simulates "fixture content changed, new fingerprint builds"
     graft.GraftQuery.deleteRecursively(cur)
     Multimodal.syntheticImageCorpusMemo(spark, sfDir).count()
     assert(new java.io.File(cur, "_SUCCESS").exists(), "memo republished")
-    assert(!stale.exists(),
-      s"stale same-corpus memo ${stale.getName} must be GC'd on publish")
+    assert(!aged.exists(),
+      s"aged stale same-corpus memo ${aged.getName} must be GC'd on publish")
+    assert(recent.exists(),
+      s"recent stale memo ${recent.getName} must survive the grace period " +
+        "(a concurrent reader may still be scanning it)")
+    graft.GraftQuery.deleteRecursively(recent)
   }
 
   test("memo preserves the sparse meta columns exactly") {

@@ -299,18 +299,41 @@ class DedupSpec extends AnyFunSuite {
       s"guard message missing from ${chain(e)}")
   }
 
-  test("containmentNearDup throws loudly on a hot prefix shingle too") {
+  test("containmentNearDup's hot-shingle guard is EAGER: it throws at " +
+    "operator construction, so even a partial action cannot bypass it") {
     val clones = (1L to 40L).map(i => (i, "the same exact boilerplate text everywhere"))
       .toDF("doc_id", "text")
+    // r15's fused raise_error guard fired per-PARTITION at
+    // materialization — a take(1)/limit that stopped before the hot
+    // partition executed could return rows unguarded (VERDICT r15 item
+    // 4). The guard now rides the cache-materialization aggregate inside
+    // the operator CALL itself: the exception surfaces before any frame
+    // exists for a caller to take(1) on.
     val e = intercept[Throwable] {
       Dedup.containmentNearDup(clones, "doc_id", "text",
-        shingleN = 3, threshold = 0.8, maxTokenDf = 10L).collect()
+        shingleN = 3, threshold = 0.8, maxTokenDf = 10L)
+      // NOTE: no action — construction alone must raise
     }
     def chain(t: Throwable): Seq[String] =
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ chain(t.getCause)
     assert(chain(e).exists(_.contains("exact dedup first")),
       s"guard message missing from ${chain(e)}")
+  }
+
+  test("containmentNearDup's eager guard stays quiet on a cool corpus " +
+    "and the result is unchanged by partial-then-full consumption") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "completely different words on this row here")
+    ).toDF("doc_id", "text")
+    val full = Dedup.containmentNearDup(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.8, maxTokenDf = 100L)
+    val head = full.take(1) // partial action: must be guarded-safe now
+    assert(head.nonEmpty)
+    assert(full.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .contains((1L, 2L)))
   }
 
   // ------------------------------------------------------------------
