@@ -867,22 +867,34 @@ object Dedup {
 
   /** [[containmentNearDup]] plus an explicit release handle for its
     * internal shingle-set cache — the multi-corpus-session contract of
-    * [[prefixJaccardNearDupReleasable]]. */
+    * [[prefixJaccardNearDupReleasable]].
+    *
+    * `verifyStrategy`: "auto" (default — pick by exact candidate volume,
+    * see the switch comment in the body), "string" (force the one-tier
+    * exact verify), "hash" (force the two-tier hash-prefilter verify).
+    * Both paths are exact; results are identical (DedupSpec pins it). */
   def containmentNearDupReleasable(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.8,
-      maxTokenDf: Long = 100000L): (DataFrame, () => Unit) = {
+      maxTokenDf: Long = 100000L,
+      verifyStrategy: String = "auto"): (DataFrame, () => Unit) = {
     require(threshold > 0 && threshold <= 1, s"threshold=$threshold outside (0,1]")
     // sorted at build (once, cached) so the verify below is the
     // zero-allocation SortedIntersectSize merge walk instead of
     // array_intersect's hash-set + materialized-array per candidate pair
+    // experiment knob (r16 task 2): storage level for the containment
+    // caches — "ser" = MEMORY_AND_DISK_SER
+    val level = sys.env.get("SPARK_GRAFT_CONTAIN_STORAGE") match {
+      case Some("ser") => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      case _ => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    }
     val sh = df.select(
         col(idCol).as("graft_id"),
         sort_array(array_distinct(shingles(col(textCol), shingleN))).as("graft_sh"))
-      .persist()
+      .persist(level)
     val docTok = sh.select(col("graft_id"), explode(col("graft_sh")).as("graft_tok"))
     // Document frequency as a WINDOW count over partitionBy(tok) rather
     // than groupBy + join-back: ONE exchange of the token table instead
@@ -905,7 +917,7 @@ object Dedup {
       .groupBy("graft_id")
       .agg(sort_array(collect_list(struct(col("graft_df"), col("graft_tok"))))
         .as("graft_ord"))
-      .persist()
+      .persist(level)
     // prefix length |A| − ⌈t·|A|⌉ + 1 (PPJoin's ceil spelling, proven
     // cross-engine). (A row_number/count window spelling of this stage
     // was measured ~0.5 s SLOWER at sf0.1 — two WindowExec passes over
@@ -922,12 +934,22 @@ object Dedup {
     // before any caller action. A partial action (take/limit/show) on
     // the returned frame can no longer bypass it — there is nothing left
     // to bypass downstream.
-    val maxPrefixDf = {
+    // The same one-scan aggregate also prices the CANDIDATE JOIN exactly
+    // before running it: each prefix entry with token s (df ≥ 2) joins
+    // df(s) − 1 partner docs, so the pre-length-filter candidate volume
+    // is Σ_docs Σ_{s ∈ prefix, df≥2} (df(s) − 1) — the number that
+    // decides the verify strategy below.
+    val (maxPrefixDf, candVolume) = {
       val row = ordered
-        .select(max(element_at(col("graft_ord"), plen.cast("int"))
-          .getField("graft_df")).as("mx"))
+        .select(
+          max(element_at(col("graft_ord"), plen.cast("int"))
+            .getField("graft_df")).as("mx"),
+          sum(aggregate(slice(col("graft_ord"), lit(1), plen), lit(0L),
+            (acc, e) => acc + when(e.getField("graft_df") >= 2,
+              e.getField("graft_df") - 1).otherwise(lit(0L)))).as("cv"))
         .first()
-      if (row.isNullAt(0)) 0L else row.getLong(0) // null = empty corpus
+      (if (row.isNullAt(0)) 0L else row.getLong(0), // null = empty corpus
+        if (row.isNullAt(1)) 0L else row.getLong(1))
     }
     if (maxPrefixDf > maxTokenDf) {
       // failure path only: name one offending shingle for the message
@@ -971,23 +993,117 @@ object Dedup {
     // only when it shares SEVERAL prefix shingles — rare by
     // construction, since one shared prefix shingle suffices), so a
     // distinct here pays a full exchange+aggregate of the candidate set
-    // to trim 3%. Verify instead processes the few duplicates and the
-    // final distinct runs on the SURVIVORS (dup-rate-sized — 512 rows
-    // where candidates were 308k). Duplicate candidates verify to
-    // byte-identical rows, so the result SET is unchanged.
-    val result = candidates
-      .join(sh.select(col("graft_id").as("id_a"), col("graft_sh").as("sh_a")), "id_a")
-      .join(sh.select(col("graft_id").as("id_b"), col("graft_sh").as("sh_b")), "id_b")
+    // to trim 3%. Verification processes the few duplicates instead.
+    //
+    // TWO-TIER verify (r16 task 2 — measured at sf10: the old one-tier
+    // string verify was ~55 s of an ~89 s wall, 21.4M candidate pairs
+    // each dragging two full STRING shingle arrays through the pair
+    // table's exchanges). Tier 1 intersects per-doc xxhash64 shingle
+    // hashes — sorted long arrays, ~6× lighter through the shuffle and
+    // long-compare merge walks — which is a provable UPPER bound on the
+    // string intersection when each doc's hashes are collision-free
+    // (h injective on A ⇒ every x ∈ A∩B contributes a distinct element
+    // of h(A)∩h(B)); spurious cross-doc collisions only ADD, so no true
+    // pair is dropped. Injectivity is CHECKED per doc while the hash
+    // cache materializes; on any intra-doc collision (needs a 64-bit
+    // collision inside one doc — never observed) the call falls back to
+    // the one-tier string verify, so exactness is UNCONDITIONAL either
+    // way. Tier 2 string-verifies only the tiny survivor set
+    // (dup-rate-sized: 51k pairs where candidates were 21.4M at sf10),
+    // with the sh cache cut to survivor docs by BROADCAST semi-joins
+    // before any exchange.
+    // Strategy switch: the hash tier costs a fixed overhead (the hsh
+    // cache build + collision aggregate + the survivor materialization —
+    // ~6 extra jobs) that only amortizes when the pair table is big
+    // enough for its exchange payload to dominate. Measured on the scale
+    // fixtures (cold, CPUS=32): at 30.8M candidates (sf10) two-tier wins
+    // ~1.7×; at ≤3.1M (sf1 and below) the one-tier string verify wins.
+    // The volume is known EXACTLY before either path runs (candVolume
+    // above), so the switch is deterministic data logic, not host luck —
+    // and both paths are exact, so the result is identical either way.
+    val twoTier = verifyStrategy match {
+      case "string" => false
+      case "hash" => true
+      case _ => sys.env.get("SPARK_GRAFT_CONTAIN_VERIFY") match {
+        // builder-local A/B hook; only consulted when the caller left
+        // the strategy on auto
+        case Some("string") => false
+        case Some("hash") => true
+        case _ => candVolume >= 8000000L
+      }
+    }
+    def exactVerify(pairs: DataFrame): DataFrame = {
+      val withArrays = pairs
+        .join(sh.select(col("graft_id").as("id_a"), col("graft_sh").as("sh_a")), "id_a")
+        .join(sh.select(col("graft_id").as("id_b"), col("graft_sh").as("sh_b")), "id_b")
       // sh arrays are sorted at build → the verify intersect is the
       // zero-allocation merge-walk kernel (parity: IntersectSizeSpec)
-      .withColumn("containment",
-        org.apache.spark.sql.graft.SortedIntersectSize
-          .sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double") /
-          size(col("sh_a")))
-      .filter(col("containment") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
-      .distinct()
-    (result, () => { sh.unpersist(); ordered.unpersist(); () })
+      withArrays
+        .withColumn("containment",
+          org.apache.spark.sql.graft.SortedIntersectSize
+            .sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double") /
+            size(col("sh_a")))
+        .filter(col("containment") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
+        .distinct()
+    }
+    if (!twoTier) {
+      val result = exactVerify(candidates)
+      return (result, () => { sh.unpersist(); ordered.unpersist(); () })
+    }
+    val hsh = sh.select(col("graft_id"),
+        size(col("graft_sh")).as("graft_n"),
+        sort_array(array_distinct(
+          transform(col("graft_sh"), x => xxhash64(x)))).as("graft_hs"))
+      .persist(level)
+    val collisions = {
+      val row = hsh.agg(max(col("graft_n") - size(col("graft_hs")))).first()
+      if (row.isNullAt(0)) 0 else row.getInt(0)
+    }
+    if (collisions > 0) {
+      // one-tier fallback: exact string verify over all candidates
+      System.err.println(
+        "[graft.Dedup] containment: intra-doc shingle-hash collision " +
+          "detected — falling back to the one-tier string verify")
+      val result = exactVerify(candidates)
+      (result, () => { sh.unpersist(); ordered.unpersist(); hsh.unpersist(); () })
+    } else {
+      val surv = candidates
+        .join(hsh.select(col("graft_id").as("id_a"), col("graft_n").as("n_a"),
+          col("graft_hs").as("hs_a")), "id_a")
+        .join(hsh.select(col("graft_id").as("id_b"),
+          col("graft_hs").as("hs_b")), "id_b")
+        .filter(
+          org.apache.spark.sql.graft.SortedLongIntersectSize
+            .sortedLongIntersectSize(col("hs_a"), col("hs_b")).cast("double") >=
+            lit(threshold) * col("n_a") - lit(1e-9))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+        .persist(level)
+      surv.count()
+      // tier 2: survivor docs only — broadcast the (tiny) id sets so the
+      // sh cache is FILTERED without being exchanged
+      val shA = sh
+        .join(broadcast(surv.select(col("id_a").as("graft_id")).distinct()),
+          Seq("graft_id"), "left_semi")
+        .select(col("graft_id").as("id_a"), col("graft_sh").as("sh_a"))
+      val shB = sh
+        .join(broadcast(surv.select(col("id_b").as("graft_id")).distinct()),
+          Seq("graft_id"), "left_semi")
+        .select(col("graft_id").as("id_b"), col("graft_sh").as("sh_b"))
+      val result = surv
+        .join(shA, "id_a")
+        .join(shB, "id_b")
+        .withColumn("containment",
+          org.apache.spark.sql.graft.SortedIntersectSize
+            .sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double") /
+            size(col("sh_a")))
+        .filter(col("containment") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
+      (result, () => {
+        sh.unpersist(); ordered.unpersist(); hsh.unpersist(); surv.unpersist(); ()
+      })
+    }
   }
 
   /** The PPJoin prefix-filter core over ANY per-row element-set frame

@@ -83,4 +83,54 @@ class IntersectSizeSpec extends AnyFunSuite {
       .filter(col("got") =!= col("want"))
     assert(bad.count() == 0)
   }
+
+  test("long-array kernel == size(array_intersect) on sorted-distinct " +
+    "int64 arrays (the containment tier-1 frame), incl. negative hashes " +
+    "and Long.MinValue/MaxValue edges") {
+    val longKernel =
+      org.apache.spark.sql.graft.SortedLongIntersectSize.sortedLongIntersectSize _
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    // randomized pairs over a small value domain (forced overlaps) with
+    // signs mixed — xxhash64 emits the full int64 range
+    val rand = (0 until 500).map { k =>
+      def set(salt: Long) = {
+        val n = (mix(k * 31L + salt).abs % 40).toInt
+        (0 until n).map(i => mix(k * 7L + salt * 13L + i) % 60).distinct.sorted
+      }
+      (set(1L), set(2L))
+    }
+    val edges = Seq(
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(Long.MinValue, -7L, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue)),
+      (Seq(-3L, -2L, -1L), Seq(-2L, 0L, 5L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)))
+    val bad = (rand ++ edges).toDF("a", "b").select(
+        longKernel(col("a"), col("b")).as("got"),
+        size(array_intersect(col("a"), col("b"))).as("want"))
+      .filter(col("got") =!= col("want"))
+    assert(bad.count() == 0)
+    // null arrays stay null
+    val n = Seq((null.asInstanceOf[Seq[Long]], Seq(1L)))
+      .toDF("a", "b").select(longKernel(col("a"), col("b")).as("got"))
+    assert(n.head().isNullAt(0))
+    // and the REAL tier-1 frame: fixture shingle hashes, kernel equals
+    // the composed spelling on the same sorted-distinct hash arrays
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val hs = docs.select(col("doc_id"),
+      sort_array(array_distinct(transform(
+        sort_array(array_distinct(TextFunctions.shingles(col("text"), 3))),
+        x => xxhash64(x)))).as("hs"))
+      .limit(60)
+    val pairs = hs.toDF("id_a", "hs_a").crossJoin(hs.toDF("id_b", "hs_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(longKernel(col("hs_a"), col("hs_b")).as("got"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).as("want"))
+    assert(pairs.filter(col("got") =!= col("want")).count() == 0)
+    assert(pairs.filter(col("got") > 0).count() > 0, "vacuous fixture slice")
+  }
 }

@@ -321,6 +321,27 @@ class DedupSpec extends AnyFunSuite {
       s"guard message missing from ${chain(e)}")
   }
 
+  test("containment verify strategies are interchangeable: the two-tier " +
+    "hash-prefilter path returns byte-identical pairs to the one-tier " +
+    "string verify on the fixture corpus") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(strategy: String): Set[(Long, Long, Double)] = {
+      val (res, release) = Dedup.containmentNearDupReleasable(
+        docs, "doc_id", "text", shingleN = 3, threshold = 0.8,
+        maxTokenDf = 100000L, verifyStrategy = strategy)
+      val got = res.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      release()
+      got
+    }
+    val viaString = run("string")
+    val viaHash = run("hash")
+    assert(viaString == viaHash,
+      s"strategy drift: onlyString=${viaString -- viaHash} " +
+        s"onlyHash=${viaHash -- viaString}")
+    assert(viaString.nonEmpty, "fixture must produce containment pairs")
+  }
+
   test("containmentNearDup's eager guard stays quiet on a cool corpus " +
     "and the result is unchanged by partial-then-full consumption") {
     val docs = Seq(
