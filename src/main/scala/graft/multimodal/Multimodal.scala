@@ -935,6 +935,20 @@ object Multimodal {
       root.setReadable(false, false); root.setReadable(true, true)
       root.setWritable(false, false); root.setWritable(true, true)
       root.setExecutable(false, false); root.setExecutable(true, true)
+      // the per-user name narrows but does not close the pre-creation
+      // attack — refuse a dir some OTHER user planted before we could
+      // (ownership check; skipped on filesystems that cannot answer)
+      try {
+        val owner = java.nio.file.Files.getOwner(root.toPath).getName
+        val me = sys.props.getOrElse("user.name", owner)
+        require(owner == me,
+          s"media memo fallback dir $root is owned by '$owner', not " +
+            s"'$me' — refusing to read/write a foreign cache; remove it " +
+            "or set a writable target/ directory")
+      } catch {
+        case _: UnsupportedOperationException => () // non-POSIX: no owner
+        case _: java.io.IOException => ()
+      }
     }
     root
   }

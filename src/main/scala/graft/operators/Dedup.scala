@@ -402,6 +402,8 @@ object Dedup {
   final case class FrozenContainmentReference private[operators] (
       refSets: DataFrame,
       refDfs: DataFrame,
+      refHsh: DataFrame,
+      refInjective: Boolean,
       idCol: String,
       textCol: String,
       shingleN: Int,
@@ -431,9 +433,22 @@ object Dedup {
       .groupBy("graft_tok")
       .agg(count(lit(1)).as("graft_df"))
       .persist()
+    // tier-1 hash arrays (the r16 two-tier verify, frozen side computed
+    // ONCE): sorted xxhash64 per doc + the per-doc injectivity check
+    // that makes the hash intersection a provable upper bound
+    val refHsh = refSets
+      .select(col("ref_id"), size(col("sh_r")).as("ref_n"),
+        sort_array(array_distinct(
+          transform(col("sh_r"), x => xxhash64(x)))).as("hs_r"))
+      .persist()
     refSets.count(); refDfs.count()
-    FrozenContainmentReference(refSets, refDfs, idCol, textCol, shingleN,
-      maxTokenDf, () => { refSets.unpersist(); refDfs.unpersist(); () })
+    val refInjective = {
+      val row = refHsh.agg(max(col("ref_n") - size(col("hs_r")))).first()
+      row.isNullAt(0) || row.getInt(0) == 0
+    }
+    FrozenContainmentReference(refSets, refDfs, refHsh, refInjective,
+      idCol, textCol, shingleN, maxTokenDf,
+      () => { refSets.unpersist(); refDfs.unpersist(); refHsh.unpersist(); () })
   }
 
   /** One batch of probe docs gated against a
@@ -462,7 +477,8 @@ object Dedup {
   def containmentAgainstFrozen(
       batch: DataFrame,
       frozen: FrozenContainmentReference,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      verifyStrategy: String = "auto"): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold=$threshold outside (0,1]")
     import frozen.idCol
     val aSets = batch
@@ -483,12 +499,20 @@ object Dedup {
     // eager guard riding the cache materialization (batch-sized scan):
     // arrays sort by ascending (df, tok), so the hottest prefix shingle
     // per doc is the element at position plen
-    val maxPrefixDf = {
+    // the same one-scan aggregate also prices the candidate join: each
+    // prefix entry with token s joins df(s) reference postings (df ≥ 1;
+    // no self-exclusion cross-corpus), so the exact pre-length-filter
+    // volume is Σ_docs Σ_{s ∈ prefix} df(s) — the two-tier switch below
+    val (maxPrefixDf, candVolume) = {
       val row = ordered
-        .select(max(element_at(col("graft_ord"), plen.cast("int"))
-          .getField("graft_df")).as("mx"))
+        .select(
+          max(element_at(col("graft_ord"), plen.cast("int"))
+            .getField("graft_df")).as("mx"),
+          sum(aggregate(slice(col("graft_ord"), lit(1), plen), lit(0L),
+            (acc, e) => acc + e.getField("graft_df"))).as("cv"))
         .first()
-      if (row.isNullAt(0)) 0L else row.getLong(0)
+      (if (row.isNullAt(0)) 0L else row.getLong(0),
+        if (row.isNullAt(1)) 0L else row.getLong(1))
     }
     if (maxPrefixDf > frozen.maxTokenDf) {
       val hot = ordered
@@ -518,7 +542,16 @@ object Dedup {
           col("b.ref_sz").cast("double") >=
             lit(threshold) * col("a.graft_sz") - lit(1e-9))
       .select(col("cand_id"), col("ref_id")).distinct()
-    val containedIds = candidates
+    // Verify-strategy switch (the containmentNearDup r16 two-tier
+    // design, frozen-reference spelling): at large candidate volume the
+    // verify join's payload — full string shingle arrays per candidate
+    // pair — dominates the wall (measured 18× on a 10× decade before
+    // this path existed). Tier 1 intersects int64 hash arrays (the
+    // reference side pre-hashed ONCE at freeze; the probe side is
+    // batch-sized), a provable upper bound given per-doc injectivity on
+    // BOTH sides; tier 2 string-verifies survivors only. Any collision
+    // (either side) → one-tier string verify: exact either way.
+    def stringVerifyIds(pairs: DataFrame): DataFrame = pairs
       .join(aSets, "cand_id")
       .join(frozen.refSets, "ref_id")
       .withColumn("graft_cm",
@@ -527,9 +560,64 @@ object Dedup {
           size(col("sh_a")))
       .filter(col("graft_cm") >= threshold)
       .select(col("cand_id").as(idCol)).distinct()
+    val twoTier = (verifyStrategy match {
+      case "string" => false
+      case "hash" => true
+      case _ => candVolume >= 8000000L
+    }) && frozen.refInjective
+    val (containedIds, extraRelease): (DataFrame, () => Unit) =
+      if (!twoTier) (stringVerifyIds(candidates), () => ())
+      else {
+        val aHsh = aSets
+          .select(col("cand_id"), size(col("sh_a")).as("n_a"),
+            sort_array(array_distinct(
+              transform(col("sh_a"), x => xxhash64(x)))).as("hs_a"))
+          .persist()
+        val aInjective = {
+          val row = aHsh.agg(max(col("n_a") - size(col("hs_a")))).first()
+          row.isNullAt(0) || row.getInt(0) == 0
+        }
+        if (!aInjective) {
+          System.err.println(
+            "[graft.Dedup] containmentAgainstFrozen: intra-doc hash " +
+              "collision in the batch — one-tier string verify")
+          aHsh.unpersist()
+          (stringVerifyIds(candidates), () => ())
+        } else {
+          val surv = candidates
+            .join(aHsh, "cand_id")
+            .join(frozen.refHsh.select(col("ref_id"), col("hs_r")), "ref_id")
+            .filter(
+              org.apache.spark.sql.graft.SortedLongIntersectSize
+                .sortedLongIntersectSize(col("hs_a"), col("hs_r"))
+                .cast("double") >= lit(threshold) * col("n_a") - lit(1e-9))
+            .select(col("cand_id"), col("ref_id"))
+            .distinct()
+            .persist()
+          surv.count()
+          // tier 2: cut BOTH set caches to survivor docs by broadcast
+          // semi-joins before the (tiny) pair joins
+          val aS = aSets.join(
+            broadcast(surv.select(col("cand_id")).distinct()),
+            Seq("cand_id"), "left_semi")
+          val rS = frozen.refSets.join(
+            broadcast(surv.select(col("ref_id")).distinct()),
+            Seq("ref_id"), "left_semi")
+          val ids = surv
+            .join(aS, "cand_id")
+            .join(rS, "ref_id")
+            .withColumn("graft_cm",
+              org.apache.spark.sql.graft.SortedIntersectSize
+                .sortedIntersectSize(col("sh_a"), col("sh_r")).cast("double") /
+                size(col("sh_a")))
+            .filter(col("graft_cm") >= threshold)
+            .select(col("cand_id").as(idCol)).distinct()
+          (ids, () => { aHsh.unpersist(); surv.unpersist(); () })
+        }
+      }
     val admitted = batch.join(containedIds, Seq(idCol), "left_anti").persist()
     admitted.count()
-    aSets.unpersist(); ordered.unpersist()
+    aSets.unpersist(); ordered.unpersist(); extraRelease()
     admitted
   }
 
@@ -545,13 +633,14 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.8,
-      maxTokenDf: Long = 100000L): DataFrame = {
+      maxTokenDf: Long = 100000L,
+      verifyStrategy: String = "auto"): DataFrame = {
     val frozen = freezeContainmentReference(
       reference, idCol, textCol, shingleN, maxTokenDf)
     // the returned frame is persisted+materialized by the frozen core,
     // so dropping the reference caches here is safe (recompute keeps a
     // valid lineage; it just stops being cached)
-    try containmentAgainstFrozen(corpus, frozen, threshold)
+    try containmentAgainstFrozen(corpus, frozen, threshold, verifyStrategy)
     finally frozen.release()
   }
 
@@ -1100,6 +1189,10 @@ object Dedup {
             size(col("sh_a")))
         .filter(col("containment") >= threshold)
         .select(col("id_a"), col("id_b"), round(col("containment"), 4).as("containment"))
+        // survivor-scale distinct: surv is already pair-distinct, but a
+        // caller passing DUPLICATE ids would multiply rows through the
+        // set joins — keep exact output parity with the one-tier path
+        .distinct()
       (result, () => {
         sh.unpersist(); ordered.unpersist(); hsh.unpersist(); surv.unpersist(); ()
       })
@@ -1217,10 +1310,24 @@ object Dedup {
     * (only possible when log₂(diameter) exceeds the cap) — returning
     * silently would hand the caller WRONG cluster labels.
     */
+  /** Driver-path bound for [[nearDupClusters]], scaled to the driver
+    * heap: the union-find holds ~2 boxed map entries per pair (~150 B
+    * with HashMap overhead), so heap/2048 pairs stays well under 10% of
+    * the heap — 4M pairs on the 8 GB default, 32M on a 64 GB scale
+    * driver. Clamped to [4M, 64M]. Result-DETERMINISTIC either way:
+    * both paths produce identical min-label clusters (the r16 sf10
+    * sweep caught q_media_curate's text graph crossing the old fixed 4M
+    * bound — the distributed loop's per-round label shuffles were the
+    * single superlinear row; on a multi-executor cluster those rounds
+    * amortize, but a single JVM is exactly where the driver path wins). */
+  def defaultMaxLocalPairs: Long =
+    math.min(64000000L,
+      math.max(4000000L, Runtime.getRuntime.maxMemory() / 2048))
+
   def nearDupClusters(
       pairs: DataFrame,
       maxRounds: Int = 50,
-      maxLocalPairs: Long = 4000000L): DataFrame = {
+      maxLocalPairs: Long = defaultMaxLocalPairs): DataFrame = {
     // Persist the pair plan unless the caller already did (dedupNear
     // does; a direct caller's LSH-blocked candidate plan would otherwise
     // compute TWICE — once for the bound count, once for the

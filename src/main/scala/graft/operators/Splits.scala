@@ -89,4 +89,27 @@ object Splits {
       .orderBy(col("es_key").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Deterministic GLOBAL TRAINING SHUFFLE key — the data-ordering stage
+    * every LLM training pipeline runs between curation and delivery: the
+    * corpus must reach the trainer in a reproducible pseudo-random order
+    * (a re-run, a resumed job, or another engine must produce the SAME
+    * permutation), re-randomized per epoch. The key is the full md5 hex
+    * of the salted id: layout-independent, re-ingestion-stable (adding
+    * docs never reorders existing neighbors' relative order), and
+    * replayable bit-for-bit by external systems — the [[uniform]]
+    * contract applied to ordering. */
+  def shuffleKey(id: Column, epoch: Int = 1): Column =
+    md5(concat(id.cast("string"), lit(s"#shuf$epoch")))
+
+  /** Deterministic shard assignment under the same per-epoch key: first
+    * 8 hex digits as an int64, mod `nShards`. Delivery at scale writes
+    * one file/stream per shard; within a shard, order by
+    * ([[shuffleKey]], id). The full pipeline is a narrow projection plus
+    * ONE exchange on the shard column — no global sort of 100 TB. */
+  def shuffleShard(id: Column, nShards: Int, epoch: Int = 1): Column = {
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    (conv(substring(shuffleKey(id, epoch), 1, 8), 16, 10).cast("long")
+      % nShards).cast("int")
+  }
 }

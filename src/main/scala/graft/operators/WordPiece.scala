@@ -53,7 +53,9 @@ object WordPiece {
     * table is capped at `maxWords` (top by count, ties by word) with a
     * loud log — the dropped tail is words too rare to move any score.
     * The result always contains [[Unk]] plus the full observed alphabet
-    * (bare + `##` forms), so encoding stays total up to [UNK]. */
+    * (bare + `##` forms), so encoding stays total up to [UNK] — if the
+    * alphabet alone exceeds `vocabSize`, the alphabet still ships whole
+    * (the BERT convention: coverage beats the budget). */
   def train(
       docs: DataFrame,
       textCol: String,

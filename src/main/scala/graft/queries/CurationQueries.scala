@@ -709,6 +709,41 @@ object CurationQueries {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic GLOBAL TRAINING SHUFFLE (Splits.shuffleKey/
+    // shuffleShard — the ordering stage between curation and delivery):
+    // every doc gets a per-epoch md5 shuffle key; shard = first 8 hex
+    // digits mod 16, position = rank within the shard by (key, id). A
+    // re-run, a resumed job, or the DuckDB oracle reproduces the SAME
+    // permutation; epoch in the salt re-randomizes between epochs.
+    // Plan shape at 100 TB: narrow projection + ONE exchange on shard
+    // (the window partition) — never a global sort of the corpus.
+    GraftQuery(
+      "q_global_shuffle",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard")
+          .orderBy(col("graft_k"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            graft.operators.Splits.shuffleShard(col("doc_id"), 16, epoch = 1)
+              .as("shard"),
+            graft.operators.Splits.shuffleKey(col("doc_id"), epoch = 1)
+              .as("graft_k"))
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select("doc_id", "shard", "pos")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, shard,
+             |  CAST(row_number() OVER (PARTITION BY shard
+             |    ORDER BY k, doc_id) AS BIGINT) AS pos
+             |FROM (SELECT doc_id,
+             |        CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#shuf1'), 1, 8))::BIGINT
+             |          % 16 AS INTEGER) AS shard,
+             |        md5(CAST(doc_id AS VARCHAR) || '#shuf1') AS k
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Per-source document cap — the domain-cap crawl-curation step: keep
     // at most N docs per source, preferring the longest (tie → lower
     // id), so one over-crawled domain cannot dominate the training mix.

@@ -125,4 +125,36 @@ class CorpusCurationSpec extends AnyFunSuite {
     val want = keys.sortBy { case (id, k) => (-k, id) }.take(20).map(_._1).toSeq
     assert(got == want)
   }
+
+  test("global shuffle: a real permutation, dense per-shard positions, " +
+    "epoch re-randomizes, layout-independent") {
+    import org.apache.spark.sql.functions._
+    val ids = (1L to 500L).toDF("id")
+    def order(epoch: Int, parts: Int): Seq[Long] = ids.repartition(parts)
+      .select(col("id"), Splits.shuffleKey(col("id"), epoch).as("k"))
+      .orderBy("k", "id").select("id").as[Long].collect().toSeq
+    val e1 = order(1, 4)
+    // deterministic + layout-independent
+    assert(e1 == order(1, 13))
+    // a real permutation of the input, and NOT the identity
+    assert(e1.sorted == (1L to 500L) && e1 != (1L to 500L).toSeq)
+    // epoch salt re-randomizes
+    assert(e1 != order(2, 4))
+    // shard assignment: every row lands in [0, nShards); positions are
+    // dense 1..n within each shard (the delivery-file contract)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("k", "id")
+    val sharded = ids
+      .select(col("id"), Splits.shuffleShard(col("id"), 8).as("shard"),
+        Splits.shuffleKey(col("id")).as("k"))
+      .withColumn("pos", org.apache.spark.sql.functions.row_number().over(w))
+      .collect().map(r => (r.getInt(1), r.getInt(3)))
+    assert(sharded.forall { case (s, _) => s >= 0 && s < 8 })
+    val byShard = sharded.groupBy(_._1)
+    assert(byShard.size == 8, "500 ids must hit all 8 shards")
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.size).toSeq,
+        s"shard $s positions not dense")
+    }
+  }
 }

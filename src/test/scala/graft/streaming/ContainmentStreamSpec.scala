@@ -112,6 +112,29 @@ class ContainmentStreamSpec extends AnyFunSuite {
     } finally frozen.release()
   }
 
+  test("frozen-path verify strategies are interchangeable: forced hash " +
+    "tier admits exactly what the string verify admits") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val reference = docs.filter(col("doc_id") % 3 === 0)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    def run(strategy: String): Set[Long] = {
+      val frozen = Dedup.freezeContainmentReference(reference, "doc_id", "text")
+      try {
+        val adm = Dedup.containmentAgainstFrozen(
+          corpus, frozen, threshold = 0.8, verifyStrategy = strategy)
+        val ids = adm.select("doc_id").as[Long].collect().toSet
+        adm.unpersist()
+        ids
+      } finally frozen.release()
+    }
+    val viaString = run("string")
+    val viaHash = run("hash")
+    assert(viaString == viaHash,
+      s"strategy drift: onlyString=${viaString -- viaHash} " +
+        s"onlyHash=${viaHash -- viaString}")
+    assert(viaString.nonEmpty && viaString.size < 2 * docs.count().toInt)
+  }
+
   test("the directional axis catches what symmetric dedup-against misses: " +
     "a short excerpt of a long reference doc") {
     // reference: one long doc; probe: a short excerpt of it (its shingles
