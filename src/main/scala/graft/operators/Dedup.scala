@@ -1298,17 +1298,18 @@ object Dedup {
 
   /** Collapse a near-dup pair graph into clusters: returns (id, cluster)
     * where cluster = min id reachable through pair edges (connected
-    * components). Each round combines min-label propagation over edges
-    * with POINTER JUMPING (label := label's label) — the path-halving
-    * trick that turns the Pregel O(diameter) round count into
-    * O(log diameter). Boilerplate-heavy corpora produce long near-dup
-    * chains (measured ~40 propagation-only rounds on the sf0.1 fixture,
-    * ~6 with jumping), and at 100 TB every round is a full shuffle over
-    * the label table — the log matters.
+    * components). Below `maxLocalPairs` a driver-side union-find solves
+    * the (dup-rate-sized) pair list in one collect; above it, the
+    * alternating large-star/small-star contraction loop
+    * ([[distributedClusters]]) takes over — per-round shuffle volume
+    * SHRINKS as edges contract onto component minima, which is what
+    * survives a pair graph beyond any driver heap. Both paths produce
+    * identical min-label clusters.
     *
-    * Throws if labels have not reached fixpoint within `maxRounds`
-    * (only possible when log₂(diameter) exceeds the cap) — returning
-    * silently would hand the caller WRONG cluster labels.
+    * Throws if the edge set has not reached its star-forest fixpoint
+    * within `maxRounds` (only possible when the contraction round count,
+    * O(log² n), exceeds the cap) — returning silently would hand the
+    * caller WRONG cluster labels.
     */
   /** Driver-path bound for [[nearDupClusters]], scaled to the driver
     * heap: the union-find holds ~2 boxed map entries per pair (~150 B
@@ -1320,9 +1321,13 @@ object Dedup {
     * bound — the distributed loop's per-round label shuffles were the
     * single superlinear row; on a multi-executor cluster those rounds
     * amortize, but a single JVM is exactly where the driver path wins). */
+  /** `GRAFT_CC_MAX_LOCAL_PAIRS` overrides the heap-scaled bound (set 0 to
+    * force the distributed contraction loop — used by the scale sweeps to
+    * measure the beyond-any-driver-heap path on its own). */
   def defaultMaxLocalPairs: Long =
-    math.min(64000000L,
-      math.max(4000000L, Runtime.getRuntime.maxMemory() / 2048))
+    sys.env.get("GRAFT_CC_MAX_LOCAL_PAIRS").map(_.toLong).getOrElse(
+      math.min(64000000L,
+        math.max(4000000L, Runtime.getRuntime.maxMemory() / 2048)))
 
   def nearDupClusters(
       pairs: DataFrame,
@@ -1382,57 +1387,96 @@ object Dedup {
         .add("id", idType).add("cluster", idType))
   }
 
+  /** Distributed connected components via alternating large-star /
+    * small-star contraction (Kiveris et al. 2014, "Connected Components
+    * in MapReduce and Beyond"). The r16 sf10 sweep measured the previous
+    * per-round min-label propagation as the single superlinear scale row
+    * (12.7 GB of label shuffles at 6.5M pairs): every round re-shuffled a
+    * CONSTANT-size label table against a CONSTANT-size edge list. Here
+    * the edge list ITSELF is rewritten toward a star forest — each round
+    * rewires edges onto component minima and collapses duplicates under
+    * distinct(), so the per-round shuffle SHRINKS as components contract.
+    * Converges in O(log² n) rounds (conjectured O(log n)); at a 100-TB
+    * pair graph this is the difference between a bounded, shrinking
+    * shuffle and log-diameter full-table re-shuffles.
+    *
+    * Contract: identical min-label clusters to [[localUnionFind]] — at
+    * the fixpoint every component is a star centered at its minimum id.
+    *
+    * Per-node minima are computed with a window aggregate (ONE shuffle
+    * per star operation, no join-back of the edge list), and no
+    * collect_list ever materializes a neighborhood — a boilerplate hub
+    * with 10⁷ neighbors streams through the window buffer with spilling
+    * rather than landing in one array.
+    *
+    * Iterative-algorithm discipline: every round's edge set is
+    * localCheckpoint'ed (eager), truncating the logical plan — each round
+    * references the previous set multiple times, so an unmaterialized
+    * lineage would double per round (measured seconds of driver-side
+    * planning by round 2 under the old loop). On a real cluster this
+    * would be `checkpoint()` to reliable storage for fault tolerance. */
   private def distributedClusters(pairs: DataFrame, maxRounds: Int): DataFrame = {
-    // undirected edge list, both directions
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
-    // Iterative-algorithm discipline: every round's output is
-    // localCheckpoint'ed (eager), which TRUNCATES the logical plan to the
-    // materialized partitions. A mere persist() keeps the full lineage,
-    // and since each round references the previous labels twice, the
-    // analyzed plan doubles per round — measured as seconds of
-    // DRIVER-side planning by round 2 and unbounded growth after
-    // (77 s on a 477-node graph). On a real cluster this would be
-    // `checkpoint()` to reliable storage for fault tolerance.
-    var labels = edges.select(col("src").as("id"), col("src").as("cluster"))
+    import org.apache.spark.sql.expressions.Window
+
+    // Canonical undirected edge set: (u, v) with u < v, no self-loops.
+    var edges = pairs
+      .filter(col("id_a") =!= col("id_b"))
+      .select(
+        least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
       .distinct()
       .localCheckpoint(true)
-    var changed = 1L
+
+    // large-star(x): connect every neighbor strictly LARGER than x to
+    // m(x) = min(N(x) ∪ {x}). Long chains halve; big nodes hook onto
+    // component minima.
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      bidir
+        .withColumn("m",
+          least(min(col("v")).over(Window.partitionBy("u")), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
+        .distinct()
+    }
+
+    // small-star(x): connect every neighbor ≤ x (and x itself) to the
+    // minimum among them. In canonical orientation the center is the
+    // LARGER endpoint v and its smaller neighbors are the u column.
+    def smallStar(e: DataFrame): DataFrame = {
+      val withM = e.withColumn("m",
+        min(col("u")).over(Window.partitionBy("v")))
+      withM.select(col("m").as("u"), col("v"))
+        .unionByName(
+          withM.filter(col("u") =!= col("m"))
+            .select(col("m").as("u"), col("u").as("v")))
+        .distinct()
+    }
+
+    // Both inputs are distinct sets, so equality ⟺ same size ∧ a\b = ∅.
+    def sameSet(a: DataFrame, b: DataFrame): Boolean =
+      a.count() == b.count() && a.except(b).isEmpty
+
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
-      val viaNeighbor = edges
-        .join(labels, edges("dst") === labels("id"))
-        .select(col("src").as("id"), col("cluster"))
-      val propagated = labels.unionByName(viaNeighbor)
-        .groupBy("id").agg(min("cluster").as("cluster"))
-        .persist()
-      // pointer jump: follow the label one more hop (path halving —
-      // O(log diameter) rounds instead of O(diameter); boilerplate-heavy
-      // corpora produce long near-dup chains). Every cluster label IS a
-      // node id, so the self-join resolves; left + coalesce guards the
-      // root, whose label is itself.
-      val jumped = propagated.as("a")
-        .join(
-          propagated.select(col("id").as("cid"), col("cluster").as("ccluster")).as("b"),
-          col("a.cluster") === col("b.cid"), "left")
-        .select(col("a.id"), coalesce(col("b.ccluster"), col("a.cluster")).as("cluster"))
-        .localCheckpoint(true)
-      changed = jumped.as("n")
-        .join(labels.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.cluster") =!= col("p.cluster"))
-        .count()
-      propagated.unpersist()
-      labels = jumped
+    while (changed && rounds < maxRounds) {
+      val afterLarge = largeStar(edges).localCheckpoint(true)
+      val afterSmall = smallStar(afterLarge).localCheckpoint(true)
+      // Converged only when NEITHER operation moved the edge set — a
+      // fixpoint of the composition alone would not prove star shape.
+      changed = !sameSet(afterLarge, edges) || !sameSet(afterSmall, afterLarge)
+      edges = afterSmall
       rounds += 1
     }
-    edges.unpersist()
-    if (changed > 0) {
+    if (changed) {
       throw new IllegalStateException(
         s"nearDupClusters did not converge within maxRounds=$maxRounds " +
-          s"($changed labels still changing) — raise maxRounds")
+          "(edge set still contracting) — raise maxRounds")
     }
-    labels
+    // Fixpoint = star forest: u is the component minimum, v a member.
+    edges.select(col("v").as("id"), col("u").as("cluster"))
+      .unionByName(edges.select(col("u").as("id"), col("u").as("cluster")))
+      .distinct()
   }
 
   /** End-to-end near-dup corpus dedup: MinHash-LSH pairs → connected

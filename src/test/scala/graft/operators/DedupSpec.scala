@@ -442,4 +442,46 @@ class DedupSpec extends AnyFunSuite {
     assert(got == brute)
     assert(got.exists(p => Set(p._1, p._2) == Set(0L, 3L))) // exact dup at hamming 0
   }
+
+  test("large-star/small-star contraction loop matches the driver union-find " +
+    "on a seeded random graph with hubs, chains and duplicate edges") {
+    val rnd = new scala.util.Random(42)
+    val parts = Seq.newBuilder[(Long, Long)]
+    // 3 hubs with 40 spokes each
+    for (h <- Seq(1000L, 2000L, 3000L); s <- 1 to 40)
+      parts += ((h, h + s))
+    // a 60-node chain linking into hub 1000's component
+    parts += ((1000L, 500L))
+    for (i <- 0 until 59) parts += ((500L + i, 501L + i))
+    // 200 random edges over a 300-node id space (creates random merges)
+    for (_ <- 1 to 200)
+      parts += ((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+    // duplicate + reversed-duplicate + self-loop noise
+    parts += ((1000L, 1001L)); parts += ((1001L, 1000L)); parts += ((7L, 7L))
+    val pairs = parts.result().toDF("id_a", "id_b").filter(col("id_a") =!= col("id_b"))
+    val local = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.nearDupClusters(pairs, maxLocalPairs = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == local)
+    // min-label contract: every cluster id is the min of its member set
+    val byCluster = local.groupBy(_._2).view.mapValues(_.keys.min)
+    byCluster.foreach { case (c, minId) => assert(c == minId) }
+  }
+
+  test("contraction loop converges on a 300-node path well inside default " +
+    "maxRounds (the long-chain shape that defeats naive propagation)") {
+    val pairs = (0 until 299).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val dist = Dedup.nearDupClusters(pairs, maxLocalPairs = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist.size == 300)
+    assert(dist.values.forall(_ == 0L))
+  }
+
+  test("contraction loop handles string ids and multiple components") {
+    val pairs = Seq(("b", "a"), ("c", "b"), ("y", "z"))
+      .toDF("id_a", "id_b")
+    val dist = Dedup.nearDupClusters(pairs, maxLocalPairs = 0L)
+      .as[(String, String)].collect().toMap
+    assert(dist == Map("a" -> "a", "b" -> "a", "c" -> "a", "y" -> "y", "z" -> "y"))
+  }
 }
