@@ -89,8 +89,18 @@ object Bpe {
       b += EndOfWord
       b
     }.toArray
-    val freqs: Array[Long] = counts.map(_._2).toArray
+    mergeLoop(words, counts.map(_._2).toArray, numMerges)
+  }
 
+  /** The incremental merge loop over pre-symbolized words — shared by the
+    * character-level trainer above and the byte-level trainer
+    * ([[ByteBpe]]), which differ only in how a word becomes its initial
+    * symbol sequence. Mutates `words` in place. */
+  private[operators] def mergeLoop(
+      words: Array[scala.collection.mutable.ArrayBuffer[String]],
+      freqs: Array[Long],
+      numMerges: Int): Seq[BpeMerge] = {
+    import scala.collection.mutable
     val pairCount = mutable.Map.empty[(String, String), Long]
     val pairWords = mutable.Map.empty[(String, String), mutable.Set[Int]]
     def addWordPairs(wi: Int, sign: Long): Unit = {
@@ -175,8 +185,16 @@ object Bpe {
     * (leftmost occurrence first) until none applies — the standard
     * GPT-2-style apply loop. Unseen character sequences fall back to
     * single characters (training cap never loses coverage). */
-  def encodeWord(word: String, ranks: Map[(String, String), Int]): List[String] = {
-    var syms: Vector[String] = word.map(_.toString).toVector :+ EndOfWord
+  def encodeWord(word: String, ranks: Map[(String, String), Int]): List[String] =
+    applyMerges(word.map(_.toString).toVector :+ EndOfWord, ranks).toList
+
+  /** The greedy lowest-rank-first apply loop over an initial symbol
+    * sequence — shared with [[ByteBpe]] (which seeds byte units instead
+    * of characters + sentinel). */
+  private[operators] def applyMerges(
+      initial: Vector[String],
+      ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms: Vector[String] = initial
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue
@@ -191,7 +209,7 @@ object Bpe {
       else syms = (syms.take(bestAt) :+ (syms(bestAt) + syms(bestAt + 1))) ++
         syms.drop(bestAt + 2)
     }
-    syms.toList
+    syms
   }
 
   /** Distributed encode: per input row, pre-tokenize `textCol` exactly

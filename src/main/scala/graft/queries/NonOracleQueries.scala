@@ -673,6 +673,40 @@ object NonOracleQueries {
           .orderBy("doc_id")
       }),
 
+    // BYTE-level BPE TRAINING (graft.operators.ByteBpe — the GPT-2-family
+    // fourth subword variant): learn 160 merges over UTF-8 byte units
+    // under the GPT-2 pre-tokenizer (leading-space convention, case
+    // preserved, regexp_extract_all — codegen'd, no UDF). Same scale
+    // shape as q_bpe_train: ONE word-count shuffle, then the shared
+    // vocabulary-sized merge loop. Deterministic, but the iterative fit
+    // is not SQL-expressible (the q_kmeans/q_bpe_train terminal class,
+    // SURVEY §2.4a) → rows-only; ByteBpeSpec pins the merge sequence
+    // against an independent naive reference, proves the byte→char
+    // bijection, and trains 1-vs-7-partition identical.
+    GraftQuery(
+      "q_bytebpe_train",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.ByteBpe.train(
+            Tables.documents(s, d), "text", numMerges = 160)
+          .toDF().orderBy("rank")
+      }),
+
+    // Byte-level BPE encode under an in-query-trained vocabulary:
+    // per-doc pre-token / byte-token / byte counts (broadcast ranks,
+    // per-partition memo — the Bpe.encodeCounts shape). TOTAL by
+    // construction: no [UNK] exists; n_byte_tokens ≤ n_bytes always
+    // (pinned by ByteBpeSpec's losslessness property). Depends on the
+    // learned merges → rows-only like the trainer.
+    GraftQuery(
+      "q_bytebpe_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = graft.operators.ByteBpe.train(docs, "text", numMerges = 120)
+        graft.operators.ByteBpe.encodeCounts(docs, "doc_id", "text", merges)
+          .orderBy("doc_id")
+      }),
+
     // Unigram-LM tokenizer TRAINING (graft.operators.Unigram — the
     // SentencePiece-class second tokenizer family, Kudo ACL 2018): learn
     // a 192-piece vocabulary from the documents corpus via EM over each
