@@ -84,7 +84,7 @@ object RecallReport {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val outFile = args.lift(1).getOrElse("RECALL_r15.json")
+    val outFile = args.lift(1).getOrElse("RECALL_r17.json")
     val nProbes = args.lift(2).map(_.toInt).getOrElse(20)
     val k = 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -130,15 +130,22 @@ object RecallReport {
           c => n * (dim + 8L), // int8 codes + per-row scale the coarse scan reads
           (c, _, p, kk) => Similarity.quantizedTopK(c, "vec_id", "embedding", p, kk)),
         Variant("ivf_pq", "q_ann_topk_pq",
-          "\"nlist\":8,\"m\":8,\"ksub\":32,\"nprobe\":8,\"poolK\":150",
+          s""""nlist":8,"m":8,"ksub":32,"cluster_r2":${fmt(pq.clusterR2)},""" +
+            s""""nprobe":${pq.autoNprobe},"nprobe_rule":"autoNprobe(R2)",""" +
+            s""""poolK":${pq.autoPoolK(k)},"poolK_rule":"autoPoolK(k)"""",
           _ => dirBytes(pqDir),
-          (c, _, p, kk) => pq.topK(c, p, kk, nprobe = 8, poolK = 150)),
-        Variant("pca16", "q_ann_topk_pca", "\"k\":16,\"poolK\":100",
+          (c, _, p, kk) => pq.topK(c, p, kk)), // auto nprobe/poolK
+        Variant("pca16", "q_ann_topk_pca",
+          s""""k":16,"evr":${fmt(pca.explainedVarianceRatio)},""" +
+            s""""poolK":${Similarity.pcaAutoPoolK(pca, k)},""" +
+            "\"poolK_rule\":\"pcaAutoPoolK(evr)\"",
           _ => (16L * dim + dim + 16L) * 8L + n * (16L * 8L + 8L),
-          (c, _, p, kk) => Similarity.pcaTopK(c, "vec_id", "embedding", p, kk, pca, poolK = 100)),
-        Variant("ivf_flat", "(library: IvfIndex)", "\"nlist\":8,\"nprobe\":4",
+          (c, _, p, kk) => Similarity.pcaTopK(c, "vec_id", "embedding", p, kk, pca)),
+        Variant("ivf_flat", "(library: IvfIndex)",
+          s""""nlist":8,"cluster_r2":${fmt(ivf.clusterR2)},""" +
+            s""""nprobe":${ivf.autoNprobe},"nprobe_rule":"autoNprobe(R2)"""",
           _ => dirBytes(ivfDir),
-          (c, _, p, kk) => ivf.topK(p, kk, nprobe = 4)))
+          (c, _, p, kk) => ivf.topK(p, kk))) // auto nprobe
 
       // deterministic probe panel: the nProbes smallest vec_ids
       val probes: Seq[(Long, Array[Float])] = corpus

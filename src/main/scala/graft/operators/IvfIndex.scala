@@ -23,14 +23,32 @@ final class IvfIndex private (
     val assigned: DataFrame, // original columns + list_id
     val centroids: Array[(Int, Array[Double])],
     idCol: String,
-    vecCol: String) extends Serializable {
+    vecCol: String,
+    /** Fraction of the normalized corpus' variance the coarse clustering
+      * explains (k-means R², measured at build over ALL rows). The
+      * structure stat [[autoNprobe]] adapts to; NaN on indexes saved
+      * before the stat existed. */
+    val clusterR2: Double) extends Serializable {
+
+  /** Measured-structure probe rule (r17, calibrated on the RecallReport
+    * panels): nprobe = ⌈nlist·(1−R²)²⌉ clamped to [1, nlist]. On a
+    * corpus with real cluster structure (clustered panel R²≈0.28) this
+    * probes ~5/8 lists at recall 1.0; on a structureless corpus
+    * (isotropic panel R²≈0.05) it honestly degrades toward scanning all
+    * lists — the documented correct behavior when there is no structure
+    * to exploit (fixed nprobe=4 measured recall 0.77 there; the rule's
+    * 8/8 measured 1.0). Unknown R² (old index) → nlist, the
+    * conservative exact scan. */
+  def autoNprobe: Int = IvfIndex.autoNprobe(centroids.length, clusterR2)
 
   /** Top-k by exact cosine among the `nprobe` nearest centroid lists.
-    * List selection ranks centroids by Euclidean distance to the
-    * NORMALIZED probe — the same metric and space the k-means assignment
-    * used — so "nearest lists" is exactly consistent with how vectors were
-    * binned (a cosine ranking of non-unit centroids could disagree). */
-  def topK(probe: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    * `nprobe <= 0` (the default) picks [[autoNprobe]] from the measured
+    * cluster structure. List selection ranks centroids by Euclidean
+    * distance to the NORMALIZED probe — the same metric and space the
+    * k-means assignment used — so "nearest lists" is exactly consistent
+    * with how vectors were binned (a cosine ranking of non-unit centroids
+    * could disagree). */
+  def topK(probe: Array[Float], k: Int, nprobe: Int = -1): DataFrame = {
     // Fail fast on dimensionality mismatch — a truncated-prefix distance
     // would silently rank the wrong centroid lists.
     require(centroids.isEmpty || probe.length == centroids.head._2.length,
@@ -48,7 +66,8 @@ final class IvfIndex private (
       }
       s
     }
-    val lists = centroids.sortBy { case (_, c) => dist2(c) }.take(nprobe).map(_._1)
+    val np = if (nprobe <= 0) autoNprobe else nprobe
+    val lists = centroids.sortBy { case (_, c) => dist2(c) }.take(np).map(_._1)
     assigned
       .filter(col("list_id").isin(lists.toSeq: _*)) // partition-prunable
       .select(
@@ -70,9 +89,10 @@ final class IvfIndex private (
     import spark.implicits._
     val meanD = IvfIndex.meanAssignDist2(assigned, vecCol, centroids)
     centroids.toSeq.map { case (i, c) =>
-      (i, c, idCol, vecCol, meanD.getOrElse(i, Double.NaN))
+      (i, c, idCol, vecCol, meanD.getOrElse(i, Double.NaN), clusterR2)
     }
-      .toDF("list_id", "centroid", "id_col", "vec_col", "mean_dist2")
+      .toDF("list_id", "centroid", "id_col", "vec_col", "mean_dist2",
+        "cluster_r2")
       .coalesce(1).write.parquet(s"$path/centroids")
   }
 }
@@ -121,7 +141,47 @@ object IvfIndex {
     val assigned = model.transform(withVec).drop("graft_mlvec").persist()
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (v: Vector, i) => (i, v.toArray) }
-    new IvfIndex(assigned, centroids, idCol, vecCol)
+    val r2 = clusterR2(assigned, vecCol, centroids)
+    new IvfIndex(assigned, centroids, idCol, vecCol, r2)
+  }
+
+  /** The [[IvfIndex.autoNprobe]] rule, shared with [[IvfPqIndex]]. */
+  private[operators] def autoNprobe(nlist: Int, r2: Double): Int =
+    if (r2.isNaN) nlist
+    else math.min(nlist,
+      math.max(1, math.ceil(nlist * math.pow(1.0 - r2, 2)).toInt))
+
+  /** k-means R² over the NORMALIZED vectors: 1 − SSE_within/SSE_total.
+    * For unit vectors SSE_total = E‖x−μ‖² = E‖x‖² − ‖μ‖² = 1 − ‖μ‖², so
+    * the whole stat needs ONE global aggregate pass (count + within-sum
+    * + the d component means) — no second scan, no join. Clamped to
+    * [0, 1]; a degenerate corpus (all identical directions → total ≈ 0)
+    * reports 1 (perfectly explained). */
+  private[operators] def clusterR2(
+      assigned: DataFrame,
+      vecCol: String,
+      centroids: Array[(Int, Array[Double])]): Double = {
+    if (centroids.isEmpty) return Double.NaN
+    val dim = centroids.head._2.length
+    val centLit = typedLit(centroids.sortBy(_._1).map(_._2.toSeq).toSeq)
+    val nv = if (assigned.columns.contains("graft_nvec")) col("graft_nvec")
+             else nvecExpr(vecCol)
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      sum(dist2Expr(col("graft_r2v"),
+        element_at(centLit, col("list_id") + 1))).as("w") +:
+        (0 until dim).map(j =>
+          avg(element_at(col("graft_r2v"), j + 1)).as(s"graft_m$j"))
+    val row = assigned
+      .select(col("list_id"), nv.as("graft_r2v"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .head()
+    val n = row.getLong(0)
+    if (n == 0) return Double.NaN
+    val within = row.getDouble(1) / n
+    val mu2 = (0 until dim).map(j => { val m = row.getDouble(2 + j); m * m }).sum
+    val total = 1.0 - mu2
+    if (total <= 1e-9) 1.0
+    else math.max(0.0, math.min(1.0, 1.0 - within / total))
   }
 
   /** Load an index written by [[IvfIndex.save]]. The assigned table is
@@ -133,7 +193,7 @@ object IvfIndex {
       Swap.Suffix)
     val meta = readSidecar(spark, path)
     new IvfIndex(spark.read.parquet(s"$path/data"), meta.centroids,
-      meta.idCol, meta.vecCol)
+      meta.idCol, meta.vecCol, meta.clusterR2)
   }
 
   private final case class Sidecar(
@@ -141,7 +201,9 @@ object IvfIndex {
       idCol: String,
       vecCol: String,
       // NaN / absent column (pre-drift-baseline index) → None
-      baselineDist2: Map[Int, Double])
+      baselineDist2: Map[Int, Double],
+      // NaN when the index predates the structure stat
+      clusterR2: Double)
 
   private def readSidecar(
       spark: org.apache.spark.sql.SparkSession, path: String): Sidecar = {
@@ -157,9 +219,12 @@ object IvfIndex {
       else meta.map(r => r.getInt(r.fieldIndex("list_id")) ->
         r.getDouble(r.fieldIndex("mean_dist2")))
         .filterNot(_._2.isNaN).toMap
+    val r2 =
+      if (!df.columns.contains("cluster_r2")) Double.NaN
+      else meta.head.getDouble(meta.head.fieldIndex("cluster_r2"))
     Sidecar(centroids,
       meta.head.getString(meta.head.fieldIndex("id_col")),
-      meta.head.getString(meta.head.fieldIndex("vec_col")), baseline)
+      meta.head.getString(meta.head.fieldIndex("vec_col")), baseline, r2)
   }
 
   /** L2-normalized double array from a float-array vector column. */

@@ -61,10 +61,26 @@ final class IvfPqIndex private (
     val codebooks: Array[Array[Array[Double]]], // [subspace][code][dsub]
     val idCol: String,
     val vecCol: String,
-    val residual: Boolean) extends Serializable {
+    val residual: Boolean,
+    /** Coarse-clustering R² (see [[IvfIndex.clusterR2]]); NaN on stores
+      * saved before the stat existed. */
+    val clusterR2: Double = Double.NaN) extends Serializable {
 
   def m: Int = codebooks.length
   def ksub: Int = codebooks.headOption.map(_.length).getOrElse(0)
+
+  /** Measured-structure probe rule — the shared [[IvfIndex.autoNprobe]]
+    * calibration: structureless corpora honestly degrade toward probing
+    * every list; clustered corpora keep the pruning. */
+  def autoNprobe: Int = IvfIndex.autoNprobe(coarse.length, clusterR2)
+
+  /** Rerank-pool rule matched to [[autoNprobe]]: the pool grows with the
+    * number of lists actually probed (calibrated on the RecallReport
+    * panels — fixed nprobe=8/poolK=150 measured isotropic recall 0.84;
+    * auto 8/300 measured 0.97, clustered 5/188 recall 1.0). */
+  def autoPoolK(k: Int, basePoolK: Int = 150, baseNprobe: Int = 4): Int =
+    math.max(math.max(k, basePoolK),
+      math.ceil(basePoolK.toDouble * autoNprobe / baseNprobe).toInt)
 
   /** Approximate top-k: ADC-score the `nprobe` nearest coarse lists'
     * codes, pool `poolK` candidates, exact-cosine re-rank their
@@ -74,9 +90,11 @@ final class IvfPqIndex private (
       source: DataFrame,
       probe: Array[Float],
       k: Int,
-      nprobe: Int = 4,
-      poolK: Int = 100): DataFrame = {
-    require(poolK >= k, s"poolK=$poolK must be >= k=$k")
+      nprobe: Int = -1,
+      poolK: Int = -1): DataFrame = {
+    val np = if (nprobe <= 0) autoNprobe else nprobe
+    val pk = if (poolK <= 0) autoPoolK(k) else poolK
+    require(pk >= k, s"poolK=$pk must be >= k=$k")
     val dim = coarse.headOption.map(_._2.length).getOrElse(probe.length)
     require(probe.length == dim,
       s"probe dimensionality ${probe.length} != index dimensionality $dim")
@@ -89,7 +107,7 @@ final class IvfPqIndex private (
       while (i < c.length) { val d = c(i) - pn(i); s += d * d; i += 1 }
       s
     }
-    val lists = coarse.sortBy { case (_, c) => dist2(c) }.take(nprobe).map(_._1)
+    val lists = coarse.sortBy { case (_, c) => dist2(c) }.take(np).map(_._1)
     // one LUT per query: LUT[s][c] = dot(normalized probe's subspace s,
     // codebook centroid c) — approximate cosine is a sum of m lookups.
     // Residual coding adds dot(q, c_list), a per-LIST scalar looked up by
@@ -118,7 +136,7 @@ final class IvfPqIndex private (
       .filter(col("list_id").isin(lists.toSeq: _*)) // partition-prunable
       .select(col(idCol), adc.as("graft_adc"))
       .orderBy(col("graft_adc").desc, col(idCol).asc)
-      .limit(poolK)
+      .limit(pk)
       .select(idCol)
     source
       .join(broadcast(pool), Seq(idCol), "left_semi")
@@ -140,9 +158,10 @@ final class IvfPqIndex private (
     codes.write.partitionBy("list_id").parquet(s"$path/data")
     val meanD = IvfIndex.meanAssignDist2(assigned, vecCol, coarse)
     coarse.toSeq.map { case (i, c) =>
-      (i, c, idCol, vecCol, meanD.getOrElse(i, Double.NaN), residual)
+      (i, c, idCol, vecCol, meanD.getOrElse(i, Double.NaN), residual, clusterR2)
     }
-      .toDF("list_id", "centroid", "id_col", "vec_col", "mean_dist2", "residual")
+      .toDF("list_id", "centroid", "id_col", "vec_col", "mean_dist2",
+        "residual", "cluster_r2")
       .coalesce(1).write.parquet(s"$path/centroids")
     codebooks.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
@@ -233,7 +252,9 @@ object IvfPqIndex {
         if (residual) residualCol(coarse) else col("graft_nvec"))
       .persist()
     val codes = encode(assigned, idCol, codebooks)
-    val index = new IvfPqIndex(codes, coarse, codebooks, idCol, vecCol, residual)
+    val r2 = IvfIndex.clusterR2(assigned, vecCol, coarse)
+    val index = new IvfPqIndex(codes, coarse, codebooks, idCol, vecCol,
+      residual, r2)
     index.save(path, assigned.drop("graft_src"))
     assigned.unpersist()
     load(spark, path)
@@ -299,12 +320,15 @@ object IvfPqIndex {
     // pre-residual stores carry no flag — they are vector-coded
     val residual = head.schema.fieldNames.contains("residual") &&
       head.getBoolean(head.fieldIndex("residual"))
+    val r2 =
+      if (!head.schema.fieldNames.contains("cluster_r2")) Double.NaN
+      else head.getDouble(head.fieldIndex("cluster_r2"))
     new IvfPqIndex(
       spark.read.parquet(s"$path/data"),
       coarse, codebooks,
       head.getString(head.fieldIndex("id_col")),
       head.getString(head.fieldIndex("vec_col")),
-      residual)
+      residual, r2)
   }
 
   /** Incremental append — same contract and machinery as

@@ -32,13 +32,25 @@ import org.apache.spark.sql.functions._
 object Pca {
 
   /** Fitted model: `mean` (d), `components` (k rows of d — descending
-    * eigenvalue order), `variances` (the k eigenvalues). */
+    * eigenvalue order), `variances` (the k eigenvalues), `totalVariance`
+    * (trace of the full covariance = sum of ALL d eigenvalues). */
   final case class PcaModel(
       mean: Array[Double],
       components: Array[Array[Double]],
-      variances: Array[Double]) {
+      variances: Array[Double],
+      totalVariance: Double) {
     def d: Int = mean.length
     def k: Int = components.length
+
+    /** Fraction of the corpus' variance the retained components explain
+      * — the measurable structure stat [[Similarity.pcaAutoPoolK]]
+      * adapts to. On a corpus whose variance concentrates in the
+      * principal subspace (real embedding geometry) this is high and
+      * the coarse PCA ranking is trustworthy; on an isotropic corpus it
+      * approaches k/d and the pool must grow to compensate. */
+    def explainedVarianceRatio: Double =
+      if (totalVariance <= 0) 1.0
+      else math.min(1.0, variances.sum / totalVariance)
   }
 
   /** Fit the top-`k` principal components of `vecCol`. */
@@ -64,7 +76,8 @@ object Pca {
       val pivot = v.indices.maxBy(j => (math.abs(v(j)), -j))
       if (v(pivot) < 0) v.map(-_) else v
     }.toArray
-    PcaModel(mean, comps, order.map(eig.eigenvalues(_)).toArray)
+    val trace = (0 until d).map(i => cov(i, i)).sum
+    PcaModel(mean, comps, order.map(eig.eigenvalues(_)).toArray, trace)
   }
 
   /** The projection as a pure column: center on the literal mean, then

@@ -428,6 +428,23 @@ object Similarity {
     * projection center on the model mean (one narrow expression; at 100
     * TB the projection is materialized once at index-build time and the
     * query scans the k′-dim table instead of the float store). */
+  /** Measured-structure pool rule for [[pcaTopK]] (r17, calibrated on
+    * the RecallReport panels): poolK = ⌈k / evr⁴⌉ floored at `basePoolK`
+    * and capped at 2²⁰ ids (the broadcast-semi-join bound). On real
+    * embedding geometry (clustered panel evr≈0.77) the rule keeps the
+    * small base pool (recall 1.0); on a structureless corpus (isotropic
+    * panel evr≈0.31 at k′=16/d=64) it honestly grows the pool ~100× —
+    * fixed poolK=100 measured recall 0.57 there, the rule's ~1100
+    * measured ≥0.98. The growth is the correct degradation: when the
+    * truncated tail carries most of the variance, a small coarse pool
+    * CANNOT rank reliably and pretending otherwise silently loses
+    * neighbors. */
+  def pcaAutoPoolK(model: Pca.PcaModel, k: Int, basePoolK: Int = 100): Int = {
+    val evr = model.explainedVarianceRatio.max(1e-6)
+    val want = k / math.pow(evr, 4)
+    math.max(basePoolK, math.min((1 << 20).toDouble, math.ceil(want)).toInt)
+  }
+
   def pcaTopK(
       df: DataFrame,
       idCol: String,
@@ -435,8 +452,10 @@ object Similarity {
       probe: Array[Float],
       k: Int,
       model: Pca.PcaModel,
-      poolK: Int = 50): DataFrame = {
-    require(poolK >= k, s"poolK=$poolK must be >= k=$k")
+      poolK: Int = -1): DataFrame = {
+    // poolK <= 0 (the default) picks pcaAutoPoolK's measured-evr rule
+    val pk = if (poolK <= 0) pcaAutoPoolK(model, k) else poolK
+    require(pk >= k, s"poolK=$pk must be >= k=$k")
     // probe into PCA space, driver-side (k′ dot products over d doubles)
     val centered = probe.map(_.toDouble).zip(model.mean).map { case (x, m) => x - m }
     val pp = model.components.map(c =>
@@ -452,7 +471,7 @@ object Similarity {
       .select(col(idCol), Pca.projectExpr(col(vecCol), model).as("graft_p"))
       .select(col(idCol), coarse.as("graft_coarse"))
       .orderBy(col("graft_coarse").desc, col(idCol).asc)
-      .limit(poolK)
+      .limit(pk)
       .select(idCol)
 
     df.join(broadcast(pool), Seq(idCol), "left_semi")

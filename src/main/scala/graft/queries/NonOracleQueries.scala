@@ -350,6 +350,11 @@ object NonOracleQueries {
     // IVF-PQ ANN: product-quantized codes (32× smaller than float32 — the
     // 100 TB in-memory-index path), ADC scoring over the probed coarse
     // lists, exact re-rank of the pool (see operators/IvfPqIndex.scala).
+    // nprobe/poolK come from the MEASURED-structure auto rules (r17):
+    // the coarse clustering's R², computed in one aggregate at build,
+    // sets how many lists to probe and how large a pool to rerank —
+    // clustered corpora keep the pruning, structureless ones degrade
+    // honestly toward a wider scan (RECALL_r17: isotropic 0.84 → ≥0.9).
     // Approximate → rows-only; IvfPqSpec pins recall@10 ≥ 0.9 vs the
     // exact scan, codebook determinism, and the ≤1/16 compression bound.
     GraftQuery(
@@ -362,7 +367,7 @@ object NonOracleQueries {
         val corpus = e.filter(col("vec_id") =!= 0)
         val idx = graft.operators.IvfPqIndex.buildAndSave(
           corpus, dir, "vec_id", "embedding", nlist = 8, m = 8, ksub = 32)
-        idx.topK(corpus, p, 10, nprobe = 8, poolK = 150)
+        idx.topK(corpus, p, 10) // auto nprobe/poolK from measured R²
       }),
 
     // Distributed k-means summary: deterministic driver-local fit over a
@@ -386,8 +391,12 @@ object NonOracleQueries {
 
     // PCA-compressed ANN: coarse-score in a 16-of-64-dim principal
     // subspace (4× fewer float reads from a stored reduced index,
-    // composable with int8), pool, exact rerank. Approximate (truncated
-    // eigenvalue tail) → rows-only; PcaSpec pins recall@10 ≥ 0.9.
+    // composable with int8), pool, exact rerank. poolK comes from the
+    // MEASURED explained-variance ratio (r17, Similarity.pcaAutoPoolK):
+    // real embedding geometry keeps the small base pool; an isotropic
+    // corpus — where the truncated tail carries the signal — grows it
+    // honestly (RECALL_r17: isotropic 0.57 → ≥0.9). Approximate
+    // (truncated eigenvalue tail) → rows-only; PcaSpec pins recall.
     GraftQuery(
       "q_ann_topk_pca",
       (s, d) => {
@@ -397,7 +406,7 @@ object NonOracleQueries {
         val corpus = e.filter(col("vec_id") =!= 0)
         val m = graft.operators.Pca.fit(corpus, "embedding", k = 16)
         graft.operators.Similarity.pcaTopK(
-          corpus, "vec_id", "embedding", p, 10, m, poolK = 100)
+          corpus, "vec_id", "embedding", p, 10, m) // auto poolK from evr
       }),
 
     // PCA embedding compression: distributed covariance (tree-aggregated
