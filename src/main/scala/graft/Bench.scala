@@ -134,6 +134,12 @@ object Bench {
       val shr = new AtomicLong; val shw = new AtomicLong
       val spill = new AtomicLong; val pexec = new AtomicLong
       val pstore = new AtomicLong; val events = new AtomicLong
+      // storage bytes already cached when this query started — sampled
+      // at reset() so peak_store attributes THIS query's caching, not
+      // leftovers from earlier queries (r16 advice: getRDDStorageInfo
+      // sums session-wide, so without a baseline the column reads
+      // cumulative under any cross-query cache leak)
+      val storeBase = new AtomicLong
       override def onStageCompleted(
           e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val info = e.stageInfo
@@ -154,6 +160,9 @@ object Bench {
       def reset(): Unit = {
         shr.set(0); shw.set(0); spill.set(0); pexec.set(0); pstore.set(0)
         events.set(0)
+        storeBase.set(
+          try spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+          catch { case _: Throwable => 0L })
       }
       /** Stage-completed events arrive on the async listener bus — poll
         * until the count is stable (two 10 ms ticks), bounded. Runs AFTER
@@ -168,7 +177,8 @@ object Bench {
         }
       }
       def snapshot(): QMetrics =
-        QMetrics(shr.get(), shw.get(), spill.get(), pexec.get(), pstore.get())
+        QMetrics(shr.get(), shw.get(), spill.get(), pexec.get(),
+          math.max(0L, pstore.get() - storeBase.get()))
     }
     spark.sparkContext.addSparkListener(qListener)
     // metrics of the rep that won the reported min, per query

@@ -929,12 +929,28 @@ object Multimodal {
         new java.io.File(
           sys.props("java.io.tmpdir"), s"graft_media_memo_$user")
       }
-    root.mkdirs()
-    if (!t.isDirectory) {
-      // owner-only on the shared-tmpdir path (no-ops on non-POSIX FS)
-      root.setReadable(false, false); root.setReadable(true, true)
-      root.setWritable(false, false); root.setWritable(true, true)
-      root.setExecutable(false, false); root.setExecutable(true, true)
+    if (t.isDirectory) { root.mkdirs(); () }
+    else {
+      // Create ATOMICALLY owner-only (r16 advice: mkdirs-then-chmod left
+      // a umask-dependent window where a fresh shared-tmpdir cache was
+      // world-accessible, and the ignored setXxx returns could degrade
+      // silently). POSIX: permissions ride the create call itself; a
+      // pre-existing dir additionally gets them re-asserted. Non-POSIX
+      // filesystems fall back to the JVM best-effort bits.
+      try {
+        val perms = java.nio.file.attribute.PosixFilePermissions
+          .asFileAttribute(
+            java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+        java.nio.file.Files.createDirectories(root.toPath, perms)
+        java.nio.file.Files.setPosixFilePermissions(root.toPath,
+          java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+      } catch {
+        case _: UnsupportedOperationException =>
+          root.mkdirs()
+          root.setReadable(false, false); root.setReadable(true, true)
+          root.setWritable(false, false); root.setWritable(true, true)
+          root.setExecutable(false, false); root.setExecutable(true, true)
+      }
       // the per-user name narrows but does not close the pre-creation
       // attack — refuse a dir some OTHER user planted before we could
       // (ownership check; skipped on filesystems that cannot answer)

@@ -950,9 +950,20 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.8,
-      maxTokenDf: Long = 100000L): DataFrame =
-    containmentNearDupReleasable(
-      df, idCol, textCol, shingleN, threshold, maxTokenDf)._1
+      maxTokenDf: Long = 100000L): DataFrame = {
+    // EAGER by design (r16 advice): the releasable variant's internal
+    // caches are CORPUS-sized (sorted shingle sets; the two-tier path
+    // adds the hash cache and the persisted survivor frame), so a lazy
+    // wrapper that drops the release handle accumulates unbounded cached
+    // state across calls in a long session. Materialize the pair result
+    // (dup-rate-sized, orders of magnitude smaller) into an eager
+    // localCheckpoint, then release every internal cache immediately —
+    // long-session callers wanting lazy plans use the Releasable variant
+    // and release after their own action.
+    val (res, release) = containmentNearDupReleasable(
+      df, idCol, textCol, shingleN, threshold, maxTokenDf)
+    try res.localCheckpoint(true) finally release()
+  }
 
   /** [[containmentNearDup]] plus an explicit release handle for its
     * internal shingle-set cache — the multi-corpus-session contract of
