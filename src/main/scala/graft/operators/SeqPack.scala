@@ -58,6 +58,55 @@ object SeqPack {
       id: Long, shard: Int, n_tokens: Long, seq_id: Long, seq_off: Long,
       truncated: Boolean)
 
+  /** One shard's carried open-bin state: the next bin id to mint and the
+    * open (partially filled) bins as (remaining, binId) pairs. The
+    * streaming packer ([[graft.streaming.StreamOps.seqPackStream]])
+    * checkpoints one of these per shard across micro-batches; batch
+    * packing is the same core from [[BinState.empty]]. */
+  final case class BinState(nextBin: Long, open: Seq[(Long, Long)])
+  object BinState { val empty: BinState = BinState(0L, Nil) }
+
+  /** Best-fit-decreasing packing of ONE shard's docs ((id, n_tokens),
+    * any order) against carried open-bin state — the shared core of
+    * [[packBestFit]] (empty initial state) and the streaming packer
+    * (state carried across micro-batches). Docs sort (tokens desc,
+    * id asc); placement picks the TIGHTEST open bin that fits, lowest
+    * bin id among equals; oversized docs get singleton truncated bins.
+    * A bin's fill is always ctx − remaining (invariant maintained by
+    * construction), so the start offset is ctx − remaining-at-placement.
+    * Deterministic: a pure function of (docs, state). */
+  def packGroup(
+      shard: Int,
+      docs: Array[(Long, Long)],
+      ctxTokens: Int,
+      state: BinState): (Seq[Packed], BinState) = {
+    val ctx = ctxTokens.toLong
+    val open = new java.util.TreeMap[(Long, Long), Unit](
+      Ordering.Tuple2[Long, Long])
+    state.open.foreach(p => open.put(p, ()))
+    var nextBin = state.nextBin
+    val ds = docs.sortBy(t => (-t._2, t._1)) // tokens desc, id asc
+    val out = new scala.collection.mutable.ArrayBuffer[Packed](ds.length)
+    ds.foreach { case (id, n) =>
+      val need = math.min(n, ctx)
+      val slot = open.ceilingKey((need, -1L))
+      val (binId, off) =
+        if (slot == null || n > ctx) { // no fit, or oversized singleton
+          val b = nextBin; nextBin += 1
+          if (n < ctx) open.put((ctx - n, b), ())
+          (b, 0L)
+        } else {
+          val (rem, b) = slot
+          open.remove(slot)
+          if (rem - need > 0) open.put((rem - need, b), ())
+          (b, ctx - rem)
+        }
+      out += Packed(id, shard, n, shard * 1000000000000L + binId, off, n > ctx)
+    }
+    import scala.jdk.CollectionConverters._
+    (out.toSeq, BinState(nextBin, open.keySet().asScala.toSeq))
+  }
+
   /** Whole-document packing: best-fit-decreasing bin packing within each
     * shard — the layout real training pipelines prefer over
     * concat-then-chunk when documents must NOT straddle sequence
@@ -89,7 +138,6 @@ object SeqPack {
     require(ctxTokens > 0 && shards > 0)
     val spark = docs.sparkSession
     import spark.implicits._
-    val ctx = ctxTokens.toLong
     docs
       .select(
         col(idCol).cast("long").as("id"),
@@ -98,34 +146,8 @@ object SeqPack {
       .as[(Long, Int, Long)]
       .groupByKey(_._2)
       .flatMapGroups { (shard: Int, it: Iterator[(Long, Int, Long)]) =>
-        val ds = it.toArray.sortBy(t => (-t._3, t._1)) // tokens desc, id asc
-        // open bins keyed (remaining, binId): ceilingKey((need, -1)) is
-        // the TIGHTEST bin that still fits, lowest id among equals
-        val open = new java.util.TreeMap[(Long, Long), Unit](
-          Ordering.Tuple2[Long, Long])
-        val fill = new java.util.HashMap[Long, Long]()
-        var nextBin = 0L
-        val out = new scala.collection.mutable.ArrayBuffer[Packed](ds.length)
-        ds.foreach { case (id, _, n) =>
-          val need = math.min(n, ctx)
-          val slot = open.ceilingKey((need, -1L))
-          val (binId, off) =
-            if (slot == null || n > ctx) { // no fit, or oversized singleton
-              val b = nextBin; nextBin += 1
-              if (n < ctx) open.put((ctx - n, b), ())
-              fill.put(b, need)
-              (b, 0L)
-            } else {
-              val (rem, b) = slot
-              open.remove(slot)
-              if (rem - need > 0) open.put((rem - need, b), ())
-              val o = fill.get(b)
-              fill.put(b, o + need)
-              (b, o)
-            }
-          out += Packed(id, shard, n, shard * 1000000000000L + binId, off, n > ctx)
-        }
-        out.iterator
+        packGroup(shard, it.map(t => (t._1, t._3)).toArray,
+          ctxTokens, BinState.empty)._1.iterator
       }
       .toDF()
       .withColumnRenamed("id", idCol)

@@ -144,6 +144,64 @@ object StreamOps {
     }
   }
 
+  /** Streaming whole-document sequence packing — the DELIVERY side of
+    * the training-data story ([[graft.operators.SeqPack.packBestFit]] in
+    * cross-batch form): pack docs into fixed-context training sequences
+    * AS THEY INGEST, instead of re-running a batch packer over the
+    * accumulated corpus per delivery. Each shard's open (partially
+    * filled) bins ride as keyed streaming state across micro-batches —
+    * a doc arriving in batch 7 tops up a bin opened in batch 2 — through
+    * the SAME best-fit core as the batch operator (identical sort and
+    * tie-break discipline; within a batch the packing is BFD, across
+    * batches it is best-fit against the carried bins, the unavoidable
+    * online relaxation).
+    *
+    * State is BOUNDED by construction: ≤ `maxOpenBins` open bins per
+    * shard (when exceeded, the FULLEST bins — smallest remaining, the
+    * ones least likely to ever fit another doc — are closed permanently,
+    * deterministically), shards are finite, so `timeout` defaults to
+    * NoTimeout as a conscious bounded-state choice (the
+    * [[dispatchStateful]] contract); pass a timeout to also expire idle
+    * shards. Exactly-once and replay-idempotent via the streaming
+    * checkpoint: flatMapGroupsWithState versions its state per batch, so
+    * a replayed micro-batch re-reads the PRE-batch state and re-emits
+    * identical placements (SeqPackStreamSpec pins restart continuation).
+    *
+    * Returns the streaming Dataset of placements; the caller attaches
+    * its sink (writeStream + checkpointLocation). */
+  def seqPackStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      ctxTokens: Int = 2048,
+      shards: Int = 8,
+      maxOpenBins: Int = 1024,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout())
+      : Dataset[graft.operators.SeqPack.Packed] = {
+    require(ctxTokens > 0 && shards > 0 && maxOpenBins > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.operators.SeqPack
+    val prepared = docs
+      .select(
+        col(idCol).cast("long"),
+        graft.functions.TextFunctions.tokenCount(col(textCol)))
+      .as[(Long, Long)]
+    dispatchStateful[Int, (Long, Long), SeqPack.BinState, SeqPack.Packed](
+      prepared,
+      t => (((t._1 % shards) + shards) % shards).toInt, // pmod, as batch
+      timeout) { (shard, rows, state) =>
+      val st = state.getOption.getOrElse(SeqPack.BinState.empty)
+      val (placed, ns) = SeqPack.packGroup(shard, rows.toArray, ctxTokens, st)
+      val bounded =
+        if (ns.open.size <= maxOpenBins) ns
+        // close the fullest bins (smallest remaining; binId tie-break)
+        else ns.copy(open = ns.open.sorted.drop(ns.open.size - maxOpenBins))
+      state.update(bounded)
+      placed.iterator
+    }
+  }
+
   /** A18 streaming form: maintain a dimension store from a stream via
     * `foreachBatch` — each micro-batch runs one DimUpsert cycle (new keys
     * minted with surrogate keys, facts enriched) and hands the enriched
