@@ -197,4 +197,51 @@ class WordPieceSpec extends AnyFunSuite {
     } finally graft.GraftQuery.deleteRecursively(
       new java.io.File(dir).getParentFile)
   }
+
+  test("maxWords cap vs uncapped: identical merge sequence on a Zipf " +
+    "fixture whose tail mass sits below every score gap (the documented " +
+    "cap regime)") {
+    import spark.implicits._
+    // The cap-safe regime the scaladoc documents, constructed so it
+    // PROVABLY holds for the likelihood score count(ab)/(count(a)·
+    // count(b)): a Zipf head of 8 high-frequency words (letter x
+    // repeated 4x, freq 3000/rank — distinct frequencies, so head score
+    // gaps are factor-of-rank sized) plus a 200-word freq-1 tail built
+    // ONLY from head letters. Tail pairs then score ~1/(F_x·3F_y) —
+    // an extra 1/F factor below every head score ~1/(3F) — and tail
+    // mass perturbs head unit counts by <= 400/F relatively, far under
+    // the inter-letter gaps. Head merges therefore win every round in
+    // BOTH runs and the capped (head-only) fit equals the uncapped one.
+    val letters = "abcdefgh"
+    val head = letters.zipWithIndex.map { case (c, r) =>
+      (c.toString * 4, 3000L / (r + 1))
+    }
+    val tail = (for {
+      a <- letters; b <- letters if a != b
+      c <- letters.take(4) if c != b
+    } yield s"$a$b$c").distinct.take(200).map(w => (w, 1L))
+    val docs = (head ++ tail).zipWithIndex.map { case ((w, f), i) =>
+      (i.toLong, Seq.fill(f.toInt)(w).mkString(" "))
+    }.toDF("doc_id", "text")
+    // IN the safe regime — a vocab budget that ends while head scores
+    // still dominate (the first merges, where inter-letter frequency
+    // gaps are factors of rank) — capped ≡ uncapped, real merges learned:
+    val capped = WordPiece.train(docs, "text", vocabSize = 21, maxWords = 8)
+    val uncapped = WordPiece.train(docs, "text", vocabSize = 21, maxWords = 1 << 16)
+    assert(capped.size == 21 && capped.count(_.token.length > 1) >= 4,
+      "fixture must learn real merges beyond the alphabet")
+    assert(capped == uncapped,
+      "cap perturbed the merge sequence in its documented-safe regime")
+    // BEYOND the regime the cap is NOT free (the scaladoc's 100 TB
+    // warning): a budget deep enough that head units get consumed lets
+    // tail-pair scores compete (their denominators collapse), and the
+    // sequences measurably drift — the documented reason production
+    // callers must size maxWords to their memory budget, not trust the
+    // default.
+    val cappedDeep = WordPiece.train(docs, "text", vocabSize = 33, maxWords = 8)
+    val uncappedDeep = WordPiece.train(docs, "text", vocabSize = 33, maxWords = 1 << 16)
+    assert(cappedDeep != uncappedDeep,
+      "expected the documented out-of-regime divergence — if this now " +
+        "holds, the scaladoc's cap warning may be strengthenable")
+  }
 }
