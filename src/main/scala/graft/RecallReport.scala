@@ -13,7 +13,13 @@ import org.apache.spark.sql.functions._
   * substitutes) is auditable from outside the test suite.
   *
   * Usage: runMain graft.RecallReport [sfDir] [outFile] [nProbes]
-  * Defaults: /root/testdata/sf0.1  RECALL_r14.json  20
+  * Defaults: /root/testdata/sf0.1  RECALL_r17.json  20
+  *
+  * Since r17 the ivf_flat / ivf_pq / pca16 variants run at their AUTO
+  * parameters (measured cluster-R² → nprobe/poolK, explained-variance
+  * ratio → poolK — matching the registered queries), and the params
+  * JSON carries the measured stats plus the chosen values, so the
+  * artifact documents WHAT the rules decided and why.
   *
   * Contract notes: each variant runs with the SAME parameters its
   * registered query uses; every variant (and the exact ranking) answers
