@@ -64,8 +64,19 @@ object ScaleGen {
     finally spark.stop()
   }
 
+  /** ALWAYS scale from the BASE fixture in one step. Composing two
+    * generate() calls (e.g. sf0.1→sf10 then sf10→sf30) breaks the
+    * bijective-vocabulary guarantee: the second pass appends the SAME
+    * per-replica suffixes to an already-suffixed vocabulary, so
+    * first-pass replica i's word "w"+tag(j) collides with second-pass
+    * replica j's renaming of replica i−j's "w" — cross-replica shared
+    * shingles whose candidate blowup masquerades as engine
+    * superlinearity (measured r17: a composed sf30 read 9–10× for 3×
+    * data on the containment family; the single-step sf30 reads ~3×).
+    * Embedding rotations also repeat past `dim` replicas — acceptable
+    * for the text-family sweeps, a caveat for embedding-family ones. */
   def generate(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
-    require(factor >= 1 && factor <= 100, s"factor=$factor out of range")
+    require(factor >= 1 && factor <= 1000, s"factor=$factor out of range")
     val rep = spark.range(0, factor).select(col("id").cast("int").as("graft_rep"))
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
