@@ -623,7 +623,7 @@ object Multimodal {
       idCol: String,
       hashCol: String,
       maxHamming: Int = 3,
-      chunks: Int = 4): DataFrame =
+      chunks: Int = 0): DataFrame =
     graft.operators.Dedup.hammingNearDupPairs(
       hashes, idCol, hashCol, maxHamming, chunks)
 
@@ -792,10 +792,13 @@ object Multimodal {
   /** Video near-dup pairs by temporally-ALIGNED frame agreement: two
     * videos pair iff ≥ `minMatchedFrames` of their same-index sampled
     * frames are within `maxHamming` bits. Rides the ONE verified
-    * multi-index hamming join by keying each frame as
-    * media_id·64 + frame_idx (≤ 64 sampled frames enforced), then
-    * keeping aligned-frame candidate pairs and counting agreements per
-    * video pair. A false video pair needs `minMatchedFrames`
+    * multi-index hamming join GROUP-KEYED by frame index (r18: the
+    * pre-r18 form packed media_id·64 + frame_idx into one id and
+    * post-filtered alignment — group keying shrinks every band bucket
+    * by the frame-index cardinality and the ≤ 64-frame packing cap
+    * disappears; media_id is unique within a frame_idx group, the
+    * group contract). One join output row per agreeing aligned frame →
+    * count per video pair. A false video pair needs `minMatchedFrames`
     * INDEPENDENT 64-bit frame collisions — vanishing where any
     * single-code fold measurably collides. */
   def videoNearDupPairs(
@@ -803,25 +806,12 @@ object Multimodal {
       everyMs: Long = 200L,
       maxHamming: Int = 6,
       minMatchedFrames: Int = 4): DataFrame = {
-    val frames = videoFrameDhash(ds, everyMs)
-      .filter(_.frame_idx < 64)
-      .toDF()
-      .select(
-        (col("media_id") * 64 + col("frame_idx")).as("fid"),
-        col("fhash"))
-    // Integer decomposition of fid = media_id·64 + frame_idx: shiftright
-    // is floor division by 64 and pmod a non-negative remainder, so the
-    // split stays EXACT for any long fid (floor(col/64) was double
-    // division — exact only below 2^53 — and % would mispair negative
-    // media_ids).
+    val frames = videoFrameDhash(ds, everyMs).toDF()
+      .select(col("media_id"), col("frame_idx"), col("fhash"))
     graft.operators.Dedup.hammingNearDupPairs(
-        frames, "fid", "fhash", maxHamming, chunks = 4)
-      .filter(
-        pmod(col("id_a"), lit(64)) === pmod(col("id_b"), lit(64)) && // same frame index
-          shiftright(col("id_a"), 6) < shiftright(col("id_b"), 6)) // distinct videos
-      .groupBy(
-        shiftright(col("id_a"), 6).as("id_a"),
-        shiftright(col("id_b"), 6).as("id_b"))
+        frames, "media_id", "fhash", maxHamming,
+        groupCols = Seq("frame_idx"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("matched_frames"))
       .filter(col("matched_frames") >= minMatchedFrames)
   }

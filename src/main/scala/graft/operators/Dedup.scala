@@ -657,7 +657,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      chunks: Int = 4): DataFrame = {
+      chunks: Int = 0): DataFrame = {
     val fp = df.select(
       col(idCol).as("graft_id"),
       simhash64Fast(tokens(col(textCol))).as("graft_sh"))
@@ -682,7 +682,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      chunks: Int = 4): DataFrame =
+      chunks: Int = 0): DataFrame =
     simhashNearDupReplayableReleasable(df, idCol, textCol, maxHamming, chunks)._1
 
   /** [[simhashNearDupReplayable]] plus an explicit release handle for the
@@ -693,13 +693,25 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      chunks: Int = 4): (DataFrame, () => Unit) = {
+      chunks: Int = 0): (DataFrame, () => Unit) = {
     val fp = df.select(
       col(idCol).as("graft_id"),
       simhash64Replayable(tokens(col(textCol))).as("graft_sh"))
       .persist()
     (hammingNearDupPairs(fp, "graft_id", "graft_sh", maxHamming, chunks),
       () => { fp.unpersist(); () })
+  }
+
+  /** Minimal chunk count whose radius-1 multi-index cover is sound for
+    * `maxHamming` (pigeonhole: some chunk pair within distance 1 needs
+    * maxHamming < 2·chunks). Fewer chunks = exponentially wider band
+    * keys (chunks=2 → 32-bit keys vs chunks=4 → 16-bit) at essentially
+    * the same explode cost (chunks·(width+1) ≈ 64 + chunks rows either
+    * way), so the widest sound layout dominates at every corpus size. */
+  def autoChunks(maxHamming: Int): Int = {
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"maxHamming=$maxHamming out of range for 64-bit hashes")
+    Seq(1, 2, 4, 8, 16, 32, 64).find(c => maxHamming < 2 * c).get
   }
 
   /** Hamming-near-dup pairs over ANY 64-bit hash column — SimHash, image
@@ -713,7 +725,8 @@ object Dedup {
     * equi-join on (chunk index, chunk value) where ONE side expands each
     * chunk value to its radius-r Hamming ball — short keys, never an
     * all-pairs compare; exact hamming re-checked on candidates; pair
-    * dedup via distinct.
+    * dedup via distinct. `chunks = 0` (the default) = [[autoChunks]]:
+    * the widest layout sound for `maxHamming`.
     *
     * Why the radius generalization matters at scale (measured, r13
     * sf1 sweep): the r = 0 special case forces chunks > maxHamming, and
@@ -724,26 +737,118 @@ object Dedup {
     * of a (width+1)-way key expansion on one join side — linear
     * candidate growth until ~10⁷ docs per band value. Radius ≤ 1 is
     * enforced: r = 2 would expand ×(1+w+w(w−1)/2) for marginal key
-    * width; split the hash differently instead. */
+    * width; split the hash differently instead.
+    *
+    * DISTINCT-FIRST core (r18 — the fix for the r17 sf30 finding that
+    * q_media_curate's banding shuffle grew 9.83× at 3× data): real
+    * perceptual-hash corpora saturate their VALUE manifold — measured
+    * on the image fixture, distinct dHash support grew 2.3k → 7.3k
+    * while the corpus grew 10k → 100k, so identical-fingerprint classes
+    * grow ∝ n and every banding bucket with them (candidates ∝ n²
+    * regardless of key width — a property of the data, not the key
+    * layout). The core therefore collapses identical hashes to one
+    * representative per class FIRST (one linear shuffle), runs the
+    * banded join over the SUPPORT only (intermediates stop growing once
+    * the manifold saturates), and expands class members back at the
+    * end. The expansion is exactly output-sized — when identical
+    * fingerprints proliferate, the hamming ≤ max PAIR LIST is
+    * inherently quadratic in the duplicated mass; consumers that only
+    * need components should use [[hammingNearDupClusters]], which skips
+    * the expansion entirely and stays support-sized + member-linear.
+    *
+    * `groupCols`: when set, pairs form ONLY within equal group values
+    * (the columns must exist on `hashes`; ids must be unique within a
+    * group), and the output carries one (id_a, id_b, hamming) row PER
+    * GROUP the pair matches in — the aligned-frame video path keys
+    * frames by (frame_idx) and counts agreement rows per video pair.
+    * Pushing alignment into the band key beats post-filtering it: the
+    * buckets themselves shrink by the group cardinality. */
   def hammingNearDupPairs(
       hashes: DataFrame,
       idCol: String,
       hashCol: String,
       maxHamming: Int = 3,
-      chunks: Int = 4): DataFrame = {
-    require(64 % chunks == 0, s"chunks=$chunks must divide 64")
-    val radius = maxHamming / chunks
+      chunks: Int = 0,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val (repPairs, members) =
+      hammingRepPairs(hashes, idCol, hashCol, maxHamming, chunks, groupCols)
+    def onGroups(a: String, b: String) = groupCols
+      .map(g => col(s"$a.$g") === col(s"$b.$g"))
+      .foldLeft(lit(true))(_ && _)
+
+    // within-class pairs: identical fingerprints, hamming 0 — the join
+    // key is the class representative, populations are class sizes, and
+    // the output IS the result (no intermediate inflation)
+    val within = members.as("a")
+      .join(members.as("b"),
+        col("a.graft_rep") === col("b.graft_rep") && onGroups("a", "b") &&
+          col("a.graft_id") < col("b.graft_id"))
+      .select(col("a.graft_id").as("id_a"), col("b.graft_id").as("id_b"),
+        lit(0).as("hamming"))
+
+    // cross-class pairs: representative pairs expanded to members; each
+    // unordered member pair lands in exactly one class pair per group
+    // (classes are disjoint within a group), so no distinct is needed
+    // after expansion
+    val cross = repPairs.as("p")
+      .join(members.as("ma"),
+        col("p.rep_a") === col("ma.graft_rep") && onGroups("p", "ma"))
+      .join(members.as("mb"),
+        col("p.rep_b") === col("mb.graft_rep") && onGroups("p", "mb"))
+      .select(
+        least(col("ma.graft_id"), col("mb.graft_id")).as("id_a"),
+        greatest(col("ma.graft_id"), col("mb.graft_id")).as("id_b"),
+        col("hamming"))
+
+    within.unionAll(cross)
+  }
+
+  /** Support-level core shared by [[hammingNearDupPairs]] and
+    * [[hammingNearDupClusters]]: returns (repPairs(rep_a, rep_b,
+    * hamming) — one row per unordered pair of DISTINCT hash values
+    * within `maxHamming`, keyed by each class's min-id representative —
+    * and members(graft_id, graft_rep) mapping every input id to its
+    * class representative). The banded join runs over one row per
+    * distinct hash value, never per input row. */
+  private def hammingRepPairs(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int,
+      chunks: Int,
+      groupCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val nChunks = if (chunks == 0) autoChunks(maxHamming) else chunks
+    require(64 % nChunks == 0, s"chunks=$nChunks must divide 64")
+    val radius = maxHamming / nChunks
     require(radius <= 1,
-      s"per-chunk radius ⌊$maxHamming/$chunks⌋ = $radius > 1 would expand " +
+      s"per-chunk radius ⌊$maxHamming/$nChunks⌋ = $radius > 1 would expand " +
         "each key to an intractable Hamming ball — raise chunks so that " +
         "maxHamming < 2*chunks")
-    val fp = hashes.select(col(idCol).as("graft_id"), col(hashCol).as("graft_sh"))
-    val width = 64 / chunks
+    // null hashes never pair (the pre-r18 join dropped them via null
+    // join keys; the groupBy would otherwise clique them together)
+    val fp = hashes.select(
+      (col(idCol).as("graft_id") +: col(hashCol).as("graft_sh")
+        +: groupCols.map(col)): _*)
+      .filter(col("graft_sh").isNotNull)
+    // identical-fingerprint classes (per group when `groupCols` is set —
+    // ids must be unique within a group); the class key is the hash
+    // value itself, the representative its min member id (so component
+    // minima over representatives equal component minima over members)
+    val classKey = "graft_sh" +: groupCols
+    val classes = fp.groupBy(classKey.map(col): _*)
+      .agg(min(col("graft_id")).as("graft_rep"))
+    val members = fp.join(classes, classKey)
+      .select(("graft_id" +: "graft_rep" +: groupCols).map(col): _*)
+    val reps = classes.select(
+      (col("graft_rep").as("graft_id") +: col("graft_sh")
+        +: groupCols.map(col)): _*)
+
+    val width = 64 / nChunks
+    val mask = if (width == 64) -1L else (1L << width) - 1
     def chunkVal(c: Int) =
-      shiftrightunsigned(col("graft_sh"), c * width)
-        .bitwiseAND((1L << width) - 1)
+      shiftrightunsigned(col("graft_sh"), c * width).bitwiseAND(mask)
     // probe side: exact chunk values only
-    val base = fp.withColumn("graft_chunk", explode(array((0 until chunks).map { c =>
+    val base = reps.withColumn("graft_chunk", explode(array((0 until nChunks).map { c =>
       struct(lit(c).as("c"), chunkVal(c).as("v"))
     }: _*)))
     // expanded side: each chunk value plus (for radius 1) its width
@@ -752,7 +857,7 @@ object Dedup {
     // a-flipped=base-of-b (one differing bit)
     val expanded =
       if (radius == 0) base
-      else fp.withColumn("graft_chunk", explode(array((0 until chunks).flatMap { c =>
+      else reps.withColumn("graft_chunk", explode(array((0 until nChunks).flatMap { c =>
         struct(lit(c).as("c"), chunkVal(c).as("v")) +:
           (0 until width).map { b =>
             struct(lit(c).as("c"),
@@ -760,15 +865,44 @@ object Dedup {
           }
       }: _*)))
 
-    expanded.as("l")
+    val repPairs = expanded.as("l")
       .join(base.as("r"),
-        col("l.graft_chunk") === col("r.graft_chunk") &&
+        groupCols.map(g => col(s"l.$g") === col(s"r.$g"))
+          .foldLeft(col("l.graft_chunk") === col("r.graft_chunk"))(_ && _) &&
           col("l.graft_id") < col("r.graft_id"))
       .select(
-        col("l.graft_id").as("id_a"), col("r.graft_id").as("id_b"),
-        hamming64(col("l.graft_sh"), col("r.graft_sh")).as("hamming"))
+        (col("l.graft_id").as("rep_a") +: col("r.graft_id").as("rep_b") +:
+          hamming64(col("l.graft_sh"), col("r.graft_sh")).as("hamming") +:
+          groupCols.map(g => col(s"l.$g"))): _*)
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    (repPairs, members)
+  }
+
+  /** Connected components of the hamming ≤ `maxHamming` graph, WITHOUT
+    * materializing the member-level pair list: (id, cluster) for every
+    * input id, cluster = min member id reachable — the exact labels
+    * [[nearDupClusters]] would assign over [[hammingNearDupPairs]]
+    * output, at support-sized + member-linear cost. Identical
+    * fingerprints form hamming-0 cliques, so a class contributes ONE
+    * node (its min-id representative) to the component graph and the
+    * members inherit the representative's label by a linear join — on
+    * saturated perceptual-hash corpora this is the difference between a
+    * quadratic pair expansion and a corpus-linear manifest. */
+  def hammingNearDupClusters(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      chunks: Int = 0): DataFrame = {
+    val (repPairs, members) =
+      hammingRepPairs(hashes, idCol, hashCol, maxHamming, chunks)
+    val repClusters = nearDupClusters(
+      repPairs.select(col("rep_a").as("id_a"), col("rep_b").as("id_b")))
+    members
+      .join(repClusters, members("graft_rep") === repClusters("id"), "left")
+      .select(col("graft_id").as("id"),
+        coalesce(col("cluster"), col("graft_rep")).as("cluster"))
   }
 
   /** n-gram Jaccard near-dup: like minhashNearDup but the verify step IS
@@ -943,7 +1077,19 @@ object Dedup {
     * guard as in PPJoin: a prefix shingle hotter than `maxTokenDf`
     * fails loudly rather than silently exploding the posting join.
     * Candidate volume = Σ_prefix-shingles df(s) — df-bounded, never
-    * all-pairs. Exact verify |A∩B|/|A| on candidates. */
+    * all-pairs. Exact verify |A∩B|/|A| on candidates.
+    *
+    * EXECUTOR SIZING (measured, r17 sf30 sweep — the rule a 100 TB run
+    * needs): the verify step holds the candidate docs' shingle sets in
+    * execution memory, so memory-per-executor must track CANDIDATE
+    * VOLUME (Σ df over prefix shingles × mean shingle-set bytes), not
+    * corpus size. At sf30 (1.5M docs, ~3.2× sf10's candidate volume)
+    * a 64g single-JVM run spilled 25.9 GB and paid 5.7× sf10's wall;
+    * 96g ran spill-free at 3.76× — work-linear. Budget ≈ 2 KB of
+    * execution memory per candidate pair per concurrent task (shingle
+    * arrays on both join sides + the intersect scratch), or cut the
+    * per-task width by raising shuffle partitions: spill is graceful
+    * but pays ~1.5× wall per decade of deficit. */
   def containmentNearDup(
       df: DataFrame,
       idCol: String,
@@ -1217,7 +1363,8 @@ object Dedup {
   def prefixJaccardOnSetsReleasable(
       sets: DataFrame,
       threshold: Double,
-      maxTokenDf: Long): (DataFrame, () => Unit) = {
+      maxTokenDf: Long,
+      verifyStrategy: String = "auto"): (DataFrame, () => Unit) = {
     require(threshold > 0 && threshold <= 1, s"threshold=$threshold outside (0,1]")
     // element order inside a set is semantically free — sort at cache
     // build (once) so the verify runs the zero-allocation
@@ -1293,9 +1440,9 @@ object Dedup {
     // arrays are distinct), so only the intersection is materialized —
     // array_union would build a deduped 2×-size array per pair for a
     // number the sizes already determine.
-    val result = candidates
-      .join(sh.select(col("graft_id").as("id_a"), col("graft_sh").as("sh_a")), "id_a")
-      .join(sh.select(col("graft_id").as("id_b"), col("graft_sh").as("sh_b")), "id_b")
+    def exactVerify(pairs: DataFrame, shSrc: DataFrame): DataFrame = pairs
+      .join(shSrc.select(col("graft_id").as("id_a"), col("graft_sh").as("sh_a")), "id_a")
+      .join(shSrc.select(col("graft_id").as("id_b"), col("graft_sh").as("sh_b")), "id_b")
       // sh arrays sorted at build → merge-walk kernel (IntersectSizeSpec)
       .withColumn("graft_o",
         org.apache.spark.sql.graft.SortedIntersectSize
@@ -1304,7 +1451,88 @@ object Dedup {
         col("graft_o") / (size(col("sh_a")) + size(col("sh_b")) - col("graft_o")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-    (result, () => { sh.unpersist(); joinable.unpersist(); () })
+
+    // TWO-TIER verify (r18 — the containment path's r16 structure,
+    // ported verbatim; VERDICT r17 item 2 named the one-tier string
+    // verify as what blocked the sf30 sweep of the pair-cluster
+    // queries: every candidate pair dragged two full STRING shingle
+    // arrays through the verify exchanges, ~45 GB of shuffle temp at
+    // sf30). Tier 1 intersects per-doc xxhash64 shingle hashes — sorted
+    // long arrays, ~6× lighter — an UPPER bound on the string overlap
+    // when each doc's hashes are collision-free (checked while the hash
+    // cache materializes; any intra-doc collision falls back to the
+    // one-tier exact verify, so exactness is UNCONDITIONAL). Jaccard is
+    // increasing in the overlap, so the tier-1 bound admits every true
+    // pair; tier 2 string-verifies only the dup-rate-sized survivor
+    // set, with the sh cache cut to survivor docs by BROADCAST
+    // semi-joins before any exchange. The switch mirrors containment:
+    // the hash tier's fixed overhead (hsh cache + collision aggregate +
+    // survivor materialization) only amortizes on big candidate sets —
+    // measured crossover ~8M pairs; the volume is known exactly from
+    // the prefix buckets before either path runs.
+    val candVolume = joinable.groupBy("graft_tok")
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1) / 2))
+      .first().getAs[Any](0) match {
+        case null => 0L
+        case d: java.math.BigDecimal => d.longValue()
+        case d: Double => d.toLong
+        case l: Long => l
+      }
+    val twoTier = verifyStrategy match {
+      case "string" => false
+      case "hash" => true
+      case _ => sys.env.get("SPARK_GRAFT_JACCARD_VERIFY") match {
+        // builder-local A/B hook; only consulted on auto
+        case Some("string") => false
+        case Some("hash") => true
+        case _ => candVolume >= 8000000L
+      }
+    }
+    if (!twoTier) {
+      (exactVerify(candidates, sh),
+        () => { sh.unpersist(); joinable.unpersist(); () })
+    } else {
+      val hsh = sh.select(col("graft_id"),
+          size(col("graft_sh")).as("graft_n"),
+          sort_array(array_distinct(
+            transform(col("graft_sh"), x => xxhash64(x)))).as("graft_hs"))
+        .persist()
+      val collisions = {
+        val row = hsh.agg(max(col("graft_n") - size(col("graft_hs")))).first()
+        if (row.isNullAt(0)) 0 else row.getInt(0)
+      }
+      if (collisions > 0) {
+        System.err.println(
+          "[graft.Dedup] prefixJaccard: intra-doc shingle-hash collision " +
+            "detected — falling back to the one-tier string verify")
+        (exactVerify(candidates, sh),
+          () => { sh.unpersist(); joinable.unpersist(); hsh.unpersist(); () })
+      } else {
+        val surv = candidates
+          .join(hsh.select(col("graft_id").as("id_a"), col("graft_n").as("n_a"),
+            col("graft_hs").as("hs_a")), "id_a")
+          .join(hsh.select(col("graft_id").as("id_b"), col("graft_n").as("n_b"),
+            col("graft_hs").as("hs_b")), "id_b")
+          .withColumn("graft_oh",
+            org.apache.spark.sql.graft.SortedLongIntersectSize
+              .sortedLongIntersectSize(col("hs_a"), col("hs_b")).cast("double"))
+          // upper-bound Jaccard: o_h ≥ o and x/(na+nb−x) is increasing,
+          // so every true pair survives tier 1
+          .filter(col("graft_oh") /
+            (col("n_a") + col("n_b") - col("graft_oh")) >= threshold)
+          .select(col("id_a"), col("id_b"))
+          .persist()
+        surv.count()
+        val survDocs = surv.select(col("id_a").as("graft_id"))
+          .unionByName(surv.select(col("id_b").as("graft_id"))).distinct()
+        val shSurv = sh
+          .join(broadcast(survDocs), Seq("graft_id"), "left_semi")
+        (exactVerify(surv, shSurv),
+          () => { sh.unpersist(); joinable.unpersist()
+            hsh.unpersist(); surv.unpersist(); () })
+      }
+    }
   }
 
   /** Collapse a near-dup pair graph into clusters: returns (id, cluster)
@@ -1336,7 +1564,15 @@ object Dedup {
     * force the distributed contraction loop — used by the scale sweeps to
     * measure the beyond-any-driver-heap path on its own). */
   def defaultMaxLocalPairs: Long =
-    sys.env.get("GRAFT_CC_MAX_LOCAL_PAIRS").map(_.toLong).getOrElse(
+    sys.env.get("GRAFT_CC_MAX_LOCAL_PAIRS").map { s =>
+      try s.trim.toLong
+      catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"GRAFT_CC_MAX_LOCAL_PAIRS='$s' is not a long (set 0 to force " +
+            "the distributed contraction path, or unset for the " +
+            "heap-scaled default)", e)
+      }
+    }.getOrElse(
       math.min(64000000L,
         math.max(4000000L, Runtime.getRuntime.maxMemory() / 2048)))
 
@@ -1426,6 +1662,19 @@ object Dedup {
     * lineage would double per round (measured seconds of driver-side
     * planning by round 2 under the old loop). On a real cluster this
     * would be `checkpoint()` to reliable storage for fault tolerance. */
+  /** Release the block store behind an eager localCheckpoint once the
+    * round that produced it is superseded — the ContextCleaner would get
+    * there after GC, but an O(log² n)-round loop should not hold O(rounds)
+    * generations of edge sets hostage to GC timing. Only ever called on
+    * frames no later round references (an unpersisted localCheckpoint
+    * cannot recompute). */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false); ()
+      case _ => ()
+    }
+
   private def distributedClusters(pairs: DataFrame, maxRounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
@@ -1464,30 +1713,51 @@ object Dedup {
         .distinct()
     }
 
-    // Both inputs are distinct sets, so equality ⟺ same size ∧ a\b = ∅.
-    def sameSet(a: DataFrame, b: DataFrame): Boolean =
-      a.count() == b.count() && a.except(b).isEmpty
+    // Convergence test = the DEFINING graph property, checked directly
+    // in ONE aggregate job (r18 — the r17 sameSet comparison cost
+    // count + except per star op, 4 jobs/round): a canonical (u < v)
+    // distinct edge set is a star forest centered at component minima
+    // iff no id appears both as a center (u) and a member (v), and no
+    // member appears under two centers. Exactly the fixpoint of both
+    // star operations (Kiveris et al. 2014), with no fingerprint or
+    // set-equality approximation.
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(col("u").as("id"), lit(0).as("asV"))
+        .unionByName(e.select(col("v").as("id"), lit(1).as("asV")))
+        .groupBy("id")
+        .agg(min(col("asV")).as("mn"), max(col("asV")).as("mx"),
+          sum(col("asV")).as("vCnt"))
+        .filter(col("mn") =!= col("mx") || col("vCnt") > 1)
+        .isEmpty
 
-    var changed = true
+    var converged = isStarForest(edges)
     var rounds = 0
-    while (changed && rounds < maxRounds) {
+    while (!converged && rounds < maxRounds) {
       val afterLarge = largeStar(edges).localCheckpoint(true)
+      releaseLocalCheckpoint(edges)
       val afterSmall = smallStar(afterLarge).localCheckpoint(true)
-      // Converged only when NEITHER operation moved the edge set — a
-      // fixpoint of the composition alone would not prove star shape.
-      changed = !sameSet(afterLarge, edges) || !sameSet(afterSmall, afterLarge)
+      releaseLocalCheckpoint(afterLarge)
       edges = afterSmall
+      converged = isStarForest(edges)
       rounds += 1
     }
-    if (changed) {
+    if (!converged) {
       throw new IllegalStateException(
         s"nearDupClusters did not converge within maxRounds=$maxRounds " +
           "(edge set still contracting) — raise maxRounds")
     }
     // Fixpoint = star forest: u is the component minimum, v a member.
-    edges.select(col("v").as("id"), col("u").as("cluster"))
+    val labels = edges.select(col("v").as("id"), col("u").as("cluster"))
       .unionByName(edges.select(col("u").as("id"), col("u").as("cluster")))
       .distinct()
+    // Self-pair parity with localUnionFind (r17 ADVICE): a node whose
+    // ONLY pairs are (id, id) self-loops still gets its (id, id) row —
+    // the canonicalization above dropped self-loops, so recover ids the
+    // star forest never saw.
+    val selfOnly = pairs.filter(col("id_a") === col("id_b"))
+      .select(col("id_a").as("id")).distinct()
+      .join(labels, Seq("id"), "left_anti")
+    labels.unionByName(selfOnly.select(col("id"), col("id").as("cluster")))
   }
 
   /** End-to-end near-dup corpus dedup: MinHash-LSH pairs → connected

@@ -38,8 +38,19 @@ object MediaCurateQueries {
     * survivor rule every stage of the pipeline shares. */
   private def manifest(
       items: DataFrame, idCol: String, pairs: DataFrame,
-      modality: String): DataFrame = {
-    val labels = Dedup.nearDupClusters(pairs.select("id_a", "id_b"))
+      modality: String): DataFrame =
+    manifestFromLabels(items, idCol,
+      Dedup.nearDupClusters(pairs.select("id_a", "id_b")), modality)
+
+  /** [[manifest]] from a precomputed (id, cluster) label frame — the
+    * r18 path for pure hamming modalities, whose labels come from
+    * [[Dedup.hammingNearDupClusters]] WITHOUT ever materializing the
+    * member-level pair list (on saturated perceptual-hash corpora that
+    * list is inherently quadratic in the duplicated mass; the label
+    * frame stays corpus-linear). */
+  private def manifestFromLabels(
+      items: DataFrame, idCol: String, labels: DataFrame,
+      modality: String): DataFrame =
     items.join(labels, items(idCol) === labels("id"), "left")
       .select(
         lit(modality).as("modality"),
@@ -47,7 +58,6 @@ object MediaCurateQueries {
         coalesce(col("cluster"), items(idCol)).cast("long").as("cluster"))
       .withColumn("is_canonical",
         (col("cluster") === col("item_id")).cast("int"))
-  }
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -99,22 +109,26 @@ object MediaCurateQueries {
         val textPairs = Dedup.simhashNearDupReplayable(
           docs, "doc_id", "text", maxHamming = 7, chunks = 4)
         // items side = id-only membership frames (no codec work);
-        // fingerprints render each corpus exactly once
+        // fingerprints render each corpus exactly once. Image/audio
+        // labels come from the support-sized cluster path — the member
+        // pair list (quadratic once the perceptual-hash manifold
+        // saturates) is never materialized; q_image/audio_near_dup keep
+        // the pair-level contract for consumers that want pairs.
         val images = mm.syntheticImageAudioCorpusIds(s, d)
-        val imagePairs = mm.hammingNearDupPairs(
+        val imageLabels = Dedup.hammingNearDupClusters(
           mm.imageDhash(mm.syntheticImageCorpusMemo(s, d)).toDF(),
-          "media_id", "dhash", maxHamming = 6, chunks = 4)
+          "media_id", "dhash", maxHamming = 6)
         val audios = mm.syntheticImageAudioCorpusIds(s, d)
-        val audioPairs = mm.hammingNearDupPairs(
+        val audioLabels = Dedup.hammingNearDupClusters(
           mm.audioFingerprints(mm.syntheticAudioCorpusMemo(s, d)).toDF(),
-          "media_id", "afp", maxHamming = 6, chunks = 4)
+          "media_id", "afp", maxHamming = 6)
         val videos = mm.syntheticVideoCorpusIds(s, d)
         val videoPairs = mm.videoNearDupPairs(
           mm.syntheticVideoCorpusMemo(s, d),
           everyMs = 200L, maxHamming = 6, minMatchedFrames = 3)
         manifest(docs, "doc_id", textPairs, "text")
-          .unionAll(manifest(images, "media_id", imagePairs, "image"))
-          .unionAll(manifest(audios, "media_id", audioPairs, "audio"))
+          .unionAll(manifestFromLabels(images, "media_id", imageLabels, "image"))
+          .unionAll(manifestFromLabels(audios, "media_id", audioLabels, "audio"))
           .unionAll(manifest(videos, "media_id", videoPairs, "video"))
           .orderBy("modality", "item_id")
       }))

@@ -456,9 +456,14 @@ class DedupSpec extends AnyFunSuite {
     // 200 random edges over a 300-node id space (creates random merges)
     for (_ <- 1 to 200)
       parts += ((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
-    // duplicate + reversed-duplicate + self-loop noise
+    // duplicate + reversed-duplicate noise, plus self-loops — including
+    // an id (9007, outside the random id space) that appears ONLY as a
+    // self-pair: both paths must emit its (id, id) row (r17 ADVICE —
+    // the old parity test pre-filtered self-loops and masked a
+    // divergence here)
     parts += ((1000L, 1001L)); parts += ((1001L, 1000L)); parts += ((7L, 7L))
-    val pairs = parts.result().toDF("id_a", "id_b").filter(col("id_a") =!= col("id_b"))
+    parts += ((9007L, 9007L)); parts += ((1000L, 1000L))
+    val pairs = parts.result().toDF("id_a", "id_b")
     val local = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
     val dist = Dedup.nearDupClusters(pairs, maxLocalPairs = 0L)
       .as[(Long, Long)].collect().toMap
