@@ -1889,6 +1889,330 @@ object StreamOps {
     }
   }
 
+  /** Incremental EMBEDDING near-dup dedup (r17 verdict item 5 — the
+    * semantic twin of [[nearDupStream]] / [[exactDedupStream]]): each
+    * micro-batch of (id, embedding) rows is checked against a
+    * persistent vector store of everything ever admitted; rows whose
+    * cosine to any admitted vector reaches `threshold` are dropped (and
+    * within the batch the larger id of a qualifying pair drops — the
+    * same pairwise convention as the text stream), and the admitted
+    * rows' vectors + replayable hyperplane buckets append to the store.
+    *
+    * Unlike the text store (whose cross-batch similarity is a MinHash
+    * ESTIMATE), the vector store holds the embeddings themselves —
+    * fixed-width per doc — so cross-batch cosine is EXACT and the
+    * streamed admission decomposes cleanly: a row's fate depends only
+    * on (row, admitted history), which is what the batch≡stream parity
+    * spec pins. Candidate blocking rides the SAME replayable hyperplane
+    * buckets as the batch operator ([[graft.operators.Dedup
+    * .embeddingNearDupReplayable]]); per-trigger history cost is
+    * O(bucket mates of the batch), pushed into the parquet read as an
+    * In + range-cover filter over the bucket column (maintenance folds
+    * sort the store by bucket, so row-group stats skip the bulk of an
+    * old store).
+    *
+    * Store protocol = the signature-store protocol verbatim: admitted
+    * rows land in a `batch=<id>` hive partition OVERWRITTEN per attempt
+    * (exactly-once admissions without a marker), only the newest batch
+    * may replay (guarded loudly), maintenance folds old partitions into
+    * `batch=-1`, and a `.meta` sidecar pins (planes, dim) — a store
+    * bucketed under different planes would block inconsistently, and a
+    * different dim would silently truncate every dot product. Commit-log
+    * mode engages the same way as the text stores (existing `_log/`, or
+    * a new store under the session default). */
+  def embeddingNearDupStream(
+      vecs: DataFrame,
+      storePath: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.95,
+      planes: Int = 8,
+      maintainEvery: Int = 32)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val admitted = applyEmbeddingNearDupBatch(
+          batch, storePath, batchId, idCol, vecCol, threshold, planes)
+        try sink(admitted, batchId)
+        finally admitted.unpersist()
+        if (maintainEvery > 0 && batchId > 0 && batchId % maintainEvery == 0)
+          maintainEmbeddingNearDupStore(batch.sparkSession, storePath)
+      }
+      .start()
+
+  /** The per-batch step behind [[embeddingNearDupStream]] (driveable
+    * directly in tests and backfills). Returns the admitted rows of
+    * `batch` (persisted — the caller unpersists after its sink). */
+  def applyEmbeddingNearDupBatch(
+      batch: DataFrame,
+      storePath: String,
+      batchId: Long,
+      idCol: String = "doc_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.95,
+      planes: Int = 8,
+      maxBucketFetch: Int = 100000): DataFrame = {
+    require(planes >= 1 && planes <= 30, s"planes=$planes out of range")
+    val spark = batch.sparkSession
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    if (graft.operators.CommitLog.active(spark, fs, store))
+      return applyEmbeddingNearDupBatchLog(batch, storePath, batchId, idCol,
+        vecCol, threshold, planes, maxBucketFetch)
+
+    graft.operators.Swap.withStoreLease(spark, store) { _ =>
+    graft.operators.Swap.recoverDirs(spark, store, graft.operators.Swap.Suffix)
+
+    if (fs.exists(store)) {
+      val live = fs.listStatus(store).map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+      val maxLive = if (live.nonEmpty) live.max else -1L
+      requireReplayable(batchId, maxLive, storePath)
+    }
+    val own = new org.apache.hadoop.fs.Path(store, s"batch=$batchId")
+    if (fs.exists(own)) fs.delete(own, true) // crashed attempt's partials
+    val hasHistory = fs.exists(store) &&
+      fs.listStatus(store).exists(_.getPath.getName.startsWith("batch="))
+
+    val dim = {
+      val r = batch.agg(max(size(col(vecCol)))).head
+      if (r.isNullAt(0)) 0 else r.getInt(0)
+    }
+    ensureEmbeddingMeta(fs, storePath, planes, dim,
+      batchEmpty = dim == 0)
+
+    val sigB = batch.select(
+      col(idCol).as("graft_id"),
+      col(vecCol).as("graft_vec"),
+      (if (dim == 0) lit(0L)
+       else graft.operators.Similarity
+         .replayableHyperplaneBucket(col(vecCol), planes, dim))
+        .as("graft_bucket"))
+      .persist()
+
+    val histRead: Array[Any] => DataFrame = buckets => {
+      val cover = idCoverFilter(col("graft_bucket"), buckets)
+      spark.read.parquet(storePath).filter(col("batch") =!= batchId)
+        .where(cover.getOrElse(lit(true)))
+        .filter(col("graft_bucket").isInCollection(buckets.toSeq))
+    }
+    val histFull = () =>
+      spark.read.parquet(storePath).filter(col("batch") =!= batchId)
+
+    val admitted = embeddingAdmitCore(
+      batch, idCol, sigB, histRead, histFull, hasHistory, threshold,
+      maxBucketFetch)
+    // admitted vectors+buckets → this batch's own partition; the write
+    // materializes the admitted cache so sigB can be released here
+    sigB.join(admitted.select(col(idCol).as("graft_id")), Seq("graft_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    sigB.unpersist()
+    admitted
+    }
+  }
+
+  /** The candidate → verify → admit middle shared by the legacy and
+    * commit-log embedding store modes. Cross-batch verify is EXACT
+    * cosine against bucket-mate history vectors (round-4, the
+    * [[graft.operators.Similarity.exactPairs]] contract); within-batch
+    * the larger id of a qualifying pair drops. */
+  private def embeddingAdmitCore(
+      batch: DataFrame,
+      idCol: String,
+      sigB: DataFrame,
+      histRead: Array[Any] => DataFrame,
+      histFull: () => DataFrame,
+      hasHistory: Boolean,
+      threshold: Double,
+      maxBucketFetch: Int): DataFrame = {
+    import graft.operators.Similarity
+    val capProbe = math.min(maxBucketFetch.toLong + 1L, Int.MaxValue.toLong).toInt
+    val batchBuckets: Array[Any] =
+      if (hasHistory) sigB.select("graft_bucket").distinct().limit(capProbe)
+        .collect().map(_.get(0))
+      else Array.empty[Any]
+    val history =
+      if (!hasHistory || batchBuckets.isEmpty)
+        sigB.select(col("graft_id").as("hist_id"),
+          col("graft_vec").as("hist_vec"),
+          col("graft_bucket").as("hist_bucket")).limit(0)
+      else {
+        val src = if (batchBuckets.length <= maxBucketFetch)
+          histRead(batchBuckets) else histFull()
+        src.select(col("graft_id").as("hist_id"),
+          col("graft_vec").as("hist_vec"),
+          col("graft_bucket").as("hist_bucket"))
+      }
+    val dupOfHistory = sigB
+      .join(history, col("graft_bucket") === col("hist_bucket"))
+      .filter(round(Similarity.cosine(col("graft_vec"), col("hist_vec")), 4)
+        >= threshold)
+      .select(col("graft_id").as(idCol)).distinct()
+    // within-batch: bucket-blocked exact pairs, larger id drops (the
+    // text stream's pairwise convention — Dedup.dedupNear's id_b rule)
+    val dupInBatch = sigB.as("l")
+      .join(sigB.as("r"),
+        col("l.graft_bucket") === col("r.graft_bucket") &&
+          col("l.graft_id") < col("r.graft_id"))
+      .filter(round(Similarity.cosine(col("l.graft_vec"), col("r.graft_vec")), 4)
+        >= threshold)
+      .select(col("r.graft_id").as(idCol)).distinct()
+    batch
+      .join(dupOfHistory.unionByName(dupInBatch).distinct(), Seq(idCol), "left_anti")
+      .persist()
+  }
+
+  /** Validate (or create) the `<store>.meta` sidecar pinning the bucket
+    * function config: `planes` (blocking layout) and `dim` (dot-product
+    * width). An empty first batch defers creation — there is nothing to
+    * pin yet and no admission that depends on it. */
+  private def ensureEmbeddingMeta(
+      fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String,
+      planes: Int,
+      dim: Int,
+      batchEmpty: Boolean): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(storePath + MetaSuffix)
+    if (fs.exists(metaPath)) {
+      val in = fs.open(metaPath)
+      val text =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          new String(buf.toByteArray, "UTF-8")
+        } finally in.close()
+      val m = text.split("\n").map(_.trim).filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+      require(
+        m.get("planes").contains(planes.toString) &&
+          (batchEmpty || m.get("dim").contains(dim.toString)),
+        s"embedding store at $storePath was built with " +
+          s"(planes=${m.getOrElse("planes", "?")}, " +
+          s"dim=${m.getOrElse("dim", "?")}), this stream uses " +
+          s"(planes=$planes, dim=$dim) — rebuild the store or match the " +
+          "configuration")
+    } else if (!batchEmpty) {
+      val tmp = new org.apache.hadoop.fs.Path(metaPath.toString + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"planes=$planes\ndim=$dim\n".getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, metaPath))
+        throw new java.io.IOException(s"could not write sidecar $metaPath")
+    }
+  }
+
+  /** Maintenance for an [[embeddingNearDupStream]] store: fold every
+    * batch partition except the latest into `batch=-1`, sorted by
+    * bucket (the history lookup's pushed bucket cover then hits tight
+    * row groups) — same crash posture as the text-store folds. */
+  def maintainEmbeddingNearDupStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (graft.operators.CommitLog.isLog(fs, store))
+      return maintainEmbeddingNearDupStoreLog(spark, storePath, targetFileBytes)
+    graft.operators.Swap.withStoreLease(
+      spark, new org.apache.hadoop.fs.Path(storePath)) { _ =>
+      foldBatchPartitions(spark, storePath, targetFileBytes, reagg = None,
+        sortCols = Seq("graft_bucket", "graft_id"))
+    }
+  }
+
+  /** Commit-log mode of [[applyEmbeddingNearDupBatch]]: single-level log
+    * store, pinned-snapshot history, manifest-stats file pruning on the
+    * bucket column, replay high-water mark + (planes, dim) in the
+    * manifest meta. */
+  private def applyEmbeddingNearDupBatchLog(
+      batch: DataFrame,
+      storePath: String,
+      batchId: Long,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int,
+      maxBucketFetch: Int): DataFrame = {
+    import graft.operators.CommitLog
+    val spark = batch.sparkSession
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val baseV = CommitLog.currentVersion(fs, store)
+    val meta = CommitLog.tipMeta(fs, store)
+    requireReplayable(batchId,
+      meta.get("maxBatch").map(_.toLong).getOrElse(-1L), storePath)
+
+    val dim = {
+      val r = batch.agg(max(size(col(vecCol)))).head
+      if (r.isNullAt(0)) 0 else r.getInt(0)
+    }
+    val pinnedDim = meta.get("dim").map(_.toInt)
+    require(meta.get("planes").forall(_.toInt == planes) &&
+      (dim == 0 || pinnedDim.forall(_ == dim)),
+      s"embedding store at $storePath was built with " +
+        s"(planes=${meta.getOrElse("planes", "?")}, " +
+        s"dim=${meta.getOrElse("dim", "?")}), this stream uses " +
+        s"(planes=$planes, dim=$dim) — rebuild the store or match the " +
+        "configuration")
+
+    val histAll = CommitLog.read(spark, store, Some(baseV))
+      .map(_.filter(col("batch") =!= batchId))
+    val hasHistory = histAll.isDefined
+
+    val sigB = batch.select(
+      col(idCol).as("graft_id"),
+      col(vecCol).as("graft_vec"),
+      (if (dim == 0) lit(0L)
+       else graft.operators.Similarity
+         .replayableHyperplaneBucket(col(vecCol), planes, dim))
+        .as("graft_bucket"))
+      .persist()
+
+    val histRead: Array[Any] => DataFrame = buckets => {
+      val cover = idCoverFilter(col("graft_bucket"), buckets)
+      prunedRead(spark, store, None, baseV, idRanges(buckets)) match {
+        case None => sigB.limit(0)
+        case Some(df) => df
+          .filter(col("batch") =!= batchId)
+          .where(cover.getOrElse(lit(true)))
+          .filter(col("graft_bucket").isInCollection(buckets.toSeq))
+      }
+    }
+    val admitted = embeddingAdmitCore(
+      batch, idCol, sigB, histRead, () => histAll.get, hasHistory,
+      threshold, maxBucketFetch)
+    val staging = graft.operators.Swap.Suffix.staging(
+      store, graft.operators.Swap.newTag())
+    sigB.join(admitted.select(col(idCol).as("graft_id")), Seq("graft_id"), "left_semi")
+      .write.parquet(
+        new org.apache.hadoop.fs.Path(staging, s"batch=$batchId").toString)
+    CommitLog.commitStaged(spark, store, staging, baseV,
+      retireNames = Seq(s"batch=$batchId"),
+      wholeStore = false,
+      meta = Map("maxBatch" -> batchId.toString,
+        "planes" -> planes.toString) ++
+        (pinnedDim.orElse(if (dim > 0) Some(dim) else None)
+          .map(d => "dim" -> d.toString)),
+      extraTouched = Seq(CommitLog.SerialToken),
+      statsCol = Some("graft_bucket"))
+    sigB.unpersist()
+    admitted
+  }
+
+  /** Commit-log mode of [[maintainEmbeddingNearDupStore]]: one manifest
+    * folds every batch but the newest into a bucket-sorted `batch=-1`. */
+  private def maintainEmbeddingNearDupStoreLog(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      targetFileBytes: Long): Unit =
+    foldLogStoreBatches(spark, storePath, targetFileBytes,
+      sortCols = Seq("graft_bucket", "graft_id"), statsCol = Some("graft_bucket"))
+
   /** Commit-log mode of [[applyExactDedupBatch]]: the fingerprint store
     * is a plain single-level log store (`store/_log/` +
     * `store/batch=<id>/`) — one manifest per batch, replays
@@ -1979,7 +2303,21 @@ object StreamOps {
   private def maintainExactDedupStoreLog(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
-      targetFileBytes: Long): Unit = {
+      targetFileBytes: Long): Unit =
+    foldLogStoreBatches(spark, storePath, targetFileBytes,
+      sortCols = Seq("graft_fp"), statsCol = Some("graft_fp"))
+
+  /** Shared single-level log-store fold (exact-dedup and embedding
+    * stores): one manifest folds every batch but the newest into
+    * `batch=-1`, range-partitioned and sorted by `sortCols` so the
+    * per-file stats ranges stay tight for the history lookups,
+    * parity-checked from footers pre-commit. */
+  private def foldLogStoreBatches(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      targetFileBytes: Long,
+      sortCols: Seq[String],
+      statsCol: Option[String]): Unit = {
     import graft.operators.CommitLog
     val store = new org.apache.hadoop.fs.Path(storePath)
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2002,8 +2340,8 @@ object StreamOps {
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val folded = CommitLog.read(spark, store, Some(baseV)).get
       .filter(col("batch").isin(foldIds: _*)).drop("batch")
-      .repartitionByRange(nOut, col("graft_fp"))
-      .sortWithinPartitions(col("graft_fp"))
+      .repartitionByRange(nOut, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
     val staging = graft.operators.Swap.Suffix.staging(
       store, graft.operators.Swap.newTag())
     val dest = new org.apache.hadoop.fs.Path(staging, "batch=-1")
@@ -2021,7 +2359,7 @@ object StreamOps {
       wholeStore = false,
       meta = CommitLog.tipMeta(fs, store),
       extraTouched = Seq(CommitLog.SerialToken),
-      statsCol = Some("graft_fp")) // sorted fold → tight per-file ranges
+      statsCol = statsCol) // sorted fold → tight per-file ranges
     // same rationale as the near-dup fold: maintenance is when the store
     // physically shrinks
     CommitLog.vacuum(spark, store)
