@@ -138,7 +138,12 @@ object Bench {
       // at reset() so peak_store attributes THIS query's caching, not
       // leftovers from earlier queries (r16 advice: getRDDStorageInfo
       // sums session-wide, so without a baseline the column reads
-      // cumulative under any cross-query cache leak)
+      // cumulative under any cross-query cache leak).
+      // APPROXIMATION (r17 advice): max(0, peak − base) UNDERCOUNTS a
+      // query that unpersists pre-existing cached blocks while adding
+      // its own (the drop swallows the addition) — read a near-zero
+      // peak_store on a cache-churning query as "≤ its churn", never as
+      // "no caching".
       val storeBase = new AtomicLong
       override def onStageCompleted(
           e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {

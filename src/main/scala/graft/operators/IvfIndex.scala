@@ -145,10 +145,24 @@ object IvfIndex {
     new IvfIndex(assigned, centroids, idCol, vecCol, r2)
   }
 
-  /** The [[IvfIndex.autoNprobe]] rule, shared with [[IvfPqIndex]]. */
+  private val warnedLegacyR2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** The [[IvfIndex.autoNprobe]] rule, shared with [[IvfPqIndex]].
+    * NaN R² (an index persisted before the cluster_r2 sidecar stat
+    * existed) falls back to scanning ALL lists — recall-correct by
+    * design, but a silent latency cliff on legacy stores, so the first
+    * occurrence warns loudly (r17 ADVICE): rebuild or re-save the index
+    * to restore list pruning. */
   private[operators] def autoNprobe(nlist: Int, r2: Double): Int =
-    if (r2.isNaN) nlist
-    else math.min(nlist,
+    if (r2.isNaN) {
+      if (warnedLegacyR2.compareAndSet(false, true)) {
+        System.err.println(
+          s"[graft] IVF autoNprobe: cluster R² unknown (index saved before " +
+            s"the cluster_r2 sidecar stat) — scanning all $nlist lists for " +
+            "exact recall. Rebuild or re-save the index to restore pruning.")
+      }
+      nlist
+    } else math.min(nlist,
       math.max(1, math.ceil(nlist * math.pow(1.0 - r2, 2)).toInt))
 
   /** k-means R² over the NORMALIZED vectors: 1 − SSE_within/SSE_total.

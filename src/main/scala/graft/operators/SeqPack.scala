@@ -103,6 +103,12 @@ object SeqPack {
         }
       out += Packed(id, shard, n, shard * 1000000000000L + binId, off, n > ctx)
     }
+    // seq_id namespaces shards at 1e12 bins each; a long-lived streaming
+    // shard whose bin counter crossed that width would silently collide
+    // into the next shard's ids (r17 ADVICE) — fail loudly instead.
+    require(nextBin < 1000000000000L,
+      s"shard $shard exhausted its 1e12-bin seq_id namespace " +
+        s"(nextBin=$nextBin) — restart the packer with more shards")
     import scala.jdk.CollectionConverters._
     (out.toSeq, BinState(nextBin, open.keySet().asScala.toSeq))
   }
