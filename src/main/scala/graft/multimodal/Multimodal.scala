@@ -627,6 +627,41 @@ object Multimodal {
     graft.operators.Dedup.hammingNearDupPairs(
       hashes, idCol, hashCol, maxHamming, chunks)
 
+  /** Streaming image-ingest dedup: per-micro-batch dHash through the
+    * generic hamming admission store ([[graft.streaming.StreamOps
+    * .hammingNearDupStream]] — same maxHamming=6/chunks=4 contract as
+    * the batch q_image_near_dup pipeline). The sink receives the
+    * admitted (media_id, dhash) rows; the persistent store is
+    * SUPPORT-sized (distinct admitted hashes only), so a crawl that
+    * re-serves the same images forever stops growing it. */
+  def imageNearDupStream(
+      media: Dataset[MediaRow],
+      storePath: String,
+      checkpoint: String,
+      maxHamming: Int = 6,
+      maintainEvery: Int = 32)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.StreamOps.hammingNearDupStream(
+      imageDhash(media).toDF(), storePath, checkpoint,
+      idCol = "media_id", hashCol = "dhash", maxHamming = maxHamming,
+      chunks = 4, maintainEvery = maintainEvery)(sink)
+
+  /** Streaming audio-ingest dedup over energy-envelope fingerprints
+    * (batch q_audio_near_dup's maxHamming=6/chunks=4 contract).
+    * Undecodable rows are dropped by [[audioFingerprints]] upstream of
+    * the store, so they neither admit nor pair. */
+  def audioNearDupStream(
+      media: Dataset[MediaRow],
+      storePath: String,
+      checkpoint: String,
+      maxHamming: Int = 6,
+      maintainEvery: Int = 32)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.StreamOps.hammingNearDupStream(
+      audioFingerprints(media).toDF(), storePath, checkpoint,
+      idCol = "media_id", hashCol = "afp", maxHamming = maxHamming,
+      chunks = 4, maintainEvery = maintainEvery)(sink)
+
   /** Resize images in place (bytes column rewritten, metadata updated):
     * real bilinear resample + PNG re-encode for decodable images, the
     * deterministic stub transform otherwise. */

@@ -810,7 +810,7 @@ object Dedup {
     * and members(graft_id, graft_rep) mapping every input id to its
     * class representative). The banded join runs over one row per
     * distinct hash value, never per input row. */
-  private def hammingRepPairs(
+  private[graft] def hammingRepPairs(
       hashes: DataFrame,
       idCol: String,
       hashCol: String,

@@ -2213,6 +2213,351 @@ object StreamOps {
     foldLogStoreBatches(spark, storePath, targetFileBytes,
       sortCols = Seq("graft_bucket", "graft_id"), statsCol = Some("graft_bucket"))
 
+  /** Streaming near-dup admission over 64-bit HAMMING fingerprints — the
+    * media/simhash twin of [[embeddingNearDupStream]]: image dHash/pHash,
+    * audio energy fingerprints and text SimHash (anything that feeds
+    * [[graft.operators.Dedup.hammingNearDupPairs]]) gain a
+    * restart-survivable ingest store. Each micro-batch is checked against
+    * every fingerprint ADMITTED so far; a row drops when its hash is
+    * within `maxHamming` of an admitted hash (cross-batch is EXACT —
+    * `bit_count(xor)` on the stored 64-bit values, no estimate) or of a
+    * smaller-id row in its own batch (the pairwise larger-id-drops
+    * convention shared with the text and embedding stores).
+    *
+    * The store exploits the measured saturation property of perceptual
+    * hashes (BandAudit, r18: the dHash SUPPORT grows far slower than the
+    * corpus): admission only needs the DISTINCT admitted hash values —
+    * an identical later copy is hamming-0 of its predecessor and drops,
+    * so the store is support-sized BY CONSTRUCTION and stops growing
+    * when the fingerprint manifold saturates, no matter how many rows
+    * stream through. Rows are the admitted support exploded into
+    * multi-index band rows (packed (chunk, value) key in `graft_bucket`,
+    * exact keys only); the PROBE side carries the radius-1 flip
+    * expansion, so per-trigger history cost is O(bucket mates of the
+    * batch support), pushed into the parquet read as an In + range-cover
+    * filter over the bucket column (maintenance folds sort by bucket).
+    * Within-batch dedup is the distinct-first collapse (class members
+    * drop against their min-id representative; representative pairs run
+    * over the support only — never a member-level pair expansion).
+    *
+    * Store protocol = the signature-store protocol verbatim: admitted
+    * rows land in a `batch=<id>` hive partition OVERWRITTEN per attempt,
+    * only the newest batch may replay (guarded loudly), maintenance
+    * folds old partitions into `batch=-1`, and a `.meta` sidecar pins
+    * `chunks` (the packed band-key layout — a store banded under a
+    * different chunk split would probe garbage silently). `maxHamming`
+    * is a per-call semantic knob like the embedding store's `threshold`,
+    * not a layout property. Rows with a NULL fingerprint never pair and
+    * are admitted (the batch core's convention). Commit-log mode engages
+    * like the other stores (existing `_log/`, or session default). */
+  def hammingNearDupStream(
+      fps: DataFrame,
+      storePath: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      hashCol: String = "fingerprint",
+      maxHamming: Int = 3,
+      chunks: Int = 0,
+      maintainEvery: Int = 32)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    fps.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val admitted = applyHammingNearDupBatch(
+          batch, storePath, batchId, idCol, hashCol, maxHamming, chunks)
+        try sink(admitted, batchId)
+        finally admitted.unpersist()
+        if (maintainEvery > 0 && batchId > 0 && batchId % maintainEvery == 0)
+          maintainHammingNearDupStore(batch.sparkSession, storePath)
+      }
+      .start()
+
+  /** Resolve the multi-index layout for a hamming store: `chunks = 0`
+    * (the default) = the widest radius-1-sound split, floored at 2 so
+    * the packed (chunk, value) band key always fits a non-negative long
+    * (chunks=1 would make the key the raw 64-bit hash). */
+  private def hammingStoreChunks(maxHamming: Int, chunks: Int): Int = {
+    val n = if (chunks == 0)
+      math.max(2, graft.operators.Dedup.autoChunks(maxHamming))
+    else chunks
+    require(n >= 2 && 64 % n == 0,
+      s"chunks=$n must divide 64 and be >= 2 (the packed band key " +
+        "reserves the sign bit)")
+    require(maxHamming / n <= 1,
+      s"per-chunk radius ${maxHamming / n} > 1 at chunks=$n — raise " +
+        s"chunks so that maxHamming=$maxHamming < 2*chunks")
+    n
+  }
+
+  /** Packed multi-index band keys for a 64-bit hash: one long per chunk,
+    * `(chunkIdx << width) | chunkValue`. With `expand` the radius-1 flip
+    * neighbors ride along (probe side); without, exact keys only (store
+    * side). Width ≤ 32 because chunks ≥ 2, so the packed key is always
+    * non-negative. */
+  private def hammingBandKeys(
+      hash: Column, nChunks: Int, expand: Boolean): Column = {
+    val width = 64 / nChunks
+    val mask = (1L << width) - 1
+    def cv(c: Int) = shiftrightunsigned(hash, c * width).bitwiseAND(mask)
+    def packed(c: Int, v: Column) = lit(c.toLong * (1L << width)) + v
+    array((0 until nChunks).flatMap { c =>
+      packed(c, cv(c)) +: (if (!expand) Nil
+      else (0 until width).map(b => packed(c, cv(c).bitwiseXOR(1L << b))))
+    }: _*)
+  }
+
+  /** The per-batch step behind [[hammingNearDupStream]] (driveable
+    * directly in tests and backfills). Returns the admitted rows of
+    * `batch` (persisted — the caller unpersists after its sink). */
+  def applyHammingNearDupBatch(
+      batch: DataFrame,
+      storePath: String,
+      batchId: Long,
+      idCol: String = "doc_id",
+      hashCol: String = "fingerprint",
+      maxHamming: Int = 3,
+      chunks: Int = 0,
+      maxBucketFetch: Int = 200000): DataFrame = {
+    val nChunks = hammingStoreChunks(maxHamming, chunks)
+    val spark = batch.sparkSession
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    if (graft.operators.CommitLog.active(spark, fs, store))
+      return applyHammingNearDupBatchLog(batch, storePath, batchId, idCol,
+        hashCol, maxHamming, nChunks, maxBucketFetch)
+
+    graft.operators.Swap.withStoreLease(spark, store) { _ =>
+    graft.operators.Swap.recoverDirs(spark, store, graft.operators.Swap.Suffix)
+
+    if (fs.exists(store)) {
+      val live = fs.listStatus(store).map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+      val maxLive = if (live.nonEmpty) live.max else -1L
+      requireReplayable(batchId, maxLive, storePath)
+    }
+    val own = new org.apache.hadoop.fs.Path(store, s"batch=$batchId")
+    if (fs.exists(own)) fs.delete(own, true) // crashed attempt's partials
+    val hasHistory = fs.exists(store) &&
+      fs.listStatus(store).exists(_.getPath.getName.startsWith("batch="))
+
+    val batchEmpty = batch.isEmpty
+    ensureHammingMeta(fs, storePath, nChunks, batchEmpty)
+
+    val histRead: Array[Any] => DataFrame = buckets => {
+      val cover = idCoverFilter(col("graft_bucket"), buckets)
+      spark.read.parquet(storePath).filter(col("batch") =!= batchId)
+        .where(cover.getOrElse(lit(true)))
+        .filter(col("graft_bucket").isInCollection(buckets.toSeq))
+    }
+    val histFull = () =>
+      spark.read.parquet(storePath).filter(col("batch") =!= batchId)
+
+    val admitted = hammingAdmitCore(
+      batch, idCol, hashCol, histRead, histFull, hasHistory, maxHamming,
+      nChunks, maxBucketFetch)
+    // admitted support exploded to exact band rows → this batch's own
+    // partition (the write materializes the admitted cache)
+    admittedBandRows(admitted, idCol, hashCol, nChunks)
+      .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    admitted
+    }
+  }
+
+  /** The candidate → verify → admit middle shared by the legacy and
+    * commit-log hamming store modes. Cross-batch: the batch SUPPORT
+    * (distinct hash values) probes bucket-mate history with the radius-1
+    * flip expansion, exact `bit_count(xor) <= maxHamming` verify, and
+    * ids recover by a hash join (whole identical classes drop together).
+    * Within-batch: distinct-first — non-representative class members
+    * drop against their min-id representative (hamming 0), and the
+    * support-level representative pairs drop their larger id. The union
+    * equals the pairwise larger-id-drops convention exactly (a non-min
+    * member always drops; a class min drops iff a smaller-id close row
+    * exists, whose own class min is a smaller-id close REPRESENTATIVE). */
+  private def hammingAdmitCore(
+      batch: DataFrame,
+      idCol: String,
+      hashCol: String,
+      histRead: Array[Any] => DataFrame,
+      histFull: () => DataFrame,
+      hasHistory: Boolean,
+      maxHamming: Int,
+      nChunks: Int,
+      maxBucketFetch: Int): DataFrame = {
+    val radius = maxHamming / nChunks
+    val (repPairs, members) = graft.operators.Dedup.hammingRepPairs(
+      batch, idCol, hashCol, maxHamming, nChunks)
+    // the cross-batch probe needs only the batch's distinct hash VALUES
+    val support = batch.filter(col(hashCol).isNotNull)
+      .select(col(hashCol).as("graft_sh")).distinct()
+
+    val probe = support
+      .withColumn("graft_bucket",
+        explode(hammingBandKeys(col("graft_sh"), nChunks, expand = radius == 1)))
+      .select("graft_sh", "graft_bucket").distinct().persist()
+    val capProbe = math.min(maxBucketFetch.toLong + 1L, Int.MaxValue.toLong).toInt
+    val batchBuckets: Array[Any] =
+      if (hasHistory) probe.select("graft_bucket").distinct().limit(capProbe)
+        .collect().map(_.get(0))
+      else Array.empty[Any]
+    val dupOfHistory =
+      if (!hasHistory || batchBuckets.isEmpty) batch.select(col(idCol)).limit(0)
+      else {
+        val src = if (batchBuckets.length <= maxBucketFetch)
+          histRead(batchBuckets) else histFull()
+        val dupHashes = probe
+          .join(src.select(col("graft_bucket"), col("graft_sh").as("hist_sh")),
+            Seq("graft_bucket"))
+          .filter(graft.functions.TextFunctions
+            .hamming64(col("graft_sh"), col("hist_sh")) <= maxHamming)
+          .select("graft_sh").distinct()
+        batch.join(dupHashes, batch(hashCol) === dupHashes("graft_sh"))
+          .select(col(idCol)).distinct()
+      }
+    val dupInBatch = members
+      .filter(col("graft_id") =!= col("graft_rep"))
+      .select(col("graft_id").as(idCol))
+      .unionByName(repPairs.select(col("rep_b").as(idCol)))
+      .distinct()
+    val admitted = batch
+      .join(dupOfHistory.unionByName(dupInBatch).distinct(), Seq(idCol), "left_anti")
+      .persist()
+    admitted.count() // materialize before releasing the probe cache
+    probe.unpersist()
+    admitted
+  }
+
+  /** Admitted rows → store rows: the distinct admitted support exploded
+    * into exact band keys (NULL fingerprints are admitted but have no
+    * bands, so they never occupy the store). */
+  private def admittedBandRows(
+      admitted: DataFrame, idCol: String, hashCol: String,
+      nChunks: Int): DataFrame =
+    admitted
+      .filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("graft_id"), col(hashCol).as("graft_sh"))
+      .withColumn("graft_bucket",
+        explode(hammingBandKeys(col("graft_sh"), nChunks, expand = false)))
+
+  /** Validate (or create) the `<store>.meta` sidecar pinning `chunks` —
+    * the packed band-key layout. An empty first batch defers creation. */
+  private def ensureHammingMeta(
+      fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String,
+      nChunks: Int,
+      batchEmpty: Boolean): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(storePath + MetaSuffix)
+    if (fs.exists(metaPath)) {
+      val in = fs.open(metaPath)
+      val text =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          new String(buf.toByteArray, "UTF-8")
+        } finally in.close()
+      val m = text.split("\n").map(_.trim).filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+      require(m.get("chunks").contains(nChunks.toString),
+        s"hamming store at $storePath was banded with " +
+          s"chunks=${m.getOrElse("chunks", "?")}, this stream uses " +
+          s"chunks=$nChunks — rebuild the store or match the layout")
+    } else if (!batchEmpty) {
+      val tmp = new org.apache.hadoop.fs.Path(metaPath.toString + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"chunks=$nChunks\n".getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, metaPath))
+        throw new java.io.IOException(s"could not write sidecar $metaPath")
+    }
+  }
+
+  /** Maintenance for a [[hammingNearDupStream]] store: fold every batch
+    * partition except the latest into `batch=-1`, sorted by bucket (the
+    * history lookup's pushed bucket cover then hits tight row groups). */
+  def maintainHammingNearDupStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (graft.operators.CommitLog.isLog(fs, store))
+      return maintainHammingNearDupStoreLog(spark, storePath, targetFileBytes)
+    graft.operators.Swap.withStoreLease(spark, store) { _ =>
+      foldBatchPartitions(spark, storePath, targetFileBytes, reagg = None,
+        sortCols = Seq("graft_bucket", "graft_sh"))
+    }
+  }
+
+  /** Commit-log mode of [[applyHammingNearDupBatch]]: single-level log
+    * store, pinned-snapshot history, manifest-stats file pruning on the
+    * bucket column, replay high-water mark + `chunks` in the manifest. */
+  private def applyHammingNearDupBatchLog(
+      batch: DataFrame,
+      storePath: String,
+      batchId: Long,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int,
+      nChunks: Int,
+      maxBucketFetch: Int): DataFrame = {
+    import graft.operators.CommitLog
+    val spark = batch.sparkSession
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val baseV = CommitLog.currentVersion(fs, store)
+    val meta = CommitLog.tipMeta(fs, store)
+    requireReplayable(batchId,
+      meta.get("maxBatch").map(_.toLong).getOrElse(-1L), storePath)
+    require(meta.get("chunks").forall(_.toInt == nChunks),
+      s"hamming store at $storePath was banded with " +
+        s"chunks=${meta.getOrElse("chunks", "?")}, this stream uses " +
+        s"chunks=$nChunks — rebuild the store or match the layout")
+
+    val histAll = CommitLog.read(spark, store, Some(baseV))
+      .map(_.filter(col("batch") =!= batchId))
+    val hasHistory = histAll.isDefined
+
+    val histRead: Array[Any] => DataFrame = buckets => {
+      val cover = idCoverFilter(col("graft_bucket"), buckets)
+      prunedRead(spark, store, None, baseV, idRanges(buckets)) match {
+        case None => batch.select(col(idCol).as("graft_id"),
+          col(hashCol).as("graft_sh"), lit(0L).as("graft_bucket")).limit(0)
+        case Some(df) => df
+          .filter(col("batch") =!= batchId)
+          .where(cover.getOrElse(lit(true)))
+          .filter(col("graft_bucket").isInCollection(buckets.toSeq))
+      }
+    }
+    val admitted = hammingAdmitCore(
+      batch, idCol, hashCol, histRead, () => histAll.get, hasHistory,
+      maxHamming, nChunks, maxBucketFetch)
+    val staging = graft.operators.Swap.Suffix.staging(
+      store, graft.operators.Swap.newTag())
+    admittedBandRows(admitted, idCol, hashCol, nChunks)
+      .write.parquet(
+        new org.apache.hadoop.fs.Path(staging, s"batch=$batchId").toString)
+    CommitLog.commitStaged(spark, store, staging, baseV,
+      retireNames = Seq(s"batch=$batchId"),
+      wholeStore = false,
+      meta = Map("maxBatch" -> batchId.toString,
+        "chunks" -> nChunks.toString),
+      extraTouched = Seq(CommitLog.SerialToken),
+      statsCol = Some("graft_bucket"))
+    admitted
+  }
+
+  /** Commit-log mode of [[maintainHammingNearDupStore]]: one manifest
+    * folds every batch but the newest into a bucket-sorted `batch=-1`. */
+  private def maintainHammingNearDupStoreLog(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      targetFileBytes: Long): Unit =
+    foldLogStoreBatches(spark, storePath, targetFileBytes,
+      sortCols = Seq("graft_bucket", "graft_sh"), statsCol = Some("graft_bucket"))
+
   /** Commit-log mode of [[applyExactDedupBatch]]: the fingerprint store
     * is a plain single-level log store (`store/_log/` +
     * `store/batch=<id>/`) — one manifest per batch, replays
