@@ -762,7 +762,26 @@ object Dedup {
     * GROUP the pair matches in — the aligned-frame video path keys
     * frames by (frame_idx) and counts agreement rows per video pair.
     * Pushing alignment into the band key beats post-filtering it: the
-    * buckets themselves shrink by the group cardinality. */
+    * buckets themselves shrink by the group cardinality.
+    *
+    * DENSITY BOUND (the sizing rule a 100 TB run needs, measured in
+    * the r18 sf30 sweep): with support s spread over the fixed
+    * keyspace B = chunks·2^(64/chunks), the equal-chunk candidate
+    * volume is ≥ chunks·(s/B)²·B/2 even for perfectly uniform
+    * fingerprints — a birthday term, not skew. For DISTINCT corpora
+    * (text SimHash: s ≈ n) at the widest radius-1-sound layout
+    * (maxHamming 4–7 ⇒ chunks = 4, B = 2¹⁸), candidates grow ∝ n² / B:
+    * measured 0.33 GB → 5.5 GB shuffle for 0.5M → 1.5M docs
+    * (SCALE_r18_sf30.json), zero-spill and bucket-partitioned, crossing
+    * typical per-doc pipeline cost only around ~10⁷ docs per corpus.
+    * Beyond that, shard the corpus (pairs are exact within shards;
+    * cross-shard recall needs a coarser pass) or cut the support first
+    * (exact dedup; the corpus_curate ordering). `graft.BandAudit`
+    * measures s, class structure and the exact per-layout candidate
+    * volume for every fingerprint family on a real corpus — run it
+    * before sizing a large job. Saturating families (perceptual hashes:
+    * s ≪ n, measured image support 7.3k at n = 100k) never hit the
+    * bound — the distinct-first core keeps their banding support-sized. */
   def hammingNearDupPairs(
       hashes: DataFrame,
       idCol: String,
