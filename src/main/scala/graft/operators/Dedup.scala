@@ -789,53 +789,58 @@ object Dedup {
       maxHamming: Int = 3,
       chunks: Int = 0,
       groupCols: Seq[String] = Nil): DataFrame = {
-    val (repPairs, members) =
+    val (repPairs, members, classes) =
       hammingRepPairs(hashes, idCol, hashCol, maxHamming, chunks, groupCols)
     def onGroups(a: String, b: String) = groupCols
       .map(g => col(s"$a.$g") === col(s"$b.$g"))
       .foldLeft(lit(true))(_ && _)
 
-    // within-class pairs: identical fingerprints, hamming 0 — the join
-    // key is the class representative, populations are class sizes, and
-    // the output IS the result (no intermediate inflation)
-    val within = members.as("a")
-      .join(members.as("b"),
-        col("a.graft_rep") === col("b.graft_rep") && onGroups("a", "b") &&
-          col("a.graft_id") < col("b.graft_id"))
-      .select(col("a.graft_id").as("id_a"), col("b.graft_id").as("id_b"),
-        lit(0).as("hamming"))
-
-    // cross-class pairs: representative pairs expanded to members; each
-    // unordered member pair lands in exactly one class pair per group
-    // (classes are disjoint within a group), so no distinct is needed
-    // after expansion
-    val cross = repPairs.as("p")
+    // ONE class-level edge list — representative pairs plus a hamming-0
+    // self-loop per class — expanded to members by a single double-join
+    // (r18.2: the separate within-class self-join cost one more exchange
+    // per call for identical output; at small corpora the family's cost
+    // is exchange count, SCALE_r18's A/B attribution). Self-loop rows
+    // expand a class to its unordered member pairs via the id_a < id_b
+    // filter (singleton classes contribute nothing); cross rows keep
+    // every member pair exactly once because classes are disjoint within
+    // a group — no distinct needed after expansion.
+    val edges = repPairs
+      .select((col("rep_a") +: col("rep_b") +: col("hamming") +:
+        groupCols.map(col)): _*)
+      .unionAll(classes
+        .select((col("graft_rep").as("rep_a") +: col("graft_rep").as("rep_b") +:
+          lit(0).as("hamming") +: groupCols.map(col)): _*))
+    val pairs = edges.as("p")
       .join(members.as("ma"),
         col("p.rep_a") === col("ma.graft_rep") && onGroups("p", "ma"))
       .join(members.as("mb"),
         col("p.rep_b") === col("mb.graft_rep") && onGroups("p", "mb"))
+      .filter(col("p.rep_a") =!= col("p.rep_b") ||
+        col("ma.graft_id") < col("mb.graft_id"))
       .select(
         least(col("ma.graft_id"), col("mb.graft_id")).as("id_a"),
         greatest(col("ma.graft_id"), col("mb.graft_id")).as("id_b"),
         col("hamming"))
-
-    within.unionAll(cross)
+    pairs
   }
 
   /** Support-level core shared by [[hammingNearDupPairs]] and
     * [[hammingNearDupClusters]]: returns (repPairs(rep_a, rep_b,
     * hamming) — one row per unordered pair of DISTINCT hash values
     * within `maxHamming`, keyed by each class's min-id representative —
-    * and members(graft_id, graft_rep) mapping every input id to its
-    * class representative). The banded join runs over one row per
-    * distinct hash value, never per input row. */
+    * members(graft_id, graft_rep) mapping every input id to its class
+    * representative, and classes(graft_sh, groups…, graft_rep) — one
+    * row per identical-fingerprint class, already deduplicated, so
+    * callers needing per-class rows pay no extra exchange). The banded
+    * join runs over one row per distinct hash value, never per input
+    * row. */
   private[graft] def hammingRepPairs(
       hashes: DataFrame,
       idCol: String,
       hashCol: String,
       maxHamming: Int,
       chunks: Int,
-      groupCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
+      groupCols: Seq[String] = Nil): (DataFrame, DataFrame, DataFrame) = {
     val nChunks = if (chunks == 0) autoChunks(maxHamming) else chunks
     require(64 % nChunks == 0, s"chunks=$nChunks must divide 64")
     val radius = maxHamming / nChunks
@@ -895,7 +900,7 @@ object Dedup {
           groupCols.map(g => col(s"l.$g"))): _*)
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    (repPairs, members)
+    (repPairs, members, classes)
   }
 
   /** Connected components of the hamming ≤ `maxHamming` graph, WITHOUT
@@ -914,7 +919,7 @@ object Dedup {
       hashCol: String,
       maxHamming: Int = 3,
       chunks: Int = 0): DataFrame = {
-    val (repPairs, members) =
+    val (repPairs, members, _) =
       hammingRepPairs(hashes, idCol, hashCol, maxHamming, chunks)
     val repClusters = nearDupClusters(
       repPairs.select(col("rep_a").as("id_a"), col("rep_b").as("id_b")))

@@ -2410,7 +2410,7 @@ object StreamOps {
       nChunks: Int,
       maxBucketFetch: Int): DataFrame = {
     val radius = maxHamming / nChunks
-    val (repPairs, members) = graft.operators.Dedup.hammingRepPairs(
+    val (repPairs, members, _) = graft.operators.Dedup.hammingRepPairs(
       batch, idCol, hashCol, maxHamming, nChunks)
     // the cross-batch probe needs only the batch's distinct hash VALUES
     val support = batch.filter(col(hashCol).isNotNull)
