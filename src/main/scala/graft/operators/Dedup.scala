@@ -789,39 +789,115 @@ object Dedup {
       maxHamming: Int = 3,
       chunks: Int = 0,
       groupCols: Seq[String] = Nil): DataFrame = {
-    val (repPairs, members, classes) =
-      hammingRepPairs(hashes, idCol, hashCol, maxHamming, chunks, groupCols)
+    val (nChunks, radius) = chunkLayout(maxHamming, chunks)
+    val fp = hashes.select(
+      (col(idCol).as("graft_id") +: col(hashCol).as("graft_sh")
+        +: groupCols.map(col)): _*)
+      .filter(col("graft_sh").isNotNull)
     def onGroups(a: String, b: String) = groupCols
       .map(g => col(s"$a.$g") === col(s"$b.$g"))
       .foldLeft(lit(true))(_ && _)
 
-    // ONE class-level edge list — representative pairs plus a hamming-0
-    // self-loop per class — expanded to members by a single double-join
-    // (r18.2: the separate within-class self-join cost one more exchange
-    // per call for identical output; at small corpora the family's cost
-    // is exchange count, SCALE_r18's A/B attribution). Self-loop rows
-    // expand a class to its unordered member pairs via the id_a < id_b
-    // filter (singleton classes contribute nothing); cross rows keep
-    // every member pair exactly once because classes are disjoint within
-    // a group — no distinct needed after expansion.
-    val edges = repPairs
-      .select((col("rep_a") +: col("rep_b") +: col("hamming") +:
-        groupCols.map(col)): _*)
-      .unionAll(classes
-        .select((col("graft_rep").as("rep_a") +: col("graft_rep").as("rep_b") +:
+    // Support collapse WITHOUT a representative id (r18-opt): the pairs
+    // path keys everything by the HASH VALUE itself. The pre-opt shape
+    // attached a min-id representative to every class (one groupBy) and
+    // a graft_rep column to every member row (one corpus-sized join)
+    // only so the expansion could join on rep ids — but the input frame
+    // already IS the (id, hash) member mapping, so value-keyed edges
+    // expand by joining the INPUT directly: one corpus exchange and the
+    // min-id aggregate payload gone, identical output (classes are
+    // value-keyed and disjoint within a group, so every unordered member
+    // pair still appears exactly once). The rep machinery lives on in
+    // [[hammingRepPairs]] for the cluster/streaming callers that
+    // genuinely need min-id labels.
+    val distinctSh = fp
+      .select(("graft_sh" +: groupCols).map(col): _*).distinct()
+    // ONE class-level edge list — distinct-value pairs within maxHamming
+    // plus a hamming-0 self-loop per distinct value — expanded to member
+    // pairs by a single double-join (r18.2). Self-loop rows expand a
+    // value class to its unordered member pairs via the id_a < id_b
+    // filter (singleton classes contribute nothing).
+    val valPairs = bandedPairs(distinctSh, "graft_sh", maxHamming,
+      nChunks, radius, groupCols)
+    val edges = valPairs
+      .select((col("key_a").as("sh_a") +: col("key_b").as("sh_b") +:
+        col("hamming") +: groupCols.map(col)): _*)
+      .unionAll(distinctSh
+        .select((col("graft_sh").as("sh_a") +: col("graft_sh").as("sh_b") +:
           lit(0).as("hamming") +: groupCols.map(col)): _*))
     val pairs = edges.as("p")
-      .join(members.as("ma"),
-        col("p.rep_a") === col("ma.graft_rep") && onGroups("p", "ma"))
-      .join(members.as("mb"),
-        col("p.rep_b") === col("mb.graft_rep") && onGroups("p", "mb"))
-      .filter(col("p.rep_a") =!= col("p.rep_b") ||
+      .join(fp.as("ma"),
+        col("p.sh_a") === col("ma.graft_sh") && onGroups("p", "ma"))
+      .join(fp.as("mb"),
+        col("p.sh_b") === col("mb.graft_sh") && onGroups("p", "mb"))
+      .filter(col("p.sh_a") =!= col("p.sh_b") ||
         col("ma.graft_id") < col("mb.graft_id"))
       .select(
         least(col("ma.graft_id"), col("mb.graft_id")).as("id_a"),
         greatest(col("ma.graft_id"), col("mb.graft_id")).as("id_b"),
         col("hamming"))
     pairs
+  }
+
+  /** Validated (chunk count, per-chunk radius) for a multi-index layout:
+    * `chunks = 0` resolves via [[autoChunks]]; radius ≤ 1 enforced
+    * (pigeonhole soundness needs maxHamming < 2·chunks at radius 1). */
+  private def chunkLayout(maxHamming: Int, chunks: Int): (Int, Int) = {
+    val nChunks = if (chunks == 0) autoChunks(maxHamming) else chunks
+    require(64 % nChunks == 0, s"chunks=$nChunks must divide 64")
+    val radius = maxHamming / nChunks
+    require(radius <= 1,
+      s"per-chunk radius ⌊$maxHamming/$nChunks⌋ = $radius > 1 would expand " +
+        "each key to an intractable Hamming ball — raise chunks so that " +
+        "maxHamming < 2*chunks")
+    (nChunks, radius)
+  }
+
+  /** Multi-index banded self-join over a frame of DISTINCT hash values
+    * carrying a unique key column: one row (key_a, key_b, hamming,
+    * groups…) per unordered pair of rows within `maxHamming`, dedup'd
+    * by key order. `keyCol` is "graft_sh" itself on the value-keyed
+    * pairs path and the min-id representative on the rep-keyed cluster
+    * path — the explode/join algebra is identical. */
+  private def bandedPairs(
+      vals: DataFrame,
+      keyCol: String,
+      maxHamming: Int,
+      nChunks: Int,
+      radius: Int,
+      groupCols: Seq[String]): DataFrame = {
+    val width = 64 / nChunks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    def chunkVal(c: Int) =
+      shiftrightunsigned(col("graft_sh"), c * width).bitwiseAND(mask)
+    // probe side: exact chunk values only
+    val base = vals.withColumn("graft_chunk", explode(array((0 until nChunks).map { c =>
+      struct(lit(c).as("c"), chunkVal(c).as("v"))
+    }: _*)))
+    // expanded side: each chunk value plus (for radius 1) its width
+    // 1-bit-flip neighbors — pair (a<b) with a chunk at per-chunk
+    // distance ≤ 1 matches either base=base (equal chunk) or
+    // a-flipped=base-of-b (one differing bit)
+    val expanded =
+      if (radius == 0) base
+      else vals.withColumn("graft_chunk", explode(array((0 until nChunks).flatMap { c =>
+        struct(lit(c).as("c"), chunkVal(c).as("v")) +:
+          (0 until width).map { b =>
+            struct(lit(c).as("c"),
+              chunkVal(c).bitwiseXOR(1L << b).as("v"))
+          }
+      }: _*)))
+    expanded.as("l")
+      .join(base.as("r"),
+        groupCols.map(g => col(s"l.$g") === col(s"r.$g"))
+          .foldLeft(col("l.graft_chunk") === col("r.graft_chunk"))(_ && _) &&
+          col(s"l.$keyCol") < col(s"r.$keyCol"))
+      .select(
+        (col(s"l.$keyCol").as("key_a") +: col(s"r.$keyCol").as("key_b") +:
+          hamming64(col("l.graft_sh"), col("r.graft_sh")).as("hamming") +:
+          groupCols.map(g => col(s"l.$g"))): _*)
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Support-level core shared by [[hammingNearDupPairs]] and
@@ -841,13 +917,7 @@ object Dedup {
       maxHamming: Int,
       chunks: Int,
       groupCols: Seq[String] = Nil): (DataFrame, DataFrame, DataFrame) = {
-    val nChunks = if (chunks == 0) autoChunks(maxHamming) else chunks
-    require(64 % nChunks == 0, s"chunks=$nChunks must divide 64")
-    val radius = maxHamming / nChunks
-    require(radius <= 1,
-      s"per-chunk radius ⌊$maxHamming/$nChunks⌋ = $radius > 1 would expand " +
-        "each key to an intractable Hamming ball — raise chunks so that " +
-        "maxHamming < 2*chunks")
+    val (nChunks, radius) = chunkLayout(maxHamming, chunks)
     // null hashes never pair (the pre-r18 join dropped them via null
     // join keys; the groupBy would otherwise clique them together)
     val fp = hashes.select(
@@ -866,40 +936,10 @@ object Dedup {
     val reps = classes.select(
       (col("graft_rep").as("graft_id") +: col("graft_sh")
         +: groupCols.map(col)): _*)
-
-    val width = 64 / nChunks
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    def chunkVal(c: Int) =
-      shiftrightunsigned(col("graft_sh"), c * width).bitwiseAND(mask)
-    // probe side: exact chunk values only
-    val base = reps.withColumn("graft_chunk", explode(array((0 until nChunks).map { c =>
-      struct(lit(c).as("c"), chunkVal(c).as("v"))
-    }: _*)))
-    // expanded side: each chunk value plus (for radius 1) its width
-    // 1-bit-flip neighbors — pair (a<b) with a chunk at per-chunk
-    // distance ≤ 1 matches either base=base (equal chunk) or
-    // a-flipped=base-of-b (one differing bit)
-    val expanded =
-      if (radius == 0) base
-      else reps.withColumn("graft_chunk", explode(array((0 until nChunks).flatMap { c =>
-        struct(lit(c).as("c"), chunkVal(c).as("v")) +:
-          (0 until width).map { b =>
-            struct(lit(c).as("c"),
-              chunkVal(c).bitwiseXOR(1L << b).as("v"))
-          }
-      }: _*)))
-
-    val repPairs = expanded.as("l")
-      .join(base.as("r"),
-        groupCols.map(g => col(s"l.$g") === col(s"r.$g"))
-          .foldLeft(col("l.graft_chunk") === col("r.graft_chunk"))(_ && _) &&
-          col("l.graft_id") < col("r.graft_id"))
-      .select(
-        (col("l.graft_id").as("rep_a") +: col("r.graft_id").as("rep_b") +:
-          hamming64(col("l.graft_sh"), col("r.graft_sh")).as("hamming") +:
-          groupCols.map(g => col(s"l.$g"))): _*)
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    val repPairs = bandedPairs(reps, "graft_id", maxHamming,
+      nChunks, radius, groupCols)
+      .withColumnRenamed("key_a", "rep_a")
+      .withColumnRenamed("key_b", "rep_b")
     (repPairs, members, classes)
   }
 
@@ -1434,7 +1474,24 @@ object Dedup {
           .cast("boolean"))
         .otherwise(col("graft_df") >= 2))
       .persist()
-    joinable.count()
+    // ONE materializing job does three things (r18-opt: this was a bare
+    // count() plus a SECOND full-scan aggregate for the verify switch —
+    // two jobs where one suffices): it populates the cache before the
+    // self-join reads it twice (two concurrent scans of a cold cache
+    // each recompute the full sh→dfs→ordered pipeline — measured 2× on
+    // q_jaccard_prefix), it fires the loud exactness guard BEFORE any
+    // join work, and it prices the candidate join exactly — each prefix
+    // bucket of n docs contributes n·(n−1)/2 same-token id-ordered
+    // pairs, the number that decides the verify strategy below.
+    val candVolume = joinable.groupBy("graft_tok")
+      .agg(count(lit(1)).as("graft_n"))
+      .agg(sum(col("graft_n") * (col("graft_n") - 1) / 2))
+      .first().getAs[Any](0) match {
+        case null => 0L
+        case d: java.math.BigDecimal => d.longValue()
+        case d: Double => d.toLong
+        case l: Long => l
+      }
     // Candidate join with the PPJoin LENGTH and POSITION filters:
     //  - length: J >= t forces t·|B| <= |A| (sizes within factor t);
     //  - position: matching token at 1-based positions (i, j) bounds the
@@ -1493,16 +1550,8 @@ object Dedup {
     // the hash tier's fixed overhead (hsh cache + collision aggregate +
     // survivor materialization) only amortizes on big candidate sets —
     // measured crossover ~8M pairs; the volume is known exactly from
-    // the prefix buckets before either path runs.
-    val candVolume = joinable.groupBy("graft_tok")
-      .agg(count(lit(1)).as("n"))
-      .agg(sum(col("n") * (col("n") - 1) / 2))
-      .first().getAs[Any](0) match {
-        case null => 0L
-        case d: java.math.BigDecimal => d.longValue()
-        case d: Double => d.toLong
-        case l: Long => l
-      }
+    // the prefix buckets (candVolume above, computed by the same job
+    // that materialized the cache) before either path runs.
     val twoTier = verifyStrategy match {
       case "string" => false
       case "hash" => true
