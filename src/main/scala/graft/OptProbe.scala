@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Builder-local lifecycle timer for the r18 optimization round: splits
+  * the expensive store/index bench rows into their phases so the fixed
+  * costs are attributed before anything is changed (guide §1 — measure
+  * first). Not driver-facing. Args: which probe to run (default all).
+  */
+object OptProbe {
+  def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    System.err.println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val which = if (args.isEmpty) Set("pq", "avro", "bm25") else args.toSet
+
+    // Warm-up
+    sources.Tables.lineitem(spark, sfDir).count()
+    sources.Tables.embeddings(spark, sfDir).count()
+
+    for (rep <- 1 to 3) {
+      System.err.println(s"=== rep $rep ===")
+
+      if (which("pq")) {
+        val e = sources.Tables.embeddings(spark, sfDir)
+        val p = e.filter(col("vec_id") === 0)
+          .select("embedding").collect().head.getSeq[Float](0).toArray
+        val dir = graft.GraftQuery.tempDir("graft_pq_probe") + "/idx"
+        val corpus = e.filter(col("vec_id") =!= 0)
+        val idx = time("pq buildAndSave") {
+          graft.operators.IvfPqIndex.buildAndSave(
+            corpus, dir, "vec_id", "embedding", nlist = 8, m = 8, ksub = 32)
+        }
+        time("pq topK") { idx.topK(corpus, p, 10).count() }
+      }
+
+      if (which("avro")) {
+        val li = sources.Tables.lineitem(spark, sfDir)
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_returnflag", "l_shipdate")
+        val dir = graft.GraftQuery.tempDir("graft_avro_probe") + "/t"
+        time("avro write") { graft.sources.Avro.write(li, dir) }
+        val back = time("avro read+agg") {
+          graft.sources.Avro.read(spark, dir)
+            .groupBy("l_returnflag")
+            .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"),
+              max("l_shipdate").as("last_ship"))
+            .count()
+        }
+        System.err.println(s"[probe] avro rows back: $back")
+      }
+
+      if (which("bm25")) {
+        val docs = sources.Tables.documents(spark, sfDir)
+        val dir = graft.GraftQuery.tempDir("graft_bm25_probe") + "/idx"
+        time("bm25 buildAndSaveLog") {
+          graft.operators.Bm25Index.buildAndSaveLog(
+            docs.filter(col("doc_id") % 2 === 0), dir, "doc_id", "text",
+            buckets = 16)
+        }
+        time("bm25 append") {
+          graft.operators.Bm25Index.append(spark, dir,
+            docs.filter(col("doc_id") % 2 === 1))
+        }
+        time("bm25 loadLog+topK") {
+          graft.operators.Bm25Index.loadLog(spark, dir)
+            .topK(
+              Seq(
+                "q1" -> "spark join window",
+                "q2" -> "merge batch stream",
+                "q3" -> "vector hash scan"),
+              k = 10).count()
+        }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -111,16 +111,26 @@ object Bm25Index {
     require(buckets > 0)
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs.select(
-      col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("term"))
-    toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // One tokenize+tf pass for postings; doclen is a NARROW projection
+    // (r18-opt: the lazy `toks` frame was recomputed by every action —
+    // postings, doclen and stats each re-tokenized AND re-shuffled the
+    // corpus; but dl ≡ the token count per doc ≡ size(split(text)), a
+    // per-row expression needing no explode and no exchange at all —
+    // the null-text filter reproduces explode's drop of null docs).
+    // Stats aggregates the just-written (tiny, flat) doclen table.
+    docs.select(
+        col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("tb", pmod(hash(col("term")), lit(buckets)))
       .write.partitionBy("tb").parquet(s"$path/postings")
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    dl.write.parquet(s"$path/doclen")
-    dl.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"),
-      lit(buckets).as("buckets"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("dl"))
+      .write.parquet(s"$path/doclen")
+    spark.read.parquet(s"$path/doclen")
+      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"),
+        lit(buckets).as("buckets"))
       .coalesce(1).write.parquet(s"$path/stats")
     load(spark, path)
   }
@@ -283,20 +293,32 @@ object Bm25Index {
       baseSumDl: Long,
       idColName: String,
       textColName: String): Unit = {
-    val toks = docs.select(
-      col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("term"))
-    toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // One tokenize+tf pass for postings; doclen is a NARROW projection
+    // (r18-opt: the lazy `toks` frame was recomputed by every action —
+    // postings, doclen and stats each re-tokenized AND re-shuffled the
+    // delta; but dl ≡ the token count per doc ≡ size(split(text)), a
+    // per-row expression needing no explode and no exchange — identical
+    // integers, so the append-≡-rebuild stats contract over exact sum_dl
+    // longs is untouched; the null-text filter reproduces explode's drop
+    // of null docs). Stats aggregates the just-written flat doclen.
+    val spark = docs.sparkSession
+    docs.select(
+        col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .withColumn("tb", pmod(hash(col("term")), lit(buckets)))
       .write.partitionBy("tb").parquet(s"$staging/postings")
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    dl.write.parquet(s"$staging/doclen")
-    dl.agg(
-      (count(lit(1)) + baseN).as("n"),
-      (sum(col("dl")) + baseSumDl).as("sum_dl"),
-      lit(buckets).as("buckets"),
-      lit(idColName).as("id_col"),
-      lit(textColName).as("text_col"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("dl"))
+      .write.parquet(s"$staging/doclen")
+    spark.read.parquet(s"$staging/doclen")
+      .agg(
+        (count(lit(1)) + baseN).as("n"),
+        (sum(col("dl")) + baseSumDl).as("sum_dl"),
+        lit(buckets).as("buckets"),
+        lit(idColName).as("id_col"),
+        lit(textColName).as("text_col"))
       .coalesce(1).write.parquet(s"$staging/stats")
   }
 }

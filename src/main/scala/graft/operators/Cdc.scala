@@ -64,29 +64,38 @@ object Cdc {
     // poison pill that permanently halts every replay of this batch.
     val events = dedupExact(feed)
 
-    // per-key winner by seq — bounded-heap argmax, feed-sized
+    // per-key winner by seq — bounded-heap argmax, feed-sized. PERSISTED
+    // (r18-opt): winners feeds four downstream actions (the tie check,
+    // Merge's dup-key check, the merge rewrite, the delete's matched-file
+    // scan + anti-join) and each was recomputing the whole feed pipeline
+    // — dedup exchange included — from the source scans. Feed-sized by
+    // the operator's own contract, so the cache is bounded.
     val winners = TopK.perKey(
         events.withColumn("graft_seq", col(seqCol)),
         keys = keyCols, ordering = Seq("graft_seq"), k = 1)
       .join(events.withColumnRenamed(seqCol, "graft_seq"),
         keyCols :+ "graft_seq")
+      .persist()
+    try {
+      // the upstream log guarantees one action per (key, seq); a tie at
+      // the winning seq means a corrupt feed — refuse, don't guess
+      val dupTies = winners.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("graft_n")).filter(col("graft_n") > 1)
+      val firstDup = dupTies.limit(1).collect()
+      require(firstDup.isEmpty,
+        s"CDC feed has multiple actions at the winning sequence for key " +
+          s"${firstDup.headOption.map(_.toString).getOrElse("")} — refusing to apply")
 
-    // the upstream log guarantees one action per (key, seq); a tie at
-    // the winning seq means a corrupt feed — refuse, don't guess
-    val dupTies = winners.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("graft_n")).filter(col("graft_n") > 1)
-    val firstDup = dupTies.limit(1).collect()
-    require(firstDup.isEmpty,
-      s"CDC feed has multiple actions at the winning sequence for key " +
-        s"${firstDup.headOption.map(_.toString).getOrElse("")} — refusing to apply")
+      val upserts = winners.filter(col(opCol) =!= "D")
+        .drop(opCol, "graft_seq")
+      val deletes = winners.filter(col(opCol) === "D")
+        .select(keyCols.map(col): _*)
 
-    val upserts = winners.filter(col(opCol) =!= "D")
-      .drop(opCol, "graft_seq")
-    val deletes = winners.filter(col(opCol) === "D")
-      .select(keyCols.map(col): _*)
-
-    Merge.into(spark, targetPath, upserts, keyCols, log = Some(true))
-    Delete.whereIn(spark, targetPath, deletes, keyCols)
+      Merge.into(spark, targetPath, upserts, keyCols, log = Some(true))
+      // safe to release after: whereIn executes its rewrite before
+      // returning, and the returned frame reads only the store
+      Delete.whereIn(spark, targetPath, deletes, keyCols)
+    } finally winners.unpersist()
   }
 
   /** [[applyChanges]] in ONE atomic commit — the streaming-sink variant.
@@ -119,11 +128,14 @@ object Cdc {
     // exact-duplicate redelivery is normal at-least-once output, not a
     // corrupt feed (see applyChanges)
     val events = dedupExact(feed)
+    // persisted for the same multi-action reuse as [[applyChanges]]
     val winners = TopK.perKey(
         events.withColumn("graft_seq", col(seqCol)),
         keys = keyCols, ordering = Seq("graft_seq"), k = 1)
       .join(events.withColumnRenamed(seqCol, "graft_seq"),
         keyCols :+ "graft_seq")
+      .persist()
+    try {
     val firstDup = winners.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("graft_n")).filter(col("graft_n") > 1)
       .limit(1).collect()
@@ -177,5 +189,6 @@ object Cdc {
       meta = meta + ("operation" -> "cdc-apply"),
       schema = Some(staged.schema))
     CommitLog.read(spark, store).getOrElse(spark.emptyDataFrame)
+    } finally winners.unpersist()
   }
 }

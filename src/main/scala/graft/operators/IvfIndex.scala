@@ -83,11 +83,17 @@ final class IvfIndex private (
     * names + per-list build-time mean assignment distance (the drift
     * baseline [[IvfIndex.append]] checks against) in a small sidecar
     * table. Build once, query many, append incrementally. */
+  /** Build-time drift baseline, carried from [[IvfIndex.build]] so save()
+    * reuses the fused-stats job instead of re-aggregating; a LOADED index
+    * (no baseline in hand) recomputes it on save as before. */
+  private[operators] var buildMeanD: Option[Map[Int, Double]] = None
+
   def save(path: String): Unit = {
     val spark = assigned.sparkSession
     assigned.write.partitionBy("list_id").parquet(s"$path/data")
     import spark.implicits._
-    val meanD = IvfIndex.meanAssignDist2(assigned, vecCol, centroids)
+    val meanD = buildMeanD.getOrElse(
+      IvfIndex.meanAssignDist2(assigned, vecCol, centroids))
     centroids.toSeq.map { case (i, c) =>
       (i, c, idCol, vecCol, meanD.getOrElse(i, Double.NaN), clusterR2)
     }
@@ -141,8 +147,11 @@ object IvfIndex {
     val assigned = model.transform(withVec).drop("graft_mlvec").persist()
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (v: Vector, i) => (i, v.toArray) }
-    val r2 = clusterR2(assigned, vecCol, centroids)
-    new IvfIndex(assigned, centroids, idCol, vecCol, r2)
+    // one job for r2 AND the save-time drift baseline (see buildStats)
+    val (meanD, r2) = buildStats(assigned, vecCol, centroids)
+    val idx = new IvfIndex(assigned, centroids, idCol, vecCol, r2)
+    idx.buildMeanD = Some(meanD)
+    idx
   }
 
   private val warnedLegacyR2 = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -171,6 +180,50 @@ object IvfIndex {
     * + the d component means) — no second scan, no join. Clamped to
     * [0, 1]; a degenerate corpus (all identical directions → total ≈ 0)
     * reports 1 (perfectly explained). */
+  /** BOTH build-time stats — per-list mean assignment distance (the
+    * append drift baseline) and global cluster R² — from ONE aggregate
+    * job (r18-opt, guide §1.2: the build previously scanned the persisted
+    * assigned frame once for [[clusterR2]] and AGAIN inside save() for
+    * [[meanAssignDist2]]; a groupBy(list_id) carrying (n, Σd², per-dim
+    * Σnvec) yields nlist tiny rows that combine to both numbers on the
+    * driver). Value-identical to the two separate aggregates: per-list
+    * mean = Σd²/n; global within = ΣΣd²/Σn; global component means =
+    * per-list sums re-combined — same floating-point-safe shapes as the
+    * originals (sum-then-divide, as avg() computes internally). */
+  private[operators] def buildStats(
+      assigned: DataFrame,
+      vecCol: String,
+      centroids: Array[(Int, Array[Double])]): (Map[Int, Double], Double) = {
+    if (centroids.isEmpty) return (Map.empty, Double.NaN)
+    val dim = centroids.head._2.length
+    val centLit = typedLit(centroids.sortBy(_._1).map(_._2.toSeq).toSeq)
+    val nv = if (assigned.columns.contains("graft_nvec")) col("graft_nvec")
+             else nvecExpr(vecCol)
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      sum(dist2Expr(col("graft_r2v"),
+        element_at(centLit, col("list_id") + 1))).as("w") +:
+        (0 until dim).map(j =>
+          sum(element_at(col("graft_r2v"), j + 1)).as(s"graft_s$j"))
+    val rows = assigned
+      .select(col("list_id"), nv.as("graft_r2v"))
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .collect()
+    if (rows.isEmpty) return (Map.empty, Double.NaN)
+    val meanD = rows.map(r =>
+      r.getInt(0) -> r.getDouble(2) / r.getLong(1)).toMap
+    val n = rows.map(_.getLong(1)).sum
+    val within = rows.map(_.getDouble(2)).sum / n
+    val mu2 = (0 until dim).map { j =>
+      val m = rows.map(_.getDouble(3 + j)).sum / n; m * m
+    }.sum
+    val total = 1.0 - mu2
+    val r2 =
+      if (total <= 1e-9) 1.0
+      else math.max(0.0, math.min(1.0, 1.0 - within / total))
+    (meanD, r2)
+  }
+
   private[operators] def clusterR2(
       assigned: DataFrame,
       vecCol: String,

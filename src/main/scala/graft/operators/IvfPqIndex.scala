@@ -152,11 +152,14 @@ final class IvfPqIndex private (
     * centroids + drift baseline and the PQ codebooks as sidecars. The
     * baseline comes from `assigned` (the build-time vectors) — the codes
     * table itself holds no floats to measure. */
-  private[operators] def save(path: String, assigned: DataFrame): Unit = {
+  private[operators] def save(
+      path: String, assigned: DataFrame,
+      meanDIn: Option[Map[Int, Double]] = None): Unit = {
     val spark = codes.sparkSession
     import spark.implicits._
     codes.write.partitionBy("list_id").parquet(s"$path/data")
-    val meanD = IvfIndex.meanAssignDist2(assigned, vecCol, coarse)
+    val meanD = meanDIn.getOrElse(
+      IvfIndex.meanAssignDist2(assigned, vecCol, coarse))
     coarse.toSeq.map { case (i, c) =>
       (i, c, idCol, vecCol, meanD.getOrElse(i, Double.NaN), residual, clusterR2)
     }
@@ -252,10 +255,12 @@ object IvfPqIndex {
         if (residual) residualCol(coarse) else col("graft_nvec"))
       .persist()
     val codes = encode(assigned, idCol, codebooks)
-    val r2 = IvfIndex.clusterR2(assigned, vecCol, coarse)
+    // one aggregate job for r2 AND the drift baseline save() persists
+    // (was two scans of the cached assigned frame — IvfIndex.buildStats)
+    val (meanD, r2) = IvfIndex.buildStats(assigned, vecCol, coarse)
     val index = new IvfPqIndex(codes, coarse, codebooks, idCol, vecCol,
       residual, r2)
-    index.save(path, assigned.drop("graft_src"))
+    index.save(path, assigned.drop("graft_src"), Some(meanD))
     assigned.unpersist()
     load(spark, path)
   }

@@ -176,6 +176,157 @@ object Avro {
     case (x, _) => x
   }
 
+  /** COMPILED row decoder (r18-opt, guide §1.2 per-task work): resolves
+    * field positions, union unwraps, the millis/micros flag and the type
+    * dispatch ONCE per task instead of per CELL — [[recordToRow]] paid a
+    * name→field schema walk + an Option allocation + a 15-case match for
+    * every cell of every row. Sound because [[read]] pins one reader
+    * schema for the whole scan (AvroKeyInputFormat re-encodes every
+    * record to it), so positions never vary record to record. Nested
+    * records/arrays/maps keep the generic (correct) path — they are not
+    * the hot shape. */
+  private[sources] def rowReader(
+      avroSchema: Schema, st: StructType): GenericRecord => Row = {
+    val n = st.fields.length
+    val pos: Array[Int] = st.fields.map(f => avroSchema.getField(f.name).pos())
+    val convs: Array[Any => Any] = st.fields.map { f =>
+      val isMillis = unwrap(avroSchema.getField(f.name).schema()).exists(s =>
+        Option(s.getLogicalType).exists(_.getName.endsWith("-millis")))
+      valueReader(f.dataType, isMillis)
+    }
+    rec => {
+      val arr = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        val raw = rec.get(pos(i))
+        arr(i) = if (raw == null) null else convs(i)(raw)
+        i += 1
+      }
+      Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+    }
+  }
+
+  /** One field's decode function — the per-cell body of [[toSparkValue]]
+    * with the type dispatch hoisted out of the row loop. Must stay
+    * value-for-value identical to [[toSparkValue]] (+ the millis
+    * normalization [[recordToRow]] applied); AvroSpec and the two
+    * oracle-gated roundtrip queries pin it. */
+  private def valueReader(dt: DataType, isMillis: Boolean): Any => Any =
+    dt match {
+      case StringType => {
+        case u: org.apache.avro.util.Utf8 => u.toString
+        case e: GenericData.EnumSymbol => e.toString
+        case s: CharSequence => s.toString
+        case x => x
+      }
+      case BinaryType => {
+        case b: java.nio.ByteBuffer =>
+          val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+        case f: GenericData.Fixed => f.bytes().clone()
+        case x => x
+      }
+      case dec: DecimalType => {
+        case b: java.nio.ByteBuffer =>
+          val a = new Array[Byte](b.remaining()); b.duplicate().get(a)
+          decimalOfUnscaled(a, dec)
+        case f: GenericData.Fixed => decimalOfUnscaled(f.bytes(), dec)
+        case x => x
+      }
+      case DateType => {
+        case i: java.lang.Integer => java.time.LocalDate.ofEpochDay(i.longValue())
+        case x => x
+      }
+      case TimestampType =>
+        if (isMillis) {
+          case l: java.lang.Long => java.time.Instant.ofEpochMilli(l)
+          case x => x
+        } else {
+          case l: java.lang.Long =>
+            java.time.Instant.ofEpochSecond(
+              Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000L)
+          case x => x
+        }
+      case TimestampNTZType =>
+        if (isMillis) {
+          case l: java.lang.Long =>
+            val us = l * 1000L
+            java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(us, 1000000L),
+              (Math.floorMod(us, 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC)
+          case x => x
+        } else {
+          case l: java.lang.Long =>
+            java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(l, 1000000L),
+              (Math.floorMod(l, 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC)
+          case x => x
+        }
+      // nested shapes: generic (slow, correct) path — per-element
+      // conversion still dispatches, but these are not the hot columns
+      case st2: StructType => v => toSparkValue(v, st2)
+      case at: ArrayType => v => toSparkValue(v, at)
+      case mt: MapType => v => toSparkValue(v, mt)
+      case _ => identity
+    }
+
+  /** COMPILED row encoder — the write-side twin of [[rowReader]]:
+    * [[rowToRecord]] paid a GenericRecordBuilder (per-field validation +
+    * default fill on build()), a name→index map lookup and a union
+    * unwrap Option allocation per CELL. Field order and types are fixed
+    * by the one avro schema the writer pins, so all of it hoists. All
+    * fields are always set, so skipping the builder's default handling
+    * changes nothing. */
+  private[sources] def recordWriter(
+      sch: Schema, st: StructType): Row => GenericRecord = {
+    val fields = sch.getFields.asScala.toArray
+    val idx: Array[Int] = fields.map(f => st.fieldIndex(f.name()))
+    val convs: Array[Any => Any] =
+      fields.map(f => valueWriter(unwrap(f.schema()).getOrElse(f.schema())))
+    row => {
+      val rec = new GenericData.Record(sch)
+      var i = 0
+      while (i < fields.length) {
+        val j = idx(i)
+        rec.put(i, if (row.isNullAt(j)) null else convs(i)(row.get(j)))
+        i += 1
+      }
+      rec
+    }
+  }
+
+  /** One field's encode function over the UNWRAPPED schema — the
+    * per-cell body of [[toAvroValue]] with dispatch hoisted; decimals
+    * and nested shapes keep the generic path (the decimal branch's
+    * RoundingMode.UNNECESSARY refusal must stay bit-identical). */
+  private def valueWriter(sch: Schema): Any => Any = sch.getType match {
+    case Schema.Type.INT if sch.getLogicalType != null => {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+      case d: java.time.LocalDate => d.toEpochDay.toInt
+      case x => x
+    }
+    case Schema.Type.LONG if sch.getLogicalType != null => {
+      case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+      case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000
+      case t: java.time.LocalDateTime =>
+        val i = t.toInstant(java.time.ZoneOffset.UTC)
+        i.getEpochSecond * 1000000L + i.getNano / 1000
+      case x => x
+    }
+    case Schema.Type.BYTES | Schema.Type.FIXED =>
+      sch.getLogicalType match {
+        case _: org.apache.avro.LogicalTypes.Decimal => v => toAvroValue(v, sch)
+        case _ => {
+          case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+          case x => x
+        }
+      }
+    case Schema.Type.RECORD | Schema.Type.ARRAY | Schema.Type.MAP =>
+      v => toAvroValue(v, sch)
+    case _ => identity
+  }
+
   private[sources] def recordToRow(r: GenericRecord, st: StructType): Row =
     Row.fromSeq(st.fields.toSeq.map { f =>
       val raw = r.get(f.name)
@@ -291,7 +442,8 @@ object Avro {
       conf)
     val rows = rdd.mapPartitions { it =>
       val st = schemaOfJson(schemaJson)
-      it.map { case (k, _) => recordToRow(k.datum(), st) }
+      val decode = rowReader(new Schema.Parser().parse(schemaJson), st)
+      it.map { case (k, _) => decode(k.datum()) }
     }
     spark.createDataFrame(rows, sparkSchema)
   }
@@ -325,9 +477,11 @@ object Avro {
     val job = Job.getInstance(
       df.sparkSession.sparkContext.hadoopConfiguration)
     AvroJob.setOutputKeySchema(job, avroSchema)
+    val rowSchema = df.schema
     df.rdd.mapPartitions { it =>
       val sch = new Schema.Parser().parse(schemaJson)
-      it.map(row => (new AvroKey[GenericRecord](rowToRecord(row, sch)),
+      val encode = recordWriter(sch, rowSchema)
+      it.map(row => (new AvroKey[GenericRecord](encode(row)),
         NullWritable.get()))
     }.saveAsNewAPIHadoopFile(
       path,
@@ -433,6 +587,7 @@ object Avro {
       schemaJson: String): Iterator[Row] = {
     val (reader, in) = openReader(f, confEntries, schemaJson)
     val st = schemaOfJson(schemaJson)
+    val decode = rowReader(new Schema.Parser().parse(schemaJson), st)
     var closed = false
     def closeNow(): Unit =
       if (!closed) { closed = true; reader.close(); in.close() }
@@ -445,7 +600,7 @@ object Avro {
         else { closeNow(); false }
       }
       def next(): Row =
-        if (hasNext) recordToRow(reader.next(), st)
+        if (hasNext) decode(reader.next())
         else throw new NoSuchElementException("exhausted: " + f)
     }
   }
