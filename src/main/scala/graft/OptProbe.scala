@@ -63,6 +63,35 @@ object OptProbe {
         System.err.println(s"[probe] avro rows back: $back")
       }
 
+      if (which("media")) {
+        val mm = graft.multimodal.Multimodal
+        val d = sfDir
+        val s = spark
+        val docs = sources.Tables.documents(s, d)
+        time("media text pairs+cc") {
+          val pairs = graft.operators.Dedup.simhashNearDupReplayable(
+            docs, "doc_id", "text", maxHamming = 7, chunks = 4)
+          graft.operators.Dedup.nearDupClusters(
+            pairs.select("id_a", "id_b")).count()
+        }
+        time("media image labels") {
+          graft.operators.Dedup.hammingNearDupClusters(
+            mm.imageDhash(mm.syntheticImageCorpusMemo(s, d)).toDF(),
+            "media_id", "dhash", maxHamming = 6).count()
+        }
+        time("media audio labels") {
+          graft.operators.Dedup.hammingNearDupClusters(
+            mm.audioFingerprints(mm.syntheticAudioCorpusMemo(s, d)).toDF(),
+            "media_id", "afp", maxHamming = 6).count()
+        }
+        time("media video pairs") {
+          mm.videoNearDupPairs(
+            mm.syntheticVideoCorpusMemo(s, d),
+            everyMs = 200L, maxHamming = 6, minMatchedFrames = 3).count()
+        }
+        spark.catalog.clearCache()
+      }
+
       if (which("bm25")) {
         val docs = sources.Tables.documents(spark, sfDir)
         val dir = graft.GraftQuery.tempDir("graft_bm25_probe") + "/idx"

@@ -40,18 +40,24 @@ object Joins {
       maxBytes: Long = 256L * 1024 * 1024,
       sampleRows: Int = 1000): DataFrame = {
     val mat = df.localCheckpoint()
-    val n = mat.count()
-    if (n > maxRows) return mat
+    // ONE pass yields rows AND bytes (r18-opt: this was a count() job
+    // followed by a second size-scan job over the same checkpointed
+    // partitions — both numbers fall out of one iterator walk; the size
+    // sum is wasted work only in the n > maxRows early-return case,
+    // where the pass is the same either way)
     val perPart = mat.queryExecution.toRdd.mapPartitions { it =>
+      var cnt = 0L
       var sum = 0L
       var exact = true
       it.foreach {
         case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
-          sum += u.getSizeInBytes
-        case _ => exact = false
+          cnt += 1; sum += u.getSizeInBytes
+        case _ => cnt += 1; exact = false
       }
-      Iterator.single((sum, exact))
-    }.collect()
+      Iterator.single((cnt, sum, exact))
+    }.collect().map { case (c, s, e) => (s, e, c) }
+    val n = perPart.map(_._3).sum
+    if (n > maxRows) return mat
     val estBytes =
       if (perPart.forall(_._2)) perPart.map(_._1).sum * 2
       else {
