@@ -246,10 +246,22 @@ object Dedup {
       bands: Int = 64,
       seed: Long = 42L,
       maxBucket: Int = 1000): DataFrame = {
-    def banded(df: DataFrame) = df
+    // Signatures PERSIST before banding (r18-opt, the minhashNearDup
+    // pattern): `capped` consumes its input twice (the bucket-count
+    // groupBy and the semi-join side), so an unpersisted pipeline paid
+    // the 128-hash md5 signature computation TWICE per side — the most
+    // expensive expression in the operator. The cache holds
+    // corpus/reference × numHashes ints; banding re-derives from it as
+    // a cheap explode. Cache contract matches minhashNearDup: plan-keyed
+    // and retained so repeated runs share it; long multi-corpus sessions
+    // release via spark.catalog.clearCache() (the CorpusCuration
+    // discipline).
+    def sigOf(df: DataFrame) = df
       .select(
         col(idCol).as("graft_id"),
         minhashTextSignature(col(textCol), shingleN, numHashes, seed).as("graft_sig"))
+      .persist()
+    def banded(sig: DataFrame) = sig
       .select(col("graft_id"),
         explode(bandKeys(col("graft_sig"), bands, numHashes)).as("graft_band"))
       .select(col("graft_id"), col("graft_band.band"), col("graft_band.bucket"))
@@ -257,8 +269,8 @@ object Dedup {
       b.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
         .filter(col("n") <= maxBucket).select("band", "bucket"),
       Seq("band", "bucket"), "left_semi")
-    val bc = capped(banded(corpus))
-    val br = capped(banded(reference))
+    val bc = capped(banded(sigOf(corpus)))
+    val br = capped(banded(sigOf(reference)))
       .select(col("graft_id").as("ref_id"), col("band"), col("bucket"))
     val candidates = bc.join(br, Seq("band", "bucket"))
       .select(col("graft_id").as("cand_id"), col("ref_id")).distinct()
