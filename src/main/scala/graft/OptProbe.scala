@@ -92,6 +92,60 @@ object OptProbe {
         spark.catalog.clearCache()
       }
 
+      if (which("avronested")) {
+        // VERDICT r18 item 8: do nested Avro shapes (struct/array/map —
+        // the generic valueReader/valueWriter path) matter at corpus
+        // scale? Lineitem rows re-shaped into a struct + array + map per
+        // row, roundtripped.
+        val li = sources.Tables.lineitem(spark, sfDir)
+          .select(
+            col("l_orderkey"),
+            struct(col("l_quantity"), col("l_returnflag"), col("l_shipdate"))
+              .as("s"),
+            array(col("l_extendedprice"), col("l_discount"), col("l_tax"))
+              .as("a"),
+            map(col("l_returnflag"), col("l_quantity")).as("m"))
+        val dir = graft.GraftQuery.tempDir("graft_avron_probe") + "/t"
+        time("avro nested write") { graft.sources.Avro.write(li, dir) }
+        val back = time("avro nested read+agg") {
+          graft.sources.Avro.read(spark, dir)
+            .select(col("s.l_quantity").as("q"), element_at(col("a"), 1).as("p"))
+            .agg(sum("q"), sum("p")).collect()
+        }
+        System.err.println(s"[probe] avro nested agg: ${back.mkString}")
+      }
+
+      if (which("incr")) {
+        // q_incr_join phase split (r19 VERDICT item 3): 4 appends + 3
+        // refreshes + final read+agg, each timed.
+        val base = graft.GraftQuery.tempDir("graft_ijprobe")
+        val (left, right, view) = (base + "/L", base + "/R", base + "/V")
+        val ij = graft.operators.IncrementalJoin
+        val o = sources.Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val c = sources.Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        time("incr append L0") { ij.appendTable(spark, left,
+          o.filter(col("o_orderkey") % 2 === 0)) }
+        time("incr append R0") { ij.appendTable(spark, right,
+          c.filter(col("c_custkey") % 2 === 0)) }
+        time("incr refresh 1") { ij.refresh(spark, left, right, view,
+          "o_custkey", "c_custkey") }
+        time("incr append L1") { ij.appendTable(spark, left,
+          o.filter(col("o_orderkey") % 2 === 1)) }
+        time("incr refresh 2") { ij.refresh(spark, left, right, view,
+          "o_custkey", "c_custkey") }
+        time("incr append R1") { ij.appendTable(spark, right,
+          c.filter(col("c_custkey") % 2 === 1)) }
+        time("incr refresh 3") { ij.refresh(spark, left, right, view,
+          "o_custkey", "c_custkey") }
+        time("incr read+agg") { ij.readView(spark, view).get
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("rev"))
+          .orderBy("c_mktsegment").collect() }
+      }
+
       if (which("bm25")) {
         val docs = sources.Tables.documents(spark, sfDir)
         val dir = graft.GraftQuery.tempDir("graft_bm25_probe") + "/idx"

@@ -180,11 +180,23 @@ object TextFunctions {
     }: _*)
   }
 
+  /** Native fused path for the replayable SimHash: text → whitespace
+    * tokens → md5-half votes → fingerprint in ONE compiled pass,
+    * bit-identical to `simhash64Replayable(tokens(text))` (parity pinned
+    * in Md5KernelParitySpec — the composed form below stays as the
+    * witness the oracle SQL mirrors). The composed tree is a
+    * CodegenFallback HOF fold that recomputes md5 twice per token and
+    * allocates a 64-wide vote array per token per row. */
+  def simhash64ReplayableText(text: Column): Column =
+    org.apache.spark.sql.graft.Md5Expressions.md5SimHashText(text)
+
   /** ORACLE-REPLAYABLE 64-bit SimHash: [[simhash64]]'s vote fold with the
     * per-token hash replaced by the two 32-bit md5 halves (bits 0–31 from
     * hex chars [8,16), bits 32–63 from [0,8)), so DuckDB can rebuild the
     * fingerprint from the same per-token md5 values. Exact integer sums
-    * throughout — the bit is a pure function of the token multiset. */
+    * throughout — the bit is a pure function of the token multiset.
+    * PARITY WITNESS spelling — scans should use the fused
+    * [[simhash64ReplayableText]]. */
   def simhash64Replayable(tokensCol: Column): Column = {
     val hs = transform(tokensCol, t => struct(
       md5Base32(t, 0).as("hi"),

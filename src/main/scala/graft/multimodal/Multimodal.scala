@@ -624,8 +624,17 @@ object Multimodal {
       hashCol: String,
       maxHamming: Int = 3,
       chunks: Int = 0): DataFrame =
+    // The fingerprint frame PERSISTS here (r19): this wrapper's callers
+    // all feed a per-row CODEC DECODE map (dHash / envelope), and the
+    // generic pair join consumes the frame from four subtrees (the
+    // distinct support, both explode sides of the band join via it, and
+    // the two member-expansion sides) — unpersisted, each subtree
+    // re-decoded the corpus. (id, hash) is 16 bytes/row. Text callers
+    // keep their own fingerprint caches; retention matches that
+    // contract (plan-keyed; clearCache between corpora).
     graft.operators.Dedup.hammingNearDupPairs(
-      hashes, idCol, hashCol, maxHamming, chunks)
+      hashes.select(col(idCol), col(hashCol)).persist(),
+      idCol, hashCol, maxHamming, chunks)
 
   /** Streaming image-ingest dedup: per-micro-batch dHash through the
     * generic hamming admission store ([[graft.streaming.StreamOps
@@ -866,6 +875,14 @@ object Multimodal {
       everyMs: Long = 200L,
       maxHamming: Int = 6,
       minMatchedFrames: Int = 4): DataFrame = {
+    // NOT persisted (r19, measured): the pair join's subtrees share
+    // their exchanges (ReusedExchange dedups the identical band-side and
+    // member-side scans), so the frame decode really runs ~2×, in
+    // PARALLEL stages — an interleaved A/B showed the persist costing
+    // +0.3–0.4 s per rep at sf0.1 (0.52 → 0.82 s min-of-3): cache
+    // materialization serializes the pipeline for less re-decode than it
+    // saves. The image/audio wrappers measured the OPPOSITE (their
+    // persists won 0.63×/0.80×) — decode cost per row dominates there.
     val frames = videoFrameDhash(ds, everyMs).toDF()
       .select(col("media_id"), col("frame_idx"), col("fhash"))
     graft.operators.Dedup.hammingNearDupPairs(

@@ -128,10 +128,30 @@ object Bm25Index {
       .select(col(idCol).as("doc_id"),
         size(split(col(textCol), " ")).cast("long").as("dl"))
       .write.parquet(s"$path/doclen")
-    spark.read.parquet(s"$path/doclen")
-      .agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"),
-        lit(buckets).as("buckets"))
-      .coalesce(1).write.parquet(s"$path/stats")
+    // stats via collect-then-write: the SAME single scan of the flat
+    // doclen table, now also carrying the in-batch duplicate-id guard
+    // (r19, per the r18 advice): doclen is one row per input row while
+    // postings merges per (doc_id, term), so a duplicate id inside one
+    // build batch would silently inflate n/avgdl and fan out topK's
+    // doclen join — refuse loudly instead, mirroring append()'s
+    // cross-batch guard.
+    val a = spark.read.parquet(s"$path/doclen")
+      .agg(count(lit(1)).as("cnt"), avg(col("dl")).as("avgdl"),
+        count(col("doc_id")).as("cntid"),
+        count_distinct(col("doc_id")).as("ndist"))
+      .head()
+    require(a.getLong(2) == a.getLong(3),
+      s"bm25 build batch contains duplicate doc ids " +
+        s"(${a.getLong(2)} rows, ${a.getLong(3)} distinct) — a doc indexed " +
+        "twice would double its postings; dedup the corpus first")
+    writeOneRow(spark, s"$path/stats",
+      new org.apache.spark.sql.types.StructType()
+        .add("n", "long", nullable = false)
+        .add("avgdl", "double")
+        .add("buckets", "int", nullable = false),
+      org.apache.spark.sql.Row(a.getLong(0),
+        if (a.isNullAt(1)) null else java.lang.Double.valueOf(a.getDouble(1)),
+        buckets))
     load(spark, path)
   }
 
@@ -312,13 +332,39 @@ object Bm25Index {
       .select(col(idCol).as("doc_id"),
         size(split(col(textCol), " ")).cast("long").as("dl"))
       .write.parquet(s"$staging/doclen")
-    spark.read.parquet(s"$staging/doclen")
-      .agg(
-        (count(lit(1)) + baseN).as("n"),
-        (sum(col("dl")) + baseSumDl).as("sum_dl"),
-        lit(buckets).as("buckets"),
-        lit(idColName).as("id_col"),
-        lit(textColName).as("text_col"))
-      .coalesce(1).write.parquet(s"$staging/stats")
+    // stats via collect-then-write — same single doclen scan, now also
+    // the in-batch duplicate-id guard (see buildAndSave): append() only
+    // guards ids against PREVIOUS batches; a duplicate inside one delta
+    // would double-count silently.
+    val a = spark.read.parquet(s"$staging/doclen")
+      .agg(count(lit(1)).as("cnt"), sum(col("dl")).as("sdl"),
+        count(col("doc_id")).as("cntid"),
+        count_distinct(col("doc_id")).as("ndist"))
+      .head()
+    require(a.getLong(2) == a.getLong(3),
+      s"bm25 build/append batch contains duplicate doc ids " +
+        s"(${a.getLong(2)} rows, ${a.getLong(3)} distinct) — a doc indexed " +
+        "twice would double its postings; dedup the delta first")
+    writeOneRow(spark, s"$staging/stats",
+      new org.apache.spark.sql.types.StructType()
+        .add("n", "long", nullable = false)
+        .add("sum_dl", "long")
+        .add("buckets", "int", nullable = false)
+        .add("id_col", "string", nullable = false)
+        .add("text_col", "string", nullable = false),
+      org.apache.spark.sql.Row(a.getLong(0) + baseN,
+        if (a.isNullAt(1)) null
+        else java.lang.Long.valueOf(a.getLong(1) + baseSumDl),
+        buckets, idColName, textColName))
   }
+
+  /** One-row parquet write from already-collected values (no scan). */
+  private def writeOneRow(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      row: org.apache.spark.sql.Row): Unit =
+    spark.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
+      .coalesce(1).write.parquet(path)
 }

@@ -245,32 +245,56 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 64,
       seed: Long = 42L,
-      maxBucket: Int = 1000): DataFrame = {
-    // Signatures PERSIST before banding (r18-opt, the minhashNearDup
-    // pattern): `capped` consumes its input twice (the bucket-count
-    // groupBy and the semi-join side), so an unpersisted pipeline paid
-    // the 128-hash md5 signature computation TWICE per side — the most
-    // expensive expression in the operator. The cache holds
-    // corpus/reference × numHashes ints; banding re-derives from it as
-    // a cheap explode. Cache contract matches minhashNearDup: plan-keyed
-    // and retained so repeated runs share it; long multi-corpus sessions
-    // release via spark.catalog.clearCache() (the CorpusCuration
-    // discipline).
-    def sigOf(df: DataFrame) = df
+      maxBucket: Int = 1000): DataFrame =
+    dedupAgainstReleasable(corpus, reference, idCol, textCol, shingleN,
+      threshold, numHashes, bands, seed, maxBucket)._1
+
+  /** [[dedupAgainst]] plus an explicit release handle for its one
+    * internal cache (the candidate-pair frame, consumed by both
+    * semi-join prunes and the verify join) — the
+    * [[minhashNearDupReplayableReleasable]] contract: retention is the
+    * right default for repeated queries over one corpus pair; long
+    * multi-corpus sessions release per pair. Call release() only after
+    * the returned plan has materialized. */
+  def dedupAgainstReleasable(
+      corpus: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      numHashes: Int = 128,
+      bands: Int = 64,
+      seed: Long = 42L,
+      maxBucket: Int = 1000): (DataFrame, () => Unit) = {
+    // Bucket cap as a WINDOW count (r19 — the minhashNearDupReplayable
+    // spelling, per the r18 advice): the previous groupBy + semi-join cap
+    // consumed each side's banded pipeline TWICE, which is why r18-opt
+    // persisted the signature frames — persists that then leaked with no
+    // release handle. The window spelling scans each side's 128-hash
+    // signature pipeline exactly ONCE (one exchange on (band, bucket)),
+    // so the signature caches are simply unnecessary: no double compute,
+    // nothing retained. Identical surviving-row set — count over the
+    // (band, bucket) partition ≤ maxBucket is the same predicate the
+    // grouped HAVING expressed. The cross join below is keyed on the
+    // same (band, bucket), reusing the window exchange's partitioning.
+    val bucketWin = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    def cappedBands(df: DataFrame) = df
       .select(
         col(idCol).as("graft_id"),
-        minhashTextSignature(col(textCol), shingleN, numHashes, seed).as("graft_sig"))
-      .persist()
-    def banded(sig: DataFrame) = sig
+        // separate projection: graft_sig is referenced `bands` times by
+        // bandKeys' slices, so CollapseProject keeps it — the 128-hash
+        // kernel runs once per row, not once per band
+        minhashTextSignature(col(textCol), shingleN, numHashes, seed)
+          .as("graft_sig"))
       .select(col("graft_id"),
         explode(bandKeys(col("graft_sig"), bands, numHashes)).as("graft_band"))
       .select(col("graft_id"), col("graft_band.band"), col("graft_band.bucket"))
-    def capped(b: DataFrame) = b.join(
-      b.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
-        .filter(col("n") <= maxBucket).select("band", "bucket"),
-      Seq("band", "bucket"), "left_semi")
-    val bc = capped(banded(sigOf(corpus)))
-    val br = capped(banded(sigOf(reference)))
+      .withColumn("graft_n", count(lit(1)).over(bucketWin))
+      .filter(col("graft_n") <= maxBucket)
+      .drop("graft_n")
+    val bc = cappedBands(corpus)
+    val br = cappedBands(reference)
       .select(col("graft_id").as("ref_id"), col("band"), col("bucket"))
     val candidates = bc.join(br, Seq("band", "bucket"))
       .select(col("graft_id").as("cand_id"), col("ref_id")).distinct()
@@ -291,7 +315,8 @@ object Dedup {
       .withColumn("graft_j", jaccardSortedDistinct(col("sh_c"), col("sh_r")))
       .filter(col("graft_j") >= threshold)
       .select(col("cand_id").as(idCol)).distinct()
-    corpus.join(dupIds, Seq(idCol), "left_anti")
+    (corpus.join(dupIds, Seq(idCol), "left_anti"),
+      () => { candidates.unpersist(); () })
   }
 
   /** Frozen-reference handle for streaming/incremental [[dedupAgainst]]:
@@ -706,9 +731,14 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       chunks: Int = 0): (DataFrame, () => Unit) = {
+    // fused native kernel (r19): bit-identical to
+    // simhash64Replayable(tokens(text)) — Md5KernelParitySpec pins it —
+    // at one md5 digest + two unrolled vote loops per token instead of
+    // the interpreted HOF tree (two md5→hex→conv chains and a 64-wide
+    // zip_with per token). The oracle SQL replays the same algebra.
     val fp = df.select(
       col(idCol).as("graft_id"),
-      simhash64Replayable(tokens(col(textCol))).as("graft_sh"))
+      simhash64ReplayableText(col(textCol)).as("graft_sh"))
       .persist()
     (hammingNearDupPairs(fp, "graft_id", "graft_sh", maxHamming, chunks),
       () => { fp.unpersist(); () })
@@ -971,14 +1001,35 @@ object Dedup {
       hashCol: String,
       maxHamming: Int = 3,
       chunks: Int = 0): DataFrame = {
-    val (repPairs, members, _) =
-      hammingRepPairs(hashes, idCol, hashCol, maxHamming, chunks)
+    // The fingerprint projection PERSISTS (r19): every caller feeds this
+    // a per-row DECODE map (image dHash, audio envelope — real codec
+    // work), and the plan consumes it from several subtrees (the class
+    // groupBy inside the band join, the class-label side, the final
+    // member attach) — unpersisted, each subtree re-decoded the whole
+    // corpus (~4 decode scans per call measured at sf0.1). The cache
+    // holds (id, hash): 16 bytes/row, nothing like the media bytes.
+    // Retention matches the simhashNearDup fingerprint-cache contract
+    // (plan-keyed; multi-corpus sessions clearCache between corpora).
+    val fp = hashes
+      .select(col(idCol).as("graft_id"), col(hashCol).as("graft_sh"))
+      .filter(col("graft_sh").isNotNull)
+      .persist()
+    val (repPairs, _, classes) =
+      hammingRepPairs(fp, "graft_id", "graft_sh", maxHamming, chunks)
     val repClusters = nearDupClusters(
       repPairs.select(col("rep_a").as("id_a"), col("rep_b").as("id_b")))
-    members
-      .join(repClusters, members("graft_rep") === repClusters("id"), "left")
-      .select(col("graft_id").as("id"),
+    // Label at CLASS level first (support-sized join — repClusters only
+    // has rows for reps that paired), then attach members by hash value:
+    // ONE corpus-sized join instead of the members-construction join
+    // plus a member-level label join (r19, guide §2.4). Identical
+    // output: classes has exactly one row per hash value, so every
+    // member picks up exactly the label its class representative got.
+    val classLabels = classes
+      .join(repClusters, classes("graft_rep") === repClusters("id"), "left")
+      .select(col("graft_sh"),
         coalesce(col("cluster"), col("graft_rep")).as("cluster"))
+    fp.join(classLabels, "graft_sh")
+      .select(col("graft_id").as("id"), col("cluster"))
   }
 
   /** n-gram Jaccard near-dup: like minhashNearDup but the verify step IS

@@ -47,12 +47,17 @@ object Md5Expressions {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  /** Full 16-byte md5 digest via the per-thread MessageDigest. */
+  def md5Digest(bytes: Array[Byte]): Array[Byte] = {
+    val d = digestTL.get()
+    d.reset()
+    d.digest(bytes)
+  }
+
   /** First 4 digest bytes as the unsigned 32-bit int the SQL spelling
     * `('0x' || substring(md5(s), 1, 8))::BIGINT` produces. */
   def md5Base32(bytes: Array[Byte]): Long = {
-    val d = digestTL.get()
-    d.reset()
-    val h = d.digest(bytes)
+    val h = md5Digest(bytes)
     ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
   }
 
@@ -62,6 +67,82 @@ object Md5Expressions {
 
   def md5PlaneSig(vec: Column, planes: Int, dim: Int): Column =
     ExpressionUtils.column(Md5PlaneSig(ExpressionUtils.expression(vec), planes, dim))
+
+  def md5SimHashText(text: Column): Column =
+    ExpressionUtils.column(Md5SimHashText(ExpressionUtils.expression(text)))
+}
+
+/** Fused text → whitespace tokens → md5-half votes → 64-bit SimHash;
+  * bit-identical to
+  * `TextFunctions.simhash64Replayable(TextFunctions.tokens(text))` (the
+  * q_simhash_pairs / q_media_curate* oracle algebra): per token the two
+  * 32-bit md5 halves (bits 32–63 from hex chars [0,8) = digest bytes
+  * 0–3, bits 0–31 from [8,16) = bytes 4–7) vote ±1 per bit position and
+  * result bit j is set iff the vote sum is positive. The composed form
+  * is a CodegenFallback higher-order tree (a 64-wide zip_with per token
+  * plus TWO separate md5 → hex → substring → conv chains per token);
+  * this kernel is one digest and two unrolled 32-bit vote loops per
+  * token. NULL text yields NULL, exactly like the composed form
+  * (tokens(NULL) = NULL → aggregate(NULL) = NULL). Empty text matches
+  * too: split("", -1) = [""] both here and in Spark's split. Parity is
+  * pinned in Md5KernelParitySpec; the DuckDB oracle SQL is unchanged. */
+case class Md5SimHashText(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      Md5SimHashText.compute(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = "org.apache.spark.sql.graft.Md5SimHashText"
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $cls.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5SimHashText =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_md5_simhash_text"
+}
+
+object Md5SimHashText {
+  // identical token walk to Spark's split(text, "\\s+") (limit -1:
+  // trailing empties kept, leading whitespace yields an empty first
+  // token) — the same pattern Md5MinHashTextSig pins parity for
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** One pass: tokenize, digest each token once, accumulate the 64 ±1
+    * vote sums, fold signs into the fingerprint. Static forwarder shared
+    * by interpreted eval and generated code. */
+  def compute(text: UTF8String): Long = {
+    val toks = ws.split(text.toString, -1)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = Md5Expressions.md5Digest(
+        toks(i).getBytes(StandardCharsets.UTF_8))
+      val hi = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      val lo = ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+        ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+      var j = 0
+      while (j < 32) {
+        if (((lo >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      while (j < 64) {
+        if (((hi >>> (j - 32)) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
 }
 
 /** Fused text → word-`shingleN`-gram → md5-base → Carter–Wegman MinHash

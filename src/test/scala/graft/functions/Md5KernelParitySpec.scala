@@ -47,6 +47,32 @@ class Md5KernelParitySpec extends AnyFunSuite {
     }
   }
 
+  test("native md5 simhash == composed replayable form, all edge texts") {
+    val df = texts.toDF("id", "text")
+    val rows = df.select(
+      col("id"),
+      simhash64ReplayableText(col("text")).as("fused"),
+      simhash64Replayable(tokens(col("text"))).as("composed"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"simhash mismatch id=${r.getLong(0)}: " +
+          s"fused=${r.getLong(1)} composed=${r.getLong(2)}")
+    }
+  }
+
+  test("native md5 simhash: NULL text yields NULL like the composed form") {
+    val df = Seq((0L, Option.empty[String]), (1L, Some("a b"))).toDF("id", "text")
+    val rows = df.select(
+      col("id"),
+      simhash64ReplayableText(col("text")).as("fused"),
+      simhash64Replayable(tokens(col("text"))).as("composed"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2))
+    assert(!rows(1).isNullAt(1) && rows(1).getLong(1) == rows(1).getLong(2))
+  }
+
   test("coefficient families agree between expression object and TextFunctions") {
     val (as, bs) = Md5MinHashTextSig.coefs(32)
     val ref = replayCoefs(32)

@@ -74,7 +74,11 @@ class PpjoinReleaseSpec extends AnyFunSuite {
       ("containment", () => Dedup.containmentNearDupReleasable(
         docs, "doc_id", "text", shingleN = 3, threshold = 0.8)),
       ("weighted_jaccard", () => Dedup.weightedJaccardNearDupReleasable(
-        docs, "doc_id", "text", shingleN = 3, cap = 3, threshold = 0.5)))
+        docs, "doc_id", "text", shingleN = 3, cap = 3, threshold = 0.5)),
+      ("dedup_against", () => Dedup.dedupAgainstReleasable(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", shingleN = 3, threshold = 0.5)))
     for ((name, mk) <- runs) {
       val (pairs, release) = mk()
       pairs.count() // materialize every derived plan
