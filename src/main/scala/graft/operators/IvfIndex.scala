@@ -294,14 +294,32 @@ object IvfIndex {
       meta.head.getString(meta.head.fieldIndex("vec_col")), baseline, r2)
   }
 
-  /** L2-normalized double array from a float-array vector column. */
-  private[operators] def nvecExpr(vecCol: String): org.apache.spark.sql.Column = {
+  /** L2-normalized double array from a float-array vector column —
+    * fused native kernel (r19: the composed form below is an
+    * interpreted CodegenFallback HOF tree; the GRAFT_PHASE_PROBE build
+    * split measured ~1 ms/row of pure interpretation across
+    * nvec/assign/residual/dist2 at sf0.1). Bit-identical values —
+    * IvfKernelParitySpec pins every kernel against its composed
+    * witness. */
+  private[operators] def nvecExpr(vecCol: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.IvfExpressions.l2Normalize(col(vecCol))
+
+  /** Composed PARITY WITNESS spelling of [[nvecExpr]] — never the scan
+    * path. */
+  private[operators] def nvecExprHof(vecCol: String): org.apache.spark.sql.Column = {
     val dbl = transform(col(vecCol), _.cast("double"))
     val nrm = sqrt(aggregate(transform(dbl, x => x * x), lit(0.0), _ + _))
     transform(dbl, x => x / greatest(nrm, lit(1e-12)))
   }
 
   private[operators] def dist2Expr(
+      a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.IvfExpressions.arrayDist2(a, b)
+
+  /** Composed PARITY WITNESS spelling of [[dist2Expr]] — never the scan
+    * path. */
+  private[operators] def dist2ExprHof(
       a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)

@@ -206,6 +206,17 @@ object IvfPqIndex {
       residual: Boolean = true): IvfPqIndex = {
     val spark = df.sparkSession
     require(maxFitRows > 0, s"maxFitRows must be positive, got $maxFitRows")
+    // builder-local phase attribution (GRAFT_PHASE_PROBE=1): stderr
+    // timers only, zero behavior change when unset
+    def ph[T](label: String)(f: => T): T =
+      if (!sys.env.contains("GRAFT_PHASE_PROBE")) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"[phase] pq $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
 
     val withNvec = df.withColumn("graft_nvec", IvfIndex.nvecExpr(vecCol))
     // deterministic fit input: the maxFitRows lowest-(string-)id rows,
@@ -217,12 +228,14 @@ object IvfPqIndex {
     // paid seconds of fixed scheduling overhead EACH for a sample that
     // fits in an array (measured: 18 s → sub-second per index build).
     val sample: Array[Array[Double]] =
-      withNvec
-        .select(col(idCol).cast("string").as("graft_sid"), col("graft_nvec"))
-        .orderBy("graft_sid")
-        .limit(maxFitRows)
-        .collect()
-        .map(_.getSeq[Double](1).toArray)
+      ph("sample collect") {
+        withNvec
+          .select(col(idCol).cast("string").as("graft_sid"), col("graft_nvec"))
+          .orderBy("graft_sid")
+          .limit(maxFitRows)
+          .collect()
+          .map(_.getSeq[Double](1).toArray)
+      }
     val nSample = sample.length
     require(nSample > 0, "empty fit sample — the input is empty")
     val dim = sample(0).length
@@ -231,9 +244,11 @@ object IvfPqIndex {
     val ksubEff = math.min(ksub.toLong, nSample / 2L).toInt.max(2)
 
     // coarse IVF fit (same normalized space/metric as IvfIndex.build)
-    val coarse = LocalKMeans
-      .fit(sample, math.min(nlist, nSample).max(2), seed)
-      .zipWithIndex.map { case (v, i) => (i, v) }
+    val coarse = ph("coarse fit") {
+      LocalKMeans
+        .fit(sample, math.min(nlist, nSample).max(2), seed)
+        .zipWithIndex.map { case (v, i) => (i, v) }
+    }
 
     // per-subspace codebooks over the sample's subvector slices — of the
     // RESIDUALS when residual-coding (sample assigned to its coarse list
@@ -244,9 +259,11 @@ object IvfPqIndex {
         Array.tabulate(v.length)(i => v(i) - cent(i))
       }
       else sample
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
-      val slices = fitSrc.map(_.slice(s * dsub, (s + 1) * dsub))
-      LocalKMeans.fit(slices, ksubEff, seed + 1 + s) // distinct stream per subspace
+    val codebooks: Array[Array[Array[Double]]] = ph("codebook fits") {
+      Array.tabulate(m) { s =>
+        val slices = fitSrc.map(_.slice(s * dsub, (s + 1) * dsub))
+        LocalKMeans.fit(slices, ksubEff, seed + 1 + s) // distinct stream per subspace
+      }
     }
 
     val assigned = withNvec
@@ -257,17 +274,29 @@ object IvfPqIndex {
     val codes = encode(assigned, idCol, codebooks)
     // one aggregate job for r2 AND the drift baseline save() persists
     // (was two scans of the cached assigned frame — IvfIndex.buildStats)
-    val (meanD, r2) = IvfIndex.buildStats(assigned, vecCol, coarse)
+    val (meanD, r2) = ph("buildStats") {
+      IvfIndex.buildStats(assigned, vecCol, coarse)
+    }
     val index = new IvfPqIndex(codes, coarse, codebooks, idCol, vecCol,
       residual, r2)
-    index.save(path, assigned.drop("graft_src"), Some(meanD))
+    ph("save") { index.save(path, assigned.drop("graft_src"), Some(meanD)) }
     assigned.unpersist()
-    load(spark, path)
+    ph("load") { load(spark, path) }
   }
 
   /** graft_nvec − this row's coarse centroid, as a pure column over the
-    * literal centroid table (list ids are contiguous 0..nlist-1). */
+    * literal centroid table (list ids are contiguous 0..nlist-1).
+    * Fused native subtract (r19) — the zip_with witness lives in
+    * [[residualColHof]], parity pinned in IvfKernelParitySpec. */
   private def residualCol(cents: Array[(Int, Array[Double])]): Column =
+    org.apache.spark.sql.graft.IvfExpressions.zipSubtract(
+      col("graft_nvec"),
+      element_at(
+        typedLit(cents.sortBy(_._1).map(_._2.toSeq).toSeq),
+        col("list_id") + 1))
+
+  /** Composed PARITY WITNESS spelling of [[residualCol]]. */
+  private[operators] def residualColHof(cents: Array[(Int, Array[Double])]): Column =
     zip_with(
       col("graft_nvec"),
       element_at(
@@ -275,15 +304,24 @@ object IvfPqIndex {
         col("list_id") + 1),
       (x, c) => x - c)
 
-  /** argmin over the literal coarse centroids as a pure column
-    * expression: materialize the nlist distances into ONE array, then
+  /** argmin over the frozen coarse centroids — fused native kernel
+    * (r19): one narrow loop per row against the flattened centroid
+    * reference object, first-match ties toward the lower list id under
+    * Spark's double ordering, exactly the
+    * `array_position(arr, array_min(arr)) − 1` semantics of the
+    * composed witness ([[assignExprHof]], parity pinned in
+    * IvfKernelParitySpec). Used for the COARSE assignment; subspace
+    * codes use [[org.apache.spark.sql.graft.PqEncode]]. */
+  private def assignExpr(cents: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graft.IvfExpressions.coarseAssign(
+      col("graft_nvec"), cents)
+
+  /** Composed PARITY WITNESS spelling of [[assignExpr]]: materialize
+    * the nlist distances into ONE array, then
     * array_position(arr, array_min(arr)) — linear tree size (a when-
     * chain fold would reference its accumulator twice per level and grow
-    * the tree 2^nlist). First-match semantics break distance ties toward
-    * the lower list id, deterministically. Used for the COARSE
-    * assignment (nlist is small); subspace codes use the broadcast join
-    * in [[encode]] (m×ksub literals would bloat even the array form). */
-  private def assignExpr(cents: Array[Array[Double]]): Column = {
+    * the tree 2^nlist). */
+  private[operators] def assignExprHof(cents: Array[Array[Double]]): Column = {
     val d2s = cents.map { c =>
       aggregate(
         zip_with(col("graft_nvec"), typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
