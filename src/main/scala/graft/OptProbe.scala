@@ -92,6 +92,56 @@ object OptProbe {
         spark.catalog.clearCache()
       }
 
+      if (which("bm25topk")) {
+        // VERDICT r18 item 7: dfreq as broadcast-join-of-aggregate (the
+        // shipped shape — re-scans the pruned postings subtree) vs as a
+        // window count over the hit set (one exchange on term). Postings
+        // are unique per (term, doc_id) by construction, so
+        // count-over-window == countDistinct per term. Measure at sf1+.
+        val docs = sources.Tables.documents(spark, sfDir)
+        val dir = graft.GraftQuery.tempDir("graft_bm25topk_probe") + "/idx"
+        val idx = graft.operators.Bm25Index.buildAndSave(
+          docs, dir, "doc_id", "text", buckets = 64)
+        val st = spark.read.parquet(s"$dir/stats").head()
+        val n = st.getLong(st.fieldIndex("n"))
+        val avgdl = st.getDouble(st.fieldIndex("avgdl"))
+        val queries = Seq(
+          "q1" -> "spark join window", "q2" -> "merge batch stream",
+          "q3" -> "vector hash scan")
+        val (k1, b, k) = (1.2, 0.75, 10)
+        val qpairs = queries.flatMap { case (qid, qtext) =>
+          qtext.split(" ").filter(_.nonEmpty).distinct.map(t => (qid, t))
+        }
+        import spark.implicits._
+        val qterms = broadcast(qpairs.toDF("query_id", "term"))
+        val tbs = qpairs.map(_._2).distinct.map(t =>
+          math.floorMod(
+            spark.range(1).select(hash(lit(t))).head().getInt(0), 64))
+          .distinct
+        def hit = spark.read.parquet(s"$dir/postings")
+          .filter(col("tb").isin(tbs: _*))
+          .join(qterms, Seq("term"))
+        def score(withDf: org.apache.spark.sql.DataFrame): Long = {
+          withDf
+            .join(spark.read.parquet(s"$dir/doclen"), Seq("doc_id"))
+            .withColumn("graft_t",
+              log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
+                (col("tf") * (k1 + 1)) /
+                (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+            .groupBy("query_id", "doc_id").agg(sum(col("graft_t")).as("score"))
+            .orderBy(col("score").desc).limit(k * queries.size).count()
+        }
+        time("bm25topk dfreq-broadcast") {
+          val dfreq = hit.groupBy("term")
+            .agg(countDistinct(col("doc_id")).as("df"))
+          score(hit.join(broadcast(dfreq), Seq("term")))
+        }
+        time("bm25topk dfreq-window") {
+          val w = org.apache.spark.sql.expressions.Window.partitionBy("term")
+          score(hit.withColumn("df", count(lit(1)).over(w)))
+        }
+      }
+
       if (which("avronested")) {
         // VERDICT r18 item 8: do nested Avro shapes (struct/array/map —
         // the generic valueReader/valueWriter path) matter at corpus
