@@ -182,17 +182,24 @@ object Avro {
     * name→field schema walk + an Option allocation + a 15-case match for
     * every cell of every row. Sound because [[read]] pins one reader
     * schema for the whole scan (AvroKeyInputFormat re-encodes every
-    * record to it), so positions never vary record to record. Nested
-    * records/arrays/maps keep the generic (correct) path — they are not
-    * the hot shape. */
+    * record to it), so positions never vary record to record. Since
+    * r19-opt, nested records/arrays/maps compile recursively too (the
+    * probe measured the generic per-element dispatch at ~2-3× the flat
+    * path on struct+array+map rows): a nested record is just this
+    * function over the pinned element schema, arrays/maps hoist their
+    * element converter once — value-for-value identical to
+    * [[toSparkValue]] (nested records millis-normalize per field exactly
+    * as [[recordToRow]] does; bare array/map timestamp elements stay on
+    * the micros reading, matching the generic path's behavior). */
   private[sources] def rowReader(
       avroSchema: Schema, st: StructType): GenericRecord => Row = {
     val n = st.fields.length
     val pos: Array[Int] = st.fields.map(f => avroSchema.getField(f.name).pos())
     val convs: Array[Any => Any] = st.fields.map { f =>
-      val isMillis = unwrap(avroSchema.getField(f.name).schema()).exists(s =>
+      val fieldSch = unwrap(avroSchema.getField(f.name).schema())
+      val isMillis = fieldSch.exists(s =>
         Option(s.getLogicalType).exists(_.getName.endsWith("-millis")))
-      valueReader(f.dataType, isMillis)
+      valueReader(f.dataType, isMillis, fieldSch)
     }
     rec => {
       val arr = new Array[Any](n)
@@ -210,8 +217,11 @@ object Avro {
     * with the type dispatch hoisted out of the row loop. Must stay
     * value-for-value identical to [[toSparkValue]] (+ the millis
     * normalization [[recordToRow]] applied); AvroSpec and the two
-    * oracle-gated roundtrip queries pin it. */
-  private def valueReader(dt: DataType, isMillis: Boolean): Any => Any =
+    * oracle-gated roundtrip queries pin it. `sch` is the UNWRAPPED avro
+    * schema of this position — only consulted for nested shapes (field
+    * positions / element schemas); leaves ignore it. */
+  private def valueReader(
+      dt: DataType, isMillis: Boolean, sch: Option[Schema]): Any => Any =
     dt match {
       case StringType => {
         case u: org.apache.avro.util.Utf8 => u.toString
@@ -263,11 +273,46 @@ object Avro {
               java.time.ZoneOffset.UTC)
           case x => x
         }
-      // nested shapes: generic (slow, correct) path — per-element
-      // conversion still dispatches, but these are not the hot columns
-      case st2: StructType => v => toSparkValue(v, st2)
-      case at: ArrayType => v => toSparkValue(v, at)
-      case mt: MapType => v => toSparkValue(v, mt)
+      // nested shapes, COMPILED recursively when the pinned avro schema
+      // is at hand (always true on the [[read]]/[[write]] container
+      // paths); without it — defensive only, no current caller — fall
+      // back to the generic per-element dispatch
+      case st2: StructType => sch match {
+        case Some(rs) if rs.getType == Schema.Type.RECORD =>
+          val f = rowReader(rs, st2)
+          val conv: Any => Any = { case r: GenericRecord => f(r); case x => x }
+          conv
+        case _ => v => toSparkValue(v, st2)
+      }
+      case at: ArrayType => sch match {
+        case Some(as) if as.getType == Schema.Type.ARRAY =>
+          // element conversions mirror toSparkValue: timestamps read as
+          // micros (no field-level millis flag exists for bare elements),
+          // record elements millis-normalize via their own rowReader
+          val ec = valueReader(at.elementType, isMillis = false,
+            Some(unwrap(as.getElementType).getOrElse(as.getElementType)))
+          val conv: Any => Any = {
+            case a: java.util.Collection[_] =>
+              a.asScala.map(v => if (v == null) null else ec(v)).toSeq
+            case x => x
+          }
+          conv
+        case _ => v => toSparkValue(v, at)
+      }
+      case mt: MapType => sch match {
+        case Some(ms) if ms.getType == Schema.Type.MAP =>
+          val vc = valueReader(mt.valueType, isMillis = false,
+            Some(unwrap(ms.getValueType).getOrElse(ms.getValueType)))
+          val conv: Any => Any = {
+            case m: java.util.Map[_, _] =>
+              m.asScala.map { case (k, x) =>
+                k.toString -> (if (x == null) null else vc(x))
+              }.toMap
+            case x => x
+          }
+          conv
+        case _ => v => toSparkValue(v, mt)
+      }
       case _ => identity
     }
 
@@ -277,19 +322,35 @@ object Avro {
     * unwrap Option allocation per CELL. Field order and types are fixed
     * by the one avro schema the writer pins, so all of it hoists. All
     * fields are always set, so skipping the builder's default handling
-    * changes nothing. */
+    * changes nothing. A per-field nullability flag (r18 ADVICE) keeps
+    * the builder's clear diagnostic: a null in a field whose schema has
+    * no null branch refuses HERE with the field named, instead of an
+    * NPE deep inside the Hadoop datum writer. Nested records compile
+    * through this same function (r19-opt), so the check holds at every
+    * depth. */
   private[sources] def recordWriter(
       sch: Schema, st: StructType): Row => GenericRecord = {
     val fields = sch.getFields.asScala.toArray
     val idx: Array[Int] = fields.map(f => st.fieldIndex(f.name()))
-    val convs: Array[Any => Any] =
-      fields.map(f => valueWriter(unwrap(f.schema()).getOrElse(f.schema())))
+    val nullOk: Array[Boolean] = fields.map(f =>
+      f.schema().getType == Schema.Type.UNION &&
+        f.schema().getTypes.asScala.exists(_.getType == Schema.Type.NULL))
+    val convs: Array[Any => Any] = fields.map { f =>
+      val unwrapped = unwrap(f.schema()).getOrElse(f.schema())
+      valueWriter(unwrapped, Some(st.fields(st.fieldIndex(f.name())).dataType))
+    }
+    val recName = sch.getFullName
     row => {
       val rec = new GenericData.Record(sch)
       var i = 0
       while (i < fields.length) {
         val j = idx(i)
-        rec.put(i, if (row.isNullAt(j)) null else convs(i)(row.get(j)))
+        if (row.isNullAt(j)) {
+          if (!nullOk(i)) throw new IllegalArgumentException(
+            s"field ${fields(i).name()} of $recName does not accept null " +
+              "(avro schema has no null branch)")
+          rec.put(i, null)
+        } else rec.put(i, convs(i)(row.get(j)))
         i += 1
       }
       rec
@@ -298,9 +359,13 @@ object Avro {
 
   /** One field's encode function over the UNWRAPPED schema — the
     * per-cell body of [[toAvroValue]] with dispatch hoisted; decimals
-    * and nested shapes keep the generic path (the decimal branch's
-    * RoundingMode.UNNECESSARY refusal must stay bit-identical). */
-  private def valueWriter(sch: Schema): Any => Any = sch.getType match {
+    * keep the generic path (the RoundingMode.UNNECESSARY refusal must
+    * stay bit-identical). Nested records/arrays/maps compile recursively
+    * when the Spark-side type is at hand (r19-opt — the probe measured
+    * the GenericRecordBuilder-per-nested-record generic path at ~2-3×);
+    * without it they fall back to [[toAvroValue]]. */
+  private def valueWriter(
+      sch: Schema, dt: Option[DataType] = None): Any => Any = sch.getType match {
     case Schema.Type.INT if sch.getLogicalType != null => {
       case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
       case d: java.time.LocalDate => d.toEpochDay.toInt
@@ -322,8 +387,39 @@ object Avro {
           case x => x
         }
       }
-    case Schema.Type.RECORD | Schema.Type.ARRAY | Schema.Type.MAP =>
-      v => toAvroValue(v, sch)
+    case Schema.Type.RECORD => dt match {
+      case Some(st: StructType) =>
+        val f = recordWriter(sch, st)
+        val conv: Any => Any = { case r: Row => f(r); case x => x }
+        conv
+      case _ => v => toAvroValue(v, sch)
+    }
+    case Schema.Type.ARRAY => dt match {
+      case Some(ArrayType(et, _)) =>
+        val elemSch = sch.getElementType
+        val ec = valueWriter(unwrap(elemSch).getOrElse(elemSch), Some(et))
+        val conv: Any => Any = {
+          case a: scala.collection.Seq[_] =>
+            a.map(v => if (v == null) null else ec(v)).asJava
+          case x => x
+        }
+        conv
+      case _ => v => toAvroValue(v, sch)
+    }
+    case Schema.Type.MAP => dt match {
+      case Some(MapType(_, vt, _)) =>
+        val vSch = sch.getValueType
+        val vc = valueWriter(unwrap(vSch).getOrElse(vSch), Some(vt))
+        val conv: Any => Any = {
+          case m: scala.collection.Map[_, _] =>
+            m.map { case (k, x) =>
+              k.toString -> (if (x == null) null else vc(x))
+            }.asJava
+          case x => x
+        }
+        conv
+      case _ => v => toAvroValue(v, sch)
+    }
     case _ => identity
   }
 
@@ -434,6 +530,12 @@ object Avro {
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     conf.set("avro.schema.input.key", schemaJson)
+    // pin the GENERIC data model: the default ReflectData walks schemas
+    // through its reflect encoder cache, which NPEs on
+    // union[null, array[union[null, record]]] shapes (and pays per-datum
+    // reflection we never need — everything here is GenericRecord-typed)
+    org.apache.avro.hadoop.io.AvroSerialization.setDataModelClass(
+      conf, classOf[GenericData])
     val rdd = spark.sparkContext.newAPIHadoopFile(
       path,
       classOf[AvroKeyInputFormat[GenericRecord]],
@@ -477,6 +579,10 @@ object Avro {
     val job = Job.getInstance(
       df.sparkSession.sparkContext.hadoopConfiguration)
     AvroJob.setOutputKeySchema(job, avroSchema)
+    // GENERIC data model (see read): ReflectData's encoder cache NPEs on
+    // nullable-record-in-array schemas and adds reflect dispatch per datum
+    org.apache.avro.hadoop.io.AvroSerialization.setDataModelClass(
+      job.getConfiguration, classOf[GenericData])
     val rowSchema = df.schema
     df.rdd.mapPartitions { it =>
       val sch = new Schema.Parser().parse(schemaJson)

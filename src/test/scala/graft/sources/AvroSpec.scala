@@ -233,6 +233,70 @@ class AvroSpec extends AnyFunSuite {
     }
   }
 
+  test("null in a non-nullable field refuses loudly, naming the field — " +
+    "at top level and inside a nested record") {
+    // straight at the compiled encoder: Spark's own row encoder rejects
+    // nulls in non-nullable createDataFrame fields before Avro would see
+    // them, but a hand-built Row (an upstream source with a lying schema)
+    // reaches recordWriter — the diagnosability path the r18 ADVICE item
+    // is about
+    val st = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = false)))
+    val enc = Avro.recordWriter(Avro.toAvroSchema(st), st)
+    val e = intercept[IllegalArgumentException] { enc(Row(1L, null)) }
+    assert(e.getMessage.contains("name") &&
+      e.getMessage.contains("does not accept null"), e.getMessage)
+
+    val nested = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n", StructType(Seq(
+        StructField("inner", StringType, nullable = false))), nullable = true)))
+    val enc2 = Avro.recordWriter(Avro.toAvroSchema(nested), nested)
+    val e2 = intercept[IllegalArgumentException] { enc2(Row(1L, Row(null))) }
+    assert(e2.getMessage.contains("inner") &&
+      e2.getMessage.contains("does not accept null"), e2.getMessage)
+  }
+
+  test("deeply nested shapes round-trip on the compiled converters: " +
+    "array of structs, map of arrays, struct of struct") {
+    val dir = tmp("graft_avro_deep") + "/t"
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("arr_s", ArrayType(StructType(Seq(
+        StructField("x", IntegerType, nullable = true),
+        StructField("y", StringType, nullable = true))),
+        containsNull = true), nullable = true),
+      StructField("map_a", MapType(StringType,
+        ArrayType(DoubleType, containsNull = true),
+        valueContainsNull = true), nullable = true),
+      StructField("s_s", StructType(Seq(
+        StructField("inner", StructType(Seq(
+          StructField("v", LongType, nullable = true))), nullable = true),
+        StructField("ts", TimestampType, nullable = true))), nullable = true)))
+    val rows = Seq(
+      Row(1L,
+        Seq(Row(1, "a"), null, Row(null, "c")),
+        Map("k1" -> Seq(1.5, null, 2.5), "k2" -> null),
+        Row(Row(42L), java.sql.Timestamp.valueOf("2024-06-01 01:02:03.000004"))),
+      Row(2L, null, null, Row(null, null)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    Avro.write(df, dir)
+    val back = Avro.read(spark, dir).orderBy("id").collect()
+    assert(back.length == 2)
+    val r1 = back(0)
+    assert(r1.getAs[scala.collection.Seq[Row]]("arr_s").toSeq ==
+      Seq(Row(1, "a"), null, Row(null, "c")))
+    assert(r1.getAs[Map[String, scala.collection.Seq[Double]]]("map_a")
+      .view.mapValues(v => Option(v).map(_.toSeq).orNull).toMap ==
+      Map("k1" -> Seq(1.5, null, 2.5), "k2" -> null))
+    assert(r1.getAs[Row]("s_s") ==
+      Row(Row(42L), java.sql.Timestamp.valueOf("2024-06-01 01:02:03.000004")))
+    val r2 = back(1)
+    assert(r2.isNullAt(1) && r2.isNullAt(2) && r2.getAs[Row]("s_s") == Row(null, null))
+  }
+
   test("unsupported shapes refuse loudly at schema conversion") {
     intercept[IllegalArgumentException] {
       Avro.toAvroSchema(StructType(Seq(
